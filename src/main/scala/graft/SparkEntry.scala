@@ -1,13 +1,711 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{Normalize, Text, Vectors}
+import graft.operators.{Dedup, Filters, Paging, Patterns, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract (see SURVEY.md §7): one `queries` entry per implemented
+  * operator from SURVEY.md §2 plus the beyond-reference training-data ops,
+  * each with a DuckDB-equivalent `oracleSql` where SQL-expressible.
+  *
+  * Oracle-parity conventions (every query follows these):
+  *  - integer outputs are BIGINT on both sides (DuckDB sums of ints are
+  *    HUGEINT → explicitly CAST);
+  *  - timestamps are compared as epoch milliseconds (`unix_millis` /
+  *    `epoch_ms`) — events.parquet carries TIMESTAMP(NANOS) which Spark
+  *    truncates to micros, and ms-flooring is truncation-stable;
+  *  - money/metric sums go through exact integer cents
+  *    (`round(x*100)::BIGINT` summed) so double addition order can never
+  *    flip a result between engines; derived doubles (averages, ratios)
+  *    are computed with the same IEEE expression shape on both sides and
+  *    compared unrounded;
+  *  - `round()` is avoided except where the compared quantity is far from
+  *    any rounding boundary (cosine similarities);
+  *  - set-valued results are emitted as sorted comma-joined strings;
+  *  - every result carries a deterministic total ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Exact cents: `round(x*100)` is integer-exact for 2-decimal data, and
+    * both engines round the near-integer double to the same value. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private def centsSql(x: String): String = s"CAST(round(($x) * 100) AS BIGINT)"
+
+  /** Exact micro-units for products of 2-decimal columns (up to 6 decimals). */
+  private def micros6(c: Column): Column = round(c * 1000000L).cast("long")
+  private def micros6Sql(x: String): String = s"CAST(round(($x) * 1000000) AS BIGINT)"
+
+  private def ms(c: Column): Column = unix_millis(c)
+
+  /** The events table viewed as the reference's query-log domain
+    * (FIXTURES.md §1): event text stands in for SQL text, value for
+    * duration. Purely a projection — the oracle mirrors it inline. */
+  private def eventsAsLogs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id").cast("string").as("query_id"),
+      concat(col("event_type"), lit(" "), col("props")).as("query"),
+      upper(col("event_type")).as("query_kind"),
+      concat(lit("U"), col("user_id")).as("user"),
+      col("ts").as("query_start_time"),
+      col("value").as("query_duration_ms"),
+      col("user_id").as("read_rows"),
+      col("event_id").as("read_bytes"),
+      cents(col("value")).as("memory_usage"))
+      .withColumn("pattern_id", Normalize.fingerprint(col("query")))
+
+  /** The same identity expression on the DuckDB side. */
+  private val logQuerySql = "event_type || ' ' || props"
+  private val patternIdSql: String = Normalize.duckdbFingerprintSql(logQuerySql)
+
+  /** Pattern-aggregate projection shared by q_pattern_agg / q_pattern_merge:
+    * exact-cents totals, ms timestamps, sorted joined user set. */
+  private def patternSelect(p: DataFrame): DataFrame =
+    p.select(
+      col("pattern_id"),
+      col("sql_pattern"),
+      col("frequency"),
+      (col("memory_usage").cast("double") / lit(100.0)).as("total_duration_ms"),
+      (col("memory_usage").cast("double") / lit(100.0) / col("frequency").cast("double"))
+        .as("avg_duration_ms"),
+      ms(col("first_seen")).as("first_seen_ms"),
+      ms(col("last_seen")).as("last_seen_ms"),
+      array_join(col("users"), ",").as("users"),
+      col("total_read_rows"),
+      col("total_read_bytes"))
+
+  private val patternAggSqlBody: String =
+    s"""SELECT $patternIdSql AS pattern_id,
+       |  min($logQuerySql) AS sql_pattern,
+       |  count(*) AS frequency,
+       |  CAST(sum(${centsSql("value")}) AS DOUBLE) / 100.0 AS total_duration_ms,
+       |  CAST(sum(${centsSql("value")}) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE) AS avg_duration_ms,
+       |  epoch_ms(min(ts)) AS first_seen_ms,
+       |  epoch_ms(max(ts)) AS last_seen_ms,
+       |  array_to_string(list_sort(list_distinct(list('U' || user_id))), ',') AS users,
+       |  CAST(sum(user_id) AS BIGINT) AS total_read_rows,
+       |  CAST(sum(event_id) AS BIGINT) AS total_read_bytes
+       |FROM events
+       |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- entry
+
+  /** Flagship: the reference's `analyze` pipeline (§3.1 levels 1-2) —
+    * normalize → pattern agg → HAVING → impact ranking — on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val logs = eventsAsLogs(spark, "/root/testdata/sf0.001")
+    val slowish = logs.filter(col("query_duration_ms") >= 0)
+    Patterns.rankByImpact(Patterns.having(Patterns.aggregate(slowish), minFrequency = 2))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S1/P1: projection + pushed filter (Catalyst pushes both into the scan).
+    "q_scan_project" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type").isInCollection(Seq("purchase", "signup")))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))),
+
+    // F1: time-range filter (partition-prunable shape) + A1-lite agg.
+    "q_time_range" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(Filters.timeRange(col("ts"),
+          lit(java.sql.Timestamp.valueOf("2024-01-25 00:00:00")), 7))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("value"))).cast("double") / 100.0).as("total_value"))
+        .orderBy(col("event_type"))),
+
+    // F2: case-insensitive user include list.
+    "q_user_filter" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("u", concat(lit("U"), col("user_id")))
+        .filter(Filters.userInclude(col("u"), Seq("u1", "u5", "u7")))
+        .groupBy(lower(col("u")).as("user_name"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("user_name"))),
+
+    // F3: query-kind membership (upper-cased).
+    "q_kind_filter" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(Filters.queryKinds(col("event_type"), Seq("purchase", "error")))
+        .groupBy(upper(col("event_type")).as("kind"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("kind"))),
+
+    // F4: LIKE over array elements (higher-order exists), OR-joined.
+    "q_array_like" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .withColumn("words", split(col("p_name"), " "))
+        .filter(Filters.tablesLike(col("words"), Seq("b%", "%d")))
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))),
+
+    // F5: slow-focus threshold filter + agg.
+    "q_slow_focus" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(Filters.slowOnly(col("value"), 150.0))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_slow"),
+          (sum(cents(col("value"))).cast("double") / 100.0 / count(lit(1)).cast("double"))
+            .as("avg_slow_value"))
+        .orderBy(col("event_type"))),
+
+    // F9: arrays_overlap keep-filter.
+    "q_array_overlap" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .withColumn("words", split(col("p_name"), " "))
+        .filter(Filters.overlaps(col("words"), Seq("red", "green", "blue")))
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))),
+
+    // P2/U1: normalization + portable fingerprint (the pattern identity).
+    "q_normalize" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("q", concat(col("event_type"), lit(" "), col("props")))
+        .groupBy(Normalize.fingerprint(col("q")).as("fingerprint"),
+          Normalize.normalizeQuery(col("q")).as("normalized"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("fingerprint"))),
+
+    // A1+F8+A8: THE core operator — pattern hash-aggregate, HAVING, impact.
+    "q_pattern_agg" -> ((s, dir) => {
+      val p = Patterns.having(Patterns.aggregate(eventsAsLogs(s, dir)), minFrequency = 2)
+      patternSelect(p)
+        .withColumn("impact",
+          col("frequency").cast("double") * col("avg_duration_ms"))
+        .orderBy(col("pattern_id"))
+    }),
+
+    // A2/A6/J5: incremental enrich — split, aggregate halves, merge; must
+    // equal the one-shot aggregate (merge associativity, models.py:135-154).
+    "q_pattern_merge" -> ((s, dir) => {
+      val logs = eventsAsLogs(s, dir)
+      val a = Patterns.aggregate(logs.filter(col("read_bytes") % 2 === 0))
+      val b = Patterns.aggregate(logs.filter(col("read_bytes") % 2 === 1))
+      patternSelect(Patterns.merge(a, b)).orderBy(col("pattern_id"))
+    }),
+
+    // A3/A4: global summary stats + distinct counts.
+    "q_summary_stats" -> ((s, dir) =>
+      Tables.events(s, dir).agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_event_types"),
+        (sum(cents(col("value"))).cast("double") / 100.0).as("total_value"),
+        (sum(cents(col("value"))).cast("double") / 100.0 / count(lit(1)).cast("double"))
+          .as("avg_value"),
+        ms(min(col("ts"))).as("min_ts_ms"),
+        ms(max(col("ts"))).as("max_ts_ms"))),
+
+    // A5: conditional bucketing — frequency-weighted % slow/medium/fast.
+    "q_value_buckets" -> ((s, dir) =>
+      Tables.events(s, dir).agg(
+        sum(when(col("value") > 150.0, 1L).otherwise(0L)).as("n_slow"),
+        sum(when(col("value") > 50.0 && col("value") <= 150.0, 1L).otherwise(0L)).as("n_medium"),
+        sum(when(col("value") <= 50.0, 1L).otherwise(0L)).as("n_fast"),
+        (sum(when(col("value") > 150.0, 1L).otherwise(0L)).cast("double") * 100.0 /
+          count(lit(1)).cast("double")).as("pct_slow"))),
+
+    // P3: complexity score (models.py:156-165 formula).
+    "q_complexity" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("frequency"),
+          (sum(cents(col("value"))).cast("double") / 100.0 / count(lit(1)).cast("double"))
+            .as("avg_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .withColumn("complexity",
+          Patterns.complexityScore(col("avg_value"), col("frequency"), col("n_users")))
+        .orderBy(col("event_type"))),
+
+    // J1-shape: multi-way star join, small dims broadcast.
+    "q_star_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("total_price"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // J2: theta join (suffix match) via broadcast nested loop.
+    "q_theta_suffix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val n = Tables.nation(s, dir)
+      d.join(broadcast(n), endswith(col("source"), col("n_nationkey").cast("string")))
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // J3: 1-hop dependency expansion (used set ∪ parents).
+    "q_one_hop" -> ((s, dir) => {
+      val used = Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(cents(col("o_totalprice")) > 30000000L),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_nationkey"), col("n_regionkey"), col("n_name")).distinct()
+      val parents = used.join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("node")).distinct()
+      used.select(col("n_name").as("node")).distinct()
+        .unionByName(parents).distinct()
+        .orderBy(col("node"))
+    }),
+
+    // SO1/A7: coverage — model-universe set algebra (used/unused/pct).
+    "q_coverage" -> ((s, dir) => {
+      val usedKeys = Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("c_nationkey").as("n_nationkey")).distinct()
+      val n = Tables.nation(s, dir)
+      val flagged = n.join(usedKeys.withColumn("used", lit(1)), Seq("n_nationkey"), "left")
+      flagged.agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("used").isNotNull, 1L).otherwise(0L)).as("n_used"),
+        sum(when(col("used").isNull, 1L).otherwise(0L)).as("n_unused"),
+        (sum(when(col("used").isNotNull, 1L).otherwise(0L)).cast("double") * 100.0 /
+          count(lit(1)).cast("double")).as("pct_used"),
+        array_join(sort_array(collect_list(when(col("used").isNull, col("n_name")))), ",")
+          .as("unused_models"))
+    }),
+
+    // SO1: anti join — customers with no orders.
+    "q_anti_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // Semi join — customers with at least one urgent order.
+    "q_semi_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // W4: deterministic pagination (page 3, 10 rows) over a total order.
+    "q_pagination" -> ((s, dir) =>
+      Paging.page(
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            cents(col("o_totalprice")).as("total_cents")),
+        Seq(col("total_cents").desc, col("o_orderkey")), 10, 3)
+        .select(col("o_orderkey"), col("o_custkey"), col("total_cents"),
+          col("row_num").cast("long").as("row_num"))),
+
+    // W5/W2/A8: global top-k by exact impact metric.
+    "q_topk" -> ((s, dir) =>
+      Paging.topK(
+        Tables.events(s, dir).groupBy(col("user_id"))
+          .agg(sum(cents(col("value"))).as("total_cents"), count(lit(1)).as("n")),
+        Seq(col("total_cents").desc, col("user_id")), 10)
+        .select(col("user_id"), col("total_cents"), col("n"))),
+
+    // Window rank: per-group top-k leaderboard.
+    "q_window_rank" -> ((s, dir) =>
+      Paging.topKPerGroup(
+        Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("c_custkey"), col("c_name"),
+            cents(col("c_acctbal")).as("acctbal_cents")),
+        Seq(col("n_name")), Seq(col("acctbal_cents").desc, col("c_custkey")), 3)
+        .select(col("n_name"), col("c_custkey"), col("c_name"), col("acctbal_cents"),
+          col("rank_in_group").cast("long").as("rnk"))
+        .orderBy(col("n_name"), col("rnk"))),
+
+    // Sessionization: gap-based sessions via lag window (ms-exact).
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(ms(col("ts")), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("gap_ms", ms(col("ts")) - lag(ms(col("ts")), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg((lit(1L) + sum(when(col("gap_ms") > 3600000L, 1L).otherwise(0L)))
+          .as("n_sessions"))
+        .orderBy(col("user_id"))
+    }),
+
+    // TPC-H Q1 shape: wide aggregate over lineitem (bench headline).
+    "q_tpch_q1" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-12-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          (sum(cents(col("l_extendedprice"))).cast("double") / 100.0).as("sum_base_price"),
+          (sum(micros6(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double")
+            / 1000000.0).as("sum_disc_price"),
+          (sum(micros6(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")))).cast("double") / 1000000.0).as("sum_charge"),
+          (sum(col("l_quantity")).cast("double") / count(lit(1)).cast("double")).as("avg_qty"),
+          (sum(cents(col("l_extendedprice"))).cast("double") / 100.0
+            / count(lit(1)).cast("double")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // TPC-H Q3 shape: selective join + agg + exact-cents top-k (headline).
+    "q_tpch_q3" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      Paging.topK(
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(micros6(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_micros")),
+        Seq(col("revenue_micros").desc, col("l_orderkey")), 10)
+        .select(col("l_orderkey"),
+          (col("revenue_micros").cast("double") / 1000000.0).as("revenue"))
+    }),
+
+    // ------------------- beyond-reference: dedup -------------------------
+
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("fingerprint"))),
+
+    "q_dedup_normalized" -> ((s, dir) =>
+      Dedup.normalizedGroups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("fingerprint"))),
+
+    // MinHash+LSH near-dups over docs ∪ planted mutations (drop last token):
+    // guarantees recallable pairs; deterministic; no SQL oracle (xxhash64).
+    "q_dedup_minhash" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(Text.tokens(col("text")), lit(1),
+          greatest(size(Text.tokens(col("text"))) - 1, lit(1))), " ").as("text"))
+      Dedup.minhashNearDups(d.unionByName(planted), "doc_id", "text",
+        minEstJaccard = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash signatures (deterministic xxhash64-based; no SQL oracle).
+    "q_dedup_simhash" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(Text.tokens(col("text")), lit(1),
+          greatest(size(Text.tokens(col("text"))) - 1, lit(1))), " ").as("text"))
+      Dedup.simhashNearDups(Dedup.simhash(d.unionByName(planted), "doc_id", "text"),
+        maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Exact n-gram Jaccard near-dups on the same planted corpus.
+    "q_dedup_jaccard" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(Text.tokens(col("text")), lit(1),
+          greatest(size(Text.tokens(col("text"))) - 1, lit(1))), " ").as("text"))
+      Dedup.jaccardNearDups(d.unionByName(planted), "doc_id", "text",
+        shingleN = 5, dfMax = 20, minJaccard = 0.3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // ------------------- beyond-reference: text analysis -----------------
+
+    "q_text_stats" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.punctCount(col("text")).as("n_punct"),
+        Text.stopwordRatio(col("text")).as("stopword_ratio"),
+        Text.qualityScore(col("text")).as("quality_score"))
+        .orderBy(col("doc_id"))),
+
+    "q_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang").as("declared_lang"),
+        Text.langId(col("text")).as("predicted_lang"))
+        .orderBy(col("doc_id"))),
+
+    "q_doc_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Text.docFingerprint(col("text"), 5).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    // ------------------- beyond-reference: similarity search -------------
+
+    // Exact brute-force cosine top-5 (oracle-checked). "rnk" because RANK
+    // is a reserved word on the DuckDB side.
+    "q_ann_cosine" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vid") % 20 === 0, k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))),
+
+    // SRP-LSH bucketed approximate neighbors (no oracle; recall < 1).
+    "q_ann_srp" -> ((s, dir) =>
+      Similarity.srpTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vid") % 20 === 0, k = 5, planes = 6)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk")))
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  def oracleSql: Map[String, String] = {
+    val normSql = Normalize.duckdbNormalizeSql(logQuerySql)
+    Map(
+      "q_scan_project" ->
+        """SELECT event_id, user_id, event_type, value FROM events
+          |WHERE event_type IN ('purchase','signup') ORDER BY event_id""".stripMargin,
+
+      "q_time_range" ->
+        s"""SELECT event_type, count(*) AS n,
+           |  CAST(sum(${centsSql("value")}) AS DOUBLE) / 100.0 AS total_value
+           |FROM events
+           |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' - INTERVAL 7 DAY
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_user_filter" ->
+        """SELECT lower('U' || user_id) AS user_name, count(*) AS n FROM events
+          |WHERE lower('U' || user_id) IN ('u1','u5','u7')
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_kind_filter" ->
+        """SELECT upper(event_type) AS kind, count(*) AS n FROM events
+          |WHERE upper(event_type) IN ('PURCHASE','ERROR')
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_array_like" ->
+        """SELECT p_partkey, p_name FROM part
+          |WHERE len(list_filter(str_split(p_name, ' '), x -> x LIKE 'b%')) > 0
+          |   OR len(list_filter(str_split(p_name, ' '), x -> x LIKE '%d')) > 0
+          |ORDER BY p_partkey""".stripMargin,
+
+      "q_slow_focus" ->
+        s"""SELECT event_type, count(*) AS n_slow,
+           |  CAST(sum(${centsSql("value")}) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE) AS avg_slow_value
+           |FROM events WHERE value > 150.0
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_array_overlap" ->
+        """SELECT p_partkey, p_name FROM part
+          |WHERE len(list_filter(str_split(p_name, ' '),
+          |      x -> x IN ('red','green','blue'))) > 0
+          |ORDER BY p_partkey""".stripMargin,
+
+      "q_normalize" ->
+        s"""SELECT md5($normSql) AS fingerprint, $normSql AS normalized, count(*) AS n
+           |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+      "q_pattern_agg" ->
+        s"""SELECT *, CAST(frequency AS DOUBLE) * avg_duration_ms AS impact FROM (
+           |$patternAggSqlBody
+           |HAVING count(*) >= 2
+           |) ORDER BY pattern_id""".stripMargin,
+
+      "q_pattern_merge" ->
+        s"""$patternAggSqlBody
+           |ORDER BY pattern_id""".stripMargin,
+
+      "q_summary_stats" ->
+        s"""SELECT count(*) AS n_events,
+           |  count(DISTINCT user_id) AS n_users,
+           |  count(DISTINCT event_type) AS n_event_types,
+           |  CAST(sum(${centsSql("value")}) AS DOUBLE) / 100.0 AS total_value,
+           |  CAST(sum(${centsSql("value")}) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE) AS avg_value,
+           |  epoch_ms(min(ts)) AS min_ts_ms,
+           |  epoch_ms(max(ts)) AS max_ts_ms
+           |FROM events""".stripMargin,
+
+      "q_value_buckets" ->
+        """SELECT
+          |  CAST(sum(CASE WHEN value > 150.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_slow,
+          |  CAST(sum(CASE WHEN value > 50.0 AND value <= 150.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+          |  CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fast,
+          |  CAST(sum(CASE WHEN value > 150.0 THEN 1 ELSE 0 END) AS DOUBLE) * 100.0
+          |    / CAST(count(*) AS DOUBLE) AS pct_slow
+          |FROM events""".stripMargin,
+
+      "q_complexity" ->
+        s"""SELECT event_type, frequency, avg_value, n_users,
+           |  least(avg_value / 1000.0, 1.0) * 0.4
+           |    + least(CAST(frequency AS DOUBLE) / 100.0, 1.0) * 0.4
+           |    + least(CAST(n_users AS DOUBLE) / 5.0, 1.0) * 0.2 AS complexity
+           |FROM (
+           |  SELECT event_type, count(*) AS frequency,
+           |    CAST(sum(${centsSql("value")}) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE) AS avg_value,
+           |    count(DISTINCT user_id) AS n_users
+           |  FROM events GROUP BY 1
+           |) ORDER BY event_type""".stripMargin,
+
+      "q_star_join" ->
+        s"""SELECT r_name, n_name, count(*) AS n_orders,
+           |  CAST(sum(${centsSql("o_totalprice")}) AS DOUBLE) / 100.0 AS total_price
+           |FROM orders
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_theta_suffix" ->
+        """SELECT n_nationkey, count(*) AS n_docs
+          |FROM documents JOIN nation ON ends_with(source, CAST(n_nationkey AS VARCHAR))
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_one_hop" ->
+        """SELECT DISTINCT n_name AS node FROM nation
+          |WHERE n_nationkey IN (
+          |  SELECT c_nationkey FROM customer WHERE c_custkey IN (
+          |    SELECT o_custkey FROM orders
+          |    WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 30000000))
+          |UNION
+          |SELECT DISTINCT r_name AS node FROM region
+          |WHERE r_regionkey IN (
+          |  SELECT n_regionkey FROM nation WHERE n_nationkey IN (
+          |    SELECT c_nationkey FROM customer WHERE c_custkey IN (
+          |      SELECT o_custkey FROM orders
+          |      WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 30000000)))
+          |ORDER BY node""".stripMargin,
+
+      "q_coverage" ->
+        """SELECT count(*) AS n_total,
+          |  CAST(sum(CASE WHEN used THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+          |  CAST(sum(CASE WHEN used THEN 0 ELSE 1 END) AS BIGINT) AS n_unused,
+          |  CAST(sum(CASE WHEN used THEN 1 ELSE 0 END) AS DOUBLE) * 100.0
+          |    / CAST(count(*) AS DOUBLE) AS pct_used,
+          |  coalesce(array_to_string(list_sort(list(n_name) FILTER (WHERE NOT used)), ','), '')
+          |    AS unused_models
+          |FROM (
+          |  SELECT n_name, n_nationkey IN (
+          |    SELECT DISTINCT c_nationkey FROM customer
+          |    WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS used
+          |  FROM nation)""".stripMargin,
+
+      "q_anti_join" ->
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |ORDER BY c_custkey""".stripMargin,
+
+      "q_semi_join" ->
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+          |ORDER BY c_custkey""".stripMargin,
+
+      "q_pagination" ->
+        """SELECT o_orderkey, o_custkey, total_cents, row_num FROM (
+          |  SELECT o_orderkey, o_custkey,
+          |    CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+          |    row_number() OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+          |      o_orderkey) AS row_num
+          |  FROM orders)
+          |WHERE row_num > 20 AND row_num <= 30 ORDER BY row_num""".stripMargin,
+
+      "q_topk" ->
+        s"""SELECT user_id, CAST(sum(${centsSql("value")}) AS BIGINT) AS total_cents,
+           |  count(*) AS n
+           |FROM events GROUP BY 1
+           |ORDER BY total_cents DESC, user_id LIMIT 10""".stripMargin,
+
+      "q_window_rank" ->
+        """SELECT n_name, c_custkey, c_name, acctbal_cents, rnk FROM (
+          |  SELECT n_name, c_custkey, c_name,
+          |    CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+          |    row_number() OVER (PARTITION BY n_name
+          |      ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC, c_custkey) AS rnk
+          |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+          |WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin,
+
+      "q_sessionize" ->
+        """SELECT user_id,
+          |  CAST(1 + sum(CASE WHEN gap_ms > 3600000 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_sessions
+          |FROM (
+          |  SELECT user_id,
+          |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+          |      PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap_ms
+          |  FROM events)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_tpch_q1" ->
+        s"""SELECT l_returnflag, l_linestatus,
+           |  sum(l_quantity) AS sum_qty,
+           |  CAST(sum(${centsSql("l_extendedprice")}) AS DOUBLE) / 100.0 AS sum_base_price,
+           |  CAST(sum(${micros6Sql("l_extendedprice * (1 - l_discount)")}) AS DOUBLE)
+           |    / 1000000.0 AS sum_disc_price,
+           |  CAST(sum(${micros6Sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}) AS DOUBLE)
+           |    / 1000000.0 AS sum_charge,
+           |  CAST(sum(l_quantity) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+           |  CAST(sum(${centsSql("l_extendedprice")}) AS DOUBLE) / 100.0
+           |    / CAST(count(*) AS DOUBLE) AS avg_price,
+           |  count(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_tpch_q3" ->
+        s"""SELECT l_orderkey,
+           |  CAST(sum(${micros6Sql("l_extendedprice * (1 - l_discount)")}) AS DOUBLE)
+           |    / 1000000.0 AS revenue
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+           |GROUP BY 1
+           |ORDER BY CAST(sum(${micros6Sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT)
+           |  DESC, l_orderkey
+           |LIMIT 10""".stripMargin,
+
+      "q_dedup_exact" ->
+        """SELECT md5(text) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+          |  count(*) AS n_copies
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_dedup_normalized" ->
+        """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+          |  CAST(min(doc_id) AS BIGINT) AS canonical_id, count(*) AS n_copies
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_text_stats" ->
+        s"""SELECT doc_id,
+           |  ${Text.duckdbTokenCountSql("text")} AS n_tokens,
+           |  ${Text.duckdbPunctCountSql("text")} AS n_punct,
+           |  ${Text.duckdbStopwordRatioSql("text")} AS stopword_ratio,
+           |  ${Text.duckdbQualityScoreSql("text")} AS quality_score
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_lang_id" ->
+        s"""SELECT doc_id, lang AS declared_lang,
+           |  ${Text.duckdbLangIdSql("text")} AS predicted_lang
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_doc_fingerprint" ->
+        """SELECT doc_id,
+          |  list_min(list_transform(
+          |    generate_series(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 4, 1)),
+          |    i -> md5(array_to_string(string_split_regex(trim(lower(text)), '\s+')[i:i+4], ' '))))
+          |    AS fingerprint
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_ann_cosine" ->
+        """SELECT query_id, neighbor_id, cosine, rnk FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 5)
+          |      AS cosine,
+          |    CAST(row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 5)
+          |        DESC, c.vec_id) AS BIGINT) AS rnk
+          |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+          |  WHERE q.vec_id % 20 = 0) t
+          |WHERE rnk <= 5
+          |ORDER BY query_id, rnk""".stripMargin
+    )
+  }
 }

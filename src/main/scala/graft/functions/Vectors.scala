@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector primitives over `ArrayType(FloatType)` embedding columns,
+  * expressed with Spark's higher-order array functions (codegen'd,
+  * no UDFs). All math is carried out in double precision left-to-right,
+  * which matches DuckDB's list_* functions on DOUBLE[] exactly — so the
+  * oracle can verify cosine similarities bit-for-bit after rounding.
+  */
+object Vectors {
+  private def d(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine against a precomputed pair of (dot-ready) norm columns — lets a
+    * top-k join compute each side's norm once instead of per pair. */
+  def cosinePrenormed(dotCol: Column, normA: Column, normB: Column): Column =
+    dotCol / (normA * normB)
+
+  /** Deterministic pseudo-random hyperplane component for LSH: hash the
+    * (plane, dim) pair to a value in [-1, 1). Replaces an RNG so bucket
+    * assignment is stable across runs/sessions — the property the engine
+    * actually needs (SURVEY.md §7.4 #2 analog for vectors). */
+  def hyperplaneComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(2000001L)).cast("double") / lit(1000000.0)) - lit(1.0)
+
+  /** Sign-random-projection bucket id: `planes` hyperplanes → one bit each,
+    * packed into a long. Vectors in the same bucket are ANN candidates. */
+  def srpBucket(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(d(vec), sequence(lit(0), size(vec) - 1),
+          (x, i) => x * hyperplaneComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

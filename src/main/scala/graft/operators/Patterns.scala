@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The core pattern aggregation (SURVEY.md A1/A2/A6/A8, P3/P4).
+  *
+  * The reference does this with a driver-side dict of mutable
+  * `QueryPattern`s (`utils/data_acquisition.py:194-232`,
+  * `utils/models.py:113-133`). Here it is one hash aggregate: Tungsten
+  * gives partial (map-side) aggregation, spill, and codegen for free, and
+  * the same plan scales out — the groupBy key is the pattern hash, so the
+  * single shuffle is on exactly the join/agg key a 1000-executor cluster
+  * would want. The reference's `update_from_pattern` merge
+  * (`utils/models.py:135-154`) IS Spark's partial→final merge contract,
+  * which also makes incremental enrichment (A6) a plain union+re-aggregate:
+  * every aggregate below is decomposable (sum/min/max/set-union).
+  */
+object Patterns {
+
+  /** Column set every query-log-shaped input must carry. */
+  val requiredColumns: Seq[String] = Seq(
+    "pattern_id", "query", "user", "query_start_time", "query_duration_ms",
+    "memory_usage", "read_rows", "read_bytes")
+
+  /** A1: aggregate log rows (already carrying a `pattern_id` identity column,
+    * see [[graft.functions.Normalize]]) into per-pattern metrics.
+    *
+    * `any_value(query)` keeps one exemplar SQL text per pattern (the
+    * reference keeps the first-seen text, `data_acquisition.py:206`; any
+    * exemplar is equivalent under normalization). Set-valued columns use
+    * `collect_set` + `sort_array` so downstream comparisons are
+    * order-stable.
+    */
+  def aggregate(logs: DataFrame): DataFrame =
+    logs.groupBy("pattern_id").agg(
+      sort_array(collect_set(col("query"))).getItem(0).as("sql_pattern"),
+      count(lit(1)).as("frequency"),
+      sum("query_duration_ms").as("total_duration_ms"),
+      min("query_start_time").as("first_seen"),
+      max("query_start_time").as("last_seen"),
+      sort_array(collect_set(col("user"))).as("users"),
+      sum("memory_usage").as("memory_usage"),
+      sum("read_rows").as("total_read_rows"),
+      sum("read_bytes").as("total_read_bytes"))
+      .withColumn("avg_duration_ms", col("total_duration_ms") / col("frequency"))
+
+  /** Same aggregate over an input that also carries an
+    * `ArrayType(String)` `tables` column (set-union across rows —
+    * `utils/models.py:128-133`). */
+  def aggregateWithTables(logs: DataFrame): DataFrame =
+    logs.groupBy("pattern_id").agg(
+      sort_array(collect_set(col("query"))).getItem(0).as("sql_pattern"),
+      count(lit(1)).as("frequency"),
+      sum("query_duration_ms").as("total_duration_ms"),
+      min("query_start_time").as("first_seen"),
+      max("query_start_time").as("last_seen"),
+      sort_array(collect_set(col("user"))).as("users"),
+      sort_array(array_distinct(flatten(collect_list(col("tables"))))).as("tables_accessed"),
+      sum("memory_usage").as("memory_usage"),
+      sum("read_rows").as("total_read_rows"),
+      sum("read_bytes").as("total_read_bytes"))
+      .withColumn("avg_duration_ms", col("total_duration_ms") / col("frequency"))
+
+  /** F7/F8 post-aggregation HAVING (`utils/filtering.py:29-34`,
+    * `utils/data_acquisition.py:221-225`). */
+  def having(patterns: DataFrame,
+             minFrequency: Int = 1,
+             minAvgDurationMs: Double = 0.0): DataFrame =
+    patterns.filter(col("frequency") >= minFrequency &&
+      col("avg_duration_ms") >= minAvgDurationMs)
+
+  /** P4/A8: impact = frequency × avg duration (`utils/data_acquisition.py:230`). */
+  def impact: Column = col("frequency") * col("avg_duration_ms")
+
+  def rankByImpact(patterns: DataFrame): DataFrame =
+    patterns.withColumn("impact", impact).orderBy(desc("impact"), col("pattern_id"))
+
+  /** P3: complexity score (`utils/models.py:156-165`) —
+    * 0.4·min(avgDur/1000,1) + 0.4·min(freq/100,1) + 0.2·min(tables/5,1). */
+  def complexityScore(avgDurationMs: Column, frequency: Column, nTables: Column): Column =
+    least(avgDurationMs / 1000.0, lit(1.0)) * 0.4 +
+      least(frequency.cast("double") / 100.0, lit(1.0)) * 0.4 +
+      least(nTables.cast("double") / 5.0, lit(1.0)) * 0.2
+
+  /** A2/A6/J5: merge two pattern sets with the reference's additive
+    * upsert semantics (`utils/cache_manager.py:591-607`): same-id patterns
+    * combine (sums add, sets union, first/last seen widen), disjoint ids
+    * pass through. Because every A1 aggregate is decomposable, merge =
+    * union + re-aggregate — no custom Aggregator needed, and the plan is
+    * identical in batch or as a streaming stateful agg.
+    */
+  def merge(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = a.columns.toSeq
+    require(cols.toSet == b.columns.toSet, s"pattern schemas differ: $cols vs ${b.columns.toSeq}")
+    a.unionByName(b)
+      .groupBy("pattern_id").agg(
+        sort_array(collect_set(col("sql_pattern"))).getItem(0).as("sql_pattern"),
+        sum("frequency").as("frequency"),
+        sum("total_duration_ms").as("total_duration_ms"),
+        min("first_seen").as("first_seen"),
+        max("last_seen").as("last_seen"),
+        sort_array(array_distinct(flatten(collect_list(col("users"))))).as("users"),
+        sum("memory_usage").as("memory_usage"),
+        sum("total_read_rows").as("total_read_rows"),
+        sum("total_read_bytes").as("total_read_bytes"))
+      .withColumn("avg_duration_ms", col("total_duration_ms") / col("frequency"))
+  }
+}

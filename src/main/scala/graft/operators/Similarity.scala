@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.functions.Vectors
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`ArrayType(FloatType)`).
+  *
+  * Two paths, per the scale plan:
+  *  - [[bruteForceTopK]]: exact cosine top-k. The (small) query set is
+  *    broadcast against the candidate corpus, so the corpus side never
+  *    shuffles — each executor streams its candidate partitions once per
+  *    plan, and top-k is a per-query window. This is the correctness
+  *    baseline the oracle checks.
+  *  - [[srpTopK]]: sign-random-projection LSH. Candidates are restricted to
+  *    vectors sharing a hyperplane-sign bucket with the query, turning the
+  *    O(|Q|·|C|) scan into bucket-local joins. Recall < 1 by construction;
+  *    probe neighboring buckets by lowering `planes`.
+  *
+  * Similarities are computed as dot/sqrt(|a|²·|b|²) in double precision —
+  * the same association DuckDB's `list_cosine_similarity` uses, so oracle
+  * comparisons agree to ~1 ulp before rounding.
+  */
+object Similarity {
+
+  private def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .withColumn("norm2", Vectors.dot(col("vec"), col("vec")))
+
+  /** Exact cosine top-k of `corpus` for each row matching `queryPred`.
+    * Output: (query_id, neighbor_id, cosine, rank) with rank 1..k by
+    * (rounded cosine desc, neighbor id) — rounding first makes the ranking
+    * stable across engines that differ in the last float ulp. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, k: Int, roundTo: Int = 5): DataFrame = {
+    val all = prepared(emb, idCol, vecCol)
+    val q = all.filter(queryPred)
+      .select(col("vid").as("query_id"), col("vec").as("qvec"), col("norm2").as("qn2"))
+    val scored = all.join(broadcast(q), col("vid") =!= col("query_id"))
+      .withColumn("cosine",
+        round(Vectors.dot(col("qvec"), col("vec")) / sqrt(col("qn2") * col("norm2")), roundTo))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("vid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** SRP-LSH approximate top-k: only candidates in the query's hyperplane
+    * bucket are scored. With `planes` sign bits the corpus splits into
+    * ≤2^planes buckets; expected bucket size |C|/2^planes bounds the
+    * per-query work. */
+  def srpTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int, planes: Int = 8, roundTo: Int = 5): DataFrame = {
+    val all = prepared(emb, idCol, vecCol)
+      .withColumn("bucket", Vectors.srpBucket(col("vec"), planes))
+    val q = all.filter(queryPred)
+      .select(col("vid").as("query_id"), col("vec").as("qvec"),
+        col("norm2").as("qn2"), col("bucket"))
+    val scored = all.join(broadcast(q), Seq("bucket"))
+      .filter(col("vid") =!= col("query_id"))
+      .withColumn("cosine",
+        round(Vectors.dot(col("qvec"), col("vec")) / sqrt(col("qn2") * col("norm2")), roundTo))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("vid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+}
