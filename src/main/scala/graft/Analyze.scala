@@ -1,0 +1,100 @@
+package graft
+
+import graft.dbt.DbtProject
+import graft.functions.{Normalize, SqlTables}
+import graft.model.SamplingConfig
+import graft.operators.{Filters, Mapping, Patterns, Recommend}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Analysis depth — a REAL ordinal enum, deliberately not the reference's
+  * lexicographic string comparison (`querysight.py:375,400`, SURVEY.md
+  * §7.4 #4). */
+sealed abstract class AnalysisLevel(val ordinal: Int, val name: String)
+object AnalysisLevel {
+  case object DataCollection extends AnalysisLevel(1, "data_collection")
+  case object PatternAnalysis extends AnalysisLevel(2, "pattern_analysis")
+  case object DbtIntegration extends AnalysisLevel(3, "dbt_integration")
+  case object Optimization extends AnalysisLevel(4, "optimization")
+  val all: Seq[AnalysisLevel] =
+    Seq(DataCollection, PatternAnalysis, DbtIntegration, Optimization)
+}
+
+/** Result envelope (`utils/models.py:293-301`): member DataFrames stay
+  * lazy/distributed; only export actions materialize. */
+final case class AnalysisResult(
+    logs: DataFrame,
+    patterns: DataFrame,
+    coverage: Option[DataFrame],
+    recommendations: Option[DataFrame])
+
+/** The reference's `analyze` lifecycle (`querysight.py:281-407`, SURVEY.md
+  * §3.1) as a lazy DataFrame pipeline: predicates → normalize+hash →
+  * pattern agg → dbt join → rules. No strings, no driver loops — Catalyst
+  * sees the whole plan, so filter pushdown and broadcast decisions span
+  * the four "levels" that the reference executes as separate materialized
+  * stages.
+  */
+object Analyze {
+
+  /** Level 1: filtered, typed log acquisition (replaces
+    * `get_query_logs`'s WHERE-string + LIMIT/OFFSET loop). `sample`
+    * honestly implements the reference's dead `--sample-size` option
+    * (SURVEY.md §4). */
+  def collect(logs: DataFrame, cfg: SamplingConfig, asOf: Column,
+              sampleFraction: Option[Double] = None): DataFrame = {
+    val filtered = Filters(logs, Filters.fromConfig(cfg, asOf))
+    sampleFraction.fold(filtered)(f => filtered.sample(withReplacement = false, f, seed = 42))
+  }
+
+  /** Level 2: normalize → fingerprint → aggregate → HAVING → impact.
+    * `extractTables`: merge parser-extracted tables into the log's own
+    * `tables` array before aggregation (`models.py:128-133`). */
+  def patterns(logs: DataFrame, minFrequency: Int = 2,
+               minAvgDurationMs: Double = 0.0,
+               extractTables: Boolean = false): DataFrame = {
+    val withId = logs.withColumn("pattern_id", Normalize.fingerprint(col("query")))
+    val withTables =
+      if (!extractTables) withId
+      else withId.withColumn("tables",
+        array_distinct(concat(
+          coalesce(col("tables"), array().cast("array<string>")),
+          SqlTables.extracted(col("query")))))
+    val agg =
+      if (withTables.columns.contains("tables")) Patterns.aggregateWithTables(withTables)
+      else Patterns.aggregate(withTables)
+    Patterns.rankByImpact(Patterns.having(agg, minFrequency, minAvgDurationMs))
+  }
+
+  /** Levels 1–4 end to end. */
+  def run(logs: DataFrame, cfg: SamplingConfig, project: Option[DbtProject],
+          level: AnalysisLevel, asOf: Column, minFrequency: Int = 2): AnalysisResult = {
+    val spark = logs.sparkSession
+    val collected = collect(logs, cfg, asOf)
+    if (level.ordinal < AnalysisLevel.PatternAnalysis.ordinal)
+      return AnalysisResult(collected, collected.limit(0), None, None)
+
+    val pats = patterns(collected, minFrequency,
+      extractTables = collected.columns.contains("tables"))
+    if (level.ordinal < AnalysisLevel.DbtIntegration.ordinal || project.isEmpty)
+      return AnalysisResult(collected, pats, None, None)
+
+    val proj = project.get
+    val lookup = Mapping.lookupDf(spark, proj)
+    val enriched = Mapping.enrichWithModels(pats, lookup)
+    val cov = Mapping.coverage(enriched, Mapping.modelsDf(spark, proj),
+      Mapping.edgesDf(spark, proj))
+    if (level.ordinal < AnalysisLevel.Optimization.ordinal)
+      return AnalysisResult(collected, enriched, Some(cov), None)
+
+    AnalysisResult(collected, enriched, Some(cov), Some(Recommend.recommend(enriched)))
+  }
+
+  /** S9: JSON export of the top-N patterns (driver-side, post-filter —
+    * mirrors `querysight.py:815-848`). */
+  def exportJson(result: AnalysisResult, topN: Int = 20): String = {
+    val rows = result.patterns.orderBy(desc("impact"), col("pattern_id"))
+      .limit(topN).toJSON.collect()
+    rows.mkString("[", ",", "]")
+  }
+}

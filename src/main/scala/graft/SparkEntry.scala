@@ -455,8 +455,104 @@ object SparkEntry {
       Similarity.srpTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         col("vid") % 20 === 0, k = 5, planes = 6)
         .withColumnRenamed("rank", "rnk")
-        .orderBy(col("query_id"), col("rnk")))
+        .orderBy(col("query_id"), col("rnk"))),
+
+    // ------------------- end-to-end / streaming / multimodal -------------
+
+    // The reference's full analyze lifecycle levels 1-4 (§3.1): SQL-text
+    // logs → normalize → agg → U2 table extraction → dbt model join (J1)
+    // → rule recommendations (U4). Uses the on-disk demo dbt project; no
+    // SQL oracle (dbt graph isn't visible to DuckDB) → rows-only check,
+    // with full coverage in AnalyzeSpec.
+    "q_analyze_pipeline" -> ((s, dir) => {
+      val res = analyzeOnEvents(s, dir)
+      val recCounts = res.recommendations.get
+        .groupBy("pattern_id").agg(count(lit(1)).as("n_recommendations"))
+      res.patterns
+        .join(recCounts, Seq("pattern_id"), "left")
+        .select(col("pattern_id"), col("sql_pattern"), col("frequency"),
+          array_join(col("dbt_models_used"), ",").as("models_used"),
+          array_join(col("unmapped_tables"), ",").as("unmapped_tables"),
+          coalesce(col("n_recommendations"), lit(0L)).as("n_recommendations"))
+        .orderBy(col("pattern_id"))
+    }),
+
+    // A7 coverage of the demo dbt model graph by the analyzed patterns.
+    "q_dbt_coverage" -> ((s, dir) => analyzeOnEvents(s, dir).coverage.get),
+
+    // Structured Streaming windowed pattern aggregation (§2.10), driven to
+    // completion over the bounded events table and compared against a
+    // batch DuckDB oracle — stream/batch parity is the whole point of
+    // keeping the aggregate decomposable.
+    "q_stream_windowed" -> ((s, dir) => {
+      import graft.streaming.StreamingPatterns
+      val logsStatic = eventsAsLogs(s, dir)
+      // RAW file schema (ts is INT64 nanos under nanosAsLong) — the
+      // timestamp conversion must happen inside the stream.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      // The parquet streaming source wants a directory; glob-filter to the
+      // events file so sibling tables' schemas don't mix in.
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        .select(
+          concat(col("event_type"), lit(" "), col("props")).as("query"),
+          concat(lit("U"), col("user_id")).as("user"),
+          col("ts").as("query_start_time"),
+          cents(col("value")).cast("double").as("query_duration_ms"))
+      val name = "stream_windowed_" + math.abs(dir.hashCode).toString
+      s.catalog.dropTempView(name)
+      val q = StreamingPatterns.windowedPatternStats(stream, "1 hour")
+        .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      logsStatic.sparkSession.table(name)
+        .select(col("pattern_id"),
+          unix_millis(col("window.start")).as("window_start_ms"),
+          col("frequency"),
+          (col("total_duration_ms") / 100.0).as("total_value"))
+        .orderBy(col("pattern_id"), col("window_start_ms"))
+    }),
+
+    // Multimodal plumbing: documents' bytes as opaque payloads → batched
+    // per-partition feature extraction (deterministic stub decode).
+    "q_multimodal_features" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"), lit("image").as("kind"),
+        col("text").cast("binary").as("payload"))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("pseudo_dim").cast("long").as("pseudo_dim"),
+          element_at(col("features"), 1).cast("double").as("f0"))
+        .orderBy(col("media_id"))
+    })
   )
+
+  /** Shared by q_analyze_pipeline / q_dbt_coverage: events mapped to
+    * SQL-text logs whose FROM targets hit the demo dbt project's models
+    * (plus one unmapped and one system table). */
+  private def analyzeOnEvents(s: SparkSession, dir: String): AnalysisResult = {
+    val target = when(col("event_type") === "purchase", lit("acme.stg_orders"))
+      .when(col("event_type") === "click", lit("analytics.fct_revenue"))
+      .when(col("event_type") === "view", lit("rpt_daily"))
+      .when(col("event_type") === "signup", lit("legacy.raw_stuff"))
+      .otherwise(lit("system.query_log"))
+    val logs = Tables.events(s, dir).select(
+      concat(lit("SELECT * FROM "), target, lit(" WHERE k = "),
+        col("user_id")).as("query"),
+      concat(lit("U"), col("user_id")).as("user"),
+      col("ts").as("query_start_time"),
+      col("value").as("query_duration_ms"),
+      col("user_id").as("read_rows"),
+      col("event_id").as("read_bytes"),
+      cents(col("value")).as("memory_usage"),
+      array().cast("array<string>").as("tables"))
+    val proj = graft.dbt.DbtLoader.load(
+      sys.env.getOrElse("GRAFT_REPO", "/root/repo") + "/fixtures/dbt_demo")
+    Analyze.run(logs, graft.model.SamplingConfig(), Some(proj),
+      AnalysisLevel.Optimization, asOf = lit(java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
+  }
 
   // ---------------------------------------------------------------- oracle
 
@@ -693,6 +789,14 @@ object SparkEntry {
           |    i -> md5(array_to_string(string_split_regex(trim(lower(text)), '\s+')[i:i+4], ' '))))
           |    AS fingerprint
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_stream_windowed" ->
+        s"""SELECT $patternIdSql AS pattern_id,
+           |  epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+           |  count(*) AS frequency,
+           |  CAST(sum(${centsSql("value")}) AS DOUBLE) / 100.0 AS total_value
+           |FROM events
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "q_ann_cosine" ->
         """SELECT query_id, neighbor_id, cosine, rnk FROM (

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.functions.Normalize
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** §2.10: the streaming face of the pattern engine.
+  *
+  * The reference is batch-only; its incremental enrich
+  * (`cache_manager.py:591-607`) is semantically a keyed stateful aggregate.
+  * Because every A1 aggregate is decomposable (sum/min/max/set-union), the
+  * SAME logical computation runs three ways:
+  *  - batch: `Patterns.aggregate`;
+  *  - incremental batch: `Patterns.merge` (union + re-agg);
+  *  - streaming: the stateful flatMapGroups below / windowed agg.
+  */
+object StreamingPatterns {
+
+  /** Streaming-friendly input row (a projection of QueryLog). */
+  final case class LogEvent(
+      query: String,
+      user: String,
+      query_start_time: Timestamp,
+      query_duration_ms: Double,
+      memory_usage: Long)
+
+  /** Running per-pattern state — the reference's `QueryPattern`
+    * merge fields (`models.py:135-154`). */
+  final case class PatternState(
+      pattern_id: String,
+      frequency: Long,
+      total_duration_ms: Double,
+      first_seen: Timestamp,
+      last_seen: Timestamp,
+      users: Set[String],
+      memory_usage: Long)
+
+  def emptyState(id: String): PatternState =
+    PatternState(id, 0L, 0.0, null, null, Set.empty, 0L)
+
+  /** The per-batch state transition (exposed for unit tests — the
+    * streaming wiring below just applies it). Mirrors
+    * `QueryPattern.update_from_log` (`models.py:113-133`). */
+  def updateState(state: PatternState, events: Iterator[LogEvent]): PatternState =
+    events.foldLeft(state) { (s, e) =>
+      PatternState(
+        s.pattern_id,
+        s.frequency + 1,
+        s.total_duration_ms + e.query_duration_ms,
+        if (s.first_seen == null || e.query_start_time.before(s.first_seen))
+          e.query_start_time else s.first_seen,
+        if (s.last_seen == null || e.query_start_time.after(s.last_seen))
+          e.query_start_time else s.last_seen,
+        s.users + e.user,
+        s.memory_usage + e.memory_usage)
+    }
+
+  final case class KeyedEvent(
+      query: String, user: String, query_start_time: Timestamp,
+      query_duration_ms: Double, memory_usage: Long, pattern_id: String)
+
+  /** Stateful streaming pattern aggregation: groupByKey(pattern hash) +
+    * mapGroupsWithState, output mode Update — each micro-batch emits the
+    * refreshed `PatternState` for patterns that saw events. */
+  def statefulPatterns(logs: Dataset[LogEvent]): Dataset[PatternState] = {
+    import logs.sparkSession.implicits._
+    logs
+      .withColumn("pattern_id", Normalize.fingerprint(col("query")))
+      .as[KeyedEvent]
+      .groupByKey(_.pattern_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (id: String, rows: Iterator[KeyedEvent], state: GroupState[PatternState]) =>
+          val prev = state.getOption.getOrElse(emptyState(id))
+          val next = updateState(prev,
+            rows.map(r => LogEvent(r.query, r.user, r.query_start_time,
+              r.query_duration_ms, r.memory_usage)))
+          state.update(next)
+          next
+      }
+  }
+
+  /** Event-time windowed pattern counts with a watermark — the rolling
+    * "last N days" analysis (`data_acquisition.py:86-87`) as a live query. */
+  def windowedPatternStats(logs: DataFrame, window_ : String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame =
+    logs
+      .withColumn("pattern_id", Normalize.fingerprint(col("query")))
+      .withWatermark("query_start_time", watermark)
+      .groupBy(window(col("query_start_time"), window_), col("pattern_id"))
+      .agg(
+        count(lit(1)).as("frequency"),
+        sum("query_duration_ms").as("total_duration_ms"),
+        approx_count_distinct("user").as("approx_users"))
+
+  /** Convenience: run a streaming query over `sourceDir` parquet into an
+    * in-memory sink and block until the available data is processed
+    * (local smoke path; production would point at a real sink). */
+  def runOnce(logs: DataFrame, window_ : String, queryName: String): Unit = {
+    val q = windowedPatternStats(logs, window_)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

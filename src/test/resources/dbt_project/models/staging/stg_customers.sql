@@ -1,0 +1,1 @@
+SELECT c_custkey, c_name FROM {{ source('raw', 'customers') }}

@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+import graft.dbt.DbtLoader
+import graft.model.{QueryLog, SamplingConfig}
+import graft.operators.PatternStore
+import org.apache.spark.sql.functions._
+
+/** End-to-end `analyze` lifecycle (SURVEY.md §3.1 / §5 item 3) over a
+  * synthesized query_log fixture + the dbt fixture project. */
+class AnalyzeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = 1700000000000L
+  private def ts(offsetH: Int) = new Timestamp(t0 + offsetH * 3600000L)
+
+  private val fixture = Seq(
+    // frequent fast pattern on a dbt-mapped table (8×)
+    (0 until 8).map(i => QueryLog(s"a$i", s"SELECT * FROM acme.stg_orders WHERE o_orderkey = $i",
+      "SELECT", "alice", ts(i), 40.0 + i, 10, 100, 1, 10, 1000, "")),
+    // slow join pattern touching an unmapped table (4×)
+    (0 until 4).map(i => QueryLog(s"b$i",
+      s"SELECT * FROM analytics.fct_revenue r JOIN legacy.raw_stuff s ON r.k = s.k WHERE d = $i",
+      "SELECT", "bob", ts(i + 2), 2500.0, 10, 100, 1, 10, 2000, "")),
+    // system-table-only pattern (3×) — must get no recommendation (F11)
+    (0 until 3).map(i => QueryLog(s"c$i", s"SELECT * FROM system.query_log WHERE x = $i",
+      "SELECT", "carol", ts(i), 10.0, 1, 1, 1, 1, 10, "")),
+    // singleton — dropped by min_frequency=2
+    Seq(QueryLog("d0", "SELECT 1 FROM once.only", "SELECT", "dave", ts(0),
+      1.0, 0, 0, 0, 0, 0, ""))).flatten
+
+  private def logsDf = fixture.toDF()
+  lazy val proj = DbtLoader.load(resource("dbt_project"))
+
+  test("levels 1-4 produce patterns, coverage, recommendations") {
+    val res = Analyze.run(logsDf, SamplingConfig(), Some(proj),
+      AnalysisLevel.Optimization, asOf = lit(ts(100)))
+    val pats = res.patterns.orderBy(desc("impact")).collect()
+    assert(pats.length == 3) // singleton dropped by HAVING
+    val top = pats.head
+    assert(top.getAs[Long]("frequency") == 4L) // slow join dominates impact
+    assert(top.getList[String](top.fieldIndex("dbt_models_used")).toArray.toSeq == Seq("fct_revenue"))
+    assert(top.getList[String](top.fieldIndex("unmapped_tables")).toArray.toSeq == Seq("legacy.raw_stuff"))
+
+    val cov = res.coverage.get.head()
+    // used: stg_orders, fct_revenue (+1-hop parents stg_customers, stg_orders)
+    assert(cov.getAs[Long]("n_used") == 3)
+    assert(cov.getAs[String]("unused_models") == "int_secrets,rpt_daily")
+
+    val recs = res.recommendations.get.collect()
+    val types = recs.map(_.getAs[String]("rec_type")).toSet
+    assert(types.contains("REWRITE_QUERY"))  // slow join
+    assert(types.contains("NEW_DBT_MODEL"))  // unmapped table
+    // system-only pattern filtered out entirely
+    val sysId = pats.map(_.getAs[String]("pattern_id"))
+      .find(id => pats.find(_.getAs[String]("pattern_id") == id).get
+        .getList[String](pats.head.fieldIndex("tables_accessed")).toArray.toSeq.forall(_.toString.startsWith("system.")))
+    sysId.foreach(id => assert(!recs.exists(_.getAs[String]("pattern_id") == id)))
+  }
+
+  test("sampling config filters apply (F1/F2/F5)") {
+    val res = Analyze.run(logsDf,
+      SamplingConfig(includeUsers = Seq("ALICE"), slowOnlyThresholdMs = Some(30.0)),
+      None, AnalysisLevel.PatternAnalysis, asOf = lit(ts(100)))
+    val pats = res.patterns.collect()
+    assert(pats.length == 1)
+    assert(pats.head.getAs[Long]("frequency") == 8L)
+  }
+
+  test("level 1 stops before aggregation") {
+    val res = Analyze.run(logsDf, SamplingConfig(), None,
+      AnalysisLevel.DataCollection, asOf = lit(ts(100)))
+    assert(res.patterns.isEmpty)
+    assert(res.logs.count() == fixture.size)
+  }
+
+  test("JSON export is valid and capped (S9)") {
+    val res = Analyze.run(logsDf, SamplingConfig(), None,
+      AnalysisLevel.PatternAnalysis, asOf = lit(ts(100)))
+    val json = Analyze.exportJson(res, topN = 2)
+    assert(json.startsWith("[") && json.endsWith("]"))
+    assert(json.contains("\"pattern_id\""))
+    assert(json.split("\\},\\{").length == 2)
+  }
+
+  test("PatternStore enrich keeps additive upsert semantics (A6, documented quirk)") {
+    val dir = java.nio.file.Files.createTempDirectory("pstore").toString + "/hist"
+    val pats = Analyze.patterns(logsDf, minFrequency = 2)
+      .drop("impact", "tables_accessed")
+    // collect eagerly: the returned frames read `dir`, which the second
+    // enrich overwrites
+    val firstFreqs = PatternStore.enrich(spark, pats, dir, nowMs = t0).collect()
+      .map(r => r.getAs[String]("pattern_id") -> r.getAs[Long]("frequency")).toMap
+    val freqByPattern = PatternStore.enrich(spark, pats, dir, nowMs = t0).collect()
+      .map(r => r.getAs[String]("pattern_id") -> r.getAs[Long]("frequency")).toMap
+    assert(freqByPattern.values.toSeq.sorted ==
+      firstFreqs.values.map(_ * 2).toSeq.sorted) // re-analysis double-counts
+    assert(PatternStore.isValid(dir, t0 + 1000))
+    assert(!PatternStore.isValid(dir, t0 + 13L * 3600 * 1000))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // Deterministic corpus: vec 0 nearly parallel to vec 1, orthogonal-ish
+  // to the rest.
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.5f, 0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    val got = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      col("vid") === 0, k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+    assert(got.map(_._1).toSeq == Seq(1L, 4L, 2L, 3L))
+    assert(math.abs(got.head._2 - 0.99496) < 1e-4)
+    assert(got.last._2 == 0.0)
+  }
+
+  test("results match a driver-side naive computation") {
+    val rows = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (xy, xx, yy) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+        case ((sxy, sxx, syy), (x, y)) =>
+          (sxy + x.toDouble * y.toDouble, sxx + x.toDouble * x.toDouble,
+            syy + y.toDouble * y.toDouble)
+      }
+      xy / math.sqrt(xx * yy)
+    }
+    val q = rows.find(_._1 == 0L).get
+    val expected = rows.filter(_._1 != 0L)
+      .map { case (id, v) => id -> BigDecimal(cos(q._2, v))
+        .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble }
+      .sortBy { case (id, c) => (-c, id) }.map(_._1).toSeq
+    val got = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      col("vid") === 0, k = 4).orderBy("rank")
+      .collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(got == expected)
+  }
+
+  test("SRP-LSH returns a subset of true candidates with valid ranks") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vid") % 100 === 0, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.srpTopK(emb, "vec_id", "embedding",
+      col("vid") % 100 === 0, k = 5, planes = 4).collect()
+    assert(approx.nonEmpty)
+    // every reported neighbor shares the query's bucket — spot-check rank sanity
+    approx.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks == (1L to ranks.size))
+    }
+    // recall: approximate neighbors that ARE in the exact top-5 exist
+    assert(approx.exists(r =>
+      exact.contains((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))))
+  }
+}

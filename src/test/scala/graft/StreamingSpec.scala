@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.StreamingPatterns
+import graft.streaming.StreamingPatterns.{LogEvent, PatternState}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(q: String, user: String, tMin: Int, dur: Double) =
+    LogEvent(q, user, new Timestamp(1700000000000L + tMin * 60000L), dur, 100L)
+
+  test("stateful pattern agg accumulates across micro-batches (A6 as streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[LogEvent]
+    val q = StreamingPatterns.statefulPatterns(input.toDS())
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("pattern_state").start()
+    try {
+      input.addData(ev("SELECT a FROM t WHERE x = 1", "alice", 0, 100),
+        ev("SELECT a FROM t WHERE x = 2", "bob", 5, 200))
+      q.processAllAvailable()
+      input.addData(ev("SELECT a FROM t WHERE x = 3", "alice", 10, 300))
+      q.processAllAvailable()
+      val state = spark.table("pattern_state").as[PatternState].collect()
+        .groupBy(_.pattern_id).map { case (k, v) => k -> v.maxBy(_.frequency) }
+      assert(state.size == 1) // one normalized pattern
+      val s = state.values.head
+      assert(s.frequency == 3L)
+      assert(s.total_duration_ms == 600.0)
+      assert(s.users == Set("alice", "bob"))
+      assert(s.first_seen.getTime == 1700000000000L)
+      assert(s.last_seen.getTime == 1700000000000L + 600000L)
+    } finally q.stop()
+  }
+
+  test("update transition mirrors batch merge semantics") {
+    val s0 = StreamingPatterns.emptyState("p")
+    val s1 = StreamingPatterns.updateState(s0,
+      Iterator(ev("q", "u1", 0, 10), ev("q", "u2", 2, 20)))
+    val s2 = StreamingPatterns.updateState(s1, Iterator(ev("q", "u1", 1, 5)))
+    assert(s2.frequency == 3 && s2.total_duration_ms == 35.0)
+    assert(s2.users == Set("u1", "u2"))
+    assert(s2.first_seen.getTime < s2.last_seen.getTime)
+  }
+
+  test("windowed watermarked stats over a bounded stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[LogEvent]
+    val q = StreamingPatterns.windowedPatternStats(input.toDF(), "10 minutes")
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("windowed").start()
+    try {
+      input.addData(ev("SELECT 1 FROM a", "u", 0, 10), ev("SELECT 2 FROM a", "u", 1, 10),
+        ev("SELECT 9 FROM b", "u", 15, 10))
+      q.processAllAvailable()
+      val rows = spark.table("windowed").collect()
+      // pattern a: two events in window [0,10); pattern b: one in [10,20)
+      assert(rows.length == 2)
+      assert(rows.map(_.getAs[Long]("frequency")).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+}
