@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Measured at sf0.1: 8g beats 48g (heap-growth page faults + larger GC
+  // working set dominate long before memory pressure does).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~40 distinct codegen'd plans per Bench/Verify run; the default 240 MB
+  // JIT code cache fills up and compute-heavy queries fall back to the
+  // interpreter mid-suite.
+  "-XX:ReservedCodeCacheSize=1g",
 )

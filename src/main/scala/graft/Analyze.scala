@@ -54,12 +54,23 @@ object Analyze {
                minAvgDurationMs: Double = 0.0,
                extractTables: Boolean = false): DataFrame = {
     val withId = logs.withColumn("pattern_id", Normalize.fingerprint(col("query")))
+    // U2 extraction is dictionary-encoded: the parser UDF runs once per
+    // DISTINCT query text, then joins back — identical semantics to
+    // per-row extraction (it is a pure function of the text) at a fraction
+    // of the parse work when texts repeat, which is exactly the workload
+    // (query logs repeat heavily; that is the premise of the whole tool).
     val withTables =
       if (!extractTables) withId
-      else withId.withColumn("tables",
-        array_distinct(concat(
-          coalesce(col("tables"), array().cast("array<string>")),
-          SqlTables.extracted(col("query")))))
+      else {
+        val extracted = withId.select(col("query")).distinct()
+          .withColumn("extracted_tables", SqlTables.extracted(col("query")))
+        withId.join(extracted, Seq("query"))
+          .withColumn("tables",
+            array_distinct(concat(
+              coalesce(col("tables"), array().cast("array<string>")),
+              col("extracted_tables"))))
+          .drop("extracted_tables")
+      }
     val agg =
       if (withTables.columns.contains("tables")) Patterns.aggregateWithTables(withTables)
       else Patterns.aggregate(withTables)

@@ -435,9 +435,10 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     "q_doc_fingerprint" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        Text.docFingerprint(col("text"), 5).as("fingerprint"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Text.tokens(lower(col("text"))).as("toks"))
+        .select(col("doc_id"),
+          Text.docFingerprintFromTokens(col("toks"), 5).as("fingerprint"))
         .orderBy(col("doc_id"))),
 
     // ------------------- beyond-reference: similarity search -------------

@@ -69,19 +69,34 @@ object Text {
     pick
   }
 
-  /** Word n-gram shingles of the document (for Jaccard / MinHash dedup). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(lower(text))
+  /** Word n-gram shingles over an ALREADY-MATERIALIZED token array column.
+    *
+    * Callers must project the token array into its own column first
+    * (`df.withColumn("toks", Text.tokens(lower($"text")))`): Catalyst does
+    * not common-subexpression-eliminate across lambda boundaries, so
+    * inlining `tokens(text)` here would re-run the regex split once PER
+    * SHINGLE — O(tokens²) splits per document. A projection boundary makes
+    * it a codegen local evaluated once per row. */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val k = size(toks) - (n - 1)
     when(k <= 0, array(array_join(toks, " ")))
       .otherwise(transform(sequence(lit(0), k - 1),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
   }
 
-  /** Order-invariant document fingerprint: min over md5 of word 5-gram
+  /** Convenience single-expression form — ONLY for tiny inputs/tests; hot
+    * paths must use [[shinglesFromTokens]] (see its scaladoc). */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(lower(text)), n)
+
+  /** Order-invariant document fingerprint: min over md5 of word n-gram
     * shingles (a deterministic stand-in for a rolling-hash fingerprint;
     * identical documents → identical fingerprint, near-identical documents
-    * agree with probability ≈ Jaccard). */
+    * agree with probability ≈ Jaccard). Token-column form — see
+    * [[shinglesFromTokens]] for why. */
+  def docFingerprintFromTokens(toks: Column, n: Int = 5): Column =
+    array_min(transform(shinglesFromTokens(toks, n), s => md5(s)))
+
   def docFingerprint(text: Column, n: Int = 5): Column =
     array_min(transform(shingles(text, n), s => md5(s)))
 

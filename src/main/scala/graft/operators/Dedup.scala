@@ -31,10 +31,21 @@ object Dedup {
       .as("fingerprint"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct (id, shingle) pairs — the base table for MinHash and Jaccard. */
+  /** Distinct (id, shingle-hash) pairs — the base table for MinHash and
+    * Jaccard. Two scale choices:
+    *  - tokens are materialized in their own projection first so the
+    *    shingle lambda doesn't re-tokenize per shingle (see
+    *    [[graft.functions.Text.shinglesFromTokens]]);
+    *  - shingles are carried as 64-bit xxhash values, not strings — set
+    *    identity is all dedup needs, and every downstream shuffle
+    *    (distinct, df-count, inverted-index self-join) moves 8-byte longs
+    *    instead of ~30-byte strings. Collision odds at 64 bits are
+    *    negligible against corpus sizes this targets. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc"),
-        explode(Text.shingles(col(textCol), n)).as("shingle"))
+    docs.select(col(idCol).as("doc"), Text.tokens(lower(col(textCol))).as("toks"))
+      .select(col("doc"),
+        explode(transform(Text.shinglesFromTokens(col("toks"), n),
+          s => xxhash64(s))).as("shingle"))
       .distinct()
 
   /** MinHash signatures: k deterministic hash families via
@@ -63,10 +74,13 @@ object Dedup {
           b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     // Cap pathological buckets before the self-join can go quadratic.
-    val bucketed = banded
-      .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
+    // groupBy+join rather than a count-over-window: a window would sort
+    // every partition; the aggregate is map-side combinable.
+    val keptBuckets = banded.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") >= 2 && col("bucket_n") <= LshMaxBucket)
+      .select("band", "band_hash")
+    val bucketed = banded.join(keptBuckets, Seq("band", "band_hash")).persist()
     val a = bucketed.select(col("band"), col("band_hash"),
       col("doc").as("doc_a"), col("sig").as("sig_a"))
     val b = bucketed.select(col("band"), col("band_hash"),
@@ -92,22 +106,28 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
-  /** 64-bit SimHash over whitespace tokens, weighted by in-doc token count:
-    * bit i of the signature is the sign of Σ weight·(±1 by bit i of
-    * xxhash64(token)). One explode + one 64-column aggregate pass. */
+  /** 64-bit SimHash over whitespace tokens: bit i of the signature is the
+    * sign of Σ over token instances of (±1 by bit i of xxhash64(token)).
+    *
+    * Computed entirely inside the row — token hashes are materialized once
+    * per document (projection boundary, see
+    * [[graft.functions.Text.shinglesFromTokens]]), then 64 in-row
+    * `aggregate` folds produce the bit signs. ZERO shuffles: the
+    * explode + (doc,token) groupBy + 64-column aggregate formulation this
+    * replaces shuffled every token of the corpus twice; this one touches
+    * each document exactly once where it already lives. (Iterating token
+    * instances is equivalent to weighting distinct tokens by their in-doc
+    * count.) */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc"),
-        explode(Text.tokens(lower(col(textCol)))).as("tok"))
-      .groupBy("doc", "tok").agg(count(lit(1)).as("w"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("w"))
-        .otherwise(-col("w"))).as(s"b$i")
+    val bits = (0 until 64).map { i =>
+      val bitSum = aggregate(col("hashes"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
     }
-    toks.groupBy("doc").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc"),
-        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+    docs
+      .select(col(idCol).as("doc"), Text.tokens(lower(col(textCol))).as("toks"))
+      .select(col("doc"), transform(col("toks"), t => xxhash64(t)).as("hashes"))
+      .select(col("doc"), bits.reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dups within `maxHamming`: band the 64-bit signature into
@@ -120,6 +140,7 @@ object Dedup {
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+      .persist()
     val a = chunked.select(col("chunk"), col("chunk_val"),
       col("doc").as("doc_a"), col("simhash").as("sh_a"))
     val b = chunked.select(col("chunk"), col("chunk_val"),
@@ -139,7 +160,8 @@ object Dedup {
   def jaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 5, dfMax: Int = 20,
                       minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, shingleN)
+    // The inverted index feeds five plan branches — persist it once.
+    val sh = shingleTable(docs, idCol, textCol, shingleN).persist()
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("set_size"))
     val discriminative = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -150,13 +172,14 @@ object Dedup {
       .join(discriminative.select(col("shingle"), col("doc").as("doc_b")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val candDocs = cand.select(col("doc_a").as("doc")).union(cand.select(col("doc_b"))).distinct()
-    val candSh = sh.join(candDocs, Seq("doc"))
-    val common = candSh.select(col("shingle"), col("doc").as("doc_a"))
-      .join(candSh.select(col("shingle"), col("doc").as("doc_b")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+    // |A∩B| per candidate pair: fan the (small) pair list out to doc_a's
+    // shingles, then inner-join on (doc_b, shingle) to keep only shared
+    // ones — two equi-joins sized by the candidate set, instead of a full
+    // inverted-index self-join over the whole corpus.
+    val common = cand
+      .join(sh.select(col("doc").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-      .join(cand, Seq("doc_a", "doc_b"))
     common
       .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("set_size", "size_a"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("set_size", "size_b"), Seq("doc_b"))

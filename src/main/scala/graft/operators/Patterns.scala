@@ -26,15 +26,18 @@ object Patterns {
   /** A1: aggregate log rows (already carrying a `pattern_id` identity column,
     * see [[graft.functions.Normalize]]) into per-pattern metrics.
     *
-    * `any_value(query)` keeps one exemplar SQL text per pattern (the
-    * reference keeps the first-seen text, `data_acquisition.py:206`; any
-    * exemplar is equivalent under normalization). Set-valued columns use
-    * `collect_set` + `sort_array` so downstream comparisons are
-    * order-stable.
+    * `min(query)` keeps one deterministic exemplar SQL text per pattern in
+    * constant memory (the reference keeps the first-seen text,
+    * `data_acquisition.py:206`; any exemplar is equivalent under
+    * normalization — and a collect_set-based exemplar would buffer every
+    * distinct raw text per group, which at 100 TB is the difference
+    * between a streaming aggregate and an OOM). Set-valued columns that
+    * are genuinely bounded (users) use `collect_set` + `sort_array` for
+    * order-stable output.
     */
   def aggregate(logs: DataFrame): DataFrame =
     logs.groupBy("pattern_id").agg(
-      sort_array(collect_set(col("query"))).getItem(0).as("sql_pattern"),
+      min(col("query")).as("sql_pattern"),
       count(lit(1)).as("frequency"),
       sum("query_duration_ms").as("total_duration_ms"),
       min("query_start_time").as("first_seen"),
@@ -50,7 +53,7 @@ object Patterns {
     * `utils/models.py:128-133`). */
   def aggregateWithTables(logs: DataFrame): DataFrame =
     logs.groupBy("pattern_id").agg(
-      sort_array(collect_set(col("query"))).getItem(0).as("sql_pattern"),
+      min(col("query")).as("sql_pattern"),
       count(lit(1)).as("frequency"),
       sum("query_duration_ms").as("total_duration_ms"),
       min("query_start_time").as("first_seen"),
@@ -95,7 +98,7 @@ object Patterns {
     require(cols.toSet == b.columns.toSet, s"pattern schemas differ: $cols vs ${b.columns.toSeq}")
     a.unionByName(b)
       .groupBy("pattern_id").agg(
-        sort_array(collect_set(col("sql_pattern"))).getItem(0).as("sql_pattern"),
+        min(col("sql_pattern")).as("sql_pattern"),
         sum("frequency").as("frequency"),
         sum("total_duration_ms").as("total_duration_ms"),
         min("first_seen").as("first_seen"),
