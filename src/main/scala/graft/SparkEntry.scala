@@ -458,6 +458,54 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))),
 
+    // P6: cache-key hashing surface (md5 + sha256, both oracle-portable).
+    "q_hash_keys" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          md5(concat(lit("key:"), col("o_orderkey"))).as("key_md5"),
+          sha2(concat(lit("key:"), col("o_orderkey")), 256).as("key_sha256"))
+        .orderBy(col("o_orderkey"))),
+
+    // BPE-ish sub-word token counting next to whitespace tokens.
+    "q_token_bpe" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("n_ws_tokens"),
+        Text.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // Embedding-cosine near-dup over embeddings ∪ planted scaled copies
+    // (scaling preserves cosine — float-exact in both engines).
+    "q_dedup_embedding" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      Dedup.embeddingNearDups(emb.unionByName(planted), "vec_id", "embedding",
+        threshold = 0.95)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // A4 at scale: HLL approximate distincts next to the exact counts
+    // (no oracle: approximate by design; exact twins live in
+    // q_summary_stats).
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          approx_count_distinct(col("props")).as("approx_props"))
+        .orderBy(col("event_type"))),
+
+    // S9: JSON export shape (departure-side of the reference's export
+    // command; structural check only — JSON text isn't oracle-portable).
+    "q_json_export" -> ((s, dir) => {
+      val p = Patterns.having(Patterns.aggregate(eventsAsLogs(s, dir)), 2)
+      patternSelect(p)
+        .select(col("pattern_id"),
+          to_json(struct(col("pattern_id"), col("frequency"),
+            col("total_duration_ms"), col("users"))).as("json"))
+        .orderBy(col("pattern_id"))
+    }),
+
     // ------------------- end-to-end / streaming / multimodal -------------
 
     // The reference's full analyze lifecycle levels 1-4 (§3.1): SQL-text
@@ -790,6 +838,33 @@ object SparkEntry {
           |    i -> md5(array_to_string(string_split_regex(trim(lower(text)), '\s+')[i:i+4], ' '))))
           |    AS fingerprint
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_hash_keys" ->
+        """SELECT o_orderkey,
+          |  md5('key:' || o_orderkey) AS key_md5,
+          |  sha256('key:' || o_orderkey) AS key_sha256
+          |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
+
+      "q_token_bpe" ->
+        s"""SELECT doc_id,
+           |  ${Text.duckdbTokenCountSql("text")} AS n_ws_tokens,
+           |  ${Text.duckdbBpeTokenCountSql("text")} AS n_bpe_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_dedup_embedding" ->
+        """WITH corpus AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 1000000,
+          |    list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT))
+          |  FROM embeddings)
+          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5)
+          |    AS cosine
+          |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+          |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5)
+          |  >= 0.95
+          |ORDER BY id_a, id_b""".stripMargin,
 
       "q_stream_windowed" ->
         s"""SELECT $patternIdSql AS pattern_id,

@@ -13,6 +13,11 @@ object Text {
   val TokenSplitRe = "\\s+"
   val PunctRe = "[.,;:!?]"
 
+  /** BPE-ish pre-tokenization (the GPT-2-style split shape: letter runs,
+    * digit runs, single punctuation marks) — portable between Java regex
+    * and RE2. */
+  val BpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
   /** Tiny per-language stopword lexicons for the language-ID heuristic.
     * Deliberately small and fixed: the heuristic scores a document by which
     * lexicon its tokens hit most. */
@@ -31,6 +36,10 @@ object Text {
 
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit(PunctRe), lit(0))).cast("long")
+
+  /** BPE-ish token count (sub-word pre-tokenization granularity). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenRe), lit(0))).cast("long")
 
   /** Fraction of tokens that are English stopwords. */
   def stopwordRatio(text: Column): Column = {
@@ -112,6 +121,9 @@ object Text {
 
   def duckdbPunctCountSql(col: String): String =
     s"len(regexp_extract_all($col, ${sqlStr(PunctRe)}))"
+
+  def duckdbBpeTokenCountSql(col: String): String =
+    s"len(regexp_extract_all($col, ${sqlStr(BpeTokenRe)}))"
 
   def duckdbStopwordRatioSql(col: String): String =
     s"(len(list_filter(${duckdbTokensSql(col)}, t -> t IN ${sqlList(EnStopwords)}))::DOUBLE / len(${duckdbTokensSql(col)})::DOUBLE)"

@@ -153,6 +153,22 @@ object Dedup {
       .drop("sh_a", "sh_b")
   }
 
+  /** Embedding-cosine near-dups: all pairs with cosine ≥ threshold, via
+    * the native [[graft.plans.CosineSimilarity]] expression on a broadcast
+    * self-join (exact; the SRP-bucketed path in
+    * [[Similarity.srpTopK]] is the scale variant of the same idea). */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, roundTo: Int = 5): DataFrame = {
+    import graft.plans.CosineSimilarity.cosineSim
+    val v = emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val a = v.select(col("vid").as("id_a"), col("vec").as("vec_a"))
+    val b = v.select(col("vid").as("id_b"), col("vec").as("vec_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosineSim(col("vec_a"), col("vec_b")), roundTo))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Exact n-gram Jaccard near-dups. Candidates come from an inverted-index
     * self-join restricted to discriminative shingles (document frequency in
     * [2, dfMax]); exact |A∩B| is then recounted over the candidates' FULL

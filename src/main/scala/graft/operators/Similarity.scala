@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.Vectors
+import graft.plans.CosineSimilarity.cosineSim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -19,15 +20,16 @@ import org.apache.spark.sql.functions._
   *    O(|Q|·|C|) scan into bucket-local joins. Recall < 1 by construction;
   *    probe neighboring buckets by lowering `planes`.
   *
-  * Similarities are computed as dot/sqrt(|a|²·|b|²) in double precision —
-  * the same association DuckDB's `list_cosine_similarity` uses, so oracle
-  * comparisons agree to ~1 ulp before rounding.
+  * Similarities are computed by the native allocation-free
+  * [[graft.plans.CosineSimilarity]] expression: dot/sqrt(|a|²·|b|²) in
+  * double precision with the same association DuckDB's
+  * `list_cosine_similarity` uses, so oracle comparisons agree to ~1 ulp
+  * before rounding.
   */
 object Similarity {
 
   private def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-      .withColumn("norm2", Vectors.dot(col("vec"), col("vec")))
 
   /** Exact cosine top-k of `corpus` for each row matching `queryPred`.
     * Output: (query_id, neighbor_id, cosine, rank) with rank 1..k by
@@ -37,10 +39,9 @@ object Similarity {
                      queryPred: Column, k: Int, roundTo: Int = 5): DataFrame = {
     val all = prepared(emb, idCol, vecCol)
     val q = all.filter(queryPred)
-      .select(col("vid").as("query_id"), col("vec").as("qvec"), col("norm2").as("qn2"))
+      .select(col("vid").as("query_id"), col("vec").as("qvec"))
     val scored = all.join(broadcast(q), col("vid") =!= col("query_id"))
-      .withColumn("cosine",
-        round(Vectors.dot(col("qvec"), col("vec")) / sqrt(col("qn2") * col("norm2")), roundTo))
+      .withColumn("cosine", round(cosineSim(col("qvec"), col("vec")), roundTo))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("vid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -56,12 +57,10 @@ object Similarity {
     val all = prepared(emb, idCol, vecCol)
       .withColumn("bucket", Vectors.srpBucket(col("vec"), planes))
     val q = all.filter(queryPred)
-      .select(col("vid").as("query_id"), col("vec").as("qvec"),
-        col("norm2").as("qn2"), col("bucket"))
+      .select(col("vid").as("query_id"), col("vec").as("qvec"), col("bucket"))
     val scored = all.join(broadcast(q), Seq("bucket"))
       .filter(col("vid") =!= col("query_id"))
-      .withColumn("cosine",
-        round(Vectors.dot(col("qvec"), col("vec")) / sqrt(col("qn2") * col("norm2")), roundTo))
+      .withColumn("cosine", round(cosineSim(col("qvec"), col("vec")), roundTo))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("vid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column ↔ Expression converters (Spark 4
+  * moved `Column` onto ColumnNode; `classic.ExpressionUtils` is the
+  * supported classic-session path but is sql-package-private). Keeping the
+  * bridge in one tiny file makes the private-API surface we depend on
+  * explicit and auditable. */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
