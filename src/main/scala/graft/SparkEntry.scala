@@ -193,6 +193,12 @@ object SparkEntry {
       patternSelect(Patterns.merge(a, b)).orderBy(col("pattern_id"))
     }),
 
+    // A1 under skew: salted two-phase aggregate — must equal the plain
+    // aggregate (same oracle body as q_pattern_merge).
+    "q_pattern_salted" -> ((s, dir) =>
+      patternSelect(Patterns.aggregateSalted(eventsAsLogs(s, dir)))
+        .orderBy(col("pattern_id"))),
+
     // A3/A4: global summary stats + distinct counts.
     "q_summary_stats" -> ((s, dir) =>
       Tables.events(s, dir).agg(
@@ -451,6 +457,14 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))),
 
+    // IVF coarse-quantizer ANN (no oracle; recall < 1 by design — the
+    // probe-everything configuration is proven exhaustive in IvfSpec).
+    "q_ann_ivf" -> ((s, dir) =>
+      graft.operators.Ivf.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vid") % 20 === 0, k = 5, numCentroids = 16, nProbe = 4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))),
+
     // SRP-LSH bucketed approximate neighbors (no oracle; recall < 1).
     "q_ann_srp" -> ((s, dir) =>
       Similarity.srpTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -658,6 +672,10 @@ object SparkEntry {
            |) ORDER BY pattern_id""".stripMargin,
 
       "q_pattern_merge" ->
+        s"""$patternAggSqlBody
+           |ORDER BY pattern_id""".stripMargin,
+
+      "q_pattern_salted" ->
         s"""$patternAggSqlBody
            |ORDER BY pattern_id""".stripMargin,
 

@@ -65,6 +65,39 @@ object Patterns {
       sum("read_bytes").as("total_read_bytes"))
       .withColumn("avg_duration_ms", col("total_duration_ms") / col("frequency"))
 
+  /** A1 under key skew: salted two-phase aggregation. A handful of
+    * ultra-hot pattern hashes (every ORM emitting the same SELECT) can
+    * pin a single reducer at 100 TB; salting splits each key across
+    * `saltBuckets` partial groups, then merges partials — exactly the
+    * [[merge]] contract, so the result is identical to [[aggregate]].
+    * The salt is derived from row content (deterministic), not rand().
+    * AQE's skew handling covers joins but not aggregates, hence manual. */
+  def aggregateSalted(logs: DataFrame, saltBuckets: Int = 64): DataFrame = {
+    val salted = logs.withColumn("_salt",
+      pmod(xxhash64(col("query_start_time"), col("user")), lit(saltBuckets)))
+    val partial = salted.groupBy(col("pattern_id"), col("_salt")).agg(
+      min(col("query")).as("sql_pattern"),
+      count(lit(1)).as("frequency"),
+      sum("query_duration_ms").as("total_duration_ms"),
+      min("query_start_time").as("first_seen"),
+      max("query_start_time").as("last_seen"),
+      sort_array(collect_set(col("user"))).as("users"),
+      sum("memory_usage").as("memory_usage"),
+      sum("read_rows").as("total_read_rows"),
+      sum("read_bytes").as("total_read_bytes"))
+    partial.groupBy("pattern_id").agg(
+      min(col("sql_pattern")).as("sql_pattern"),
+      sum("frequency").as("frequency"),
+      sum("total_duration_ms").as("total_duration_ms"),
+      min("first_seen").as("first_seen"),
+      max("last_seen").as("last_seen"),
+      sort_array(array_distinct(flatten(collect_list(col("users"))))).as("users"),
+      sum("memory_usage").as("memory_usage"),
+      sum("total_read_rows").as("total_read_rows"),
+      sum("total_read_bytes").as("total_read_bytes"))
+      .withColumn("avg_duration_ms", col("total_duration_ms") / col("frequency"))
+  }
+
   /** F7/F8 post-aggregation HAVING (`utils/filtering.py:29-34`,
     * `utils/data_acquisition.py:221-225`). */
   def having(patterns: DataFrame,

@@ -63,6 +63,18 @@ class PatternsSpec extends SparkSpec {
     }
   }
 
+  test("salted two-phase aggregate equals plain aggregate") {
+    val df = logsDf(randomLogs(7, 100))
+    val cols = Seq("pattern_id", "sql_pattern", "frequency", "total_duration_ms",
+      "first_seen", "last_seen", "users", "memory_usage",
+      "total_read_rows", "total_read_bytes")
+    val plain = Patterns.aggregate(df).select(cols.map(col): _*)
+      .orderBy("pattern_id").collect().toSeq
+    val salted = Patterns.aggregateSalted(df, saltBuckets = 7).select(cols.map(col): _*)
+      .orderBy("pattern_id").collect().toSeq
+    assert(salted == plain)
+  }
+
   test("merge is commutative") {
     val df = logsDf(randomLogs(42, 50))
     val a = Patterns.aggregate(df.filter(col("memory_usage") % 3 === 0))
