@@ -472,6 +472,14 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))),
 
+    // S3: schema probe reified as data (names only — type vocabularies
+    // differ between engines).
+    "q_schema_probe" -> ((s, dir) =>
+      graft.sources.Schemas.describeTables(s, dir,
+        Seq("lineitem", "orders", "events"))
+        .select(col("table_name"), col("column_name"))
+        .orderBy(col("table_name"), col("column_name"))),
+
     // P6: cache-key hashing surface (md5 + sha256, both oracle-portable).
     "q_hash_keys" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -856,6 +864,15 @@ object SparkEntry {
           |    i -> md5(array_to_string(string_split_regex(trim(lower(text)), '\s+')[i:i+4], ' '))))
           |    AS fingerprint
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_schema_probe" ->
+        """SELECT table_name, column_name FROM (
+          |  SELECT 'lineitem' AS table_name, column_name FROM (DESCRIBE SELECT * FROM lineitem)
+          |  UNION ALL
+          |  SELECT 'orders', column_name FROM (DESCRIBE SELECT * FROM orders)
+          |  UNION ALL
+          |  SELECT 'events', column_name FROM (DESCRIBE SELECT * FROM events)) t
+          |ORDER BY table_name, column_name""".stripMargin,
 
       "q_hash_keys" ->
         """SELECT o_orderkey,

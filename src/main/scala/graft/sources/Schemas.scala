@@ -1,0 +1,29 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S3/J6: schema introspection as data (reference `DESCRIBE TABLE` probe,
+  * `utils/data_acquisition.py:250-293`, and the pattern↔schema join the
+  * LLM prompt builder does, `utils/ai_suggester.py:56-63`).
+  *
+  * Spark already knows every schema (`df.schema`); this just reifies the
+  * catalog into a small DataFrame `(table_name, column_name, column_type)`
+  * so it can broadcast-join against pattern tables — replacing the
+  * reference's per-table network round-trips. */
+object Schemas {
+
+  def describeTables(spark: SparkSession, dir: String,
+                     tables: Seq[String]): DataFrame = {
+    import spark.implicits._
+    tables.flatMap { t =>
+      Tables.load(spark, dir, t).schema.fields.map(f =>
+        (t, f.name, f.dataType.simpleString))
+    }.toDF("table_name", "column_name", "column_type")
+  }
+
+  /** J6: attach each pattern's accessed-table schemas (broadcast join). */
+  def joinPatternSchemas(patterns: DataFrame, schemas: DataFrame): DataFrame =
+    patterns.select(col("pattern_id"), explode(col("tables_accessed")).as("table_name"))
+      .join(broadcast(schemas), Seq("table_name"), "left")
+}
