@@ -1,0 +1,97 @@
+package graft
+
+import graft.dbt.DbtLoader
+import graft.model.SamplingConfig
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** CLI facade over the engine — the user surface of the reference's
+  * `querysight.py analyze|export` (851 LoC of click handlers) reduced to
+  * a thin arg parser around [[Analyze]]. A reference user's invocation
+  *
+  *   querysight analyze --days 7 --min-frequency 2 --focus SLOW \
+  *       --select-users alice --dbt-project ./proj --cache-dir ./cache
+  *
+  * maps 1:1 onto:
+  *
+  *   runMain graft.Cli analyze --logs <parquet> --days 7 --min-frequency 2
+  *       --slow-ms 1000 --users alice --dbt-project ./proj --store ./cache
+  *
+  * `export` reads the persisted pattern history (S9,
+  * `querysight.py:815-848`) and prints JSON.
+  */
+object Cli {
+
+  private def parseArgs(args: Seq[String]): Map[String, String] =
+    args.grouped(2).collect { case Seq(k, v) if k.startsWith("--") =>
+      // sbt's runMain passes shell-style quotes through literally
+      k.stripPrefix("--") -> v.stripPrefix("'").stripSuffix("'")
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.Cli analyze|export --logs <path> [options]")
+    val cmd = args.head
+    val opts = parseArgs(args.tail.toSeq)
+    val spark = SparkSession.builder()
+      .master(opts.getOrElse("master", "local[8]"))
+      .config("spark.sql.shuffle.partitions",
+        opts.getOrElse("shuffle-partitions", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // tolerate TIMESTAMP(NANOS) parquet inputs (read as long nanos)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try cmd match {
+      case "analyze" => analyze(spark, opts)
+      case "export" => exportLatest(spark, opts)
+      case other => sys.error(s"unknown command: $other (analyze|export)")
+    } finally spark.stop()
+  }
+
+  private def analyze(spark: SparkSession, opts: Map[String, String]): Unit = {
+    val logs = spark.read.parquet(opts("logs"))
+    val cfg = SamplingConfig(
+      days = opts.get("days").map(_.toInt),
+      includeUsers = opts.get("users").toSeq.flatMap(_.split(',')),
+      excludeUsers = opts.get("exclude-users").toSeq.flatMap(_.split(',')),
+      queryKinds = opts.get("kinds").toSeq.flatMap(_.split(',')),
+      slowOnlyThresholdMs = opts.get("slow-ms").map(_.toDouble))
+    val project = opts.get("dbt-project").map(DbtLoader.load)
+    val level = opts.getOrElse("level", "4").toInt match {
+      case 1 => AnalysisLevel.DataCollection
+      case 2 => AnalysisLevel.PatternAnalysis
+      case 3 => AnalysisLevel.DbtIntegration
+      case _ => AnalysisLevel.Optimization
+    }
+    val asOf = opts.get("as-of")
+      .map(s => if (s.contains(' ')) s else s + " 00:00:00")
+      .map(s => lit(java.sql.Timestamp.valueOf(s)))
+      .getOrElse(current_timestamp())
+    val res = Analyze.run(logs, cfg, project, level, asOf,
+      minFrequency = opts.getOrElse("min-frequency", "2").toInt)
+
+    opts.get("store").foreach { dir =>
+      val history = res.patterns.select(
+        col("pattern_id"), col("sql_pattern"), col("frequency"),
+        col("total_duration_ms"), col("avg_duration_ms"),
+        col("first_seen"), col("last_seen"), col("users"),
+        col("memory_usage"), col("total_read_rows"), col("total_read_bytes"))
+      graft.operators.PatternStore.enrich(spark, history, dir)
+    }
+    println(Analyze.exportJson(res, topN = opts.getOrElse("top", "20").toInt))
+    res.coverage.foreach(c => println(c.toJSON.collect().mkString("[", ",", "]")))
+    res.recommendations.foreach(r =>
+      println(r.orderBy("pattern_id", "rec_type").toJSON.collect().mkString("[", ",", "]")))
+  }
+
+  private def exportLatest(spark: SparkSession, opts: Map[String, String]): Unit = {
+    val dir = opts("store")
+    graft.operators.PatternStore.load(spark, dir) match {
+      case Some(df) =>
+        println(df.orderBy(desc("frequency"), col("pattern_id"))
+          .toJSON.collect().mkString("[", ",", "]"))
+      case None => sys.error(s"no pattern history at $dir")
+    }
+  }
+}

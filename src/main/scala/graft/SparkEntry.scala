@@ -94,12 +94,16 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- entry
 
-  /** Flagship: the reference's `analyze` pipeline (§3.1 levels 1-2) —
-    * normalize → pattern agg → HAVING → impact ranking — on sf0.001. */
+  /** Flagship: the reference's FULL `analyze` pipeline (§3.1 levels 1-4) —
+    * filters → normalize → pattern agg → U2 extraction → dbt model join →
+    * coverage-ready enrichment → rule recommendations — on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
-    val logs = eventsAsLogs(spark, "/root/testdata/sf0.001")
-    val slowish = logs.filter(col("query_duration_ms") >= 0)
-    Patterns.rankByImpact(Patterns.having(Patterns.aggregate(slowish), minFrequency = 2))
+    val res = analyzeOnEvents(spark, "/root/testdata/sf0.001")
+    val recs = res.recommendations.get
+      .groupBy("pattern_id").agg(count(lit(1)).as("n_recommendations"))
+    res.patterns.join(recs, Seq("pattern_id"), "left")
+      .withColumn("n_recommendations", coalesce(col("n_recommendations"), lit(0L)))
+      .orderBy(desc("impact"), col("pattern_id"))
   }
 
   // ---------------------------------------------------------------- queries
@@ -583,6 +587,19 @@ object SparkEntry {
           col("frequency"),
           (col("total_duration_ms") / 100.0).as("total_value"))
         .orderBy(col("pattern_id"), col("window_start_ms"))
+    }),
+
+    // Multimodal frame sampling: fixed-size strided windows over binary
+    // payloads, exploded (media_id, frame_idx, frame) — pure Column ops.
+    "q_multimodal_frames" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"), lit("video").as("kind"),
+        col("text").cast("binary").as("payload"))
+      Multimodal.sampleFrames(media, frameBytes = 32, stride = 4)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame_bytes")).cast("long").as("frame_len"))
+        .orderBy(col("media_id"), col("frame_idx"))
     }),
 
     // Multimodal plumbing: documents' bytes as opaque payloads → batched
