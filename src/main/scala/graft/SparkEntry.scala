@@ -349,6 +349,56 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // As-of join: each purchase enriched with the user's most recent
+    // prior-or-simultaneous click (ms granularity; right side deduped per
+    // (user, ms) so the tie winner is defined). Oracle: DuckDB's native
+    // ASOF LEFT JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), ms(col("ts")).as("ts_ms"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), ms(col("ts")).as("ts_ms"))
+        .agg(max(col("event_id")).as("click_event_id"))
+      graft.operators.AsOf.joinBackward(purchases, clicks,
+        keyCols = Seq("user_id"), leftTs = "ts_ms", rightTs = "ts_ms",
+        rightPayload = Seq("click_event_id", "ts_ms"), prefix = "click_")
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("click_click_event_id").as("click_event_id"),
+          col("click_ts_ms").as("click_ts_ms"))
+        .orderBy(col("event_id"))
+    }),
+
+    // OLAP rollup: hierarchy totals in one pass (beyond the reference, but
+    // table stakes for an analytics engine).
+    "q_rollup" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("total_price"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
+
+    // Pivot: wide conditional aggregation with a fixed column vocabulary.
+    "q_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(cents(col("value"))))
+        .orderBy(col("user_id"))),
+
+    // TPC-H Q6 shape: pure filter + arithmetic aggregate.
+    "q_tpch_q6" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg((sum(round(col("l_extendedprice") * col("l_discount") * 10000).cast("long"))
+          .cast("double") / 10000.0).as("revenue"))),
+
     // TPC-H Q1 shape: wide aggregate over lineitem (bench headline).
     "q_tpch_q1" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -823,6 +873,47 @@ object SparkEntry {
           |      PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap_ms
           |  FROM events)
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_asof_join" ->
+        """SELECT p.event_id, p.user_id, p.ts_ms,
+          |  c.click_event_id, c.ts_ms AS click_ts_ms
+          |FROM (
+          |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+          |  WHERE event_type = 'purchase') p
+          |ASOF LEFT JOIN (
+          |  SELECT user_id, epoch_ms(ts) AS ts_ms,
+          |    CAST(max(event_id) AS BIGINT) AS click_event_id
+          |  FROM events WHERE event_type = 'click' GROUP BY 1, 2) c
+          |ON p.user_id = c.user_id AND c.ts_ms <= p.ts_ms
+          |ORDER BY p.event_id""".stripMargin,
+
+      "q_rollup" ->
+        s"""SELECT r_name, n_name, count(*) AS n_orders,
+           |  CAST(sum(${centsSql("o_totalprice")}) AS DOUBLE) / 100.0 AS total_price
+           |FROM orders
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY ROLLUP (r_name, n_name)
+           |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+      "q_pivot" ->
+        s"""SELECT user_id,
+           |  CAST(sum(CASE WHEN event_type = 'click' THEN ${centsSql("value")} END) AS BIGINT) AS click,
+           |  CAST(sum(CASE WHEN event_type = 'error' THEN ${centsSql("value")} END) AS BIGINT) AS error,
+           |  CAST(sum(CASE WHEN event_type = 'purchase' THEN ${centsSql("value")} END) AS BIGINT) AS purchase,
+           |  CAST(sum(CASE WHEN event_type = 'signup' THEN ${centsSql("value")} END) AS BIGINT) AS signup,
+           |  CAST(sum(CASE WHEN event_type = 'view' THEN ${centsSql("value")} END) AS BIGINT) AS view
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_tpch_q6" ->
+        """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS DOUBLE)
+          |    / 10000.0 AS revenue
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_discount >= 0.05 AND l_discount <= 0.07
+          |  AND l_quantity < 24""".stripMargin,
 
       "q_tpch_q1" ->
         s"""SELECT l_returnflag, l_linestatus,
