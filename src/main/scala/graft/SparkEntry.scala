@@ -338,6 +338,39 @@ object SparkEntry {
           col("rank_in_group").cast("long").as("rnk"))
         .orderBy(col("n_name"), col("rnk"))),
 
+    // Window frames: 3-row trailing moving average per user over exact
+    // cents (frame arithmetic on ints → engine-exact).
+    "q_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), ms(col("ts")).as("ts_ms"),
+          cents(col("value")).as("value_cents"))
+        .withColumn("trailing_sum_cents", sum(col("value_cents")).over(w))
+        .withColumn("trailing_n", count(lit(1)).over(w))
+        .withColumn("moving_avg",
+          col("trailing_sum_cents").cast("double") / 100.0 / col("trailing_n").cast("double"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Exact interpolated quantiles (percentile ~ quantile_cont parity).
+    "q_quantiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"))
+        .orderBy(col("event_type"))),
+
+    // Whole-row dedup (dropDuplicates) over a corpus with planted full
+    // duplicates.
+    "q_drop_duplicates" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      d.unionByName(d).dropDuplicates("doc_id", "text")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sessionization: gap-based sessions via lag window (ms-exact).
     "q_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(ms(col("ts")), col("event_id"))
@@ -862,6 +895,31 @@ object SparkEntry {
           |      ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC, c_custkey) AS rnk
           |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
           |WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin,
+
+      "q_moving_avg" ->
+        s"""SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+           |  ${centsSql("value")} AS value_cents,
+           |  CAST(sum(${centsSql("value")}) OVER w AS BIGINT) AS trailing_sum_cents,
+           |  count(*) OVER w AS trailing_n,
+           |  CAST(sum(${centsSql("value")}) OVER w AS DOUBLE) / 100.0
+           |    / CAST(count(*) OVER w AS DOUBLE) AS moving_avg
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+           |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           |ORDER BY event_id""".stripMargin,
+
+      "q_quantiles" ->
+        """SELECT event_type,
+          |  quantile_cont(value, 0.5) AS p50,
+          |  quantile_cont(value, 0.95) AS p95
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_drop_duplicates" ->
+        """SELECT doc_id FROM (
+          |  SELECT DISTINCT doc_id, text FROM (
+          |    SELECT doc_id, text FROM documents
+          |    UNION ALL SELECT doc_id, text FROM documents) u) d
+          |ORDER BY doc_id""".stripMargin,
 
       "q_sessionize" ->
         """SELECT user_id,
