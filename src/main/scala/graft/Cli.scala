@@ -71,7 +71,7 @@ object Cli {
     val res = Analyze.run(logs, cfg, project, level, asOf,
       minFrequency = opts.getOrElse("min-frequency", "2").toInt)
 
-    opts.get("store").foreach { dir =>
+    opts.get("store").filter(_ => level.ordinal >= 2).foreach { dir =>
       val history = res.patterns.select(
         col("pattern_id"), col("sql_pattern"), col("frequency"),
         col("total_duration_ms"), col("avg_duration_ms"),
