@@ -308,6 +308,18 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))),
 
+    // Range join: equi key + time-band predicate (lineitems shipped within
+    // 90 days of their order date) — the SMJ-with-residual shape.
+    "q_range_join" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_shipped_fast"))
+        .orderBy(col("o_orderpriority"))),
+
     // W4: deterministic pagination (page 3, 10 rows) over a total order.
     "q_pagination" -> ((s, dir) =>
       Paging.page(
@@ -871,6 +883,13 @@ object SparkEntry {
           |WHERE EXISTS (SELECT 1 FROM orders
           |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
           |ORDER BY c_custkey""".stripMargin,
+
+      "q_range_join" ->
+        """SELECT o_orderpriority, count(*) AS n_shipped_fast
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  AND l_shipdate >= o_orderdate
+          |  AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_pagination" ->
         """SELECT o_orderkey, o_custkey, total_cents, row_num FROM (
