@@ -384,15 +384,30 @@ object SparkEntry {
     }),
 
     // Sessionization: gap-based sessions via lag window (ms-exact).
-    "q_sessionize" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(ms(col("ts")), col("event_id"))
+    "q_sessionize" -> ((s, dir) =>
+      graft.operators.Sessionize.countSessions(
+        Tables.events(s, dir).withColumn("ts_ms", ms(col("ts"))),
+        keyCols = Seq("user_id"), tsMs = col("ts_ms"),
+        tieBreak = col("event_id"), gapMs = 3600000L)
+        .orderBy(col("user_id"))),
+
+    // Session-level rollup: bounds, counts, exact-cents totals.
+    "q_session_stats" -> ((s, dir) =>
+      graft.operators.Sessionize.sessionStats(
+        Tables.events(s, dir).withColumn("ts_ms", ms(col("ts"))),
+        keyCols = Seq("user_id"), tsMs = col("ts_ms"),
+        tieBreak = col("event_id"), gapMs = 3600000L,
+        valueCents = cents(col("value")))
+        .orderBy(col("user_id"), col("session_seq"))),
+
+    // JSON column access: typed extraction from the props payload.
+    "q_json_extract" -> ((s, dir) =>
       Tables.events(s, dir)
-        .withColumn("gap_ms", ms(col("ts")) - lag(ms(col("ts")), 1).over(w))
-        .groupBy(col("user_id"))
-        .agg((lit(1L) + sum(when(col("gap_ms") > 3600000L, 1L).otherwise(0L)))
-          .as("n_sessions"))
-        .orderBy(col("user_id"))
-    }),
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
 
     // As-of join: each purchase enriched with the user's most recent
     // prior-or-simultaneous click (ms granularity; right side deduped per
@@ -950,6 +965,32 @@ object SparkEntry {
           |      PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap_ms
           |  FROM events)
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_session_stats" ->
+        s"""SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           |  count(*) AS n_events,
+           |  min(ts_ms) AS session_start_ms,
+           |  max(ts_ms) AS session_end_ms,
+           |  CAST(sum(value_cents) AS BIGINT) AS total_value_cents
+           |FROM (
+           |  SELECT user_id, ts_ms, value_cents,
+           |    1 + sum(CASE WHEN gap_ms > 3600000 THEN 1 ELSE 0 END) OVER (
+           |      PARTITION BY user_id ORDER BY ts_ms, event_id
+           |      ROWS UNBOUNDED PRECEDING) AS session_seq
+           |  FROM (
+           |    SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+           |      ${centsSql("value")} AS value_cents,
+           |      epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+           |        PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap_ms
+           |    FROM events) g) s
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_json_extract" ->
+        """SELECT event_type, count(*) AS n,
+          |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+          |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_asof_join" ->
         """SELECT p.event_id, p.user_id, p.ts_ms,

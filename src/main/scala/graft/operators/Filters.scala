@@ -67,4 +67,24 @@ object Filters {
 
   def apply(df: DataFrame, predicates: Seq[Column]): DataFrame =
     predicates.foldLeft(df)(_ filter _)
+
+  /** Post-aggregation pattern criteria — the reference's `apply_filters`
+    * (`utils/filtering.py:6-46`): F6 ids, F7 min avg duration, F8 min
+    * frequency, F9/F10 table/model overlap, composed as one conjunction. */
+  final case class PatternCriteria(
+      patternIds: Seq[String] = Seq.empty,
+      minAvgDurationMs: Option[Double] = None,
+      minFrequency: Option[Long] = None,
+      selectTables: Seq[String] = Seq.empty,
+      selectModels: Seq[String] = Seq.empty)
+
+  def applyCriteria(patterns: DataFrame, c: PatternCriteria): DataFrame = {
+    val b = Seq.newBuilder[Column]
+    if (c.patternIds.nonEmpty) b += patternIds(col("pattern_id"), c.patternIds)
+    c.minAvgDurationMs.foreach(x => b += (col("avg_duration_ms") >= x))
+    c.minFrequency.foreach(x => b += (col("frequency") >= x))
+    if (c.selectTables.nonEmpty) b += overlaps(col("tables_accessed"), c.selectTables)
+    if (c.selectModels.nonEmpty) b += overlaps(col("dbt_models_used"), c.selectModels)
+    apply(patterns, b.result())
+  }
 }
