@@ -663,7 +663,32 @@ object SparkEntry {
     }),
 
     // A7 coverage of the demo dbt model graph by the analyzed patterns.
-    "q_dbt_coverage" -> ((s, dir) => analyzeOnEvents(s, dir).coverage.get),
+    // Coverage needs only the USED-MODEL SET, not frequencies — so this
+    // skips the pattern aggregation entirely: distinct query texts (a
+    // handful after dictionary encoding) → table extraction → model
+    // resolution → set algebra. Same answer as the full pipeline at a
+    // fraction of the work.
+    "q_dbt_coverage" -> ((s, dir) => {
+      val proj = graft.dbt.DbtLoader.load(
+        sys.env.getOrElse("GRAFT_REPO", "/root/repo") + "/fixtures/dbt_demo")
+      val target = when(col("event_type") === "purchase", lit("acme.stg_orders"))
+        .when(col("event_type") === "click", lit("analytics.fct_revenue"))
+        .when(col("event_type") === "view", lit("rpt_daily"))
+        .when(col("event_type") === "signup", lit("legacy.raw_stuff"))
+        .otherwise(lit("system.query_log"))
+      val distinctQueries = Tables.events(s, dir)
+        .select(concat(lit("SELECT * FROM "), target, lit(" WHERE k = "),
+          col("user_id")).as("query"))
+        .distinct()
+        .withColumn("pattern_id", Normalize.fingerprint(col("query")))
+        .withColumn("tables_accessed", graft.functions.SqlTables.extracted(col("query")))
+      val enriched = graft.operators.Mapping.enrichWithModels(
+        distinctQueries.select("pattern_id", "tables_accessed"),
+        graft.operators.Mapping.lookupDf(s, proj))
+      graft.operators.Mapping.coverage(enriched,
+        graft.operators.Mapping.modelsDf(s, proj),
+        graft.operators.Mapping.edgesDf(s, proj))
+    }),
 
     // Structured Streaming windowed pattern aggregation (§2.10), driven to
     // completion over the bounded events table and compared against a
