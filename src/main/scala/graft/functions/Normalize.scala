@@ -31,9 +31,17 @@ object Normalize {
   /** Whitespace runs. */
   val SpaceRe = "\\s+"
 
-  /** Canonical normalized text: the chain is order-sensitive (strings first,
-    * so digits inside string literals don't survive as `n`). */
+  /** Canonical normalized text. The regex chain below IS the spec (and the
+    * DuckDB-oracle form); the default execution path is the native
+    * one-pass scanner [[graft.plans.NormalizeQueryExpr]], property-tested
+    * exactly equivalent in `NormalizeNativeSpec`. The chain is
+    * order-sensitive (strings first, so digits inside string literals
+    * don't survive as `n`). */
   def normalizeQuery(c: Column): Column =
+    graft.plans.NormalizeQueryExpr.normalizeQueryNative(c)
+
+  /** The composable regex-chain form — the executable spec. */
+  def normalizeQueryComposed(c: Column): Column =
     trim(regexp_replace(
       regexp_replace(
         regexp_replace(lower(c), LiteralRe, "?"),

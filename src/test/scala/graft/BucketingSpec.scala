@@ -12,6 +12,15 @@ class BucketingSpec extends SparkSpec {
   test("join of two tables bucketed on the key plans without an Exchange") {
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // directory persists — clear the locations too
+    for (t <- Seq("li_bucketed", "o_bucketed")) {
+      val p = new java.io.File(s"spark-warehouse/$t")
+      if (p.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(p).deleteRecursively()
+      }
+    }
     Tables.lineitem(spark, sf0001)
       .select("l_orderkey", "l_quantity", "l_extendedprice")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
