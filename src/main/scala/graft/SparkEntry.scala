@@ -366,6 +366,30 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Time-range window frame: trailing 10-minute sum per user (RANGE
+    // frame on epoch-ms — frame membership is tie-insensitive, so no
+    // tie-break is needed for determinism).
+    "q_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+        .rangeBetween(-600000L, 0L)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), ms(col("ts")).as("ts_ms"),
+          cents(col("value")).as("value_cents"))
+        .withColumn("trailing_10m_cents", sum(col("value_cents")).over(w))
+        .orderBy(col("event_id"))
+    }),
+
+    // Grouping sets: independent aggregation groupings in one pass.
+    "q_grouping_sets" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("value_cents", cents(col("value")))
+        .groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("user_id")), Seq.empty),
+          col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value_cents")).as("total_cents"))
+        .orderBy(col("event_type").asc_nulls_first, col("user_id").asc_nulls_first)),
+
     // Exact interpolated quantiles (percentile ~ quantile_cont parity).
     "q_quantiles" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -966,6 +990,22 @@ object SparkEntry {
            |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
            |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
            |ORDER BY event_id""".stripMargin,
+
+      "q_range_frame" ->
+        s"""SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+           |  ${centsSql("value")} AS value_cents,
+           |  CAST(sum(${centsSql("value")}) OVER (
+           |    PARTITION BY user_id ORDER BY epoch_ms(ts)
+           |    RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW) AS BIGINT)
+           |    AS trailing_10m_cents
+           |FROM events ORDER BY event_id""".stripMargin,
+
+      "q_grouping_sets" ->
+        s"""SELECT event_type, user_id, count(*) AS n,
+           |  CAST(sum(${centsSql("value")}) AS BIGINT) AS total_cents
+           |FROM events
+           |GROUP BY GROUPING SETS ((event_type), (user_id), ())
+           |ORDER BY event_type ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin,
 
       "q_quantiles" ->
         """SELECT event_type,

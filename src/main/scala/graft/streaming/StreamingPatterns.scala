@@ -81,6 +81,44 @@ object StreamingPatterns {
       }
   }
 
+  /** Streaming exact dedup with BOUNDED state: duplicates arriving within
+    * the watermark horizon are dropped, and key state older than the
+    * watermark is evicted — the streaming face of
+    * [[graft.operators.Dedup.exactGroups]] that can run forever. */
+  def streamingDedup(logs: DataFrame, idCols: Seq[String],
+                     eventTimeCol: String, watermark: String): DataFrame =
+    logs.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Stateful pattern aggregation WITH eviction: a pattern idle past
+    * `idleGapMs` (by event time, gated on the watermark) is emitted once
+    * as final and its state removed — unbounded-stream-safe, unlike
+    * [[statefulPatterns]] which keeps state forever. */
+  def expiringPatterns(logs: Dataset[LogEvent], watermark: String = "1 hour",
+                       idleGapMs: Long = 3600000L): Dataset[PatternState] = {
+    import logs.sparkSession.implicits._
+    logs
+      .withColumn("pattern_id", Normalize.fingerprint(col("query")))
+      .withWatermark("query_start_time", watermark)
+      .as[KeyedEvent]
+      .groupByKey(_.pattern_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (id: String, rows: Iterator[KeyedEvent], state: GroupState[PatternState]) =>
+          if (state.hasTimedOut) {
+            val finalState = state.get
+            state.remove()
+            Iterator.single(finalState)
+          } else {
+            val prev = state.getOption.getOrElse(emptyState(id))
+            val next = updateState(prev,
+              rows.map(r => LogEvent(r.query, r.user, r.query_start_time,
+                r.query_duration_ms, r.memory_usage)))
+            state.update(next)
+            state.setTimeoutTimestamp(next.last_seen.getTime + idleGapMs)
+            Iterator.empty
+          })
+  }
+
   /** Event-time windowed pattern counts with a watermark — the rolling
     * "last N days" analysis (`data_acquisition.py:86-87`) as a live query. */
   def windowedPatternStats(logs: DataFrame, window_ : String = "1 hour",

@@ -46,6 +46,46 @@ class StreamingSpec extends SparkSpec {
     assert(s2.first_seen.getTime < s2.last_seen.getTime)
   }
 
+  test("streaming dedup drops duplicates and bounds state by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[LogEvent]
+    val q = StreamingPatterns.streamingDedup(input.toDF(),
+      Seq("query", "user"), "query_start_time", "30 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("stream_dedup").start()
+    try {
+      input.addData(ev("SELECT 1", "u1", 0, 10), ev("SELECT 1", "u1", 1, 10),
+        ev("SELECT 1", "u2", 2, 10))
+      q.processAllAvailable()
+      // duplicate (query,user) within the horizon dropped; distinct kept
+      assert(spark.table("stream_dedup").count() == 2)
+    } finally q.stop()
+  }
+
+  test("expiring stateful patterns emit finals on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[LogEvent]
+    val q = StreamingPatterns.expiringPatterns(input.toDS(),
+      watermark = "10 minutes", idleGapMs = 600000L)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("expiring").start()
+    try {
+      input.addData(ev("SELECT a FROM t WHERE x = 1", "alice", 0, 100),
+        ev("SELECT a FROM t WHERE x = 2", "bob", 2, 200))
+      q.processAllAvailable()
+      assert(spark.table("expiring").count() == 0) // nothing expired yet
+      // jump event time far ahead: watermark passes the idle timeout
+      input.addData(ev("SELECT b FROM other", "carol", 180, 5))
+      q.processAllAvailable()
+      input.addData(ev("SELECT b FROM other", "carol", 181, 5))
+      q.processAllAvailable()
+      val finals = spark.table("expiring").as[PatternState].collect()
+      assert(finals.length == 1) // the first pattern, closed out
+      assert(finals.head.frequency == 2L)
+      assert(finals.head.users == Set("alice", "bob"))
+    } finally q.stop()
+  }
+
   test("windowed watermarked stats over a bounded stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[LogEvent]
