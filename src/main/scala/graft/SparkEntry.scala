@@ -320,6 +320,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_shipped_fast"))
         .orderBy(col("o_orderpriority"))),
 
+    // Relational set ops: INTERSECT / EXCEPT (SO-family at table level).
+    "q_intersect" -> ((s, dir) => {
+      val building = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      building.intersect(urgent).orderBy(col("c_custkey"))
+    }),
+
+    "q_except" -> ((s, dir) => {
+      val building = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      building.except(urgent).orderBy(col("c_custkey"))
+    }),
+
     // W4: deterministic pagination (page 3, 10 rows) over a total order.
     "q_pagination" -> ((s, dir) =>
       Paging.page(
@@ -946,6 +965,18 @@ object SparkEntry {
         """SELECT c_custkey, c_name FROM customer
           |WHERE EXISTS (SELECT 1 FROM orders
           |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+          |ORDER BY c_custkey""".stripMargin,
+
+      "q_intersect" ->
+        """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          |INTERSECT
+          |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          |ORDER BY c_custkey""".stripMargin,
+
+      "q_except" ->
+        """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          |EXCEPT
+          |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
           |ORDER BY c_custkey""".stripMargin,
 
       "q_range_join" ->
