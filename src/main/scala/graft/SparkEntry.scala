@@ -597,6 +597,14 @@ object SparkEntry {
         Text.langId(col("text")).as("predicted_lang"))
         .orderBy(col("doc_id"))),
 
+    // True rolling-hash fingerprint (native O(n) expression; rows-only —
+    // the polynomial hash has no DuckDB twin; determinism + naive-recompute
+    // equivalence proven in RollingHashSpec).
+    "q_rolling_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.plans.RollingHashMin.rollingHashMin(col("text"), 32).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
     "q_doc_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.tokens(lower(col("text"))).as("toks"))
