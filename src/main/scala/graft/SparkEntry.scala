@@ -673,6 +673,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Same planted corpus through the SRP-bucketed scale path — no corpus
+    // broadcast, no O(n²) pair set. Shares the exact path's oracle: planted
+    // pairs are collinear, so every LSH table buckets them together
+    // (recall 1 by construction), and cosine scoring is exact.
+    "q_dedup_embedding_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      Dedup.embeddingNearDupsLsh(emb.unionByName(planted), "vec_id", "embedding",
+        threshold = 0.95)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // A4 at scale: HLL approximate distincts next to the exact counts
     // (no oracle: approximate by design; exact twins live in
     // q_summary_stats).
@@ -1217,6 +1230,23 @@ object SparkEntry {
            |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q_dedup_embedding" ->
+        """WITH corpus AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 1000000,
+          |    list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT))
+          |  FROM embeddings)
+          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5)
+          |    AS cosine
+          |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+          |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5)
+          |  >= 0.95
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      // The LSH path must produce the identical pair set on this corpus
+      // (collinear planted pairs ⇒ recall 1), so it shares the exact oracle.
+      "q_dedup_embedding_lsh" ->
         """WITH corpus AS (
           |  SELECT vec_id, embedding FROM embeddings
           |  UNION ALL

@@ -27,17 +27,24 @@ object Vectors {
   /** Deterministic pseudo-random hyperplane component for LSH: hash the
     * (plane, dim) pair to a value in [-1, 1). Replaces an RNG so bucket
     * assignment is stable across runs/sessions — the property the engine
-    * actually needs (SURVEY.md §7.4 #2 analog for vectors). */
-  def hyperplaneComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(2000001L)).cast("double") / lit(1000000.0)) - lit(1.0)
+    * actually needs (SURVEY.md §7.4 #2 analog for vectors). `seed` selects
+    * an independent hyperplane family (one per LSH table). */
+  def hyperplaneComponent(plane: Int, dim: Column, seed: Int = 0): Column = {
+    val h = if (seed == 0) xxhash64(lit(plane), dim) // seed-0 form kept bit-stable
+            else xxhash64(lit(seed), lit(plane), dim)
+    (pmod(h, lit(2000001L)).cast("double") / lit(1000000.0)) - lit(1.0)
+  }
 
   /** Sign-random-projection bucket id: `planes` hyperplanes → one bit each,
-    * packed into a long. Vectors in the same bucket are ANN candidates. */
-  def srpBucket(vec: Column, planes: Int): Column = {
+    * packed into a long. Vectors in the same bucket are ANN candidates.
+    * Scaling a vector by any positive factor leaves every projection sign
+    * unchanged, so collinear vectors land in the same bucket in EVERY
+    * seeded table — the recall guarantee the dedup path builds on. */
+  def srpBucket(vec: Column, planes: Int, seed: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(d(vec), sequence(lit(0), size(vec) - 1),
-          (x, i) => x * hyperplaneComponent(p, i)),
+          (x, i) => x * hyperplaneComponent(p, i, seed)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }

@@ -63,6 +63,21 @@ object Dedup {
 
   val LshMaxBucket = 64
 
+  /** Keep only bucket rows whose bucket holds 2..maxBucket members — the
+    * guard every banded self-join below shares. Singleton buckets produce
+    * no pairs; over-full buckets are where a bucket join goes quadratic,
+    * and at these thresholds they can only be near-exact duplicate floods
+    * that exact dedup should have removed first. groupBy+join rather than a
+    * count-over-window: a window would sort every partition; the aggregate
+    * is map-side combinable. */
+  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val kept = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") >= 2 && col("bucket_n") <= maxBucket)
+      .select(keys.map(col): _*)
+    banded.join(kept, keys)
+  }
+
   /** LSH banding: split the signature into `bands` bands, hash each band,
     * and emit candidate pairs that share at least one band bucket.
     * Estimated Jaccard = fraction of equal signature components. */
@@ -73,14 +88,7 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    // Cap pathological buckets before the self-join can go quadratic.
-    // groupBy+join rather than a count-over-window: a window would sort
-    // every partition; the aggregate is map-side combinable.
-    val keptBuckets = banded.groupBy("band", "band_hash")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") >= 2 && col("bucket_n") <= LshMaxBucket)
-      .select("band", "band_hash")
-    val bucketed = banded.join(keptBuckets, Seq("band", "band_hash")).persist()
+    val bucketed = capBuckets(banded, Seq("band", "band_hash"), LshMaxBucket).persist()
     val a = bucketed.select(col("band"), col("band_hash"),
       col("doc").as("doc_a"), col("sig").as("sig_a"))
     val b = bucketed.select(col("band"), col("band_hash"),
@@ -133,14 +141,17 @@ object Dedup {
   /** SimHash near-dups within `maxHamming`: band the 64-bit signature into
     * 4×16-bit chunks — any pair with hamming ≤ 3 must agree on ≥1 chunk
     * (pigeonhole), so a chunk-equality join finds all of them without a
-    * cross join. */
-  def simhashNearDups(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * cross join. Chunk buckets are capped like every other banded join
+    * here ([[capBuckets]]): a 16-bit chunk has only 65,536 values, so at
+    * billions of docs uncapped buckets would go quadratic. */
+  def simhashNearDups(sigs: DataFrame, maxHamming: Int = 3,
+                      maxBucket: Int = LshMaxBucket): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding only guarantees recall for hamming <= 3")
-    val chunked = sigs.select(col("doc"), col("simhash"),
+    val banded = sigs.select(col("doc"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
-      .persist()
+    val chunked = capBuckets(banded, Seq("chunk", "chunk_val"), maxBucket).persist()
     val a = chunked.select(col("chunk"), col("chunk_val"),
       col("doc").as("doc_a"), col("simhash").as("sh_a"))
     val b = chunked.select(col("chunk"), col("chunk_val"),
@@ -153,10 +164,11 @@ object Dedup {
       .drop("sh_a", "sh_b")
   }
 
-  /** Embedding-cosine near-dups: all pairs with cosine ≥ threshold, via
-    * the native [[graft.plans.CosineSimilarity]] expression on a broadcast
-    * self-join (exact; the SRP-bucketed path in
-    * [[Similarity.srpTopK]] is the scale variant of the same idea). */
+  /** Embedding-cosine near-dups, exact: all pairs with cosine ≥ threshold,
+    * via the native [[graft.plans.CosineSimilarity]] expression on a
+    * broadcast self-join. O(n²) BY DESIGN — this is the small-n oracle
+    * baseline that [[embeddingNearDupsLsh]] is verified against; the LSH
+    * form is the path for corpora that don't fit a broadcast. */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, roundTo: Int = 5): DataFrame = {
     import graft.plans.CosineSimilarity.cosineSim
@@ -164,6 +176,49 @@ object Dedup {
     val a = v.select(col("vid").as("id_a"), col("vec").as("vec_a"))
     val b = v.select(col("vid").as("id_b"), col("vec").as("vec_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosineSim(col("vec_a"), col("vec_b")), roundTo))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Embedding-cosine near-dups at scale: candidates come from `tables`
+    * independent SRP-LSH bucketings ([[graft.functions.Vectors.srpBucket]],
+    * one seeded hyperplane family per table), every join is an equi-join on
+    * (table, bucket) or on an id — the corpus is NEVER broadcast and NO
+    * quadratic pair set is materialized:
+    *
+    *   1. each vector lands in one bucket per table (`tables` rows total);
+    *   2. buckets are capped ([[capBuckets]]) so a hot bucket can't go
+    *      quadratic;
+    *   3. distinct candidate id pairs from bucket-local self-joins;
+    *   4. vectors re-joined by id, cosine scored by the native codegen
+    *      expression, threshold applied.
+    *
+    * Recall: a hyperplane separates a pair with probability angle/π, so a
+    * pair at cosine ≥ t shares a table's bucket with p ≥ (1-acos(t)/π)^planes
+    * and is found with 1-(1-p)^tables. Collinear pairs (scaled copies —
+    * the dedup case) share buckets in EVERY table: recall 1 by
+    * construction, which is why the planted-pair query can share the exact
+    * path's oracle. */
+  def embeddingNearDupsLsh(emb: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, planes: Int = 10, tables: Int = 4,
+                           roundTo: Int = 5, maxBucket: Int = LshMaxBucket): DataFrame = {
+    import graft.functions.Vectors
+    import graft.plans.CosineSimilarity.cosineSim
+    val v = emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val banded = v.select(col("vid"),
+        posexplode(array((0 until tables).map(t =>
+          Vectors.srpBucket(col("vec"), planes, seed = t + 1)): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val bucketed = capBuckets(banded, Seq("tbl", "bucket"), maxBucket).persist()
+    val cand = bucketed.select(col("tbl"), col("bucket"), col("vid").as("id_a"))
+      .join(bucketed.select(col("tbl"), col("bucket"), col("vid").as("id_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(v.select(col("vid").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(v.select(col("vid").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .withColumn("cosine", round(cosineSim(col("vec_a"), col("vec_b")), roundTo))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

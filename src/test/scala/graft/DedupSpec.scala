@@ -50,6 +50,46 @@ class DedupSpec extends SparkSpec {
     assert(byDoc(2L) == byDoc(102L)) // identical text → identical signature
   }
 
+  test("simhash banding caps degenerate hot buckets") {
+    // 40 identical docs: every signature equal → one bucket per chunk
+    // holding all 40. Uncapped that is 4 × C(40,2) joined rows; with
+    // maxBucket below 40 the flood is dropped entirely (exact dedup's job),
+    // while a genuine small near-dup bucket still comes through.
+    val flood = (1L to 40L).map(i => i -> "all these documents are exactly identical to each other")
+    val sigs = Dedup.simhash((flood :+ (900L ->
+      "all these documents are exactly identical to each others")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val capped = Dedup.simhashNearDups(sigs, maxHamming = 3, maxBucket = 16).collect()
+    assert(capped.isEmpty) // every bucket overflows: bounded, not quadratic
+    val uncapped = Dedup.simhashNearDups(sigs, maxHamming = 3, maxBucket = 64)
+      .collect()
+    assert(uncapped.length >= 40 * 39 / 2) // cap is the only thing bounding it
+  }
+
+  test("embedding LSH near-dups match the exact path on planted pairs") {
+    val rnd = new scala.util.Random(7)
+    val emb = (1L to 60L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+    val planted = emb.map { case (i, v) => (i + 1000L, v.map(_ * 1.5f)) }
+    val corpus = (emb ++ planted).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDups(corpus, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupsLsh(corpus, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // collinear planted pairs are in every LSH table's bucket: recall 1
+    emb.foreach { case (i, _) => assert(lsh.contains((i, i + 1000L))) }
+    assert(lsh == exact) // precision too: cosine scoring is exact
+  }
+
+  test("embedding LSH plan has no nested-loop join and no corpus broadcast") {
+    val corpus = (1L to 30L).map(i =>
+      (i, Array.fill(8)(((i * 31 + 7) % 13).toFloat - 6f))).toDF("vec_id", "embedding")
+    val plan = Dedup.embeddingNearDupsLsh(corpus, "vec_id", "embedding", 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("exact n-gram jaccard reports exact overlap for candidates") {
     val pairs = Dedup.jaccardNearDups(corpus, "doc_id", "text",
       shingleN = 3, dfMax = 10, minJaccard = 0.3)
