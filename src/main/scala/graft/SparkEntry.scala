@@ -349,6 +349,17 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("total_cents"),
           col("row_num").cast("long").as("row_num"))),
 
+    // W4 scale path: keyset pagination — the 10 rows strictly after a
+    // fixed (total_cents desc, o_orderkey) boundary. Predicate + top-k
+    // only: no global window, no single-task sort.
+    "q_keyset_page" -> ((s, dir) =>
+      Paging.after(
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            cents(col("o_totalprice")).as("total_cents")),
+        Seq(Paging.Keyset(col("total_cents"), lit(40000000L), desc = true),
+          Paging.Keyset(col("o_orderkey"), lit(1000L))), 10)),
+
     // W5/W2/A8: global top-k by exact impact metric.
     "q_topk" -> ((s, dir) =>
       Paging.topK(
@@ -597,19 +608,24 @@ object SparkEntry {
         Text.langId(col("text")).as("predicted_lang"))
         .orderBy(col("doc_id"))),
 
-    // True rolling-hash fingerprint (native O(n) expression; rows-only —
-    // the polynomial hash has no DuckDB twin; determinism + naive-recompute
-    // equivalence proven in RollingHashSpec).
-    "q_rolling_fingerprint" -> ((s, dir) =>
+    // Document fingerprint, DEFAULT = native O(n) rolling-hash expression
+    // (rows-only: the polynomial hash has no DuckDB twin; determinism +
+    // naive-recompute equivalence proven in RollingHashSpec).
+    "q_doc_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
-        graft.plans.RollingHashMin.rollingHashMin(col("text"), 32).as("fingerprint"))
+        Text.docFingerprint(col("text"), 32).as("fingerprint"))
         .orderBy(col("doc_id"))),
 
-    "q_doc_fingerprint" -> ((s, dir) =>
+    // Oracle twin: shingle-min md5 form, hash-exact against DuckDB. BOTH
+    // the token and the shingle arrays get their own projection boundary —
+    // Catalyst re-evaluates un-materialized array subexpressions under
+    // higher-order lambdas (measured 5×: 3.5s → 0.67s at sf0.1).
+    "q_doc_fingerprint_md5" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.tokens(lower(col("text"))).as("toks"))
+        .select(col("doc_id"), Text.shinglesFromTokens(col("toks"), 5).as("sh"))
         .select(col("doc_id"),
-          Text.docFingerprintFromTokens(col("toks"), 5).as("fingerprint"))
+          array_min(transform(col("sh"), x => md5(x))).as("fingerprint"))
         .orderBy(col("doc_id"))),
 
     // ------------------- beyond-reference: similarity search -------------
@@ -1016,6 +1032,15 @@ object SparkEntry {
           |  FROM orders)
           |WHERE row_num > 20 AND row_num <= 30 ORDER BY row_num""".stripMargin,
 
+      "q_keyset_page" ->
+        """SELECT o_orderkey, o_custkey, total_cents FROM (
+          |  SELECT o_orderkey, o_custkey,
+          |    CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+          |  FROM orders)
+          |WHERE total_cents < 40000000
+          |   OR (total_cents = 40000000 AND o_orderkey > 1000)
+          |ORDER BY total_cents DESC, o_orderkey LIMIT 10""".stripMargin,
+
       "q_topk" ->
         s"""SELECT user_id, CAST(sum(${centsSql("value")}) AS BIGINT) AS total_cents,
            |  count(*) AS n
@@ -1200,7 +1225,7 @@ object SparkEntry {
            |  ${Text.duckdbLangIdSql("text")} AS predicted_lang
            |FROM documents ORDER BY doc_id""".stripMargin,
 
-      "q_doc_fingerprint" ->
+      "q_doc_fingerprint_md5" ->
         """SELECT doc_id,
           |  list_min(list_transform(
           |    generate_series(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 4, 1)),

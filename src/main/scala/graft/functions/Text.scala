@@ -98,15 +98,25 @@ object Text {
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(lower(text)), n)
 
-  /** Order-invariant document fingerprint: min over md5 of word n-gram
-    * shingles (a deterministic stand-in for a rolling-hash fingerprint;
-    * identical documents → identical fingerprint, near-identical documents
-    * agree with probability ≈ Jaccard). Token-column form — see
-    * [[shinglesFromTokens]] for why. */
-  def docFingerprintFromTokens(toks: Column, n: Int = 5): Column =
+  /** Document fingerprint — DEFAULT form: the native O(n) rolling-hash
+    * expression ([[graft.plans.RollingHashMin]], allocation-free codegen;
+    * ~29× faster than the md5-shingle twin at sf0.1 in BENCH_r01).
+    * Identical documents → identical fingerprint; near-identical documents
+    * agree with probability ≈ window-level Jaccard. */
+  def docFingerprint(text: Column, window: Int = 32): Column =
+    graft.plans.RollingHashMin.rollingHashMin(text, window)
+
+  /** Oracle twin of the fingerprint idea: min over md5 of word n-gram
+    * shingles — same order-invariance, expressible in DuckDB SQL, so it
+    * carries the hash-exact correctness check the native form can't.
+    * Token-column form — see [[shinglesFromTokens]] for why. Hot paths
+    * should ALSO materialize the shingle array at its own projection
+    * boundary before the md5 transform (measured 5× at sf0.1; same
+    * lambda-CSE trap one level up). */
+  def docFingerprintMd5FromTokens(toks: Column, n: Int = 5): Column =
     array_min(transform(shinglesFromTokens(toks, n), s => md5(s)))
 
-  def docFingerprint(text: Column, n: Int = 5): Column =
+  def docFingerprintMd5(text: Column, n: Int = 5): Column =
     array_min(transform(shingles(text, n), s => md5(s)))
 
   // ---- DuckDB twins ----------------------------------------------------

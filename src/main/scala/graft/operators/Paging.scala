@@ -15,12 +15,41 @@ import org.apache.spark.sql.functions._
   */
 object Paging {
 
-  /** 1-based page of `pageSize` rows under the given total order. */
+  /** 1-based page of `pageSize` rows under the given total order.
+    *
+    * SCALE WARNING: the un-partitioned window collapses the whole input
+    * into one task — it is the only honest OFFSET semantics, but deep
+    * pagination over a large table should use [[after]] (keyset/seek
+    * pagination), which never materializes a global row number. */
   def page(df: DataFrame, order: Seq[Column], pageSize: Int, pageNum: Int): DataFrame = {
     val w = Window.orderBy(order: _*)
     df.withColumn("row_num", row_number().over(w))
       .filter(col("row_num") > (pageNum - 1) * pageSize.toLong &&
         col("row_num") <= pageNum.toLong * pageSize)
+  }
+
+  /** One sort key: (column, last-seen value, descending?). */
+  final case class Keyset(key: Column, last: Column, desc: Boolean = false)
+
+  /** Lexicographic strictly-after predicate for a keyset:
+    * `(k1,k2,...) > (v1,v2,...)` under each key's direction. */
+  def afterPredicate(keys: Seq[Keyset]): Column =
+    keys.zipWithIndex.map { case (k, i) =>
+      val prefixEq = keys.take(i).map(p => p.key === p.last)
+      val strict = if (k.desc) k.key < k.last else k.key > k.last
+      (prefixEq :+ strict).reduce(_ && _)
+    }.reduce(_ || _)
+
+  /** Keyset (seek) pagination — the scale path beside [[page]]: the next
+    * `pageSize` rows strictly after the last-seen key tuple. The predicate
+    * pushes into the scan (min/max row-group pruning on the leading key)
+    * and the limit runs as TakeOrderedAndProject: per-partition heaps, no
+    * global window, no single-task sort. The caller must include a unique
+    * tie-break key (same requirement the reference's OFFSET loop silently
+    * lacks, `querysight.py:77-84`). */
+  def after(df: DataFrame, keys: Seq[Keyset], pageSize: Int): DataFrame = {
+    val order = keys.map(k => if (k.desc) k.key.desc else k.key.asc)
+    df.filter(afterPredicate(keys)).orderBy(order: _*).limit(pageSize)
   }
 
   /** Global top-k (TakeOrderedAndProject — scales without a full sort). */

@@ -11,11 +11,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * substring, computed in O(n) with the rolling update
   * `h' = (h - b_out·B^(w-1))·B + b_in` (mod 2^64, base 257).
   *
-  * Complements [[graft.functions.Text.docFingerprint]] (shingle-min md5,
-  * oracle-portable): this form is byte-level, allocation-free, and ~two
-  * orders of magnitude cheaper per byte — the fingerprint you'd actually
-  * run over 100 TB. Same dedup property: identical documents agree
-  * always; near-identical documents agree with probability ≈ overlap.
+  * This is the DEFAULT behind [[graft.functions.Text.docFingerprint]]:
+  * byte-level, allocation-free, ~two orders of magnitude cheaper per byte
+  * than the md5-shingle oracle twin ([[graft.functions.Text
+  * .docFingerprintMd5]]) — the fingerprint you'd actually run over 100 TB.
+  * Same dedup property: identical documents agree always; near-identical
+  * documents agree with probability ≈ overlap.
   */
 case class RollingHashMin(child: Expression, window: Int)
     extends UnaryExpression {
