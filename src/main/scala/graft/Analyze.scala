@@ -20,6 +20,24 @@ object AnalysisLevel {
     Seq(DataCollection, PatternAnalysis, DbtIntegration, Optimization)
 }
 
+/** Analysis focus (`utils/models.py:24-27`). SLOW adds the acquisition-time
+  * duration predicate (`utils/data_acquisition.py:113-114`); FREQUENT has no
+  * acquisition-time condition in the reference — here it gets its natural
+  * post-aggregation meaning: keep patterns at/above the high-frequency
+  * threshold; ALL is a no-op. */
+sealed abstract class QueryFocus(val name: String)
+object QueryFocus {
+  case object Slow extends QueryFocus("slow")
+  case object Frequent extends QueryFocus("frequent")
+  case object All extends QueryFocus("all")
+  def parse(s: String): QueryFocus = s.toLowerCase match {
+    case "slow" => Slow
+    case "frequent" => Frequent
+    case "all" => All
+    case other => sys.error(s"unknown focus: $other (slow|frequent|all)")
+  }
+}
+
 /** Result envelope (`utils/models.py:293-301`): member DataFrames stay
   * lazy/distributed; only export actions materialize. */
 final case class AnalysisResult(
@@ -77,34 +95,72 @@ object Analyze {
     Patterns.rankByImpact(Patterns.having(agg, minFrequency, minAvgDurationMs))
   }
 
-  /** Levels 1–4 end to end. */
+  /** Levels 1–4 end to end.
+    *
+    * `focus` is the reference's `--focus` (`querysight.py:283`): SLOW folds
+    * into the acquisition predicate, FREQUENT into the pattern criteria.
+    * `criteria` is the reference's post-aggregation `filter_patterns` call
+    * (`querysight.py:341-357`). `sampleFraction` is `--sample-size`
+    * (`querysight.py:287`). `schemas` (a Schemas.describeTables frame)
+    * makes recommendations name actual columns (`ai_suggester.py:56-63`).
+    */
   def run(logs: DataFrame, cfg: SamplingConfig, project: Option[DbtProject],
-          level: AnalysisLevel, asOf: Column, minFrequency: Int = 2): AnalysisResult = {
+          level: AnalysisLevel, asOf: Column, minFrequency: Int = 2,
+          focus: QueryFocus = QueryFocus.All,
+          criteria: Filters.PatternCriteria = Filters.PatternCriteria(),
+          sampleFraction: Option[Double] = None,
+          schemas: Option[DataFrame] = None): AnalysisResult = {
     val spark = logs.sparkSession
-    val collected = collect(logs, cfg, asOf)
+    val focusedCfg =
+      if (focus == QueryFocus.Slow && cfg.slowOnlyThresholdMs.isEmpty)
+        cfg.copy(slowOnlyThresholdMs = Some(1000.0)) // data_acquisition.py:113-114
+      else cfg
+    val focusedCriteria =
+      if (focus == QueryFocus.Frequent && criteria.minFrequency.isEmpty)
+        criteria.copy(minFrequency = Some(Recommend.HighFrequencyThreshold))
+      else criteria
+    val collected = collect(logs, focusedCfg, asOf, sampleFraction)
     if (level.ordinal < AnalysisLevel.PatternAnalysis.ordinal)
       return AnalysisResult(collected, collected.limit(0), None, None)
 
-    val pats = patterns(collected, minFrequency,
-      extractTables = collected.columns.contains("tables"))
+    // Model selection waits for dbt enrichment (querysight.py:386-397);
+    // everything else applies right after aggregation (querysight.py:341-357).
+    val pats = Filters.applyCriteria(
+      patterns(collected, minFrequency,
+        extractTables = collected.columns.contains("tables")),
+      focusedCriteria.copy(selectModels = Seq.empty))
     if (level.ordinal < AnalysisLevel.DbtIntegration.ordinal || project.isEmpty)
       return AnalysisResult(collected, pats, None, None)
 
     val proj = project.get
     val lookup = Mapping.lookupDf(spark, proj)
-    val enriched = Mapping.enrichWithModels(pats, lookup)
+    val enriched = Filters.applyCriteria(
+      Mapping.enrichWithModels(pats, lookup),
+      Filters.PatternCriteria(selectModels = focusedCriteria.selectModels))
+    // Coverage reflects the post-selection pattern set, as the reference
+    // recalculates it after model filtering (querysight.py:396-397).
     val cov = Mapping.coverage(enriched, Mapping.modelsDf(spark, proj),
       Mapping.edgesDf(spark, proj))
     if (level.ordinal < AnalysisLevel.Optimization.ordinal)
       return AnalysisResult(collected, enriched, Some(cov), None)
 
-    AnalysisResult(collected, enriched, Some(cov), Some(Recommend.recommend(enriched)))
+    AnalysisResult(collected, enriched, Some(cov),
+      Some(Recommend.recommend(enriched, schemas)))
   }
 
   /** S9: JSON export of the top-N patterns (driver-side, post-filter —
-    * mirrors `querysight.py:815-848`). */
-  def exportJson(result: AnalysisResult, topN: Int = 20): String = {
-    val rows = result.patterns.orderBy(desc("impact"), col("pattern_id"))
+    * mirrors `querysight.py:815-848`). `sortBy` is the reference's W3
+    * user-selected sort (`querysight.py:63-75`: frequency | duration |
+    * memory); default keeps impact ranking. */
+  def exportJson(result: AnalysisResult, topN: Int = 20,
+                 sortBy: String = "impact"): String = {
+    val key = sortBy match {
+      case "frequency" => col("frequency")
+      case "duration" => col("avg_duration_ms")
+      case "memory" => col("memory_usage")
+      case _ => col("impact")
+    }
+    val rows = result.patterns.orderBy(key.desc_nulls_last, col("pattern_id"))
       .limit(topN).toJSON.collect()
     rows.mkString("[", ",", "]")
   }

@@ -9,13 +9,18 @@ import org.apache.spark.sql.functions._
   * `querysight.py analyze|export` (851 LoC of click handlers) reduced to
   * a thin arg parser around [[Analyze]]. A reference user's invocation
   *
-  *   querysight analyze --days 7 --min-frequency 2 --focus SLOW \
-  *       --select-users alice --dbt-project ./proj --cache-dir ./cache
+  *   querysight analyze --days 7 --min-frequency 2 --focus slow \
+  *       --include-users alice --select-patterns a1,b2 --select-tables t \
+  *       --select-models m --min-duration 500 --sample-size 0.5 \
+  *       --sort-by frequency --dbt-project ./proj --cache-dir ./cache
   *
   * maps 1:1 onto:
   *
   *   runMain graft.Cli analyze --logs <parquet> --days 7 --min-frequency 2
-  *       --slow-ms 1000 --users alice --dbt-project ./proj --store ./cache
+  *       --focus slow --users alice --select-patterns a1,b2
+  *       --select-tables t --select-models m --min-duration 500
+  *       --sample-size 0.5 --sort-by frequency
+  *       --dbt-project ./proj --store ./cache [--schema-dir <dir>]
   *
   * `export` reads the persisted pattern history (S9,
   * `querysight.py:815-848`) and prints JSON.
@@ -49,13 +54,16 @@ object Cli {
     } finally spark.stop()
   }
 
-  private def analyze(spark: SparkSession, opts: Map[String, String]): Unit = {
+  private def csv(opts: Map[String, String], key: String): Seq[String] =
+    opts.get(key).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  private[graft] def analyze(spark: SparkSession, opts: Map[String, String]): Unit = {
     val logs = spark.read.parquet(opts("logs"))
     val cfg = SamplingConfig(
       days = opts.get("days").map(_.toInt),
-      includeUsers = opts.get("users").toSeq.flatMap(_.split(',')),
-      excludeUsers = opts.get("exclude-users").toSeq.flatMap(_.split(',')),
-      queryKinds = opts.get("kinds").toSeq.flatMap(_.split(',')),
+      includeUsers = csv(opts, "users"),
+      excludeUsers = csv(opts, "exclude-users"),
+      queryKinds = csv(opts, "kinds"),
       slowOnlyThresholdMs = opts.get("slow-ms").map(_.toDouble))
     val project = opts.get("dbt-project").map(DbtLoader.load)
     val level = opts.getOrElse("level", "4").toInt match {
@@ -68,8 +76,24 @@ object Cli {
       .map(s => if (s.contains(' ')) s else s + " 00:00:00")
       .map(s => lit(java.sql.Timestamp.valueOf(s)))
       .getOrElse(current_timestamp())
+    // Post-aggregation pattern criteria (querysight.py:295-297,341-357).
+    val criteria = graft.operators.Filters.PatternCriteria(
+      patternIds = csv(opts, "select-patterns"),
+      minAvgDurationMs = opts.get("min-duration").map(_.toDouble),
+      selectTables = csv(opts, "select-tables"),
+      selectModels = csv(opts, "select-models"))
+    // --schema-dir <testdata dir>: feed table schemas into recommendations
+    // so INDEX rules can name columns (ai_suggester.py:56-63).
+    val schemas = opts.get("schema-dir").map { dir =>
+      graft.sources.Schemas.describeTables(spark, dir,
+        graft.sources.Tables.all)
+    }
     val res = Analyze.run(logs, cfg, project, level, asOf,
-      minFrequency = opts.getOrElse("min-frequency", "2").toInt)
+      minFrequency = opts.getOrElse("min-frequency", "2").toInt,
+      focus = QueryFocus.parse(opts.getOrElse("focus", "all")),
+      criteria = criteria,
+      sampleFraction = opts.get("sample-size").map(_.toDouble).filter(_ < 1.0),
+      schemas = schemas)
 
     opts.get("store").filter(_ => level.ordinal >= 2).foreach { dir =>
       val history = res.patterns.select(
@@ -79,18 +103,27 @@ object Cli {
         col("memory_usage"), col("total_read_rows"), col("total_read_bytes"))
       graft.operators.PatternStore.enrich(spark, history, dir)
     }
-    println(Analyze.exportJson(res, topN = opts.getOrElse("top", "20").toInt))
+    println(Analyze.exportJson(res, topN = opts.getOrElse("top", "20").toInt,
+      sortBy = opts.getOrElse("sort-by", "impact")))
     res.coverage.foreach(c => println(c.toJSON.collect().mkString("[", ",", "]")))
     res.recommendations.foreach(r =>
       println(r.orderBy("pattern_id", "rec_type").toJSON.collect().mkString("[", ",", "]")))
   }
 
-  private def exportLatest(spark: SparkSession, opts: Map[String, String]): Unit = {
+  /** S9: `export [--output <file>]` (`querysight.py:815-848`) — latest
+    * persisted patterns as JSON, to stdout or a file. */
+  private[graft] def exportLatest(spark: SparkSession, opts: Map[String, String]): Unit = {
     val dir = opts("store")
     graft.operators.PatternStore.load(spark, dir) match {
       case Some(df) =>
-        println(df.orderBy(desc("frequency"), col("pattern_id"))
-          .toJSON.collect().mkString("[", ",", "]"))
+        val json = df.orderBy(desc("frequency"), col("pattern_id"))
+          .toJSON.collect().mkString("[", ",", "]")
+        opts.get("output") match {
+          case Some(file) =>
+            java.nio.file.Files.writeString(java.nio.file.Paths.get(file), json)
+            println(s"exported ${json.length} bytes to $file")
+          case None => println(json)
+        }
       case None => sys.error(s"no pattern history at $dir")
     }
   }

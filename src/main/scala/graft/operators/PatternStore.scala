@@ -48,7 +48,14 @@ object PatternStore {
     val tmp = dir + "_staging"
     merged.write.mode("overwrite").parquet(tmp)
     val out = spark.read.parquet(tmp)
-    save(out, dir, ttlHours, nowMs)
+    save(out, dir, ttlHours, nowMs) // write action: dir fully materialized here
+    deleteRecursively(Paths.get(tmp))
     spark.read.parquet(dir)
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
 }

@@ -40,11 +40,34 @@ object Recommend {
       array(lit("Simple Select"))).otherwise(arr)
   }
 
+  /** Candidate index columns per pattern: columns of the pattern's accessed
+    * tables whose names appear in the normalized SQL text — the same
+    * schema-into-suggestion join the reference performs when building its
+    * prompt (`ai_suggester.py:56-63`). `schemas` is a
+    * [[graft.sources.Schemas.describeTables]] frame; it is catalog-sized, so
+    * it broadcasts, and the result is keyed by `pattern_id` (pattern-sized,
+    * small relative to the logs at any scale). */
+  def referencedColumns(enriched: DataFrame, schemas: DataFrame): DataFrame =
+    enriched
+      .select(col("pattern_id"), lower(col("sql_pattern")).as("pat_lc"),
+        explode(col("tables_accessed")).as("table_name"))
+      .join(broadcast(schemas.select("table_name", "column_name")), Seq("table_name"))
+      .filter(col("pat_lc").contains(lower(col("column_name"))))
+      .groupBy("pattern_id")
+      .agg(array_sort(collect_set(
+        concat_ws(".", col("table_name"), col("column_name")))).as("schema_columns"))
+
   /** Rule table: input needs `sql_pattern`, `frequency`, `avg_duration_ms`,
     * `tables_accessed`, `dbt_models_used`, `unmapped_tables`. Produces one
-    * row per (pattern, recommendation). */
-  def recommend(enriched: DataFrame): DataFrame = {
-    val base = enriched
+    * row per (pattern, recommendation). With `schemas`, INDEX
+    * recommendations name the actual filter columns. */
+  def recommend(enriched: DataFrame,
+                schemas: Option[DataFrame] = None): DataFrame = {
+    val withCols = schemas match {
+      case Some(s) => enriched.join(referencedColumns(enriched, s), Seq("pattern_id"), "left")
+      case None => enriched.withColumn("schema_columns", lit(null).cast("array<string>"))
+    }
+    val base = withCols
       .filter(!onlySystemTables(col("tables_accessed")))
       .withColumn("pattern_types", patternTypes(col("sql_pattern")))
       .withColumn("is_high_frequency", col("frequency") > HighFrequencyThreshold)
@@ -64,8 +87,10 @@ object Recommend {
             .as("description"))),
       when(col("is_high_frequency") && col("is_long_running"),
         struct(lit("INDEX").as("rec_type"),
-          lit("High-frequency slow query: add primary-key/order-by index on filter columns")
-            .as("description"))),
+          concat(lit("High-frequency slow query: add primary-key/order-by index on filter columns"),
+            when(size(col("schema_columns")) > 0,
+              concat(lit(": "), array_join(col("schema_columns"), ", ")))
+              .otherwise(lit(""))).as("description"))),
       when(size(col("unmapped_tables")) > 0,
         struct(lit("NEW_DBT_MODEL").as("rec_type"),
           lit("Tables accessed outside dbt lineage: model them in dbt")

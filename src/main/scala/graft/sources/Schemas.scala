@@ -22,6 +22,26 @@ object Schemas {
     }.toDF("table_name", "column_name", "column_type")
   }
 
+  /** S3 at full DESCRIBE depth: the reference's 7-field column descriptor
+    * (`utils/data_acquisition.py:250-293`: name, type, default_type,
+    * default_expression, comment, codec_expression, ttl_expression).
+    * Parquet/Spark carry name, type, nullability and a comment in field
+    * metadata; ClickHouse-specific codec/TTL expressions have no parquet
+    * equivalent and surface as empty strings, exactly as ClickHouse's own
+    * DESCRIBE does for columns without them. */
+  def describeTablesFull(spark: SparkSession, dir: String,
+                         tables: Seq[String]): DataFrame = {
+    import spark.implicits._
+    tables.flatMap { t =>
+      Tables.load(spark, dir, t).schema.fields.map { f =>
+        val comment = if (f.metadata.contains("comment")) f.metadata.getString("comment") else ""
+        val typ = if (f.nullable) s"Nullable(${f.dataType.simpleString})" else f.dataType.simpleString
+        (t, f.name, typ, "", "", comment, "", "")
+      }
+    }.toDF("table_name", "column_name", "column_type", "default_type",
+      "default_expression", "comment", "codec_expression", "ttl_expression")
+  }
+
   /** J6: attach each pattern's accessed-table schemas (broadcast join). */
   def joinPatternSchemas(patterns: DataFrame, schemas: DataFrame): DataFrame =
     patterns.select(col("pattern_id"), explode(col("tables_accessed")).as("table_name"))

@@ -83,6 +83,72 @@ class AnalyzeSpec extends SparkSpec {
     assert(json.split("\\},\\{").length == 2)
   }
 
+  test("focus arms: slow folds into acquisition, frequent into criteria") {
+    // slow: only bob's 2500ms pattern survives (data_acquisition.py:113-114)
+    val slow = Analyze.run(logsDf, SamplingConfig(), None,
+      AnalysisLevel.PatternAnalysis, asOf = lit(ts(100)), focus = QueryFocus.Slow)
+    assert(slow.patterns.collect().map(_.getAs[Long]("frequency")).toSeq == Seq(4L))
+    // frequent: threshold 100 — nothing in this fixture reaches it
+    val freq = Analyze.run(logsDf, SamplingConfig(), None,
+      AnalysisLevel.PatternAnalysis, asOf = lit(ts(100)), focus = QueryFocus.Frequent)
+    assert(freq.patterns.isEmpty)
+    assert(QueryFocus.parse("ALL") == QueryFocus.All)
+  }
+
+  test("pattern criteria through run: ids, tables, min-duration, models (F6-F10)") {
+    val byTable = Analyze.run(logsDf, SamplingConfig(), None,
+      AnalysisLevel.PatternAnalysis, asOf = lit(ts(100)),
+      criteria = graft.operators.Filters.PatternCriteria(selectTables = Seq("acme.stg_orders")))
+    assert(byTable.patterns.collect().map(_.getAs[Long]("frequency")).toSeq == Seq(8L))
+
+    val byDuration = Analyze.run(logsDf, SamplingConfig(), None,
+      AnalysisLevel.PatternAnalysis, asOf = lit(ts(100)),
+      criteria = graft.operators.Filters.PatternCriteria(minAvgDurationMs = Some(1000.0)))
+    assert(byDuration.patterns.collect().map(_.getAs[Long]("frequency")).toSeq == Seq(4L))
+
+    // model selection applies AFTER dbt enrichment (querysight.py:386-397)
+    val byModel = Analyze.run(logsDf, SamplingConfig(), Some(proj),
+      AnalysisLevel.Optimization, asOf = lit(ts(100)),
+      criteria = graft.operators.Filters.PatternCriteria(selectModels = Seq("fct_revenue")))
+    val pats = byModel.patterns.collect()
+    assert(pats.length == 1)
+    assert(pats.head.getList[String](pats.head.fieldIndex("dbt_models_used"))
+      .toArray.toSeq == Seq("fct_revenue"))
+
+    val byId = Analyze.run(logsDf, SamplingConfig(), None,
+      AnalysisLevel.PatternAnalysis, asOf = lit(ts(100)),
+      criteria = graft.operators.Filters.PatternCriteria(patternIds = Seq("no-such-id")))
+    assert(byId.patterns.isEmpty)
+  }
+
+  test("--sample-size maps to seeded sampling at acquisition") {
+    val res = Analyze.run(logsDf, SamplingConfig(), None,
+      AnalysisLevel.DataCollection, asOf = lit(ts(100)), sampleFraction = Some(0.5))
+    val n = res.logs.count()
+    assert(n > 0 && n < fixture.size) // seed fixed -> deterministic strict subset
+  }
+
+  test("schema-aware INDEX recommendation names actual columns (ai_suggester.py:56-63)") {
+    val enriched = Seq(
+      ("p1", "select * from orders where o_custkey = ? and o_orderdate > ?",
+        200L, 1500.0, Seq("orders"), Seq.empty[String], Seq.empty[String]))
+      .toDF("pattern_id", "sql_pattern", "frequency", "avg_duration_ms",
+        "tables_accessed", "dbt_models_used", "unmapped_tables")
+    val schemas = Seq(
+      ("orders", "o_custkey", "bigint"), ("orders", "o_orderdate", "date"),
+      ("orders", "o_payload", "string"))
+      .toDF("table_name", "column_name", "column_type")
+    val recs = graft.operators.Recommend.recommend(enriched, Some(schemas)).collect()
+    val idx = recs.find(_.getAs[String]("rec_type") == "INDEX").get
+    val desc = idx.getAs[String]("description")
+    assert(desc.contains("orders.o_custkey") && desc.contains("orders.o_orderdate"))
+    assert(!desc.contains("o_payload")) // not referenced by the pattern text
+    // without schemas the description stays generic (back-compat)
+    val plain = graft.operators.Recommend.recommend(enriched).collect()
+      .find(_.getAs[String]("rec_type") == "INDEX").get.getAs[String]("description")
+    assert(!plain.contains("o_custkey") && plain.endsWith("filter columns"))
+  }
+
   test("PatternStore enrich keeps additive upsert semantics (A6, documented quirk)") {
     val dir = java.nio.file.Files.createTempDirectory("pstore").toString + "/hist"
     val pats = Analyze.patterns(logsDf, minFrequency = 2)
@@ -97,5 +163,7 @@ class AnalyzeSpec extends SparkSpec {
       firstFreqs.values.map(_ * 2).toSeq.sorted) // re-analysis double-counts
     assert(PatternStore.isValid(dir, t0 + 1000))
     assert(!PatternStore.isValid(dir, t0 + 13L * 3600 * 1000))
+    // two-phase staging directory is cleaned up after the final write
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + "_staging")))
   }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import graft.model.QueryLog
+
+/** E2e over the CLI command handlers (`querysight.py analyze|export`
+  * surface): every reference flag drives the engine through the same
+  * code path `Cli.main` uses, minus the session lifecycle (the suite
+  * shares one session). */
+class CliSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = 1700000000000L
+  private def ts(offsetH: Int) = new Timestamp(t0 + offsetH * 3600000L)
+  private val asOf = "2023-11-19 00:00:00" // > all fixture timestamps
+
+  private lazy val logsPath: String = {
+    val logs = (
+      (0 until 8).map(i => QueryLog(s"a$i", s"SELECT * FROM acme.stg_orders WHERE o_orderkey = $i",
+        "SELECT", "alice", ts(i), 40.0 + i, 10, 100, 1, 10, 1000, "")) ++
+      (0 until 4).map(i => QueryLog(s"b$i",
+        s"SELECT * FROM analytics.fct_revenue WHERE d = $i",
+        "SELECT", "bob", ts(i), 2500.0, 10, 100, 1, 10, 2000, ""))).toDF()
+    val p = Files.createTempDirectory("cli_logs").toString + "/logs.parquet"
+    logs.write.parquet(p)
+    p
+  }
+
+  private def capture(body: => Unit): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out))(body)
+    out.toString("UTF-8")
+  }
+
+  test("analyze honors focus/min-duration/select-tables/sample-size/sort-by") {
+    val slow = capture(Cli.analyze(spark, Map(
+      "logs" -> logsPath, "as-of" -> asOf, "level" -> "2", "focus" -> "slow")))
+    assert(slow.contains("fct_revenue") && !slow.contains("stg_orders"))
+
+    val minDur = capture(Cli.analyze(spark, Map(
+      "logs" -> logsPath, "as-of" -> asOf, "level" -> "2", "min-duration" -> "1000")))
+    assert(minDur.contains("fct_revenue") && !minDur.contains("stg_orders"))
+
+    val byTable = capture(Cli.analyze(spark, Map(
+      "logs" -> logsPath, "as-of" -> asOf, "level" -> "2",
+      "select-tables" -> "acme.stg_orders")))
+    assert(byTable.contains("stg_orders") && !byTable.contains("fct_revenue"))
+
+    // sort-by frequency puts the 8x pattern first
+    val byFreq = capture(Cli.analyze(spark, Map(
+      "logs" -> logsPath, "as-of" -> asOf, "level" -> "2", "sort-by" -> "frequency")))
+    assert(byFreq.indexOf("stg_orders") < byFreq.indexOf("fct_revenue"))
+
+    val sampled = capture(Cli.analyze(spark, Map(
+      "logs" -> logsPath, "as-of" -> asOf, "level" -> "2",
+      "sample-size" -> "0.5", "min-frequency" -> "1")))
+    assert(sampled.nonEmpty) // sampling path executes end to end
+  }
+
+  test("analyze --select-patterns selects by pattern id") {
+    val all = capture(Cli.analyze(spark, Map(
+      "logs" -> logsPath, "as-of" -> asOf, "level" -> "2")))
+    val firstId = "\"pattern_id\":\"([0-9a-f]+)\"".r
+      .findFirstMatchIn(all).get.group(1)
+    val one = capture(Cli.analyze(spark, Map(
+      "logs" -> logsPath, "as-of" -> asOf, "level" -> "2",
+      "select-patterns" -> firstId)))
+    assert(one.contains(firstId))
+    assert("\"pattern_id\"".r.findAllIn(one).size == 1)
+  }
+
+  test("export --output writes the JSON file (querysight.py:816-817)") {
+    val store = Files.createTempDirectory("cli_store").toString + "/hist"
+    capture(Cli.analyze(spark, Map(
+      "logs" -> logsPath, "as-of" -> asOf, "level" -> "2", "store" -> store)))
+    val outFile = Files.createTempDirectory("cli_out").toString + "/result.json"
+    capture(Cli.exportLatest(spark, Map("store" -> store, "output" -> outFile)))
+    val json = Files.readString(Paths.get(outFile))
+    assert(json.startsWith("[") && json.endsWith("]"))
+    assert(json.contains("\"pattern_id\""))
+    // stdout fallback unchanged
+    val stdout = capture(Cli.exportLatest(spark, Map("store" -> store)))
+    assert(stdout.trim == json)
+  }
+}
