@@ -36,6 +36,15 @@ object SparkEntry {
   private def cents(c: Column): Column = round(c * 100).cast("long")
   private def centsSql(x: String): String = s"CAST(round(($x) * 100) AS BIGINT)"
 
+  /** 257^j mod 2^64 for j = 0..31 as a DuckDB HUGEINT list literal — the
+    * power table of [[graft.plans.RollingHashMin]]'s base-257 polynomial,
+    * rendered unsigned so DuckDB sees the same residues Scala's wraparound
+    * Long multiply produces. */
+  private lazy val rollingPow257Sql: String =
+    Iterator.iterate(1L)(_ * 257L).take(32)
+      .map(java.lang.Long.toUnsignedString)
+      .mkString("[", "::HUGEINT,", "::HUGEINT]")
+
   /** Exact micro-units for products of 2-decimal columns (up to 6 decimals). */
   private def micros6(c: Column): Column = round(c * 1000000L).cast("long")
   private def micros6Sql(x: String): String = s"CAST(round(($x) * 1000000) AS BIGINT)"
@@ -608,9 +617,12 @@ object SparkEntry {
         Text.langId(col("text")).as("predicted_lang"))
         .orderBy(col("doc_id"))),
 
-    // Document fingerprint, DEFAULT = native O(n) rolling-hash expression
-    // (rows-only: the polynomial hash has no DuckDB twin; determinism +
-    // naive-recompute equivalence proven in RollingHashSpec).
+    // Document fingerprint, DEFAULT = native O(n) rolling-hash expression.
+    // Oracle: DuckDB recomputes each window's Rabin-Karp polynomial in
+    // HUGEINT, reduces mod 2^64, and reinterprets as signed — bit-equal to
+    // the wraparound Long arithmetic of RollingHashMin (ASCII corpus ⇒
+    // char positions are byte offsets). RollingHashSpec additionally
+    // proves the O(n) roll ≡ naive recompute on arbitrary UTF-8.
     "q_doc_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         Text.docFingerprint(col("text"), 32).as("fingerprint"))
@@ -813,7 +825,8 @@ object SparkEntry {
         col("text").cast("binary").as("payload"))
       Multimodal.sampleFrames(media, frameBytes = 32, stride = 4)
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
-          length(col("frame_bytes")).cast("long").as("frame_len"))
+          length(col("frame_bytes")).cast("long").as("frame_len"),
+          md5(col("frame_bytes")).as("frame_md5"))
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
@@ -824,10 +837,17 @@ object SparkEntry {
       val media = Tables.documents(s, dir).select(
         col("doc_id").as("media_id"), lit("image").as("kind"),
         col("text").cast("binary").as("payload"))
+      // Bucket fractions are Float; multiplying back by n_bytes and
+      // rounding recovers the exact integer byte counts (counts < 2^24 are
+      // exact in Float), which oracle bit-stably — raw Float fractions
+      // would not.
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
           col("pseudo_dim").cast("long").as("pseudo_dim"),
-          element_at(col("features"), 1).cast("double").as("f0"))
+          round(element_at(col("features"), 2).cast("double") * col("n_bytes"))
+            .cast("long").as("bucket1_bytes"),
+          round(element_at(col("features"), 4).cast("double") * col("n_bytes"))
+            .cast("long").as("bucket3_bytes"))
         .orderBy(col("media_id"))
     })
   )
@@ -1225,6 +1245,28 @@ object SparkEntry {
            |  ${Text.duckdbLangIdSql("text")} AS predicted_lang
            |FROM documents ORDER BY doc_id""".stripMargin,
 
+      // Rabin-Karp min-hash recomputed per window in HUGEINT, reduced
+      // mod 2^64, reinterpreted as signed int64 — bit-equal to the native
+      // expression's wraparound Long arithmetic (documents are ASCII, so
+      // DuckDB char positions ARE byte offsets).
+      "q_doc_fingerprint" ->
+        s"""WITH b AS (
+           |  SELECT doc_id, length(text) AS n, least(32, length(text)) AS w,
+           |    list_transform(generate_series(1, length(text)),
+           |      p -> CAST(ascii(text[p]) AS HUGEINT)) AS bytes,
+           |    $rollingPow257Sql AS pw
+           |  FROM documents)
+           |SELECT doc_id,
+           |  list_min(list_transform(
+           |    list_transform(generate_series(0, n - w),
+           |      s -> list_sum(list_transform(generate_series(1, w),
+           |             j -> bytes[s + j] * pw[w - j + 1]))
+           |           % 18446744073709551616::HUGEINT),
+           |    m -> CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+           |      THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT)))
+           |    AS fingerprint
+           |FROM b ORDER BY doc_id""".stripMargin,
+
       "q_doc_fingerprint_md5" ->
         """SELECT doc_id,
           |  list_min(list_transform(
@@ -1285,6 +1327,77 @@ object SparkEntry {
           |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5)
           |  >= 0.95
           |ORDER BY id_a, id_b""".stripMargin,
+
+      // Exact n-gram Jaccard: DuckDB mirrors the full pipeline on RAW
+      // string shingles — Spark's xxhash64'd shingles preserve distinct
+      // counts and intersections (injective in practice), so df caps,
+      // candidate sets, and exact Jaccard values coincide.
+      "q_dedup_jaccard" ->
+        """WITH planted AS (
+          |  SELECT doc_id + 1000000 AS doc_id,
+          |    array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ') AS text
+          |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          |        FROM documents)),
+          |base AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id, text FROM planted),
+          |tok AS (
+          |  SELECT doc_id AS doc, string_split_regex(trim(lower(text)), '\s+') AS toks
+          |  FROM base),
+          |shingles AS (
+          |  SELECT DISTINCT doc, shingle FROM (
+          |    SELECT doc, unnest(
+          |      CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+          |      ELSE list_transform(generate_series(1, len(toks) - 4),
+          |        i -> array_to_string(toks[i:i+4], ' ')) END) AS shingle
+          |    FROM tok) u),
+          |sizes AS (SELECT doc, count(*) AS set_size FROM shingles GROUP BY doc),
+          |disc AS (SELECT shingle FROM shingles
+          |         GROUP BY shingle HAVING count(*) BETWEEN 2 AND 20),
+          |ds AS (SELECT s.doc, s.shingle FROM shingles s JOIN disc USING (shingle)),
+          |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          |         FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc < b.doc),
+          |common AS (
+          |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+          |  FROM cand c
+          |  JOIN shingles sa ON sa.doc = c.doc_a
+          |  JOIN shingles sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
+          |  GROUP BY 1, 2)
+          |SELECT m.doc_a, m.doc_b, m.n_common,
+          |  CAST(m.n_common AS DOUBLE) / (za.set_size + zb.set_size - m.n_common)
+          |    AS jaccard
+          |FROM common m
+          |JOIN sizes za ON za.doc = m.doc_a
+          |JOIN sizes zb ON zb.doc = m.doc_b
+          |WHERE CAST(m.n_common AS DOUBLE) / (za.set_size + zb.set_size - m.n_common)
+          |  >= 0.3
+          |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // Frame sampling is pure byte arithmetic; documents are ASCII, so
+      // DuckDB's char-indexed substring sees the same bytes Spark's
+      // binary substring does, and md5 pins the frame CONTENT, not just
+      // its length.
+      "q_multimodal_frames" ->
+        """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+          |  CAST(least(32, length(text) - i*128) AS BIGINT) AS frame_len,
+          |  md5(substring(text, i*128 + 1, 32)) AS frame_md5
+          |FROM (SELECT doc_id, text,
+          |        unnest(generate_series(0, greatest(length(text)//128 - 1, 0)))
+          |          AS i
+          |      FROM documents)
+          |ORDER BY media_id, frame_idx""".stripMargin,
+
+      // The stub decode is a byte histogram (bucket j = bytes in
+      // [32j, 32j+31]); on ASCII text bucket counts are char-class counts.
+      "q_multimodal_features" ->
+        """SELECT doc_id AS media_id,
+          |  CAST(length(text) AS BIGINT) AS n_bytes,
+          |  CAST(ascii(substring(text, 1, 1)) + 1 AS BIGINT) AS pseudo_dim,
+          |  CAST(length(text) - length(regexp_replace(text, '[\x20-\x3f]', '', 'g'))
+          |    AS BIGINT) AS bucket1_bytes,
+          |  CAST(length(text) - length(regexp_replace(text, '[\x60-\x7f]', '', 'g'))
+          |    AS BIGINT) AS bucket3_bytes
+          |FROM documents ORDER BY media_id""".stripMargin,
 
       "q_stream_windowed" ->
         s"""SELECT $patternIdSql AS pattern_id,
