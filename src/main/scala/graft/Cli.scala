@@ -58,7 +58,14 @@ object Cli {
     opts.get(key).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
   private[graft] def analyze(spark: SparkSession, opts: Map[String, String]): Unit = {
-    val logs = spark.read.parquet(opts("logs"))
+    // Acquisition seam: parquet (primary) or an external warehouse over
+    // JDBC (the reference's ClickHouse socket, data_acquisition.py:24-45).
+    val logs = opts.get("jdbc-url") match {
+      case Some(u) =>
+        graft.sources.JdbcLogSource(u, opts.getOrElse("jdbc-table", "query_log"))
+          .load(spark)
+      case None => graft.sources.ParquetLogSource(opts("logs")).load(spark)
+    }
     val cfg = SamplingConfig(
       days = opts.get("days").map(_.toInt),
       includeUsers = csv(opts, "users"),
