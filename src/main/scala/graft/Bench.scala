@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Driver-run benchmark: one JSON line with per-query wall seconds at
   * SPARK_GRAFT_SF_DIR. Queries execute into the noop datasource so every
@@ -8,8 +9,80 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune the expensive expressions and under-report. A tiny
   * warm-up action runs first so JVM/codegen startup isn't charged to
   * whichever query happens to run first.
+  *
+  * A second phase re-runs a headline subset at ~sf1 to expose super-linear
+  * queries early: the sf1 input is synthesized once (cached under
+  * SPARK_GRAFT_SF1_DIR, default /tmp/graft_sf1) by replicating the sf0.1
+  * tables 10× with entity keys shifted per replica — join fan-outs and
+  * group cardinalities scale like a real sf1, while fixed dims
+  * (nation/region) stay fixed, as TPC-H itself scales. Disable with
+  * SPARK_GRAFT_SF1=0.
   */
 object Bench {
+
+  /** Entity-key columns that grow with scale factor (nation/region stay
+    * fixed-size, so their keys — including FKs to them — never shift). */
+  private val ShiftCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    "events" -> Seq("event_id", "user_id"),
+    "nation" -> Seq.empty,
+    "region" -> Seq.empty)
+
+  private val KeyStride = 100000000L // replica r shifts keys by r * stride
+
+  /** Headline subset for the sf1 point: one representative per family
+    * (scan-agg, joins, filter-scan, pattern agg, window, dedup exact +
+    * minhash, native fingerprint, ANN). */
+  private val Sf1Queries: Seq[String] = Seq(
+    "q_tpch_q1", "q_tpch_q3", "q_tpch_q6", "q_pattern_agg", "q_star_join",
+    "q_session_stats", "q_dedup_exact", "q_doc_fingerprint",
+    "q_dedup_minhash", "q_ann_cosine")
+
+  /** Replicate sf0.1 into a ~sf1 directory, once (marker-gated). */
+  private def buildSf1(spark: SparkSession, srcDir: String, dstDir: String,
+                       replicas: Int): Unit = {
+    val marker = java.nio.file.Paths.get(dstDir, "_BUILT")
+    if (java.nio.file.Files.exists(marker)) return
+    // events is TIMESTAMP(NANOS): read raw (ts as long) and write the long
+    // back so graft.sources.Tables.events keeps working on the copy.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ShiftCols.foreach { case (table, keys) =>
+      val src = spark.read.parquet(s"$srcDir/$table.parquet")
+      val replicated =
+        if (keys.isEmpty) src
+        else (0 until replicas).map { r =>
+          keys.foldLeft(src)((d, k) => d.withColumn(k, col(k) + lit(r * KeyStride)))
+        }.reduce(_ unionByName _)
+      replicated.write.mode("overwrite").parquet(s"$dstDir/$table.parquet")
+    }
+    java.nio.file.Files.createFile(marker)
+  }
+
+  private def timeQueries(spark: SparkSession, dir: String,
+                          names: Seq[String]): Seq[(String, Double)] =
+    names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try fn(spark, dir).write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Operators persist intermediate indexes (Dedup); drop them so later
+      // queries aren't measured under another query's cache pressure.
+      spark.catalog.clearCache()
+      name -> dt
+    }
+
+  private def toJson(results: Seq[(String, Double)]): String =
+    results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -22,22 +95,25 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warm-up
     spark.read.parquet(s"$sfDir/nation.parquet").count() // IO warm-up
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Operators persist intermediate indexes (Dedup); drop them so later
-      // queries aren't measured under another query's cache pressure.
-      spark.catalog.clearCache()
-      name -> dt
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = timeQueries(spark, sfDir, SparkEntry.queries.keys.toSeq.sorted)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val sf1Json =
+      if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) ""
+      else {
+        // cache key includes the source SF so an sf0.01 iteration run can't
+        // poison the driver's sf0.1 bench with a stale small copy
+        val srcTag = java.nio.file.Paths.get(sfDir).getFileName.toString
+        val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", s"/tmp/graft_x10_$srcTag")
+        val tBuild0 = System.nanoTime()
+        buildSf1(spark, sfDir, sf1Dir, replicas = 10)
+        val buildSec = (System.nanoTime() - tBuild0) / 1e9
+        val sf1Results = timeQueries(spark, sf1Dir, Sf1Queries)
+        val sf1Total = sf1Results.map(_._2).sum
+        s""","sf1":{"dir":"$sf1Dir","build_sec":$buildSec,"total":$sf1Total,"queries":${toJson(sf1Results)}}"""
+      }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$sf1Json}""")
     spark.stop()
   }
 }

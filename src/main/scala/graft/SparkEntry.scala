@@ -849,6 +849,20 @@ object SparkEntry {
           round(element_at(col("features"), 4).cast("double") * col("n_bytes"))
             .cast("long").as("bucket3_bytes"))
         .orderBy(col("media_id"))
+    }),
+
+    // Overlapping audio-style windows (frame 64, hop 32 ⇒ 50% overlap),
+    // md5 pins each window's bytes.
+    "q_multimodal_audio" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"), lit("audio").as("kind"),
+        col("text").cast("binary").as("payload"))
+      Multimodal.audioWindows(media, frameBytes = 64, hopBytes = 32)
+        .select(col("media_id"), col("window_idx").cast("long").as("window_idx"),
+          length(col("window_bytes")).cast("long").as("window_len"),
+          md5(col("window_bytes")).as("window_md5"))
+        .orderBy(col("media_id"), col("window_idx"))
     })
   )
 
@@ -1398,6 +1412,16 @@ object SparkEntry {
           |  CAST(length(text) - length(regexp_replace(text, '[\x60-\x7f]', '', 'g'))
           |    AS BIGINT) AS bucket3_bytes
           |FROM documents ORDER BY media_id""".stripMargin,
+
+      "q_multimodal_audio" ->
+        """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS window_idx,
+          |  CAST(least(64, length(text) - i*32) AS BIGINT) AS window_len,
+          |  md5(substring(text, i*32 + 1, 64)) AS window_md5
+          |FROM (SELECT doc_id, text,
+          |        unnest(generate_series(0,
+          |          greatest((length(text) - 64)//32, 0))) AS i
+          |      FROM documents)
+          |ORDER BY media_id, window_idx""".stripMargin,
 
       "q_stream_windowed" ->
         s"""SELECT $patternIdSql AS pattern_id,

@@ -87,4 +87,44 @@ object Multimodal {
   def smallImages(media: DataFrame, maxWidth: Int): DataFrame =
     media.filter(col("kind") === "image" && col("meta.width") <= maxWidth)
       .select("media_id", "meta.width", "meta.height")
+
+  /** Audio-style OVERLAPPING windows (frame + hop, hop < frame ⇒ overlap)
+    * over "audio" payloads — the STFT framing shape without the FFT (no
+    * DSP libs in this container; a real pipeline maps each window through
+    * a transform UDF afterwards). Pure Column ops like [[sampleFrames]]:
+    * payloads shorter than one frame yield a single truncated window. */
+  def audioWindows(media: DataFrame, frameBytes: Int, hopBytes: Int): DataFrame =
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"),
+        posexplode(transform(
+          sequence(lit(0), greatest(
+            ((length(col("payload")) - frameBytes) / hopBytes).cast("int"), lit(0))),
+          i => substring(col("payload"), (i * hopBytes + 1).cast("int"), lit(frameBytes)))))
+      .withColumnRenamed("pos", "window_idx")
+      .withColumnRenamed("col", "window_bytes")
+
+  final case class ResizedMedia(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Image "resize" STUB: nearest-neighbor byte decimation to ≤
+    * `targetBytes` — stands in for decode→resize→encode (no codec libs in
+    * this container; REPLACE the body to integrate real codecs). The
+    * Spark shape is the production one: batched `mapPartitions`, binary in
+    * / binary out, no shuffle touched by payload bytes. */
+  def resizeStub(media: DataFrame, targetBytes: Int): Dataset[ResizedMedia] = {
+    implicit val enc: org.apache.spark.sql.Encoder[ResizedMedia] =
+      org.apache.spark.sql.Encoders.product[ResizedMedia]
+    media.select("media_id", "kind", "payload")
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val out =
+            if (payload == null || payload.length <= targetBytes) payload
+            else {
+              val stride = payload.length.toDouble / targetBytes
+              Array.tabulate(targetBytes)(i => payload((i * stride).toInt))
+            }
+          ResizedMedia(r.getAs[Long]("media_id"), r.getAs[String]("kind"), out)
+        }
+      }
+  }
 }

@@ -132,6 +132,26 @@ object StreamingPatterns {
         sum("query_duration_ms").as("total_duration_ms"),
         approx_count_distinct("user").as("approx_users"))
 
+  /** Stream-stream equi-join with an event-time interval bound — the
+    * live form of the pattern↔context joins (J-family): right-side rows
+    * match left-side rows with the same key whose event time falls in
+    * `[leftTime - lookBehind, leftTime + lookAhead]`. Both sides carry
+    * watermarks, so Spark bounds BOTH state stores: a buffered row is
+    * dropped as soon as the other side's watermark passes its join window —
+    * this is what lets the join run forever at 100 TB/day, where an
+    * unwatermarked stream-stream join would accumulate state without
+    * bound. Caller renames columns so the two sides don't collide. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTime: String, rightTime: String,
+                   leftWatermark: String, rightWatermark: String,
+                   lookBehind: String, lookAhead: String): DataFrame =
+    left.withWatermark(leftTime, leftWatermark)
+      .join(right.withWatermark(rightTime, rightWatermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTime) >= col(leftTime) - expr(s"INTERVAL $lookBehind") &&
+          col(rightTime) <= col(leftTime) + expr(s"INTERVAL $lookAhead"))
+
   /** Convenience: run a streaming query over `sourceDir` parquet into an
     * in-memory sink and block until the available data is processed
     * (local smoke path; production would point at a real sink). */

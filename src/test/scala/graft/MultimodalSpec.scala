@@ -38,6 +38,38 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length == 16))
   }
 
+  test("audio windows overlap by frame-hop and truncate the tail (audio only)") {
+    // doc 3: 100 bytes, frame 40, hop 20 -> starts 0,20,40,60 = 4 windows;
+    // last is 40 bytes (60+40 = 100 exactly)
+    val w = Multimodal.audioWindows(media, frameBytes = 40, hopBytes = 20).collect()
+    assert(w.forall(_.getAs[Long]("media_id") == 3L))
+    assert(w.length == 4)
+    val bytes = w.sortBy(_.getAs[Int]("window_idx"))
+      .map(_.getAs[Array[Byte]]("window_bytes"))
+    assert(bytes.forall(_.length == 40))
+    // 50% overlap: second half of window 0 == first half of window 1
+    assert(bytes(0).drop(20).toSeq == bytes(1).take(20).toSeq)
+    // payload shorter than one frame -> single truncated window
+    val short = Multimodal.audioWindows(
+      media.limit(0).unionByName(media.filter(col("media_id") === 3L))
+        .withColumn("payload", expr("substring(payload, 1, 10)")),
+      frameBytes = 40, hopBytes = 20).collect()
+    assert(short.length == 1)
+    assert(short.head.getAs[Array[Byte]]("window_bytes").length == 10)
+  }
+
+  test("resize stub decimates to the target size, passes small/null through") {
+    val out = Multimodal.resizeStub(media, targetBytes = 32).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(out(2L).payload.length == 32)      // 256 -> 32
+    assert(out(1L).payload.length == 32)      // 64 -> 32
+    assert(out(5L).payload == null)           // null passes through
+    // determinism
+    val again = Multimodal.resizeStub(media, targetBytes = 32).collect()
+      .map(r => r.media_id -> r.payload).toMap
+    assert(again(2L).toSeq == out(2L).payload.toSeq)
+  }
+
   test("metadata-only query prunes the payload column from the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString + "/media"
     media.write.mode("overwrite").parquet(dir)

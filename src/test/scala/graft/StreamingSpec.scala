@@ -36,6 +36,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join bounds both state stores by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val qs = MemoryStream[(Long, Timestamp, String)] // (user, time, query)
+    val ctx = MemoryStream[(Long, Timestamp, String)] // (user, time, context)
+    val joined = StreamingPatterns.intervalJoin(
+      qs.toDS().toDF("q_user", "q_time", "q_query"),
+      ctx.toDS().toDF("c_user", "c_time", "c_context"),
+      leftKey = "q_user", rightKey = "c_user",
+      leftTime = "q_time", rightTime = "c_time",
+      leftWatermark = "10 minutes", rightWatermark = "10 minutes",
+      lookBehind = "5 minutes", lookAhead = "0 minutes")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("interval_join").start()
+    try {
+      def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+      ctx.addData((1L, t(0), "session_start"), (2L, t(0), "session_start"))
+      qs.addData((1L, t(3), "SELECT 1"),  // 3 min after ctx: within 5-min look-behind
+        (1L, t(9), "SELECT 2"),           // 9 min after: outside
+        (3L, t(3), "SELECT 3"))           // no ctx for user 3
+      q.processAllAvailable()
+      val rows = spark.table("interval_join").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("q_query") == "SELECT 1")
+      assert(rows.head.getAs[String]("c_context") == "session_start")
+    } finally q.stop()
+  }
+
   test("update transition mirrors batch merge semantics") {
     val s0 = StreamingPatterns.emptyState("p")
     val s1 = StreamingPatterns.updateState(s0,
