@@ -492,6 +492,25 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Same as-of semantics through the custom LogicalPlan/Strategy/
+    // SparkPlan operator (plans/AsOfJoinNative.scala) — shares q_asof_join's
+    // DuckDB ASOF JOIN oracle.
+    "q_asof_join_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), ms(col("ts")).as("ts_ms"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), ms(col("ts")).as("ts_ms"))
+        .agg(max(col("event_id")).as("click_event_id"))
+      graft.plans.AsOfNative.join(purchases, clicks,
+        keyCols = Seq("user_id"), leftTs = "ts_ms", rightTs = "ts_ms",
+        rightPayload = Seq("click_event_id", "ts_ms"), prefix = "click_")
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("click_click_event_id").as("click_event_id"),
+          col("click_ts_ms").as("click_ts_ms"))
+        .orderBy(col("event_id"))
+    }),
+
     // OLAP rollup: hierarchy totals in one pass (beyond the reference, but
     // table stakes for an analytics engine).
     "q_rollup" -> ((s, dir) =>
@@ -1169,6 +1188,20 @@ object SparkEntry {
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_asof_join" ->
+        """SELECT p.event_id, p.user_id, p.ts_ms,
+          |  c.click_event_id, c.ts_ms AS click_ts_ms
+          |FROM (
+          |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+          |  WHERE event_type = 'purchase') p
+          |ASOF LEFT JOIN (
+          |  SELECT user_id, epoch_ms(ts) AS ts_ms,
+          |    CAST(max(event_id) AS BIGINT) AS click_event_id
+          |  FROM events WHERE event_type = 'click' GROUP BY 1, 2) c
+          |ON p.user_id = c.user_id AND c.ts_ms <= p.ts_ms
+          |ORDER BY p.event_id""".stripMargin,
+
+      // Custom-operator twin: must produce the identical ASOF result.
+      "q_asof_join_native" ->
         """SELECT p.event_id, p.user_id, p.ts_ms,
           |  c.click_event_id, c.ts_ms AS click_ts_ms
           |FROM (
