@@ -50,7 +50,8 @@ object Cli {
     try cmd match {
       case "analyze" => analyze(spark, opts)
       case "export" => exportLatest(spark, opts)
-      case other => sys.error(s"unknown command: $other (analyze|export)")
+      case "generate-model" => generateModel(spark, opts)
+      case other => sys.error(s"unknown command: $other (analyze|export|generate-model)")
     } finally spark.stop()
   }
 
@@ -115,6 +116,46 @@ object Cli {
     res.coverage.foreach(c => println(c.toJSON.collect().mkString("[", ",", "]")))
     res.recommendations.foreach(r =>
       println(r.orderBy("pattern_id", "rec_type").toJSON.collect().mkString("[", ",", "]")))
+  }
+
+  /** `generate-model`: dbt scaffolds for uncovered tables. The reference
+    * ADVERTISES this command (`querysight.py:277`) but never implements
+    * it; this one works — see [[graft.operators.ModelGen]]. With
+    * `--output <dir>` writes `<model>.sql` + `<model>.yml` files;
+    * otherwise prints JSON. `--table` narrows to one table. */
+  private[graft] def generateModel(spark: SparkSession, opts: Map[String, String]): Unit = {
+    val logs = opts.get("jdbc-url") match {
+      case Some(u) =>
+        graft.sources.JdbcLogSource(u, opts.getOrElse("jdbc-table", "query_log")).load(spark)
+      case None => graft.sources.ParquetLogSource(opts("logs")).load(spark)
+    }
+    val project = DbtLoader.load(opts("dbt-project"))
+    val asOf = opts.get("as-of")
+      .map(s => if (s.contains(' ')) s else s + " 00:00:00")
+      .map(s => lit(java.sql.Timestamp.valueOf(s)))
+      .getOrElse(current_timestamp())
+    val res = Analyze.run(logs, SamplingConfig(days = opts.get("days").map(_.toInt)),
+      Some(project), AnalysisLevel.DbtIntegration, asOf,
+      minFrequency = opts.getOrElse("min-frequency", "2").toInt)
+    val schemas = opts.get("schema-dir").map(dir =>
+      graft.sources.Schemas.describeTables(spark, dir, graft.sources.Tables.all))
+    val all = graft.operators.ModelGen.scaffolds(res.patterns, schemas)
+    val selected = opts.get("table").fold(all)(t => all.filter(col("table_name") === t))
+    opts.get("output") match {
+      case Some(dir) =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        // scaffold count = uncovered-table count: small by construction
+        selected.collect().foreach { r =>
+          val name = r.getAs[String]("model_name")
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(dir, s"$name.sql"), r.getAs[String]("model_sql"))
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(dir, s"$name.yml"), r.getAs[String]("schema_yml"))
+          println(s"generated $dir/$name.sql")
+        }
+      case None =>
+        println(selected.toJSON.collect().mkString("[", ",", "]"))
+    }
   }
 
   /** S9: `export [--output <file>]` (`querysight.py:815-848`) — latest

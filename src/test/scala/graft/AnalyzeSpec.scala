@@ -149,6 +149,25 @@ class AnalyzeSpec extends SparkSpec {
     assert(!plain.contains("o_custkey") && plain.endsWith("filter columns"))
   }
 
+  test("generate-model scaffolds uncovered tables (reference advertises, never ships)") {
+    val res = Analyze.run(logsDf, SamplingConfig(), Some(proj),
+      AnalysisLevel.DbtIntegration, asOf = lit(ts(100)))
+    val schemas = Seq(("legacy.raw_stuff", "k", "bigint"),
+      ("legacy.raw_stuff", "d", "bigint"))
+      .toDF("table_name", "column_name", "column_type")
+    val sc = graft.operators.ModelGen.scaffolds(res.patterns, Some(schemas)).collect()
+    assert(sc.length == 1) // only legacy.raw_stuff is uncovered
+    val r = sc.head
+    assert(r.getAs[String]("model_name") == "stg_raw_stuff")
+    val sql = r.getAs[String]("model_sql")
+    assert(sql.contains("{{ source('legacy', 'raw_stuff') }}"))
+    assert(sql.contains("d,\n    k")) // schema-narrowed select list, sorted
+    assert(r.getAs[String]("schema_yml").contains("name: stg_raw_stuff"))
+    // without schemas the scaffold falls back to select *
+    val star = graft.operators.ModelGen.scaffolds(res.patterns, None).collect().head
+    assert(star.getAs[String]("model_sql").contains("select\n    *\n"))
+  }
+
   test("PatternStore enrich keeps additive upsert semantics (A6, documented quirk)") {
     val dir = java.nio.file.Files.createTempDirectory("pstore").toString + "/hist"
     val pats = Analyze.patterns(logsDf, minFrequency = 2)

@@ -21,7 +21,10 @@ class CliSpec extends SparkSpec {
         "SELECT", "alice", ts(i), 40.0 + i, 10, 100, 1, 10, 1000, "")) ++
       (0 until 4).map(i => QueryLog(s"b$i",
         s"SELECT * FROM analytics.fct_revenue WHERE d = $i",
-        "SELECT", "bob", ts(i), 2500.0, 10, 100, 1, 10, 2000, ""))).toDF()
+        "SELECT", "bob", ts(i), 2500.0, 10, 100, 1, 10, 2000, "")) ++
+      (0 until 3).map(i => QueryLog(s"c$i",
+        s"SELECT * FROM legacy.raw_stuff WHERE k = $i",
+        "SELECT", "carol", ts(i), 50.0, 10, 100, 1, 10, 500, ""))).toDF()
     val p = Files.createTempDirectory("cli_logs").toString + "/logs.parquet"
     logs.write.parquet(p)
     p
@@ -68,6 +71,21 @@ class CliSpec extends SparkSpec {
       "select-patterns" -> firstId)))
     assert(one.contains(firstId))
     assert("\"pattern_id\"".r.findAllIn(one).size == 1)
+  }
+
+  test("generate-model writes dbt scaffolds for uncovered tables") {
+    val outDir = Files.createTempDirectory("cli_models").toString
+    capture(Cli.generateModel(spark, Map(
+      "logs" -> logsPath, "as-of" -> asOf,
+      "dbt-project" -> resource("dbt_project"), "output" -> outDir)))
+    val sql = Files.readString(Paths.get(outDir, "stg_raw_stuff.sql"))
+    assert(sql.contains("{{ source('legacy', 'raw_stuff') }}"))
+    assert(Files.exists(Paths.get(outDir, "stg_raw_stuff.yml")))
+    // JSON mode + --table filter
+    val json = capture(Cli.generateModel(spark, Map(
+      "logs" -> logsPath, "as-of" -> asOf,
+      "dbt-project" -> resource("dbt_project"), "table" -> "legacy.raw_stuff")))
+    assert(json.contains("\"model_name\":\"stg_raw_stuff\""))
   }
 
   test("export --output writes the JSON file (querysight.py:816-817)") {
