@@ -95,11 +95,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warm-up
     spark.read.parquet(s"$sfDir/nation.parquet").count() // IO warm-up
-    val results = timeQueries(spark, sfDir, SparkEntry.queries.keys.toSeq.sorted)
+    // SPARK_GRAFT_ONLY=q_a,q_b: iterate on a subset (skips the sf1 phase)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results = timeQueries(spark, sfDir, names)
     val total = results.map(_._2).sum
 
     val sf1Json =
-      if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) ""
+      if (sys.env.get("SPARK_GRAFT_SF1").contains("0") || only.isDefined) ""
       else {
         // cache key includes the source SF so an sf0.01 iteration run can't
         // poison the driver's sf0.1 bench with a stale small copy

@@ -126,7 +126,17 @@ object Dedup {
     * each document exactly once where it already lives. (Iterating token
     * instances is equivalent to weighting distinct tokens by their in-doc
     * count.) */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** DEFAULT simhash: one native single-pass vote ([[graft.plans.SimHash64]])
+    * instead of 64 per-bit `aggregate` folds — identical signatures,
+    * proven against [[simhashComposable]] in `DedupSpec`. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc"), Text.tokens(lower(col(textCol))).as("toks"))
+      .select(col("doc"), transform(col("toks"), t => xxhash64(t)).as("hashes"))
+      .select(col("doc"), graft.plans.SimHash64.simhash64(col("hashes")).as("simhash"))
+
+  /** Composable spec twin of [[simhash]]: per-bit array folds. */
+  def simhashComposable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bits = (0 until 64).map { i =>
       val bitSum = aggregate(col("hashes"), lit(0L),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))

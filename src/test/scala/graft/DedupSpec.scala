@@ -42,6 +42,15 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b) == Set(1L, 2L) })
   }
 
+  test("native single-pass simhash == 64-fold composable form") {
+    val native = Dedup.simhash(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composable = Dedup.simhashComposable(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == composable)
+    assert(native.nonEmpty)
+  }
+
   test("simhash hamming distance separates near-dups from unrelated docs") {
     val sigs = Dedup.simhash(corpus, "doc_id", "text")
     val byDoc = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
