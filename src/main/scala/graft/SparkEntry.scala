@@ -659,6 +659,32 @@ object SparkEntry {
           array_min(transform(col("sh"), x => md5(x))).as("fingerprint"))
         .orderBy(col("doc_id"))),
 
+    // Deterministic hash-based train/val/test split — stable under
+    // repartitioning and engine swaps (md5 bucket of the id).
+    "q_dataset_split" -> ((s, dir) =>
+      graft.operators.Sampling.split(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // Per-language deterministic downsample: keep 20% of en, 100% of zh,
+    // 50% of es; de/fr dropped (rate 0).
+    "q_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", Map("en" -> 2000, "zh" -> 10000, "es" -> 5000))
+        .orderBy(col("doc_id"))),
+
+    // Sequence packing (chunked, declarative): 512-token packs over 8
+    // shards via one running-sum window.
+    "q_pack_chunked" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Packing.chunked(docs, "doc_id", "n_tokens",
+        seqLen = 512, shards = 8)
+        .select(col("doc_id"), col("n_tokens"), col("shard"), col("pack_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------- beyond-reference: similarity search -------------
 
     // Exact brute-force cosine top-5 (oracle-checked). "rnk" because RANK
@@ -1445,6 +1471,35 @@ object SparkEntry {
           |  CAST(length(text) - length(regexp_replace(text, '[\x60-\x7f]', '', 'g'))
           |    AS BIGINT) AS bucket3_bytes
           |FROM documents ORDER BY media_id""".stripMargin,
+
+      "q_dataset_split" -> {
+        val b = graft.operators.Sampling.duckdbHashBucketSql("doc_id", 10000)
+        s"""SELECT doc_id,
+           |  CASE WHEN $b < 1000 THEN 'val'
+           |       WHEN $b < 2000 THEN 'test'
+           |       ELSE 'train' END AS split
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+
+      "q_stratified_sample" -> {
+        val b = graft.operators.Sampling.duckdbHashBucketSql("doc_id", 10000)
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE $b < (CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 10000
+           |  WHEN 'es' THEN 5000 ELSE 0 END)
+           |ORDER BY doc_id""".stripMargin
+      },
+
+      "q_pack_chunked" ->
+        s"""SELECT doc_id, n_tokens, shard,
+           |  shard * 4294967296 + CAST(floor(prior / 512.0) AS BIGINT) AS pack_id
+           |FROM (
+           |  SELECT doc_id, n_tokens, doc_id % 8 AS shard,
+           |    sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           |      AS prior
+           |  FROM (SELECT doc_id, ${Text.duckdbTokenCountSql("text")} AS n_tokens
+           |        FROM documents))
+           |ORDER BY doc_id""".stripMargin,
 
       "q_multimodal_audio" ->
         """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS window_idx,
