@@ -234,6 +234,54 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Connected components over a near-dup pair set (`doc_a`, `doc_b`) by
+    * iterative min-label propagation: each round every node adopts the
+    * minimum label in its neighborhood; converges in O(component diameter)
+    * rounds. Each round is two equi-joins + an aggregate — all
+    * shuffle-partitioned on the node id, no driver-side graph. The labels
+    * frame is persisted per round and the loop exits on a driver-checked
+    * convergence count (bounded by `maxIters`), which is the standard
+    * Spark iterative-algorithm shape. Returns (doc, component) where
+    * component = min doc id reachable. */
+  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("component", col("doc")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // neighborhood minimum: own label ∧ min of neighbors' labels
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc"))
+        .agg(min(col("component")).as("n_min"))
+      val next = labels.join(neighborMin, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("component"), coalesce(col("n_min"), col("component")))
+            .as("component"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("doc"))
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** The dedup KEEP-list: every doc not in any near-dup pair, plus the
+    * canonical (minimum-id) doc of each near-dup component. */
+  def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = components(pairs)
+    docs.join(comps.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .filter(col("component").isNull || col("component") === col(idCol))
+      .drop("component")
+  }
+
   /** Exact n-gram Jaccard near-dups. Candidates come from an inverted-index
     * self-join restricted to discriminative shingles (document frequency in
     * [2, dfMax]); exact |A∩B| is then recounted over the candidates' FULL

@@ -99,6 +99,25 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("connected components propagate min labels across multi-hop chains") {
+    // chain 1-2-3-4 (diameter 3), pair 10-11, singleton edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val comps = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L))
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+    assert(comps(20L) == 20L && comps(21L) == 20L)
+  }
+
+  test("keepCanonical retains unpaired docs and one doc per component") {
+    val docs = (1L to 6L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 5L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.keepCanonical(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 6L)) // 2 and 5 fold into component 1
+  }
+
   test("exact n-gram jaccard reports exact overlap for candidates") {
     val pairs = Dedup.jaccardNearDups(corpus, "doc_id", "text",
       shingleN = 3, dfMax = 10, minJaccard = 0.3)
