@@ -748,13 +748,16 @@ object SparkEntry {
 
     // Pairs → connected components → canonical labels: the step a real
     // dedup pipeline runs AFTER near-dup pair generation. Min-label
-    // propagation on Spark; DuckDB mirrors with a recursive CTE.
+    // propagation on Spark; DuckDB mirrors with a recursive CTE. Pairs
+    // come from the SRP-LSH scale path (== exact set on this collinear
+    // corpus, so the exact-pair oracle carries over).
     "q_dedup_components" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
-      val pairs = Dedup.embeddingNearDups(emb.unionByName(planted), "vec_id", "embedding",
-        threshold = 0.95).select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val pairs = Dedup.embeddingNearDupsLsh(emb.unionByName(planted), "vec_id",
+        "embedding", threshold = 0.95)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       Dedup.components(pairs).orderBy(col("doc"))
     }),
 
