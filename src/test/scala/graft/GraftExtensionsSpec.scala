@@ -24,6 +24,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val r = spark.sql("SELECT cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)) c")
         .head().getDouble(0)
       assert(r == 1.0)
+      // the injected planner strategy plans AsOfJoin nodes on THIS session
+      // without any experimental-strategies registration
+      import spark.implicits._
+      val l = Seq((1L, 1L, 10L)).toDF("id", "k", "ts")
+      val rt = Seq((1L, 5L, 7L)).toDF("k", "ts", "payload")
+      val out = graft.plans.AsOfNative.join(l, rt, Seq("k"), "ts", "ts", Seq("payload"))
+      assert(out.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+      assert(out.head().getLong(3) == 7L)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
