@@ -761,6 +761,20 @@ object SparkEntry {
       Dedup.components(pairs).orderBy(col("doc"))
     }),
 
+    // The final dedup artifact: the KEEP-list (unpaired docs + min-id doc
+    // per component) over the same LSH pair set.
+    "q_dedup_keep" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      val corpus = emb.unionByName(planted)
+      val pairs = Dedup.embeddingNearDupsLsh(corpus, "vec_id", "embedding",
+        threshold = 0.95)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      Dedup.keepCanonical(corpus.select("vec_id"), "vec_id", pairs)
+        .orderBy(col("vec_id"))
+    }),
+
     // Same planted corpus through the SRP-bucketed scale path — no corpus
     // broadcast, no O(n²) pair set. Shares the exact path's oracle: planted
     // pairs are collinear, so every LSH table buckets them together
@@ -1420,6 +1434,31 @@ object SparkEntry {
           |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc)
           |SELECT doc, min(r) AS component FROM reach GROUP BY doc
           |ORDER BY doc""".stripMargin,
+
+      "q_dedup_keep" ->
+        """WITH RECURSIVE corpus AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 1000000,
+          |    list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT))
+          |  FROM embeddings),
+          |pairs AS (
+          |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+          |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+          |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+          |    b.embedding::DOUBLE[]), 5) >= 0.95),
+          |edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |  UNION SELECT doc_b, doc_a FROM pairs),
+          |reach(doc, r) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc),
+          |comp AS (SELECT doc, min(r) AS component FROM reach GROUP BY doc)
+          |SELECT c.vec_id FROM corpus c
+          |LEFT JOIN comp ON comp.doc = c.vec_id
+          |WHERE comp.doc IS NULL OR comp.component = c.vec_id
+          |ORDER BY c.vec_id""".stripMargin,
 
       // The LSH path must produce the identical pair set on this corpus
       // (collinear planted pairs ⇒ recall 1), so it shares the exact oracle.
