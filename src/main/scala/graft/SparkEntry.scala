@@ -735,6 +735,52 @@ object SparkEntry {
         Text.bpeTokenCount(col("text")).as("n_bpe_tokens"))
         .orderBy(col("doc_id"))),
 
+    // Gopher-style repetition metrics (duplicate-trigram fraction, top
+    // bigram char fraction) — one explode + two-level hash-agg, nothing
+    // quadratic in document length.
+    "q_repetition" -> ((s, dir) =>
+      graft.operators.Repetition.ngramRepetition(
+        Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // PII/URL scrubbing over synthesized event log lines (emails on
+    // signups, URLs on every third event) — the oracle check here is
+    // Java-regex ↔ RE2 semantics parity on 60k distinct strings.
+    "q_pii_scrub" -> ((s, dir) => {
+      import graft.functions.Scrub
+      val line = concat(
+        lit("evt="), col("event_type"), lit(" props="), col("props"),
+        when(col("event_type") === "signup",
+          concat(lit(" from u"), col("user_id"), lit("@example.com")))
+          .otherwise(lit(" anon")),
+        lit(" ip=10."), col("user_id") % 128, lit("."), col("event_id") % 256,
+        lit(".9"),
+        when(col("event_id") % 3 === 0,
+          concat(lit(" https://site.example/p/"), col("event_id")))
+          .otherwise(lit("")))
+      Tables.events(s, dir)
+        .select(col("event_id"), line.as("line"))
+        .select(col("event_id"),
+          Scrub.scrub(col("line")).as("scrubbed"),
+          Scrub.countMatches(col("line"), Scrub.EmailRe).as("n_emails"),
+          Scrub.countMatches(col("line"), Scrub.UrlRe).as("n_urls"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Benchmark decontamination: training corpus = per-doc modified copies
+    // (one token dropped), benchmark = every 20th original doc; 8-gram
+    // overlap via a broadcast inverted index — flags exactly the planted
+    // variants of benchmark docs, never pairwise over the corpus.
+    "q_contamination" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(Text.tokens(col("text")), lit(1),
+          greatest(size(Text.tokens(col("text"))) - 1, lit(1))), " ").as("text"))
+      val bench = d.filter(col("doc_id") % 20 === 0)
+      graft.operators.Contamination.overlap(corpus, bench, "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding-cosine near-dup over embeddings ∪ planted scaled copies
     // (scaling preserves cosine — float-exact in both engines).
     "q_dedup_embedding" -> ((s, dir) => {
@@ -1397,6 +1443,97 @@ object SparkEntry {
            |  ${Text.duckdbTokenCountSql("text")} AS n_ws_tokens,
            |  ${Text.duckdbBpeTokenCountSql("text")} AS n_bpe_tokens
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // Repetition metrics: DuckDB mirrors the explode + count + rollup
+      // shape; the per-doc argmax becomes a QUALIFY row_number (value-equal
+      // to Spark's min_by over (-count, gram)). Fractions are ratios of
+      // exact integers — one IEEE division each side, bit-equal.
+      "q_repetition" ->
+        """WITH tok AS (
+          |  SELECT doc_id AS doc, CAST(length(text) AS BIGINT) AS n_chars,
+          |    string_split_regex(trim(lower(text)), '\s+') AS toks
+          |  FROM documents),
+          |grams AS (
+          |  SELECT doc, n_chars, 1 AS n, unnest(toks) AS g FROM tok
+          |  UNION ALL
+          |  SELECT doc, n_chars, 2, unnest(
+          |    CASE WHEN len(toks) <= 1 THEN [array_to_string(toks, ' ')]
+          |    ELSE list_transform(generate_series(1, len(toks) - 1),
+          |      i -> array_to_string(toks[i:i+1], ' ')) END) FROM tok
+          |  UNION ALL
+          |  SELECT doc, n_chars, 3, unnest(
+          |    CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+          |    ELSE list_transform(generate_series(1, len(toks) - 2),
+          |      i -> array_to_string(toks[i:i+2], ' ')) END) FROM tok),
+          |counts AS (
+          |  SELECT doc, n, g, any_value(n_chars) AS n_chars, count(*) AS c
+          |  FROM grams GROUP BY doc, n, g),
+          |p1 AS (
+          |  SELECT doc, any_value(n_chars) AS n_chars,
+          |    CAST(sum(c) AS BIGINT) AS n_tokens,
+          |    CAST(count(*) AS BIGINT) AS n_distinct_tokens
+          |  FROM counts WHERE n = 1 GROUP BY doc),
+          |p2 AS (
+          |  SELECT doc, g AS top_bigram, CAST(c AS BIGINT) AS top_bigram_count
+          |  FROM counts WHERE n = 2
+          |  QUALIFY row_number() OVER (PARTITION BY doc ORDER BY c DESC, g ASC) = 1),
+          |p3 AS (
+          |  SELECT doc,
+          |    CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_trigram_frac
+          |  FROM counts WHERE n = 3 GROUP BY doc)
+          |SELECT p1.doc AS doc_id, n_tokens, n_distinct_tokens, top_bigram,
+          |  top_bigram_count,
+          |  CAST(top_bigram_count * length(top_bigram) AS DOUBLE)
+          |    / CAST(n_chars AS DOUBLE) AS top_bigram_char_frac,
+          |  dup_trigram_frac
+          |FROM p1 JOIN p2 USING (doc) JOIN p3 USING (doc)
+          |ORDER BY doc_id""".stripMargin,
+
+      "q_pii_scrub" -> {
+        import graft.functions.Scrub
+        val line = "'evt=' || event_type || ' props=' || props || " +
+          "CASE WHEN event_type = 'signup' THEN ' from u' || user_id || '@example.com' ELSE ' anon' END || " +
+          "' ip=10.' || (user_id % 128) || '.' || (event_id % 256) || '.9' || " +
+          "CASE WHEN event_id % 3 = 0 THEN ' https://site.example/p/' || event_id ELSE '' END"
+        s"""WITH lines AS (SELECT event_id, $line AS line FROM events)
+           |SELECT event_id,
+           |  ${Scrub.duckdbScrubSql("line")} AS scrubbed,
+           |  ${Scrub.duckdbCountSql("line", Scrub.EmailRe)} AS n_emails,
+           |  ${Scrub.duckdbCountSql("line", Scrub.UrlRe)} AS n_urls
+           |FROM lines ORDER BY event_id""".stripMargin
+      },
+
+      // Contamination: DuckDB rebuilds corpus (dropped-last-token copies)
+      // and benchmark, then counts shared distinct 8-grams per corpus doc.
+      "q_contamination" ->
+        """WITH corpus AS (
+          |  SELECT doc_id + 1000000 AS doc_id,
+          |    array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ') AS text
+          |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          |        FROM documents)),
+          |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+          |csh AS (
+          |  SELECT DISTINCT doc_id AS doc, shingle FROM (
+          |    SELECT doc_id, unnest(
+          |      CASE WHEN len(toks) <= 7 THEN [array_to_string(toks, ' ')]
+          |      ELSE list_transform(generate_series(1, len(toks) - 7),
+          |        i -> array_to_string(toks[i:i+7], ' ')) END) AS shingle
+          |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+          |          FROM corpus)) u),
+          |bsh AS (
+          |  SELECT DISTINCT doc_id AS bench_id, shingle FROM (
+          |    SELECT doc_id, unnest(
+          |      CASE WHEN len(toks) <= 7 THEN [array_to_string(toks, ' ')]
+          |      ELSE list_transform(generate_series(1, len(toks) - 7),
+          |        i -> array_to_string(toks[i:i+7], ' ')) END) AS shingle
+          |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+          |          FROM bench)) u)
+          |SELECT c.doc AS doc_id,
+          |  CAST(count(DISTINCT c.shingle) AS BIGINT) AS n_shared_shingles,
+          |  CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+          |FROM csh c JOIN bsh b ON c.shingle = b.shingle
+          |GROUP BY c.doc
+          |ORDER BY doc_id""".stripMargin,
 
       "q_dedup_embedding" ->
         """WITH corpus AS (

@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.Scrub
+import graft.operators.{Contamination, Repetition}
+import org.apache.spark.sql.functions._
+
+/** Hand-computed cases for the text-hygiene trio: PII scrubbing,
+  * Gopher-style repetition metrics, benchmark decontamination. */
+class TextHygieneSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scrub redacts URL before email/IP so nested matches don't leak") {
+    val line = "visit https://x.example/a?e=b@c.com or mail joe@x.org from 192.168.1.1 now"
+    val out = Seq(line).toDF("line")
+      .select(Scrub.scrub(col("line")).as("s"),
+        Scrub.countMatches(col("line"), Scrub.EmailRe).as("ne"),
+        Scrub.countMatches(col("line"), Scrub.UrlRe).as("nu"),
+        Scrub.countMatches(col("line"), Scrub.Ipv4Re).as("ni"))
+      .head()
+    assert(out.getAs[String]("s") == "visit <URL> or mail <EMAIL> from <IP> now")
+    // counts run on the RAW line: the in-URL b@c.com counts as an email hit
+    assert(out.getAs[Long]("ne") == 2L)
+    assert(out.getAs[Long]("nu") == 1L)
+    assert(out.getAs[Long]("ni") == 1L)
+  }
+
+  test("repetition metrics on a maximally repetitive doc") {
+    // "a b a b a b": 6 tokens, 2 distinct; bigrams "a b"×3 "b a"×2;
+    // trigrams "a b a"×2 "b a b"×2 → dup frac (1+1)/4 = 0.5
+    val docs = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val r = Repetition.ngramRepetition(docs, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_tokens") == 6L)
+    assert(r.getAs[Long]("n_distinct_tokens") == 2L)
+    assert(r.getAs[String]("top_bigram") == "a b")
+    assert(r.getAs[Long]("top_bigram_count") == 3L)
+    assert(math.abs(r.getAs[Double]("top_bigram_char_frac") - 9.0 / 11.0) < 1e-12)
+    assert(r.getAs[Double]("dup_trigram_frac") == 0.5)
+  }
+
+  test("repetition metrics: no repeats and tie-break to smallest gram") {
+    val docs = Seq((1L, "one two three four")).toDF("doc_id", "text")
+    val r = Repetition.ngramRepetition(docs, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_tokens") == 4L)
+    assert(r.getAs[Long]("n_distinct_tokens") == 4L)
+    // all bigrams count 1 → lexicographically smallest wins
+    assert(r.getAs[String]("top_bigram") == "one two")
+    assert(r.getAs[Long]("top_bigram_count") == 1L)
+    assert(r.getAs[Double]("dup_trigram_frac") == 0.0)
+  }
+
+  test("repetition metrics degenerate for docs shorter than the gram order") {
+    val docs = Seq((1L, "Hello")).toDF("doc_id", "text")
+    val r = Repetition.ngramRepetition(docs, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_tokens") == 1L)
+    assert(r.getAs[String]("top_bigram") == "hello")
+    assert(r.getAs[Long]("top_bigram_count") == 1L)
+    assert(r.getAs[Double]("dup_trigram_frac") == 0.0)
+  }
+
+  test("contamination flags only corpus docs sharing an n-gram with bench") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // shares 3-grams with bench 1
+      (11L, "alpha beta gamma delta epsilon zeta"), // identical → same overlap
+      (12L, "totally disjoint text with no shared phrases at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "prefix words alpha beta gamma delta suffix"))
+      .toDF("doc_id", "text")
+    val out = Contamination.overlap(corpus, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 11L))
+    // shared 3-grams: "alpha beta gamma", "beta gamma delta"
+    assert(out.forall(_.getAs[Long]("n_shared_shingles") == 2L))
+    assert(out.forall(_.getAs[Long]("n_bench_docs") == 1L))
+  }
+
+  test("contamination n-gram order is respected (no overlap at larger n)") {
+    val corpus = Seq((10L, "alpha beta gamma other words here")).toDF("doc_id", "text")
+    val bench = Seq((1L, "alpha beta gamma different tail tokens")).toDF("doc_id", "text")
+    // shared run is only 3 tokens → no shared 4-gram
+    assert(Contamination.overlap(corpus, bench, "doc_id", "text", n = 4).isEmpty)
+  }
+}
