@@ -710,6 +710,25 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))),
 
+    // L2 normalization of the embedding column — bit-exact across engines
+    // (in-order fold both sides; no rounding anywhere).
+    "q_embed_normalize" -> ((s, dir) =>
+      graft.operators.Vectors.normalize(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy(col("vec_id"))),
+
+    // Per-label centroids in exact fixed-point — deterministic under any
+    // partitioning (float avg centroids are not), hence oracle-exact with
+    // no rounding at all.
+    "q_embed_centroids" -> ((s, dir) =>
+      graft.operators.Vectors.centroids(Tables.embeddings(s, dir), "label", "embedding")
+        .orderBy(col("label"))),
+
+    // Int8 scalar quantization + exact max-abs reconstruction error
+    // (max is order-independent → bit-portable without rounding).
+    "q_embed_quantize" -> ((s, dir) =>
+      graft.operators.Vectors.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy(col("vec_id"))),
+
     // S3: schema probe reified as data (names only — type vocabularies
     // differ between engines).
     "q_schema_probe" -> ((s, dir) =>
@@ -1743,7 +1762,61 @@ object SparkEntry {
           |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
           |  WHERE q.vec_id % 20 = 0) t
           |WHERE rnk <= 5
-          |ORDER BY query_id, rnk""".stripMargin
+          |ORDER BY query_id, rnk""".stripMargin,
+
+      // Normalize: NO rounding — list_reduce is the same left-to-right
+      // fold as Spark's aggregate (the 0-seed is exact), so the norm and
+      // every element are bit-identical doubles.
+      "q_embed_normalize" ->
+        """WITH base AS (
+          |  SELECT vec_id, embedding AS v,
+          |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+          |                     (a, b) -> a + b)) AS nrm
+          |  FROM embeddings)
+          |SELECT vec_id, nrm AS l2_norm,
+          |  list_transform(v, x -> x::DOUBLE / nrm) AS unit_vec
+          |FROM base ORDER BY vec_id""".stripMargin,
+
+      // Centroids: exact bigint fixed-point accumulation — NO rounding;
+      // DuckDB's HUGEINT sum equals Spark's long sum, and the final
+      // double division is one identical IEEE op per element.
+      "q_embed_centroids" ->
+        """WITH ex AS (
+          |  SELECT label,
+          |    unnest(generate_series(1, len(embedding))) AS pos,
+          |    unnest(embedding) AS x
+          |  FROM embeddings),
+          |agg AS (
+          |  SELECT label, pos,
+          |    sum(CAST(floor(x::DOUBLE * 1048576.0) AS BIGINT)) AS s,
+          |    count(*) AS n
+          |  FROM ex GROUP BY label, pos)
+          |SELECT label, CAST(any_value(n) AS BIGINT) AS n_vectors,
+          |  list(s::DOUBLE / n::DOUBLE / 1048576.0 ORDER BY pos) AS centroid
+          |FROM agg GROUP BY label ORDER BY label""".stripMargin,
+
+      // Quantization: min/max/step/q/max_abs_err are all either exact
+      // picks or identical-shape double expressions; max (unlike sum) is
+      // order-independent, so nothing needs rounding.
+      "q_embed_quantize" ->
+        """WITH base AS (
+          |  SELECT vec_id, embedding AS v,
+          |    list_min(embedding)::DOUBLE AS vmin,
+          |    list_max(embedding)::DOUBLE AS vmax
+          |  FROM embeddings),
+          |st AS (SELECT vec_id, v, vmin, vmax, (vmax - vmin) / 255.0 AS step FROM base),
+          |qq AS (
+          |  SELECT vec_id, v, vmin, vmax, step,
+          |    CASE WHEN step = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+          |    ELSE list_transform(v, x -> CAST(floor((x::DOUBLE - vmin) / step + 0.5) AS BIGINT))
+          |    END AS q
+          |  FROM st)
+          |SELECT vec_id, vmin, vmax, step, q,
+          |  CASE WHEN step = 0 THEN 0.0
+          |  ELSE list_max(list_transform(generate_series(1, len(v)),
+          |    i -> abs(v[i]::DOUBLE - (vmin + q[i]::DOUBLE * step))))
+          |  END AS max_abs_err
+          |FROM qq ORDER BY vec_id""".stripMargin
     )
   }
 }
