@@ -72,23 +72,19 @@ object Analyze {
                minAvgDurationMs: Double = 0.0,
                extractTables: Boolean = false): DataFrame = {
     val withId = logs.withColumn("pattern_id", Normalize.fingerprint(col("query")))
-    // U2 extraction is dictionary-encoded: the parser UDF runs once per
-    // DISTINCT query text, then joins back — identical semantics to
-    // per-row extraction (it is a pure function of the text) at a fraction
-    // of the parse work when texts repeat, which is exactly the workload
-    // (query logs repeat heavily; that is the premise of the whole tool).
+    // U2 extraction runs through the MEMOIZED parser UDF: once per distinct
+    // text per executor, served from memory on repeats. Same once-per-
+    // distinct economics as dictionary encoding (distinct + join-back,
+    // which this replaced) but with ZERO extra shuffles — the log stream
+    // stays map-only into the pattern aggregation, and an all-distinct
+    // workload degrades to plain per-row parsing instead of paying two
+    // exchanges for nothing.
     val withTables =
       if (!extractTables) withId
-      else {
-        val extracted = withId.select(col("query")).distinct()
-          .withColumn("extracted_tables", SqlTables.extracted(col("query")))
-        withId.join(extracted, Seq("query"))
-          .withColumn("tables",
-            array_distinct(concat(
-              coalesce(col("tables"), array().cast("array<string>")),
-              col("extracted_tables"))))
-          .drop("extracted_tables")
-      }
+      else withId.withColumn("tables",
+        array_distinct(concat(
+          coalesce(col("tables"), array().cast("array<string>")),
+          SqlTables.extractedMemo(col("query")))))
     val agg =
       if (withTables.columns.contains("tables")) Patterns.aggregateWithTables(withTables)
       else Patterns.aggregate(withTables)
@@ -134,9 +130,16 @@ object Analyze {
 
     val proj = project.get
     val lookup = Mapping.lookupDf(spark, proj)
+    // Persisted: every level ≥ DbtIntegration fans out from this frame
+    // (coverage + recommendations + the caller's own reads), and without a
+    // cache each consumer re-executes the whole log→agg→enrich subtree —
+    // Spark has no cross-consumer CSE. Post-aggregation the frame is one
+    // row per distinct pattern, so at 100 TB of logs it is still tiny;
+    // caching it is the plan you'd hand-write.
     val enriched = Filters.applyCriteria(
       Mapping.enrichWithModels(pats, lookup),
       Filters.PatternCriteria(selectModels = focusedCriteria.selectModels))
+      .persist()
     // Coverage reflects the post-selection pattern set, as the reference
     // recalculates it after model filtering (querysight.py:396-397).
     val cov = Mapping.coverage(enriched, Mapping.modelsDf(spark, proj),

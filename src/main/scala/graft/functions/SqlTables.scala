@@ -82,4 +82,28 @@ object SqlTables {
     udf((sql: String) => extractTablesSorted(sql))
 
   def extracted(queryCol: Column): Column = extractTablesUdf(queryCol)
+
+  /** Per-JVM memo for the tokenizer: each executor parses a distinct text
+    * at most once, then serves repeats from memory. Query logs repeat
+    * heavily (the premise of the tool), so this gets the once-per-distinct
+    * economics of dictionary encoding WITHOUT its two shuffles (distinct +
+    * join-back) — and when texts happen to be all-distinct it degrades to
+    * plain per-row parsing instead of paying those shuffles for nothing.
+    * The map is insert-capped: past [[MemoMax]] entries it stops caching
+    * (results stay correct, the cache just stops growing). */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private val MemoMax = 100000
+
+  val extractTablesMemoUdf = udf { (sql: String) =>
+    val hit = memo.get(sql)
+    if (hit != null) hit
+    else {
+      val r = extractTablesSorted(sql)
+      if (memo.size < MemoMax) memo.put(sql, r)
+      r
+    }
+  }
+
+  def extractedMemo(queryCol: Column): Column = extractTablesMemoUdf(queryCol)
 }

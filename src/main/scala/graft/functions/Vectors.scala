@@ -39,8 +39,18 @@ object Vectors {
     * packed into a long. Vectors in the same bucket are ANN candidates.
     * Scaling a vector by any positive factor leaves every projection sign
     * unchanged, so collinear vectors land in the same bucket in EVERY
-    * seeded table — the recall guarantee the dedup path builds on. */
-  def srpBucket(vec: Column, planes: Int, seed: Int = 0): Column = {
+    * seeded table — the recall guarantee the dedup path builds on.
+    *
+    * Default path is the native [[graft.plans.SrpBucket]] expression
+    * (hyperplanes precomputed once per JVM, one FMA loop per row); the
+    * composable form below is its bit-equivalence spec twin
+    * (`SimilaritySpec`), same convention as simhash. */
+  def srpBucket(vec: Column, planes: Int, seed: Int = 0): Column =
+    graft.plans.SrpBucket.srpBucket(vec, planes, seed)
+
+  /** Spec twin of [[srpBucket]] — the same bucket id via higher-order
+    * column functions only. */
+  def srpBucketComposable(vec: Column, planes: Int, seed: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(d(vec), sequence(lit(0), size(vec) - 1),

@@ -244,33 +244,42 @@ object Dedup {
     * Spark iterative-algorithm shape. Returns (doc, component) where
     * component = min doc id reachable. */
   def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Both directions from ONE pass over the pair stream (explode, not
+    // self-union): the pair-generation subtree is typically an expensive
+    // LSH plan, and a union of two selects would execute it twice.
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().persist()
     var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("component", col("doc")).persist()
+      .withColumn("component", col("doc"))
+      .withColumn("old", col("component")).persist()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // neighborhood minimum: own label ∧ min of neighbors' labels
+      // neighborhood minimum: own label ∧ min of neighbors' labels. The
+      // previous label rides along as `old` so the convergence probe is a
+      // filter over the cached frame, not an extra self-join per round.
       val neighborMin = edges
-        .join(labels.withColumnRenamed("doc", "dst"), Seq("dst"))
+        .join(labels.select(col("doc").as("dst"), col("component")), Seq("dst"))
         .groupBy(col("src").as("doc"))
         .agg(min(col("component")).as("n_min"))
-      val next = labels.join(neighborMin, Seq("doc"), "left")
+      val next = labels.select(col("doc"), col("component"))
+        .join(neighborMin, Seq("doc"), "left")
         .select(col("doc"),
           least(col("component"), coalesce(col("n_min"), col("component")))
-            .as("component"))
+            .as("component"),
+          col("component").as("old"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("doc"))
-        .filter(col("component") =!= col("old")).limit(1).count()
+      val changed = next.filter(col("component") =!= col("old")).limit(1).count()
       labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
-    labels
+    labels.select("doc", "component")
   }
 
   /** The dedup KEEP-list: every doc not in any near-dup pair, plus the

@@ -63,4 +63,18 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.exists(r =>
       exact.contains((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))))
   }
+
+  test("native srpBucket is bit-equivalent to the composable twin") {
+    import graft.functions.{Vectors => VF}
+    val rnd = new scala.util.Random(11)
+    val vecs = (1 to 300).map(i =>
+      (i.toLong, Seq.fill(24)(rnd.nextFloat() * 2 - 1))).toDF("vid", "vec")
+    for (seed <- Seq(0, 3); planes <- Seq(1, 10, 24)) {
+      val diff = vecs.select(
+        VF.srpBucket(col("vec"), planes, seed).as("native"),
+        VF.srpBucketComposable(col("vec"), planes, seed).as("comp"))
+        .filter(col("native") =!= col("comp")).count()
+      assert(diff == 0, s"seed=$seed planes=$planes")
+    }
+  }
 }
