@@ -72,22 +72,32 @@ object Analyze {
                minAvgDurationMs: Double = 0.0,
                extractTables: Boolean = false): DataFrame = {
     val withId = logs.withColumn("pattern_id", Normalize.fingerprint(col("query")))
-    // U2 extraction runs through the MEMOIZED parser UDF: once per distinct
-    // text per executor, served from memory on repeats. Same once-per-
-    // distinct economics as dictionary encoding (distinct + join-back,
-    // which this replaced) but with ZERO extra shuffles — the log stream
-    // stays map-only into the pattern aggregation, and an all-distinct
-    // workload degrades to plain per-row parsing instead of paying two
-    // exchanges for nothing.
-    val withTables =
-      if (!extractTables) withId
-      else withId.withColumn("tables",
-        array_distinct(concat(
-          coalesce(col("tables"), array().cast("array<string>")),
-          SqlTables.extractedMemo(col("query")))))
+    val agg0 =
+      if (withId.columns.contains("tables")) Patterns.aggregateWithTables(withId)
+      else Patterns.aggregate(withId)
+    // U2 extraction runs AFTER aggregation, on each pattern's exemplar
+    // text: table references are a function of the PATTERN (a pattern's
+    // rows differ only in literals, which the tokenizer ignores), so the
+    // parser executes at pattern cardinality — thousands of rows — instead
+    // of log cardinality, which at 100 TB is billions. Log-provided
+    // `tables` arrays are genuine per-row data and still union through the
+    // aggregate; only the derived extraction moves. The memo UDF on top
+    // makes re-analysis across levels/sessions parse each pattern once
+    // per executor. (Deliberate semantics: a table name smuggled inside a
+    // row's string literal no longer contributes — that was a parse
+    // artifact, not a reference.)
     val agg =
-      if (withTables.columns.contains("tables")) Patterns.aggregateWithTables(withTables)
-      else Patterns.aggregate(withTables)
+      if (!extractTables) agg0
+      else {
+        val extractedCol = SqlTables.extractedMemo(col("sql_pattern"))
+        val merged =
+          if (agg0.columns.contains("tables_accessed"))
+            array_distinct(concat(
+              coalesce(col("tables_accessed"), array().cast("array<string>")),
+              extractedCol))
+          else extractedCol
+        agg0.withColumn("tables_accessed", sort_array(merged))
+      }
     Patterns.rankByImpact(Patterns.having(agg, minFrequency, minAvgDurationMs))
   }
 

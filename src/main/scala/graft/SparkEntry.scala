@@ -907,14 +907,17 @@ object SparkEntry {
         .when(col("event_type") === "view", lit("rpt_daily"))
         .when(col("event_type") === "signup", lit("legacy.raw_stuff"))
         .otherwise(lit("system.query_log"))
-      val distinctQueries = Tables.events(s, dir)
+      // Pattern-cardinality extraction: collapse the log to one exemplar
+      // per pattern FIRST (map-side partial agg — far cheaper than
+      // distinct over raw texts), then parse the handful of exemplars.
+      val distinctPatterns = Tables.events(s, dir)
         .select(concat(lit("SELECT * FROM "), target, lit(" WHERE k = "),
           col("user_id")).as("query"))
-        .distinct()
         .withColumn("pattern_id", Normalize.fingerprint(col("query")))
+        .groupBy("pattern_id").agg(min(col("query")).as("query"))
         .withColumn("tables_accessed", graft.functions.SqlTables.extracted(col("query")))
       val enriched = graft.operators.Mapping.enrichWithModels(
-        distinctQueries.select("pattern_id", "tables_accessed"),
+        distinctPatterns.select("pattern_id", "tables_accessed"),
         graft.operators.Mapping.lookupDf(s, proj))
       graft.operators.Mapping.coverage(enriched,
         graft.operators.Mapping.modelsDf(s, proj),
