@@ -636,6 +636,31 @@ object SparkEntry {
         Text.langId(col("text")).as("predicted_lang"))
         .orderBy(col("doc_id"))),
 
+    // Composed C4/Gopher-style quality gate: five per-row signals →
+    // auditable keep/drop with per-rule reasons. Map-only (no shuffle).
+    "q_quality_filter" -> ((s, dir) =>
+      graft.operators.QualityFilter(Tables.documents(s, dir), "doc_id", "text", "lang")
+        .orderBy(col("doc_id"))),
+
+    // The training-corpus path end to end: quality gate → normalized
+    // dedup (min-id canonical per fingerprint) → per-doc token stats.
+    // Quality is map-only; dedup is ONE shuffle on the fingerprint.
+    "q_corpus_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kept = docs.join(
+        graft.operators.QualityFilter(docs, "doc_id", "text", "lang")
+          .filter(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+        .orderBy(col("doc_id"))
+      kept.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"),
+          Text.tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprint, DEFAULT = native O(n) rolling-hash expression.
     // Oracle: DuckDB recomputes each window's Rabin-Karp polynomial in
     // HUGEINT, reduces mod 2^64, and reinterprets as signed — bit-equal to
@@ -1037,6 +1062,35 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     val normSql = Normalize.duckdbNormalizeSql(logQuerySql)
+    // Shared by q_quality_filter / q_corpus_pipeline: signal CTEs mirroring
+    // operators.QualityFilter (same fixed reason order).
+    val qualityCtes =
+      s"""sig AS (
+         |  SELECT doc_id, lang AS lang_tag,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+         |      / greatest(len(toks)::DOUBLE, 1.0) AS mean_word_len,
+         |    len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE
+         |      / greatest(length(text)::DOUBLE, 1.0) AS punct_ratio,
+         |    ${Text.duckdbStopwordRatioSql("text")} AS stopword_ratio,
+         |    len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE
+         |      / greatest(length(text)::DOUBLE, 1.0) AS alpha_ratio
+         |  FROM (SELECT doc_id, lang, text,
+         |          string_split_regex(trim(text), '\\s+') AS toks
+         |        FROM documents)),
+         |judged AS (
+         |  SELECT *, list_filter([
+         |      CASE WHEN n_tokens < 10 THEN 'too_few_tokens' END,
+         |      CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
+         |      CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0
+         |        THEN 'mean_word_len' END,
+         |      CASE WHEN punct_ratio > 0.20 THEN 'high_punct_ratio' END,
+         |      CASE WHEN stopword_ratio < 0.01 THEN 'low_stopword_ratio' END,
+         |      CASE WHEN alpha_ratio < 0.60 THEN 'low_alpha_ratio' END,
+         |      CASE WHEN lang_tag NOT IN ('en','de','es','fr')
+         |        THEN 'lang_not_allowed' END
+         |    ], x -> x IS NOT NULL) AS reasons
+         |  FROM sig)""".stripMargin
     Map(
       "q_scan_project" ->
         """SELECT event_id, user_id, event_type, value FROM events
@@ -1414,6 +1468,32 @@ object SparkEntry {
         s"""SELECT doc_id, lang AS declared_lang,
            |  ${Text.duckdbLangIdSql("text")} AS predicted_lang
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // Quality gate: integer-exact signal numerators, identical-shape
+      // double ratios, reasons built in the same fixed order both sides.
+      "q_quality_filter" ->
+        s"""WITH $qualityCtes
+           |SELECT doc_id, n_tokens, mean_word_len, punct_ratio,
+           |  stopword_ratio, alpha_ratio, reasons,
+           |  len(reasons) = 0 AS keep
+           |FROM judged ORDER BY doc_id""".stripMargin,
+
+      // Full corpus pipeline: quality gate → normalized dedup (min-id
+      // canonical) → per-doc token stats. Same CTEs as the gate oracle.
+      "q_corpus_pipeline" ->
+        s"""WITH $qualityCtes,
+           |keepers AS (SELECT doc_id FROM judged WHERE len(reasons) = 0),
+           |kept AS (
+           |  SELECT d.doc_id, d.lang, d.source, d.text FROM documents d
+           |  JOIN keepers k ON d.doc_id = k.doc_id),
+           |canon AS (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           |    ORDER BY doc_id) AS rn
+           |  FROM kept)
+           |SELECT doc_id, lang, source,
+           |  ${Text.duckdbTokenCountSql("text")}::BIGINT AS n_tokens
+           |FROM canon WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
       // Rabin-Karp min-hash recomputed per window in HUGEINT, reduced
       // mod 2^64, reinterpreted as signed int64 — bit-equal to the native

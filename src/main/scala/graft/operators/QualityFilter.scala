@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Composed document quality gate — the C4/Gopher-style keep/drop decision
+  * a training pipeline runs before dedup, with per-rule REASONS so drops
+  * are auditable (the difference between a filter you can tune and one you
+  * can only rerun).
+  *
+  * Entirely map-only: every signal is a per-row Column expression (the
+  * token array materialized once per row — lambda-CSE rule), no shuffle
+  * anywhere, so the pass streams at scan speed over 100 TB and composes
+  * with partition pruning for free. Thresholds follow the published
+  * Gopher/C4 heuristics but are all parameters.
+  */
+object QualityFilter {
+
+  /** Thresholds; names follow the emitted reason strings. */
+  final case class Config(
+      minTokens: Long = 10L,
+      maxTokens: Long = 100000L,
+      minMeanWordLen: Double = 2.0,
+      maxMeanWordLen: Double = 12.0,
+      maxPunctRatio: Double = 0.20,
+      minStopwordRatio: Double = 0.01,
+      minAlphaRatio: Double = 0.60,
+      allowedLangs: Seq[String] = Seq("en", "de", "es", "fr"))
+
+  /** Per-document verdict: id, the five signals, `reasons` (violated rule
+    * names, fixed construction order) and `keep`. */
+  def apply(docs: DataFrame, idCol: String, textCol: String, langCol: String,
+            cfg: Config = Config()): DataFrame = {
+    val base = docs.select(col(idCol), col(langCol).as("lang_tag"),
+      col(textCol).as("txt"),
+      Text.tokens(col(textCol)).as("toks"))
+    val sig = base.select(
+      col(idCol), col("lang_tag"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      (aggregate(transform(col("toks"), t => length(t)), lit(0L),
+        (acc, x) => acc + x.cast("long")).cast("double") /
+        greatest(size(col("toks")).cast("double"), lit(1.0d))).as("mean_word_len"),
+      (Text.punctCount(col("txt")).cast("double") /
+        greatest(length(col("txt")).cast("double"), lit(1.0d))).as("punct_ratio"),
+      Text.stopwordRatio(col("txt")).as("stopword_ratio"),
+      (size(regexp_extract_all(col("txt"), lit("[A-Za-z]"), lit(0))).cast("double") /
+        greatest(length(col("txt")).cast("double"), lit(1.0d))).as("alpha_ratio"))
+    val reasons = array_compact(array(
+      when(col("n_tokens") < cfg.minTokens, lit("too_few_tokens")),
+      when(col("n_tokens") > cfg.maxTokens, lit("too_many_tokens")),
+      when(col("mean_word_len") < cfg.minMeanWordLen
+        || col("mean_word_len") > cfg.maxMeanWordLen, lit("mean_word_len")),
+      when(col("punct_ratio") > cfg.maxPunctRatio, lit("high_punct_ratio")),
+      when(col("stopword_ratio") < cfg.minStopwordRatio, lit("low_stopword_ratio")),
+      when(col("alpha_ratio") < cfg.minAlphaRatio, lit("low_alpha_ratio")),
+      when(not(col("lang_tag").isInCollection(cfg.allowedLangs)), lit("lang_not_allowed"))))
+    sig.withColumn("reasons", reasons)
+      .withColumn("keep", size(col("reasons")) === 0)
+      .drop("lang_tag")
+  }
+}

@@ -74,6 +74,27 @@ class TextHygieneSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_bench_docs") == 1L))
   }
 
+  test("quality filter: each rule fires on its crafted violator") {
+    import graft.operators.QualityFilter
+    val good = "the quick brown fox and the lazy dog walk to a small house in " +
+      "the field that is green and the sun is warm over it all day long today"
+    val docs = Seq(
+      (1L, good, "en"),                       // passes everything
+      (2L, "short text only here", "en"),     // too_few_tokens
+      (3L, good, "zz"),                       // lang_not_allowed
+      (4L, ("a " * 40).trim, "en"),           // mean_word_len < 2
+      (5L, good.replace(" ", "!! "), "en"))   // high punct, likely low alpha too
+      .toDF("doc_id", "text", "lang")
+    val out = QualityFilter(docs, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect()
+    def reasons(i: Int) = out(i).getSeq[String](out(i).fieldIndex("reasons")).toSeq
+    assert(out(0).getAs[Boolean]("keep") && reasons(0).isEmpty)
+    assert(reasons(1) == Seq("too_few_tokens", "low_stopword_ratio"))
+    assert(reasons(2) == Seq("lang_not_allowed"))
+    assert(reasons(3).contains("mean_word_len") && !out(3).getAs[Boolean]("keep"))
+    assert(reasons(4).contains("high_punct_ratio"))
+  }
+
   test("contamination n-gram order is respected (no overlap at larger n)") {
     val corpus = Seq((10L, "alpha beta gamma other words here")).toDF("doc_id", "text")
     val bench = Seq((1L, "alpha beta gamma different tail tokens")).toDF("doc_id", "text")
