@@ -42,7 +42,8 @@ object Bench {
   private val Sf1Queries: Seq[String] = Seq(
     "q_tpch_q1", "q_tpch_q3", "q_tpch_q6", "q_pattern_agg", "q_star_join",
     "q_session_stats", "q_dedup_exact", "q_doc_fingerprint",
-    "q_dedup_minhash", "q_ann_cosine")
+    "q_dedup_minhash", "q_ann_cosine", "q_dedup_embedding_lsh",
+    "q_quality_filter")
 
   /** Replicate sf0.1 into a ~sf1 directory, once (marker-gated). */
   private def buildSf1(spark: SparkSession, srcDir: String, dstDir: String,

@@ -1478,6 +1478,117 @@ object SparkEntry {
            |  len(reasons) = 0 AS keep
            |FROM judged ORDER BY doc_id""".stripMargin,
 
+      // The FLAGSHIP lifecycle, independently recomputed: DuckDB rebuilds
+      // the synthesized logs, normalizes+fingerprints them, aggregates
+      // patterns (HAVING freq>=2), re-derives each pattern's accessed
+      // table from its exemplar, resolves models with the same precedence
+      // VALUES as q_dbt_coverage, and re-runs all five recommendation
+      // rules. avg-duration only feeds a >1000ms flag, far from any
+      // boundary, so the double sum is parity-safe here.
+      "q_analyze_pipeline" -> {
+        val q = "'SELECT * FROM ' || target || ' WHERE k = ' || user_id"
+        s"""WITH lookup(ref, model) AS (VALUES
+           |  ('acme.stg_customers','stg_customers'), ('acme.stg_orders','stg_orders'),
+           |  ('acme_private.int_secrets','int_secrets'), ('acme_reports.rpt_daily','rpt_daily'),
+           |  ('analytics.fct_revenue','fct_revenue'), ('fct_revenue','fct_revenue'),
+           |  ('int_secrets','int_secrets'), ('rpt_daily','rpt_daily'),
+           |  ('stg_customers','stg_customers'), ('stg_orders','stg_orders')),
+           |logs AS (
+           |  SELECT CASE event_type
+           |    WHEN 'purchase' THEN 'acme.stg_orders'
+           |    WHEN 'click' THEN 'analytics.fct_revenue'
+           |    WHEN 'view' THEN 'rpt_daily'
+           |    WHEN 'signup' THEN 'legacy.raw_stuff'
+           |    ELSE 'system.query_log' END AS target,
+           |    user_id, value
+           |  FROM events),
+           |pat AS (
+           |  SELECT ${Normalize.duckdbFingerprintSql(q)} AS pattern_id,
+           |    min($q) AS sql_pattern,
+           |    CAST(count(*) AS BIGINT) AS frequency,
+           |    sum(value) / count(*) AS avg_dur
+           |  FROM logs GROUP BY 1 HAVING count(*) >= 2),
+           |withtbl AS (
+           |  SELECT *, lower(regexp_extract(sql_pattern, 'FROM ([^ ]+)', 1)) AS tbl
+           |  FROM pat),
+           |resolved AS (
+           |  SELECT *, coalesce(
+           |    (SELECT model FROM lookup WHERE ref = tbl),
+           |    (SELECT model FROM lookup WHERE ref = string_split(tbl, '.')[-1]),
+           |    (SELECT model FROM lookup
+           |     WHERE ref = array_to_string(string_split(tbl, '.')[-2:], '.'))) AS model
+           |  FROM withtbl),
+           |flagged AS (
+           |  SELECT *,
+           |    (tbl LIKE 'system.%' OR tbl LIKE 'information_schema.%'
+           |      OR tbl LIKE 'pg_catalog.%') AS sys_only,
+           |    contains(lower(sql_pattern), 'join') AS has_join,
+           |    contains(lower(sql_pattern), 'group by') AS has_agg,
+           |    frequency > 100 AS is_hf,
+           |    avg_dur > 1000.0 AS is_lr
+           |  FROM resolved)
+           |SELECT pattern_id, sql_pattern, frequency,
+           |  coalesce(model, '') AS models_used,
+           |  CASE WHEN model IS NULL THEN tbl ELSE '' END AS unmapped_tables,
+           |  CASE WHEN sys_only THEN 0 ELSE
+           |    (is_lr AND has_join)::INT + (is_lr AND has_agg)::INT +
+           |    (is_hf AND NOT is_lr)::INT + (is_hf AND is_lr)::INT +
+           |    (model IS NULL)::INT
+           |  END::BIGINT AS n_recommendations
+           |FROM flagged ORDER BY pattern_id""".stripMargin
+      },
+
+      // Coverage over the demo dbt graph. The fixture's PARSED form
+      // (lookup keys, edges, model set) is transcribed as VALUES — parsing
+      // itself is DbtLoaderSpec's job — and DuckDB independently recomputes
+      // everything the engine derives at runtime: the distinct accessed
+      // tables from events, the exact>bare>schema.table resolution
+      // precedence, the 1-hop upstream expansion, and the coverage math.
+      "q_dbt_coverage" ->
+        """WITH lookup(ref, model) AS (VALUES
+          |  ('acme.stg_customers','stg_customers'), ('acme.stg_orders','stg_orders'),
+          |  ('acme_private.int_secrets','int_secrets'), ('acme_reports.rpt_daily','rpt_daily'),
+          |  ('analytics.fct_revenue','fct_revenue'), ('fct_revenue','fct_revenue'),
+          |  ('int_secrets','int_secrets'), ('rpt_daily','rpt_daily'),
+          |  ('stg_customers','stg_customers'), ('stg_orders','stg_orders')),
+          |edges(model, depends_on) AS (VALUES
+          |  ('fct_revenue','stg_customers'), ('fct_revenue','stg_orders'),
+          |  ('int_secrets','stg_orders'), ('rpt_daily','fct_revenue'),
+          |  ('stg_customers','raw.customers'), ('stg_orders','raw.orders')),
+          |models(model) AS (VALUES ('fct_revenue'), ('int_secrets'),
+          |  ('rpt_daily'), ('stg_customers'), ('stg_orders')),
+          |tbls AS (
+          |  SELECT DISTINCT lower(CASE event_type
+          |    WHEN 'purchase' THEN 'acme.stg_orders'
+          |    WHEN 'click' THEN 'analytics.fct_revenue'
+          |    WHEN 'view' THEN 'rpt_daily'
+          |    WHEN 'signup' THEN 'legacy.raw_stuff'
+          |    ELSE 'system.query_log' END) AS tbl
+          |  FROM events),
+          |resolved AS (
+          |  SELECT tbl, coalesce(
+          |    (SELECT model FROM lookup WHERE ref = tbl),
+          |    (SELECT model FROM lookup WHERE ref = string_split(tbl, '.')[-1]),
+          |    (SELECT model FROM lookup
+          |     WHERE ref = array_to_string(string_split(tbl, '.')[-2:], '.'))) AS model
+          |  FROM tbls),
+          |used AS (SELECT DISTINCT model FROM resolved WHERE model IS NOT NULL),
+          |expanded AS (
+          |  SELECT model FROM used
+          |  UNION
+          |  SELECT e.depends_on FROM used u JOIN edges e ON u.model = e.model),
+          |usedm AS (SELECT DISTINCT m.model FROM expanded x JOIN models m ON x.model = m.model),
+          |unused AS (SELECT model FROM models EXCEPT SELECT model FROM usedm)
+          |SELECT
+          |  CAST((SELECT count(*) FROM usedm) + (SELECT count(*) FROM unused) AS BIGINT) AS n_total,
+          |  CAST((SELECT count(*) FROM usedm) AS BIGINT) AS n_used,
+          |  CAST((SELECT count(*) FROM unused) AS BIGINT) AS n_unused,
+          |  (SELECT count(*) FROM usedm)::DOUBLE * 100.0
+          |    / ((SELECT count(*) FROM usedm) + (SELECT count(*) FROM unused))::DOUBLE
+          |    AS pct_covered,
+          |  coalesce((SELECT string_agg(model, ',' ORDER BY model) FROM unused), '')
+          |    AS unused_models""".stripMargin,
+
       // Full corpus pipeline: quality gate → normalized dedup (min-id
       // canonical) → per-doc token stats. Same CTEs as the gate oracle.
       "q_corpus_pipeline" ->
