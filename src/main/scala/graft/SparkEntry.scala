@@ -953,6 +953,22 @@ object SparkEntry {
     // completion over the bounded events table and compared against a
     // batch DuckDB oracle — stream/batch parity is the whole point of
     // keeping the aggregate decomposable.
+    // The SAME QualityFilter code running unmodified over a file STREAM —
+    // map-only, so append mode needs no watermark/state; per-row results
+    // are identical to the batch gate and share its oracle shape.
+    "q_stream_quality" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val name = "stream_quality_" + math.abs(dir.hashCode).toString
+      s.catalog.dropTempView(name)
+      val q = graft.operators.QualityFilter(stream, "doc_id", "text", "lang")
+        .select("doc_id", "n_tokens", "reasons", "keep")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      s.table(name).orderBy(col("doc_id"))
+    }),
+
     "q_stream_windowed" -> ((s, dir) => {
       import graft.streaming.StreamingPatterns
       val logsStatic = eventsAsLogs(s, dir)
@@ -1936,6 +1952,11 @@ object SparkEntry {
           |          greatest((length(text) - 64)//32, 0))) AS i
           |      FROM documents)
           |ORDER BY media_id, window_idx""".stripMargin,
+
+      "q_stream_quality" ->
+        s"""WITH $qualityCtes
+           |SELECT doc_id, n_tokens, reasons, len(reasons) = 0 AS keep
+           |FROM judged ORDER BY doc_id""".stripMargin,
 
       "q_stream_windowed" ->
         s"""SELECT $patternIdSql AS pattern_id,

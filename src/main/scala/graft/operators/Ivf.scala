@@ -24,14 +24,27 @@ object Ivf {
   /** Element-wise mean per cluster via posexplode(dim) + groupBy — the
     * dimension explode multiplies rows by `dim`, but only for ONE
     * aggregation pass per Lloyd iteration, and it keeps the update fully
-    * distributed (no driver-side math over the corpus). */
-  private def updateCentroids(assigned: DataFrame): DataFrame =
+    * distributed (no driver-side math over the corpus).
+    *
+    * Accumulates in exact fixed-point (same rationale as
+    * [[Vectors.centroids]]): float `avg` is partition-order-dependent, so
+    * an index built twice over the same 100 TB corpus would get DIFFERENT
+    * centroids (and different cell assignments) run to run. Exact bigint
+    * sums make the build byte-reproducible under any partitioning. */
+  private def updateCentroids(assigned: DataFrame): DataFrame = {
+    val scale = 1048576.0d // 2^20
     assigned.select(col("centroid_id"), posexplode(col("vec")))
       .groupBy(col("centroid_id"), col("pos"))
-      .agg(avg(col("col")).as("mean"))
+      .agg(sum(floor(col("col").cast("double") * scale)).as("s"),
+        count(lit(1)).as("n"))
       .groupBy("centroid_id")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
-        s => s.getField("mean").cast("float")).as("cvec"))
+      .agg(any_value(col("n")).as("n"),
+        array_sort(collect_list(struct(col("pos"), col("s")))).as("ss"))
+      .select(col("centroid_id"),
+        transform(col("ss"),
+          e => (e.getField("s").cast("double") / col("n").cast("double") / scale)
+            .cast("float")).as("cvec"))
+  }
 
   /** Nearest-centroid id for `vec` against a broadcast centroid table.
     * argmax via `max_by` under groupBy, NOT a window: map-side partial

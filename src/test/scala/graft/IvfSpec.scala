@@ -41,4 +41,13 @@ class IvfSpec extends SparkSpec {
     assert(rAll == 1.0)
     assert(recall(1) <= rAll)
   }
+
+  test("index build is byte-reproducible under repartitioning") {
+    def assignments(parts: Int) =
+      Ivf.build(emb.repartition(parts), "vec_id", "embedding", k = 4)._1
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    // fixed-point centroid accumulation is associative: any partitioning
+    // yields the same centroids, hence the same cell assignments
+    assert(assignments(1) == assignments(7))
+  }
 }
