@@ -430,6 +430,21 @@ object SparkEntry {
         .orderBy(col("event_type").asc_nulls_first, col("user_id").asc_nulls_first)),
 
     // Exact interpolated quantiles (percentile ~ quantile_cont parity).
+    // Corpus reporting surface: per-language doc counts, exact token
+    // totals, exact interpolated length percentiles, source spread. One
+    // decomposable hash-agg (percentile is the only sort-bearing piece).
+    "q_corpus_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.tokenCount(col("text"))).cast("long").as("total_tokens"),
+          expr("percentile(n_chars, 0.5)").as("p50_chars"),
+          expr("percentile(n_chars, 0.95)").as("p95_chars"),
+          count_distinct(col("source")).as("n_sources"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_chars"))
+        .orderBy(col("lang"))),
+
     "q_quantiles" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
@@ -1329,6 +1344,16 @@ object SparkEntry {
            |FROM events
            |GROUP BY GROUPING SETS ((event_type), (user_id), ())
            |ORDER BY event_type ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin,
+
+      "q_corpus_stats" ->
+        s"""SELECT lang,
+           |  count(*) AS n_docs,
+           |  CAST(sum(${Text.duckdbTokenCountSql("text")}) AS BIGINT) AS total_tokens,
+           |  quantile_cont(n_chars, 0.5) AS p50_chars,
+           |  quantile_cont(n_chars, 0.95) AS p95_chars,
+           |  count(DISTINCT source) AS n_sources,
+           |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
       "q_quantiles" ->
         """SELECT event_type,

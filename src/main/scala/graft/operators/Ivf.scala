@@ -59,17 +59,25 @@ object Ivf {
         max_by(col("centroid_id"), struct(col("sim"), -col("centroid_id")))
           .as("centroid_id"))
 
-  /** Build the IVF index: returns (assignments, centroids). */
+  /** Build the IVF index: returns (assignments, centroids).
+    *
+    * Each Lloyd iteration's centroid table is MATERIALIZED (persist +
+    * count) before the next assignment pass: centroids are k×dim floats —
+    * trivially small at any corpus scale — but without the cut, iteration
+    * i's plan nests every previous iteration's cross-join and the work
+    * grows quadratically in `iters` (the standard iterative-algorithm
+    * lineage trap; MLlib's KMeans keeps centers on the driver for the
+    * same reason). */
   def build(emb: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int = 3): (DataFrame, DataFrame) = {
     val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("vec")).persist()
     var centroids = vecs.orderBy(col("vid")).limit(k)
       .select(row_number().over(Window.orderBy(col("vid"))).as("centroid_id"),
         col("vec").as("cvec"))
-    var assigned: DataFrame = null
     for (_ <- 1 to iters) {
-      assigned = assign(vecs, centroids)
-      centroids = updateCentroids(assigned)
+      val next = updateCentroids(assign(vecs, centroids)).persist()
+      next.count() // materialize before dropping the previous iteration
+      centroids = next
     }
     (assign(vecs, centroids).select("vid", "centroid_id"), centroids)
   }

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.{Contamination, QualityFilter, Vectors}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions for the corpus operators: the properties that
+  * make them scale (map-only passes stay map-only; small sides broadcast;
+  * nothing degenerates to a cartesian product). Plan text is checked
+  * after AQE-independent planning via `explain` capture. */
+class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private lazy val docs = (1 to 50).map(i =>
+    (i.toLong, s"some text body number $i with several words", "en"))
+    .toDF("doc_id", "text", "lang")
+
+  test("quality gate is map-only: no exchange in the plan") {
+    val p = plan(QualityFilter(docs, "doc_id", "text", "lang"))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("vector normalize is map-only: no exchange in the plan") {
+    val emb = (1 to 20).map(i => (i.toLong, Seq(1.0f * i, 2.0f))).toDF("vec_id", "embedding")
+    val p = plan(Vectors.normalize(emb, "vec_id", "embedding"))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("contamination joins the benchmark side as a broadcast, never a loop join") {
+    val bench = docs.filter(col("doc_id") <= 3)
+    val p = plan(Contamination.overlap(docs, bench, "doc_id", "text", n = 3))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("SRP-LSH near-dup plan has no corpus broadcast and no product join") {
+    val emb = (1 to 40).map(i =>
+      (i.toLong, Seq.fill(8)((i % 5).toFloat + 1f))).toDF("vec_id", "embedding")
+    val p = plan(graft.operators.Dedup.embeddingNearDupsLsh(
+      emb, "vec_id", "embedding", threshold = 0.9))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+}
