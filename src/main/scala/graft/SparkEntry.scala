@@ -430,6 +430,28 @@ object SparkEntry {
         .orderBy(col("event_type").asc_nulls_first, col("user_id").asc_nulls_first)),
 
     // Exact interpolated quantiles (percentile ~ quantile_cont parity).
+    // Incremental ingestion dedup: batch (originals ∪ id-shifted copies)
+    // vs a store of already-kept fingerprints (the even docs) — store-dups
+    // anti-joined away, within-batch dups resolved to the min id.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val store = d.filter(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("fingerprint"))
+      val batch = d.unionByName(
+        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.newAgainstStore(batch, "doc_id", "text", store)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // Corpus-wide vocabulary: top-100 tokens by frequency (count desc,
+    // token asc — a total order, so the cut is deterministic).
+    "q_vocabulary" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(Text.tokens(lower(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(100)),
+
     // Corpus reporting surface: per-language doc counts, exact token
     // totals, exact interpolated length percentiles, source spread. One
     // decomposable hash-agg (percentile is the only sort-bearing piece).
@@ -1344,6 +1366,29 @@ object SparkEntry {
            |FROM events
            |GROUP BY GROUPING SETS ((event_type), (user_id), ())
            |ORDER BY event_type ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin,
+
+      "q_dedup_incremental" ->
+        """WITH store AS (
+          |  SELECT DISTINCT md5(text) AS fingerprint FROM documents
+          |  WHERE doc_id % 2 = 0),
+          |batch AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text FROM documents),
+          |fresh AS (
+          |  SELECT b.doc_id, md5(b.text) AS fp FROM batch b
+          |  LEFT JOIN store s ON md5(b.text) = s.fingerprint
+          |  WHERE s.fingerprint IS NULL)
+          |SELECT doc_id FROM (
+          |  SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          |  FROM fresh) t
+          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+      "q_vocabulary" ->
+        """SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+          |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+          |  FROM documents) t
+          |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
 
       "q_corpus_stats" ->
         s"""SELECT lang,

@@ -282,6 +282,23 @@ object Dedup {
     labels.select("doc", "component")
   }
 
+  /** Incremental exact dedup: rows of `batch` that are new BOTH against a
+    * fingerprint `store` (the corpus already kept — one `fingerprint`
+    * column) AND within the batch itself (min-id wins). The production
+    * shape for rolling corpus ingestion: the store is the big side and
+    * arrives pre-hashed, so the anti-join is a plain fingerprint
+    * equi-join — bucket the store by fingerprint and ingestion never
+    * reshuffles it. */
+  def newAgainstStore(batch: DataFrame, idCol: String, textCol: String,
+                      store: DataFrame): DataFrame = {
+    val fp = batch.withColumn("fingerprint", md5(col(textCol)))
+    val fresh = fp.join(store.select("fingerprint"), Seq("fingerprint"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fingerprint")).orderBy(col(idCol))
+    fresh.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn", "fingerprint")
+  }
+
   /** The dedup KEEP-list: every doc not in any near-dup pair, plus the
     * canonical (minimum-id) doc of each near-dup component. */
   def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {

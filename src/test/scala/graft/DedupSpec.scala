@@ -34,6 +34,20 @@ class DedupSpec extends SparkSpec {
     assert(groups.head.getAs[Long]("n_copies") == 3L) // 2, 102, 103
   }
 
+  test("incremental dedup drops store dups and within-batch copies") {
+    val store = Seq("already kept text").toDF("text")
+      .select(md5(col("text")).as("fingerprint"))
+    val batch = Seq(
+      (1L, "already kept text"),      // dup vs store → dropped
+      (2L, "a brand new document"),   // new → kept
+      (3L, "a brand new document"),   // within-batch dup → dropped (2 wins)
+      (4L, "another new one"))        // new → kept
+      .toDF("doc_id", "text")
+    val kept = Dedup.newAgainstStore(batch, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 4L))
+  }
+
   test("minhash LSH finds the planted near-dup pair") {
     val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
       numHashes = 32, bands = 16, shingleN = 3, minEstJaccard = 0.4)

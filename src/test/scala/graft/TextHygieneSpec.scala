@@ -74,6 +74,42 @@ class TextHygieneSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_bench_docs") == 1L))
   }
 
+  test("repetition metrics equal a naive recount on random corpora") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "fff", "gg")
+    val docs = (1L to 40L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = Repetition.ngramRepetition(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.toLowerCase.trim.split("\\s+").toSeq
+      def grams(n: Int) =
+        if (toks.length <= n - 1) Seq(toks.mkString(" "))
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val bi = grams(2).groupBy(identity).view.mapValues(_.size)
+      val (topBi, topCount) = bi.toSeq.minBy { case (g, c) => (-c, g) }
+      val tri = grams(3).groupBy(identity).view.mapValues(_.size)
+      val dupFrac = tri.values.map(_ - 1).sum.toDouble / tri.values.sum.toDouble
+      val r = got(id)
+      assert(r.getAs[Long]("n_tokens") == toks.size)
+      assert(r.getAs[Long]("n_distinct_tokens") == toks.distinct.size)
+      assert(r.getAs[String]("top_bigram") == topBi, s"doc $id")
+      assert(r.getAs[Long]("top_bigram_count") == topCount)
+      assert(math.abs(r.getAs[Double]("dup_trigram_frac") - dupFrac) < 1e-12)
+    }
+  }
+
+  test("scrub is idempotent: redacted text has nothing left to redact") {
+    val lines = Seq(
+      "mail a@b.co and c.d+x@e-f.org via https://h.example/p?q=1 from 1.2.3.4",
+      "no pii here at all",
+      "edge http://x.y [email protected] 255.255.255.255 end")
+    val df = lines.toDF("line").select(Scrub.scrub(col("line")).as("once"))
+      .select(col("once"), Scrub.scrub(col("once")).as("twice"))
+    assert(df.filter(col("once") =!= col("twice")).isEmpty)
+  }
+
   test("quality filter: each rule fires on its crafted violator") {
     import graft.operators.QualityFilter
     val good = "the quick brown fox and the lazy dog walk to a small house in " +
