@@ -252,15 +252,23 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().persist()
+    // Each round references the previous labels frame TWICE (neighbor
+    // lookup + left join), so without lineage truncation the logical plan
+    // doubles per iteration — 2^rounds nodes by round 15, and Catalyst
+    // analysis alone dwarfs the actual work. `localCheckpoint(eager)`
+    // pins each round's result as a materialized RDD with a constant-size
+    // plan — the standard Spark shape for iterative graph algorithms (on
+    // a cluster with executor churn, swap in reliable `checkpoint`).
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("component", col("doc"))
-      .withColumn("old", col("component")).persist()
+      .withColumn("old", col("component"))
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       // neighborhood minimum: own label ∧ min of neighbors' labels. The
       // previous label rides along as `old` so the convergence probe is a
-      // filter over the cached frame, not an extra self-join per round.
+      // filter over the materialized frame, not an extra self-join.
       val neighborMin = edges
         .join(labels.select(col("doc").as("dst"), col("component")), Seq("dst"))
         .groupBy(col("src").as("doc"))
@@ -271,7 +279,7 @@ object Dedup {
           least(col("component"), coalesce(col("n_min"), col("component")))
             .as("component"),
           col("component").as("old"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next.filter(col("component") =!= col("old")).limit(1).count()
       labels.unpersist()
       labels = next

@@ -124,6 +124,27 @@ class DedupSpec extends SparkSpec {
     assert(comps(20L) == 20L && comps(21L) == 20L)
   }
 
+  test("components equal driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(41)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(e => e._1 != e._2)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(n => n -> find(n)).toMap
+    val got = Dedup.components(edges.toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same node universe, and min-label == union-find root everywhere
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (n, c) => assert(c == expected(n), s"node $n") }
+  }
+
   test("keepCanonical retains unpaired docs and one doc per component") {
     val docs = (1L to 6L).map(i => (i, s"text$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 5L)).toDF("doc_a", "doc_b")
