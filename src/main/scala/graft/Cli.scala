@@ -51,7 +51,9 @@ object Cli {
       case "analyze" => analyze(spark, opts)
       case "export" => exportLatest(spark, opts)
       case "generate-model" => generateModel(spark, opts)
-      case other => sys.error(s"unknown command: $other (analyze|export|generate-model)")
+      case "corpus" => corpus(spark, opts)
+      case other =>
+        sys.error(s"unknown command: $other (analyze|export|generate-model|corpus)")
     } finally spark.stop()
   }
 
@@ -160,6 +162,44 @@ object Cli {
 
   /** S9: `export [--output <file>]` (`querysight.py:815-848`) — latest
     * persisted patterns as JSON, to stdout or a file. */
+  /** `corpus`: the training-data surface as a one-shot tool — quality gate
+    * (configurable thresholds) → optional dedup (exact|normalized|none) →
+    * kept docs written as parquet to `--out`, plus a one-line JSON summary
+    * on stdout (counts per stage).
+    *
+    *   runMain graft.Cli corpus --docs <parquet> --out <dir>
+    *       [--min-tokens 10] [--langs en,de] [--dedup normalized]
+    */
+  private[graft] def corpus(spark: SparkSession, opts: Map[String, String]): Unit = {
+    import graft.operators.{Dedup, QualityFilter}
+    val docs = spark.read.parquet(opts("docs"))
+    val cfg = QualityFilter.Config(
+      minTokens = opts.getOrElse("min-tokens", "10").toLong,
+      maxTokens = opts.getOrElse("max-tokens", "100000").toLong,
+      allowedLangs = Some(csv(opts, "langs")).filter(_.nonEmpty)
+        .getOrElse(QualityFilter.Config().allowedLangs))
+    val verdicts = QualityFilter(docs, "doc_id", "text", "lang", cfg)
+    val kept = docs.join(
+      verdicts.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val deduped = opts.getOrElse("dedup", "normalized") match {
+      case "none" => kept
+      case mode =>
+        val fp = if (mode == "exact") md5(col("text"))
+          else md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(fp).orderBy(col("doc_id"))
+        kept.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+    }
+    val out = opts("out")
+    deduped.write.mode("overwrite").parquet(out)
+    val nIn = docs.count()
+    val nKept = kept.count()
+    val nFinal = spark.read.parquet(out).count()
+    println(s"""{"n_in":$nIn,"n_quality":$nKept,"n_out":$nFinal,""" +
+      s""""dropped_quality":${nIn - nKept},"dropped_dup":${nKept - nFinal}}""")
+  }
+
   private[graft] def exportLatest(spark: SparkSession, opts: Map[String, String]): Unit = {
     val dir = opts("store")
     graft.operators.PatternStore.load(spark, dir) match {

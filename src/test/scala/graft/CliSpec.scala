@@ -101,4 +101,21 @@ class CliSpec extends SparkSpec {
     val stdout = capture(Cli.exportLatest(spark, Map("store" -> store)))
     assert(stdout.trim == json)
   }
+
+  test("corpus: gate + dedup writes kept docs and reports stage counts") {
+    val docs = Seq(
+      (1L, "the quick brown fox and the dog walk to a house in the field today fine", "en"),
+      (2L, "the quick  brown fox and the dog walk to a house in the field today fine", "en"), // ws dup of 1
+      (3L, "short", "en"),                                                // quality drop
+      (4L, "a completely different long document with many plain words that is fine and the end", "en"))
+      .toDF("doc_id", "text", "lang")
+    val in = Files.createTempDirectory("cli_corpus").toString + "/docs.parquet"
+    docs.write.parquet(in)
+    val out = Files.createTempDirectory("cli_corpus_out").toString + "/kept"
+    val json = capture(Cli.corpus(spark, Map(
+      "docs" -> in, "out" -> out, "min-tokens" -> "3", "dedup" -> "normalized"))).trim
+    assert(json == """{"n_in":4,"n_quality":3,"n_out":2,"dropped_quality":1,"dropped_dup":1}""")
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L))
+  }
 }
