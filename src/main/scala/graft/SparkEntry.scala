@@ -656,6 +656,22 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // MinHash with PORTABLE md5-string hash families — the full
+    // signature→band→bucket→estimate algebra under the oracle (the
+    // xxhash64 form stays the scale default, rows-only).
+    "q_dedup_minhash_portable" -> ((s, dir) => {
+      // a 5% slice: the twin verifies the ALGEBRA cross-engine; 16
+      // md5-string families per shingle are k× the default's hash cost
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 20 === 0)
+      val planted = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(Text.tokens(col("text")), lit(1),
+          greatest(size(Text.tokens(col("text"))) - 1, lit(1))), " ").as("text"))
+      Dedup.minhashNearDupsPortable(d.unionByName(planted), "doc_id", "text",
+        numHashes = 16, bands = 8, shingleN = 5, minEstJaccard = 0.3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ------------------- beyond-reference: text analysis -----------------
 
     "q_text_stats" -> ((s, dir) =>
@@ -1541,6 +1557,51 @@ object SparkEntry {
         """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
           |  CAST(min(doc_id) AS BIGINT) AS canonical_id, count(*) AS n_copies
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // Portable MinHash: identical md5 string minima, band hashes and
+      // matching-position fractions in both engines.
+      "q_dedup_minhash_portable" ->
+        """WITH sub AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+          |planted AS (
+          |  SELECT doc_id + 1000000 AS doc_id,
+          |    array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ') AS text
+          |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          |        FROM sub)),
+          |base AS (
+          |  SELECT doc_id, text FROM sub
+          |  UNION ALL SELECT doc_id, text FROM planted),
+          |tok AS (
+          |  SELECT doc_id AS doc, string_split_regex(trim(lower(text)), '\s+') AS toks
+          |  FROM base),
+          |shingles AS (
+          |  SELECT DISTINCT doc, shingle FROM (
+          |    SELECT doc, unnest(
+          |      CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+          |      ELSE list_transform(generate_series(1, len(toks) - 4),
+          |        i -> array_to_string(toks[i:i+4], ' ')) END) AS shingle
+          |    FROM tok) u),
+          |fams AS (
+          |  SELECT doc, i, min(md5(i::VARCHAR || ':' || shingle)) AS h
+          |  FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) f
+          |  GROUP BY doc, i),
+          |sig AS (SELECT doc, list(h ORDER BY i) AS sig FROM fams GROUP BY doc),
+          |bandh AS (
+          |  SELECT doc, i // 2 AS band, md5(string_agg(h, '|' ORDER BY i)) AS bh
+          |  FROM fams GROUP BY doc, i // 2),
+          |pairs AS (
+          |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          |  FROM bandh a JOIN bandh b
+          |    ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc)
+          |SELECT p.doc_a, p.doc_b,
+          |  len(list_filter(generate_series(1, 16),
+          |    j -> sa.sig[j] = sb.sig[j]))::DOUBLE / 16.0 AS est_jaccard
+          |FROM pairs p
+          |JOIN sig sa ON sa.doc = p.doc_a
+          |JOIN sig sb ON sb.doc = p.doc_b
+          |WHERE len(list_filter(generate_series(1, 16),
+          |    j -> sa.sig[j] = sb.sig[j]))::DOUBLE / 16.0 >= 0.3
+          |ORDER BY doc_a, doc_b""".stripMargin,
 
       "q_text_stats" ->
         s"""SELECT doc_id,

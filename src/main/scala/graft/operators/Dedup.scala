@@ -290,6 +290,52 @@ object Dedup {
     labels.select("doc", "component")
   }
 
+  /** MinHash near-dups, PORTABLE twin: hash families are md5 hex STRINGS
+    * (`md5(i + ":" + shingle)`), whose lexicographic minimum is a total
+    * order any engine computes identically — so the whole MinHash algebra
+    * (k-family signature → banded bucket hashes → candidate pairs →
+    * estimated Jaccard as matching-position fraction) is verifiable
+    * bit-for-bit against an independent SQL engine. The xxhash64 form
+    * ([[minhashNearDups]]) stays the scale default (8-byte longs instead
+    * of 32-char strings in every shuffle, ~k× cheaper hashing); this twin
+    * exists so the ALGORITHM, not just its spec, sits under the oracle. */
+  def minhashNearDupsPortable(docs: DataFrame, idCol: String, textCol: String,
+                              numHashes: Int = 16, bands: Int = 8,
+                              shingleN: Int = 5,
+                              minEstJaccard: Double = 0.3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sh = docs
+      .select(col(idCol).as("doc"), Text.tokens(lower(col(textCol))).as("toks"))
+      .select(col("doc"),
+        explode(Text.shinglesFromTokens(col("toks"), shingleN)).as("shingle"))
+      .distinct()
+    val minCols = (0 until numHashes).map(i =>
+      min(md5(concat_ws(":", lit(i.toString), col("shingle")))).as(s"h$i"))
+    // signature feeds banding + both sides of the estimation join
+    val sig = sh.groupBy("doc").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+      .persist()
+    val banded = sig.select(col("doc"), posexplode(
+        array((0 until bands).map(b =>
+          md5(concat_ws("|", (0 until r).map(j => col("sig")(b * r + j)): _*))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val pairs = banded.select(col("band"), col("bh"), col("doc").as("doc_a"))
+      .join(banded.select(col("band"), col("bh"), col("doc").as("doc_b")),
+        Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    pairs
+      .join(sig.select(col("doc").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
   /** Incremental exact dedup: rows of `batch` that are new BOTH against a
     * fingerprint `store` (the corpus already kept — one `fingerprint`
     * column) AND within the batch itself (min-id wins). The production

@@ -34,6 +34,17 @@ class DedupSpec extends SparkSpec {
     assert(groups.head.getAs[Long]("n_copies") == 3L) // 2, 102, 103
   }
 
+  test("portable minhash: exact duplicates agree on every hash family") {
+    val pairs = Dedup.minhashNearDupsPortable(corpus, "doc_id", "text",
+      numHashes = 16, bands = 8, shingleN = 3, minEstJaccard = 0.3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    // 2 and 102 are byte-identical → identical signatures → estimate 1.0
+    assert(pairs((2L, 102L)) == 1.0)
+    // near-dup 1 vs 101 must be found with a sub-1.0 estimate
+    assert(pairs.contains((1L, 101L)) && pairs((1L, 101L)) < 1.0)
+  }
+
   test("incremental dedup drops store dups and within-batch copies") {
     val store = Seq("already kept text").toDF("text")
       .select(md5(col("text")).as("fingerprint"))
