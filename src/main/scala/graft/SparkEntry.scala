@@ -691,8 +691,11 @@ object SparkEntry {
 
     // Composed C4/Gopher-style quality gate: five per-row signals →
     // auditable keep/drop with per-rule reasons. Map-only (no shuffle).
+    // Reasons are emitted comma-joined (fixed construction order both
+    // sides) so every output column is a scalar the oracle can compare.
     "q_quality_filter" -> ((s, dir) =>
       graft.operators.QualityFilter(Tables.documents(s, dir), "doc_id", "text", "lang")
+        .withColumn("reasons", concat_ws(",", col("reasons")))
         .orderBy(col("doc_id"))),
 
     // The training-corpus path end to end: quality gate → normalized
@@ -789,23 +792,38 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))),
 
     // L2 normalization of the embedding column — bit-exact across engines
-    // (in-order fold both sides; no rounding anywhere).
+    // (in-order fold both sides; no rounding anywhere). The unit vector is
+    // posexploded to (vec_id, pos, value) rows so every oracle-compared
+    // column is a scalar; the operator itself still returns the array.
     "q_embed_normalize" -> ((s, dir) =>
       graft.operators.Vectors.normalize(Tables.embeddings(s, dir), "vec_id", "embedding")
-        .orderBy(col("vec_id"))),
+        .select(col("vec_id"), col("l2_norm"), posexplode(col("unit_vec")))
+        .select(col("vec_id"), col("l2_norm"),
+          col("pos").cast("long").as("pos"), col("col").as("value"))
+        .orderBy(col("vec_id"), col("pos"))),
 
     // Per-label centroids in exact fixed-point — deterministic under any
     // partitioning (float avg centroids are not), hence oracle-exact with
-    // no rounding at all.
+    // no rounding at all. Element-wise output rows (label, pos, value) —
+    // the oracle thinks element-wise anyway, and scalars hash-compare.
     "q_embed_centroids" -> ((s, dir) =>
       graft.operators.Vectors.centroids(Tables.embeddings(s, dir), "label", "embedding")
-        .orderBy(col("label"))),
+        .select(col("label"), col("n_vectors"), posexplode(col("centroid")))
+        .select(col("label"), col("n_vectors"),
+          col("pos").cast("long").as("pos"), col("col").as("value"))
+        .orderBy(col("label"), col("pos"))),
 
     // Int8 scalar quantization + exact max-abs reconstruction error
-    // (max is order-independent → bit-portable without rounding).
+    // (max is order-independent → bit-portable without rounding). The
+    // code vector is posexploded to (vec_id, pos, qv) scalar rows.
     "q_embed_quantize" -> ((s, dir) =>
       graft.operators.Vectors.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
-        .orderBy(col("vec_id"))),
+        .select(col("vec_id"), col("vmin"), col("vmax"), col("step"),
+          col("max_abs_err"), posexplode(col("q")))
+        .select(col("vec_id"), col("vmin"), col("vmax"), col("step"),
+          col("pos").cast("long").as("pos"), col("col").as("qv"),
+          col("max_abs_err"))
+        .orderBy(col("vec_id"), col("pos"))),
 
     // S3: schema probe reified as data (names only — type vocabularies
     // differ between engines).
@@ -1016,6 +1034,7 @@ object SparkEntry {
       val name = "stream_quality_" + math.abs(dir.hashCode).toString
       s.catalog.dropTempView(name)
       val q = graft.operators.QualityFilter(stream, "doc_id", "text", "lang")
+        .withColumn("reasons", concat_ws(",", col("reasons")))
         .select("doc_id", "n_tokens", "reasons", "keep")
         .writeStream.outputMode("append").format("memory").queryName(name).start()
       q.processAllAvailable(); q.stop()
@@ -1621,7 +1640,8 @@ object SparkEntry {
       "q_quality_filter" ->
         s"""WITH $qualityCtes
            |SELECT doc_id, n_tokens, mean_word_len, punct_ratio,
-           |  stopword_ratio, alpha_ratio, reasons,
+           |  stopword_ratio, alpha_ratio,
+           |  coalesce(array_to_string(reasons, ','), '') AS reasons,
            |  len(reasons) = 0 AS keep
            |FROM judged ORDER BY doc_id""".stripMargin,
 
@@ -2086,7 +2106,9 @@ object SparkEntry {
 
       "q_stream_quality" ->
         s"""WITH $qualityCtes
-           |SELECT doc_id, n_tokens, reasons, len(reasons) = 0 AS keep
+           |SELECT doc_id, n_tokens,
+           |  coalesce(array_to_string(reasons, ','), '') AS reasons,
+           |  len(reasons) = 0 AS keep
            |FROM judged ORDER BY doc_id""".stripMargin,
 
       "q_stream_windowed" ->
@@ -2118,10 +2140,15 @@ object SparkEntry {
           |  SELECT vec_id, embedding AS v,
           |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
           |                     (a, b) -> a + b)) AS nrm
-          |  FROM embeddings)
-          |SELECT vec_id, nrm AS l2_norm,
-          |  list_transform(v, x -> x::DOUBLE / nrm) AS unit_vec
-          |FROM base ORDER BY vec_id""".stripMargin,
+          |  FROM embeddings),
+          |ex AS (
+          |  SELECT vec_id, nrm,
+          |    unnest(generate_series(1, len(v))) AS i,
+          |    unnest(v) AS x
+          |  FROM base)
+          |SELECT vec_id, nrm AS l2_norm, CAST(i - 1 AS BIGINT) AS pos,
+          |  x::DOUBLE / nrm AS value
+          |FROM ex ORDER BY vec_id, pos""".stripMargin,
 
       // Centroids: exact bigint fixed-point accumulation — NO rounding;
       // DuckDB's HUGEINT sum equals Spark's long sum, and the final
@@ -2137,9 +2164,10 @@ object SparkEntry {
           |    sum(CAST(floor(x::DOUBLE * 1048576.0) AS BIGINT)) AS s,
           |    count(*) AS n
           |  FROM ex GROUP BY label, pos)
-          |SELECT label, CAST(any_value(n) AS BIGINT) AS n_vectors,
-          |  list(s::DOUBLE / n::DOUBLE / 1048576.0 ORDER BY pos) AS centroid
-          |FROM agg GROUP BY label ORDER BY label""".stripMargin,
+          |SELECT label, CAST(n AS BIGINT) AS n_vectors,
+          |  CAST(pos - 1 AS BIGINT) AS pos,
+          |  s::DOUBLE / n::DOUBLE / 1048576.0 AS value
+          |FROM agg ORDER BY label, pos""".stripMargin,
 
       // Quantization: min/max/step/q/max_abs_err are all either exact
       // picks or identical-shape double expressions; max (unlike sum) is
@@ -2156,13 +2184,21 @@ object SparkEntry {
           |    CASE WHEN step = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
           |    ELSE list_transform(v, x -> CAST(floor((x::DOUBLE - vmin) / step + 0.5) AS BIGINT))
           |    END AS q
-          |  FROM st)
-          |SELECT vec_id, vmin, vmax, step, q,
-          |  CASE WHEN step = 0 THEN 0.0
-          |  ELSE list_max(list_transform(generate_series(1, len(v)),
-          |    i -> abs(v[i]::DOUBLE - (vmin + q[i]::DOUBLE * step))))
-          |  END AS max_abs_err
-          |FROM qq ORDER BY vec_id""".stripMargin
+          |  FROM st),
+          |err AS (
+          |  SELECT vec_id, vmin, vmax, step, q,
+          |    CASE WHEN step = 0 THEN 0.0
+          |    ELSE list_max(list_transform(generate_series(1, len(v)),
+          |      i -> abs(v[i]::DOUBLE - (vmin + q[i]::DOUBLE * step))))
+          |    END AS max_abs_err
+          |  FROM qq)
+          |SELECT vec_id, vmin, vmax, step, CAST(i - 1 AS BIGINT) AS pos,
+          |  qv, max_abs_err
+          |FROM (SELECT vec_id, vmin, vmax, step, max_abs_err,
+          |        unnest(generate_series(1, len(q))) AS i,
+          |        unnest(q) AS qv
+          |      FROM err)
+          |ORDER BY vec_id, pos""".stripMargin
     )
   }
 }
