@@ -38,12 +38,13 @@ object Bench {
 
   /** Headline subset for the sf1 point: one representative per family
     * (scan-agg, joins, filter-scan, pattern agg, window, dedup exact +
-    * minhash, native fingerprint, ANN). */
+    * minhash, native fingerprint, ANN, text hygiene, canonicalization). */
   private val Sf1Queries: Seq[String] = Seq(
     "q_tpch_q1", "q_tpch_q3", "q_tpch_q6", "q_pattern_agg", "q_star_join",
     "q_session_stats", "q_dedup_exact", "q_doc_fingerprint",
     "q_dedup_minhash", "q_ann_cosine", "q_dedup_embedding_lsh",
-    "q_quality_filter")
+    "q_quality_filter", "q_repetition", "q_pii_scrub", "q_contamination",
+    "q_dedup_components")
 
   /** Replicate sf0.1 into a ~sf1 directory, once (marker-gated). */
   private def buildSf1(spark: SparkSession, srcDir: String, dstDir: String,
@@ -113,12 +114,31 @@ object Bench {
         val tBuild0 = System.nanoTime()
         buildSf1(spark, sfDir, sf1Dir, replicas = 10)
         val buildSec = (System.nanoTime() - tBuild0) / 1e9
+        // Warm pass: pull every sf1 table through the page cache before the
+        // timed window, so the first query isn't charged the cold read of
+        // the freshly built replica set (measured as an implausible 68 s on
+        // an otherwise sub-second scan-agg). events is TIMESTAMP(NANOS), so
+        // the raw read needs the legacy flag even when the build was skipped.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ShiftCols.keys.foreach { t =>
+          spark.read.parquet(s"$sf1Dir/$t.parquet").count()
+        }
         val sf1Results = timeQueries(spark, sf1Dir, Sf1Queries)
         val sf1Total = sf1Results.map(_._2).sum
         s""","sf1":{"dir":"$sf1Dir","build_sec":$buildSec,"total":$sf1Total,"queries":${toJson(sf1Results)}}"""
       }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$sf1Json}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$sf1Json}"""
+    println(line)
+    // Also persist the full line: the driver's stdout tail-capture truncated
+    // a round's artifact once; the file is the complete record.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -67,6 +67,39 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b) == Set(1L, 2L) })
   }
 
+  test("minhash candidates: ids-only pair dedup == sig-carrying reference") {
+    // The production path distincts candidate pairs on ids alone and
+    // rejoins signatures afterwards (narrow shuffle); this reference
+    // carries both signatures through the distinct, the shape it replaced.
+    // Results must be identical, pair for pair and estimate for estimate.
+    val numHashes = 32; val bands = 8; val rows = numHashes / bands
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text",
+      numHashes = numHashes, shingleN = 3)
+    val fast = Dedup.minhashCandidates(sigs, numHashes, bands)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    val banded = sigs.select(col("doc"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val a = banded.select(col("band"), col("band_hash"),
+      col("doc").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("doc").as("doc_b"), col("sig").as("sig_b"))
+    val ref = a.join(b, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / lit(numHashes).cast("double"))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    assert(fast == ref)
+    assert(fast.nonEmpty)
+  }
+
   test("native single-pass simhash == 64-fold composable form") {
     val native = Dedup.simhash(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
