@@ -27,11 +27,32 @@ import org.apache.spark.sql.functions._
   */
 object Cli {
 
-  private def parseArgs(args: Seq[String]): Map[String, String] =
-    args.grouped(2).collect { case Seq(k, v) if k.startsWith("--") =>
-      // sbt's runMain passes shell-style quotes through literally
-      k.stripPrefix("--") -> v.stripPrefix("'").stripSuffix("'")
-    }.toMap
+  /** `--key value` pairs plus bare boolean flags (`--force-reset`,
+    * `--no-cache` — click's is_flag style, `querysight.py:291-292`): a
+    * `--key` followed by another `--key` or end-of-args parses as
+    * `key=true`. */
+  private def parseArgs(args: Seq[String]): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      require(a.startsWith("--"), s"unexpected argument: $a")
+      val k = a.stripPrefix("--")
+      if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        // sbt's runMain passes shell-style quotes through literally
+        out(k) = args(i + 1).stripPrefix("'").stripSuffix("'"); i += 2
+      } else { out(k) = "true"; i += 1 }
+    }
+    out.toMap
+  }
+
+  /** First present key wins — reference spellings alias engine spellings
+    * (`--include-users`≡`--users`, `--query-kinds`≡`--kinds`). */
+  private def opt(opts: Map[String, String], keys: String*): Option[String] =
+    keys.collectFirst { case k if opts.contains(k) => opts(k) }
+
+  private[graft] def parseArgsForTest(args: Seq[String]): Map[String, String] =
+    parseArgs(args)
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: graft.Cli analyze|export --logs <path> [options]")
@@ -71,16 +92,20 @@ object Cli {
     }
     val cfg = SamplingConfig(
       days = opts.get("days").map(_.toInt),
-      includeUsers = csv(opts, "users"),
+      includeUsers = opt(opts, "users", "include-users").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
       excludeUsers = csv(opts, "exclude-users"),
-      queryKinds = csv(opts, "kinds"),
+      queryKinds = opt(opts, "kinds", "query-kinds").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
       slowOnlyThresholdMs = opts.get("slow-ms").map(_.toDouble))
     val project = opts.get("dbt-project").map(DbtLoader.load)
-    val level = opts.getOrElse("level", "4").toInt match {
-      case 1 => AnalysisLevel.DataCollection
-      case 2 => AnalysisLevel.PatternAnalysis
-      case 3 => AnalysisLevel.DbtIntegration
-      case _ => AnalysisLevel.Optimization
+    // `--level` by numeral or by reference name (`querysight.py:293`).
+    val level = opts.getOrElse("level", "4").toLowerCase match {
+      case "1" | "data_collection" => AnalysisLevel.DataCollection
+      case "2" | "pattern_analysis" => AnalysisLevel.PatternAnalysis
+      case "3" | "dbt_integration" => AnalysisLevel.DbtIntegration
+      case "4" | "optimization" => AnalysisLevel.Optimization
+      case other => sys.error(s"unknown level: $other")
     }
     val asOf = opts.get("as-of")
       .map(s => if (s.contains(' ')) s else s + " 00:00:00")
@@ -105,7 +130,16 @@ object Cli {
       sampleFraction = opts.get("sample-size").map(_.toDouble).filter(_ < 1.0),
       schemas = schemas)
 
-    opts.get("store").filter(_ => level.ordinal >= 2).foreach { dir =>
+    // Cache controls (`querysight.py:291-292`): `--force-reset` wipes the
+    // store before this run's merge; `--no-cache` (or `--cache false`)
+    // bypasses the store entirely — nothing read, nothing written.
+    val useCache = !opts.get("no-cache").contains("true") &&
+      !opts.get("cache").contains("false")
+    opts.get("store").filter(_ => useCache).foreach { dir =>
+      if (opts.get("force-reset").contains("true"))
+        graft.operators.PatternStore.reset(dir)
+    }
+    opts.get("store").filter(_ => useCache && level.ordinal >= 2).foreach { dir =>
       val history = res.patterns.select(
         col("pattern_id"), col("sql_pattern"), col("frequency"),
         col("total_duration_ms"), col("avg_duration_ms"),
@@ -113,11 +147,45 @@ object Cli {
         col("memory_usage"), col("total_read_rows"), col("total_read_bytes"))
       graft.operators.PatternStore.enrich(spark, history, dir)
     }
-    println(Analyze.exportJson(res, topN = opts.getOrElse("top", "20").toInt,
-      sortBy = opts.getOrElse("sort-by", "impact")))
-    res.coverage.foreach(c => println(c.toJSON.collect().mkString("[", ",", "]")))
-    res.recommendations.foreach(r =>
-      println(r.orderBy("pattern_id", "rec_type").toJSON.collect().mkString("[", ",", "]")))
+
+    // Output: the reference's rich display is the default
+    // (`display_analysis_results`, querysight.py:679-748); `--format json`
+    // keeps the machine-readable surface.
+    if (opts.getOrElse("format", "table") == "json") {
+      println(Analyze.exportJson(res, topN = opts.getOrElse("top", "20").toInt,
+        sortBy = opts.getOrElse("sort-by", "impact")))
+      res.coverage.foreach(c => println(c.toJSON.collect().mkString("[", ",", "]")))
+      res.recommendations.foreach(r =>
+        println(r.orderBy("pattern_id", "rec_type").toJSON.collect().mkString("[", ",", "]")))
+    } else {
+      val sortBy = opts.getOrElse("sort-by", "duration")
+      val pageSize = opts.getOrElse("page-size", "20").toInt
+      val levelName = level match {
+        case AnalysisLevel.DataCollection => "data_collection"
+        case AnalysisLevel.PatternAnalysis => "pattern_analysis"
+        case AnalysisLevel.DbtIntegration => "dbt_integration"
+        case AnalysisLevel.Optimization => "optimization"
+      }
+      level match {
+        case AnalysisLevel.DataCollection =>
+          println("Data collection completed successfully")
+        case AnalysisLevel.PatternAnalysis =>
+          println(Display.patternTableCompact(res.patterns, sortBy))
+        case _ =>
+          println("Analysis Complete!\n")
+          println("Query Pattern Analysis")
+          println(Display.queryPatterns(res.patterns, sortBy, pageSize))
+          if (project.isDefined && res.coverage.isDefined) {
+            println("DBT Model Coverage")
+            val pc = project.map(p => graft.operators.Mapping.parentChild(
+              graft.operators.Mapping.modelsDf(spark, p),
+              graft.operators.Mapping.edgesDf(spark, p)))
+            println(Display.modelCoverage(res.patterns, pc))
+          }
+          res.recommendations.foreach(r => println(Display.recommendations(r)))
+          println(Display.summaryPanel(levelName))
+      }
+    }
   }
 
   /** `generate-model`: dbt scaffolds for uncovered tables. The reference

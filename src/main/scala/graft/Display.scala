@@ -1,0 +1,298 @@
+package graft
+
+import java.util.Locale
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** S10: the reference's rich-console output surface
+  * (`querysight.py:63-268` paged pattern tables + summary statistics,
+  * `:679-748` per-level result display, `:750-813` recommendation panels,
+  * `:207-268` per-pattern coverage detail consuming the J4 parent/child
+  * rollup) rendered as deterministic plain ASCII — same tables, sections,
+  * sort keys, pagination, and speed-bucket arithmetic, minus ANSI color
+  * (markup is terminal styling, not behavior; plain text keeps output
+  * golden-testable and pipe-safe).
+  *
+  * Scale discipline: everything rendered here is POST-aggregation, at
+  * pattern / dbt-model cardinality — a bounded, dictionary-sized frame no
+  * matter how many log rows fed it. The single `.collect()` per section is
+  * the same driver-side materialization any console display requires; no
+  * log-cardinality data ever reaches the driver.
+  */
+object Display {
+
+  private def num(d: Double, dec: Int): String =
+    String.format(Locale.US, s"%,.${dec}f", Double.box(d))
+
+  private def fmtTs(r: Row, field: String): String = {
+    val i = r.fieldIndex(field)
+    if (r.isNullAt(i)) "N/A"
+    else new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm")
+      .format(r.getTimestamp(i))
+  }
+
+  private def strSeq(r: Row, field: String): Seq[String] =
+    if (!r.schema.fieldNames.contains(field) || r.isNullAt(r.fieldIndex(field)))
+      Seq.empty
+    else r.getSeq[String](r.fieldIndex(field)).sorted
+
+  /** Fixed-grid table: `+-` borders, one header line, multi-line cells. */
+  private[graft] def table(title: Option[String], headers: Seq[String],
+                           rows: Seq[Seq[String]]): String = {
+    val widths = headers.indices.map { i =>
+      (headers(i).length +:
+        rows.map(_(i).split('\n').map(_.length).maxOption.getOrElse(0))).max
+    }
+    def sep = widths.map(w => "-" * (w + 2)).mkString("+", "+", "+")
+    def line(cells: Seq[String]) =
+      cells.zip(widths).map { case (s, w) => " " + s.padTo(w, ' ') + " " }
+        .mkString("|", "|", "|")
+    def rowLines(cells: Seq[String]): Seq[String] = {
+      val parts = cells.map(_.split('\n').toSeq)
+      val h = parts.map(_.size).max
+      (0 until h).map(li => line(parts.map(_.lift(li).getOrElse(""))))
+    }
+    val sb = new StringBuilder
+    title.foreach(t => sb.append(t).append('\n'))
+    sb.append(sep).append('\n')
+    sb.append(line(headers)).append('\n')
+    sb.append(sep).append('\n')
+    rows.foreach { r => rowLines(r).foreach(l => sb.append(l).append('\n')) }
+    sb.append(sep).append('\n')
+    sb.toString
+  }
+
+  /** Two-column properties table without a header row. */
+  private def kvTable(rows: Seq[(String, String)]): String = {
+    val w1 = rows.map(_._1.split('\n').map(_.length).max).max
+    val w2 = rows.map(_._2.split('\n').map(_.length).maxOption.getOrElse(0)).max
+    def sep = s"+${"-" * (w1 + 2)}+${"-" * (w2 + 2)}+"
+    val sb = new StringBuilder
+    sb.append(sep).append('\n')
+    rows.foreach { case (k, v) =>
+      val ks = k.split('\n'); val vs = v.split('\n')
+      (0 until math.max(ks.length, vs.length)).foreach { i =>
+        sb.append("| ").append(ks.lift(i).getOrElse("").padTo(w1, ' '))
+          .append(" | ").append(vs.lift(i).getOrElse("").padTo(w2, ' '))
+          .append(" |\n")
+      }
+      sb.append(sep).append('\n')
+    }
+    sb.toString
+  }
+
+  private def panel(title: String, body: String): String = {
+    val lines = body.split('\n').toSeq
+    val w = (title.length +: lines.map(_.length)).max
+    val sb = new StringBuilder
+    sb.append("+- ").append(title).append(" ").append("-" * (w - title.length))
+      .append("-+\n")
+    lines.foreach(l => sb.append("| ").append(l.padTo(w, ' ')).append(" |\n"))
+    sb.append("+").append("-" * (w + 2)).append("+\n")
+    sb.toString
+  }
+
+  /** Sort per the reference's W3 key choice (`querysight.py:69-75`):
+    * frequency | duration | memory (avg per query), descending, with
+    * pattern_id as a deterministic tie-break the reference lacks. */
+  private def sortPatterns(rows: Seq[Row], sortBy: String): Seq[Row] = {
+    def d(r: Row, f: String) =
+      if (r.isNullAt(r.fieldIndex(f))) 0.0
+      else r.getAs[Any](f) match {
+        case x: java.lang.Number => x.doubleValue()
+        case _ => 0.0
+      }
+    val key: Row => Double = sortBy match {
+      case "frequency" => r => d(r, "frequency")
+      case "memory" => r =>
+        val f = d(r, "frequency"); if (f > 0) d(r, "memory_usage") / f else 0.0
+      case _ => r => d(r, "avg_duration_ms")
+    }
+    rows.sortBy(r => (-key(r), r.getAs[String]("pattern_id")))
+  }
+
+  /** `display_query_patterns` (`querysight.py:63-165`): paged pattern
+    * tables, total count, and the summary-statistics panel. */
+  def queryPatterns(patterns: DataFrame, sortBy: String = "duration",
+                    pageSize: Int = 20): String = {
+    val rows = sortPatterns(patterns.collect().toSeq, sortBy)
+    if (rows.isEmpty) return "No query patterns found\n"
+    val totalPages = (rows.size + pageSize - 1) / pageSize
+    val sb = new StringBuilder
+    rows.grouped(pageSize).zipWithIndex.foreach { case (page, i) =>
+      val body = page.map { p =>
+        val memMb = p.getAs[Any]("memory_usage") match {
+          case null => 0.0
+          case n: java.lang.Number => n.doubleValue() / (1024 * 1024)
+        }
+        val users = strSeq(p, "users")
+        val tables = strSeq(p, "tables_accessed")
+        Seq(
+          p.getAs[String]("pattern_id"),
+          p.getAs[Long]("frequency").toString,
+          num(p.getAs[Double]("avg_duration_ms"), 2) + " ms",
+          num(memMb, 2),
+          if (users.nonEmpty) users.mkString("\n") else "N/A",
+          if (tables.nonEmpty) tables.mkString("\n") else "N/A",
+          fmtTs(p, "first_seen"),
+          fmtTs(p, "last_seen"))
+      }
+      sb.append(table(
+        Some(s"Query Patterns (Page ${i + 1}/$totalPages)"),
+        Seq("Pattern ID", "Frequency", "Avg Duration", "Memory (MB)",
+          "Users", "Tables", "First Seen", "Last Seen"), body))
+      if (i + 1 < totalPages) sb.append("\n").append("-" * 80).append("\n\n")
+    }
+    sb.append(s"\nTotal Patterns: ${rows.size}\n")
+    sb.append("\nSummary Statistics\n")
+    sb.append(summaryStats(rows))
+    sb.toString
+  }
+
+  /** Summary statistics block (`querysight.py:133-165`). */
+  private def summaryStats(rows: Seq[Row]): String = {
+    def dbl(r: Row, f: String) = r.getAs[Any](f) match {
+      case null => 0.0
+      case n: java.lang.Number => n.doubleValue()
+    }
+    val totalQueries = rows.map(r => r.getAs[Long]("frequency")).sum
+    val totalDurationMs =
+      rows.map(r => dbl(r, "avg_duration_ms") * r.getAs[Long]("frequency")).sum
+    val totalMemory = rows.map(r => dbl(r, "memory_usage")).sum
+    val uniqueUsers = rows.flatMap(strSeq(_, "users")).distinct.size
+    val uniqueTables = rows.flatMap(strSeq(_, "tables_accessed")).distinct.size
+    def freqWhere(p: Double => Boolean) =
+      rows.filter(r => p(dbl(r, "avg_duration_ms")))
+        .map(_.getAs[Long]("frequency")).sum
+    val slow = freqWhere(_ > 1000)
+    val medium = freqWhere(d => d > 100 && d <= 1000)
+    val fast = freqWhere(_ <= 100)
+    def pct(n: Long) =
+      if (totalQueries == 0) "0.0" else num(n * 100.0 / totalQueries, 1)
+    kvTable(Seq(
+      "Query Count" -> num(totalQueries.toDouble, 0),
+      "Total Duration" -> (num(totalDurationMs / 1000, 2) + " seconds"),
+      "Avg Duration per Query" ->
+        (num(if (totalQueries == 0) 0 else totalDurationMs / totalQueries, 2) + " ms"),
+      "Total Memory Usage" -> (num(totalMemory / (1024 * 1024), 2) + " MB"),
+      "Avg Memory per Query" ->
+        (num(if (totalQueries == 0) 0
+             else totalMemory / (1024.0 * 1024 * totalQueries), 2) + " MB"),
+      "Unique Users" -> uniqueUsers.toString,
+      "Unique Tables" -> uniqueTables.toString,
+      "Query Speed Distribution" ->
+        (s"Slow (>1s): ${pct(slow)}%\n" +
+          s"Medium (100ms-1s): ${pct(medium)}%\n" +
+          s"Fast (<100ms): ${pct(fast)}%")))
+  }
+
+  /** The level-2 compact pattern table
+    * (`display_analysis_results`, `querysight.py:686-715`). */
+  def patternTableCompact(patterns: DataFrame, sortBy: String = "duration"): String = {
+    val rows = sortPatterns(patterns.collect().toSeq, sortBy)
+    val body = rows.map { p =>
+      val tables = strSeq(p, "tables_accessed")
+      val memMb = p.getAs[Any]("memory_usage") match {
+        case null => 0.0
+        case n: java.lang.Number => n.doubleValue() / (1024 * 1024)
+      }
+      Seq(
+        p.getAs[String]("pattern_id"),
+        p.getAs[Long]("frequency").toString,
+        num(p.getAs[Double]("avg_duration_ms"), 2),
+        num(memMb, 2),
+        tables.take(3).mkString(", ") + (if (tables.size > 3) "..." else ""))
+    }
+    s"Found ${rows.size} query patterns:\n\n" +
+      table(None, Seq("Pattern ID", "Frequency", "Avg Duration (ms)",
+        "Memory Usage (MB)", "Tables"), body)
+  }
+
+  /** `display_model_coverage` + `display_pattern_coverage`
+    * (`querysight.py:167-268`): patterns partitioned into
+    * with-models / unmapped-only / no-table sections, each with a detail
+    * card whose Model Coverage block folds in the J4 parent/child rollup.
+    *
+    * `parentChild` is `Mapping.parentChild(models, edges)` — model
+    * cardinality, collected once into a lookup map. */
+  def modelCoverage(enriched: DataFrame, parentChild: Option[DataFrame]): String = {
+    val rows = enriched.collect().toSeq
+      .sortBy(r => r.getAs[String]("pattern_id"))
+    if (rows.isEmpty) return "No query patterns available\n"
+    val pc: Map[String, (Seq[String], Seq[String])] = parentChild
+      .map(_.collect().toSeq.map { r =>
+        r.getAs[String]("model") ->
+          (strSeq(r, "depends_on"), strSeq(r, "referenced_by"))
+      }.toMap).getOrElse(Map.empty)
+
+    def card(p: Row): String = {
+      val models = strSeq(p, "dbt_models_used")
+      val unmapped = strSeq(p, "unmapped_tables")
+      val parents = models.flatMap(m => pc.get(m).map(_._1).getOrElse(Seq.empty))
+        .distinct.sorted.filterNot(models.contains)
+      val children = models.flatMap(m => pc.get(m).map(_._2).getOrElse(Seq.empty))
+        .distinct.sorted.filterNot(models.contains)
+      val coverage =
+        (if (models.nonEmpty) Seq("Direct Models: " + models.mkString(", ")) else Nil) ++
+          (if (parents.nonEmpty) Seq("Parent Models: " + parents.mkString(", ")) else Nil) ++
+          (if (children.nonEmpty) Seq("Child Models: " + children.mkString(", ")) else Nil) ++
+          (if (unmapped.nonEmpty) Seq("Unmapped Tables: " + unmapped.mkString(", ")) else Nil)
+      kvTable(Seq(
+        "Pattern ID" -> p.getAs[String]("pattern_id"),
+        "Frequency" -> p.getAs[Long]("frequency").toString,
+        "Avg Duration" -> (num(p.getAs[Double]("avg_duration_ms"), 2) + "ms"),
+        "SQL Pattern" -> p.getAs[String]("sql_pattern"),
+        "Model Coverage" ->
+          (if (coverage.nonEmpty) coverage.mkString("\n") else "N/A")))
+    }
+
+    val withModels = rows.filter(r => strSeq(r, "dbt_models_used").nonEmpty)
+    val unmappedOnly = rows.filter(r => strSeq(r, "dbt_models_used").isEmpty &&
+      (strSeq(r, "tables_accessed").nonEmpty || strSeq(r, "unmapped_tables").nonEmpty))
+    val noTables = rows.filter(r => strSeq(r, "dbt_models_used").isEmpty &&
+      strSeq(r, "tables_accessed").isEmpty && strSeq(r, "unmapped_tables").isEmpty)
+
+    val sb = new StringBuilder
+    sb.append("DBT Model Coverage Analysis\n")
+    if (withModels.nonEmpty) {
+      sb.append("\nPatterns Using DBT Models\n")
+      withModels.foreach(p => sb.append(card(p)).append('\n'))
+    }
+    if (unmappedOnly.nonEmpty) {
+      sb.append("\nPatterns Using Only Unmapped Tables\n")
+      unmappedOnly.foreach(p => sb.append(card(p)).append('\n'))
+    }
+    if (noTables.nonEmpty) {
+      sb.append("\nPatterns Without Table Access\n")
+      noTables.foreach(p => sb.append(card(p)).append('\n'))
+    }
+    val uncovered = rows.flatMap(strSeq(_, "unmapped_tables")).distinct.sorted
+    if (uncovered.nonEmpty) {
+      sb.append("\nUncovered Tables Summary\n")
+      sb.append(uncovered.mkString(", ")).append('\n')
+    }
+    sb.toString
+  }
+
+  /** `display_recommendations` (`querysight.py:750-813`): one panel per
+    * recommendation, ordered (pattern_id, rec_type) for determinism. */
+  def recommendations(recs: DataFrame): String = {
+    import org.apache.spark.sql.functions.col
+    val rows = recs.orderBy(col("pattern_id"), col("rec_type")).collect().toSeq
+    if (rows.isEmpty) return "No optimization recommendations generated\n"
+    val sb = new StringBuilder
+    sb.append("AI Optimization Recommendations\n\n")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      sb.append(panel(s"Recommendation ${i + 1}",
+        s"Type: ${r.getAs[String]("rec_type")}\n" +
+          s"Impact: ${r.getAs[String]("impact_level")}\n" +
+          s"Pattern: ${r.getAs[String]("pattern_id")}\n" +
+          s"Description:\n${r.getAs[String]("description")}"))
+      sb.append('\n')
+    }
+    sb.toString
+  }
+
+  /** The closing summary panel (`querysight.py:739-743`). */
+  def summaryPanel(level: String): String =
+    panel("Analysis Summary", s"Analysis completed at level: $level")
+}

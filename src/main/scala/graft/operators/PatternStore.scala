@@ -53,6 +53,10 @@ object PatternStore {
     spark.read.parquet(dir)
   }
 
+  /** `--force-reset` (`querysight.py:292`, reset impl
+    * `cache_manager.py`): wipe the store directory and its TTL sidecar. */
+  def reset(dir: String): Unit = deleteRecursively(Paths.get(dir))
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._

@@ -38,39 +38,118 @@ class CliSpec extends SparkSpec {
 
   test("analyze honors focus/min-duration/select-tables/sample-size/sort-by") {
     val slow = capture(Cli.analyze(spark, Map(
-      "logs" -> logsPath, "as-of" -> asOf, "level" -> "2", "focus" -> "slow")))
+      "logs" -> logsPath, "as-of" -> asOf, "level" -> "2", "focus" -> "slow",
+      "format" -> "json")))
     assert(slow.contains("fct_revenue") && !slow.contains("stg_orders"))
 
     val minDur = capture(Cli.analyze(spark, Map(
-      "logs" -> logsPath, "as-of" -> asOf, "level" -> "2", "min-duration" -> "1000")))
+      "logs" -> logsPath, "as-of" -> asOf, "level" -> "2",
+      "min-duration" -> "1000", "format" -> "json")))
     assert(minDur.contains("fct_revenue") && !minDur.contains("stg_orders"))
 
     val byTable = capture(Cli.analyze(spark, Map(
       "logs" -> logsPath, "as-of" -> asOf, "level" -> "2",
-      "select-tables" -> "acme.stg_orders")))
+      "select-tables" -> "acme.stg_orders", "format" -> "json")))
     assert(byTable.contains("stg_orders") && !byTable.contains("fct_revenue"))
 
     // sort-by frequency puts the 8x pattern first
     val byFreq = capture(Cli.analyze(spark, Map(
-      "logs" -> logsPath, "as-of" -> asOf, "level" -> "2", "sort-by" -> "frequency")))
+      "logs" -> logsPath, "as-of" -> asOf, "level" -> "2",
+      "sort-by" -> "frequency", "format" -> "json")))
     assert(byFreq.indexOf("stg_orders") < byFreq.indexOf("fct_revenue"))
 
     val sampled = capture(Cli.analyze(spark, Map(
       "logs" -> logsPath, "as-of" -> asOf, "level" -> "2",
-      "sample-size" -> "0.5", "min-frequency" -> "1")))
+      "sample-size" -> "0.5", "min-frequency" -> "1", "format" -> "json")))
     assert(sampled.nonEmpty) // sampling path executes end to end
   }
 
   test("analyze --select-patterns selects by pattern id") {
     val all = capture(Cli.analyze(spark, Map(
-      "logs" -> logsPath, "as-of" -> asOf, "level" -> "2")))
+      "logs" -> logsPath, "as-of" -> asOf, "level" -> "2", "format" -> "json")))
     val firstId = "\"pattern_id\":\"([0-9a-f]+)\"".r
       .findFirstMatchIn(all).get.group(1)
     val one = capture(Cli.analyze(spark, Map(
       "logs" -> logsPath, "as-of" -> asOf, "level" -> "2",
-      "select-patterns" -> firstId)))
+      "select-patterns" -> firstId, "format" -> "json")))
     assert(one.contains(firstId))
     assert("\"pattern_id\"".r.findAllIn(one).size == 1)
+  }
+
+  test("reference flag aliases: --include-users, --query-kinds, --level by name") {
+    val byAlias = capture(Cli.analyze(spark, Map(
+      "logs" -> logsPath, "as-of" -> asOf, "level" -> "pattern_analysis",
+      "include-users" -> "bob", "format" -> "json")))
+    assert(byAlias.contains("fct_revenue") && !byAlias.contains("stg_orders"))
+    val byKind = capture(Cli.analyze(spark, Map(
+      "logs" -> logsPath, "as-of" -> asOf, "level" -> "pattern_analysis",
+      "query-kinds" -> "INSERT", "format" -> "json")))
+    assert(!byKind.contains("fct_revenue")) // fixture is all SELECT
+  }
+
+  test("rich display: paged tables, summary stats, --page-size (S10)") {
+    // level 2: the compact table (querysight.py:686-715)
+    val compact = capture(Cli.analyze(spark, Map(
+      "logs" -> logsPath, "as-of" -> asOf, "level" -> "2")))
+    assert(compact.contains("query patterns:"))
+    assert(compact.contains("| Pattern ID"))
+    assert(compact.contains("Avg Duration (ms)"))
+
+    // full display: pagination at page-size 1 + summary statistics block
+    val full = capture(Cli.analyze(spark, Map(
+      "logs" -> logsPath, "as-of" -> asOf, "level" -> "4",
+      "dbt-project" -> resource("dbt_project"), "page-size" -> "1")))
+    assert(full.contains("Query Patterns (Page 1/"))
+    assert(full.contains("(Page 2/")) // page-size 1 forces >1 page
+    assert(full.contains("Total Patterns:"))
+    assert(full.contains("Summary Statistics"))
+    assert(full.contains("Query Speed Distribution"))
+    assert(full.contains("Slow (>1s):"))
+    assert(full.contains("Analysis completed at level: optimization"))
+  }
+
+  test("rich display: coverage detail view with J4 parent/child models") {
+    val out = capture(Cli.analyze(spark, Map(
+      "logs" -> logsPath, "as-of" -> asOf, "level" -> "4",
+      "dbt-project" -> resource("dbt_project"))))
+    assert(out.contains("DBT Model Coverage Analysis"))
+    assert(out.contains("Patterns Using DBT Models"))
+    // fct_revenue pattern: parents = stg_customers/stg_orders, child = rpt_daily
+    assert(out.contains("Direct Models: fct_revenue"))
+    assert(out.contains("Parent Models: stg_customers, stg_orders"))
+    assert(out.contains("Child Models: rpt_daily"))
+    // legacy.raw_stuff never maps to a model
+    assert(out.contains("Uncovered Tables Summary"))
+    assert(out.contains("legacy.raw_stuff"))
+    assert(out.contains("Recommendation 1"))
+  }
+
+  test("cache flags: --no-cache bypasses the store, --force-reset wipes it") {
+    val store = Files.createTempDirectory("cli_cache").toString + "/hist"
+    capture(Cli.analyze(spark, Map(
+      "logs" -> logsPath, "as-of" -> asOf, "level" -> "2", "store" -> store,
+      "no-cache" -> "true", "format" -> "json")))
+    assert(!Files.exists(Paths.get(store))) // bypassed: nothing written
+    capture(Cli.analyze(spark, Map(
+      "logs" -> logsPath, "as-of" -> asOf, "level" -> "2", "store" -> store,
+      "format" -> "json")))
+    val once = spark.read.parquet(store)
+      .select("frequency").as[Long].collect().sum
+    // without reset the additive upsert double-counts; --force-reset
+    // starts from an empty store, so the totals match a single run
+    capture(Cli.analyze(spark, Map(
+      "logs" -> logsPath, "as-of" -> asOf, "level" -> "2", "store" -> store,
+      "force-reset" -> "true", "format" -> "json")))
+    val afterReset = spark.read.parquet(store)
+      .select("frequency").as[Long].collect().sum
+    assert(afterReset == once)
+  }
+
+  test("parseArgs-style bare flags reach handlers as boolean values") {
+    // end-to-end through Cli.main-style args is covered above via maps;
+    // here: flag-at-end and flag-before-flag both parse as true
+    val m = Cli.parseArgsForTest(Seq("--force-reset", "--no-cache", "--level", "2"))
+    assert(m("force-reset") == "true" && m("no-cache") == "true" && m("level") == "2")
   }
 
   test("generate-model writes dbt scaffolds for uncovered tables") {
