@@ -958,14 +958,24 @@ object SparkEntry {
           approx_count_distinct(col("props")).as("approx_props"))
         .orderBy(col("event_type"))),
 
-    // S9: JSON export shape (departure-side of the reference's export
-    // command; structural check only — JSON text isn't oracle-portable).
+    // S9: JSON export, verified as a serialize→parse round-trip: the rows
+    // go through to_json (the actual export surface) and back through
+    // from_json, and the PARSED scalars are oracle-compared (raw JSON text
+    // isn't portable — engines differ on float formatting — but the values
+    // that survive the trip must be exact).
     "q_json_export" -> ((s, dir) => {
       val p = Patterns.having(Patterns.aggregate(eventsAsLogs(s, dir)), 2)
+      val schema = "pattern_id STRING, frequency BIGINT, " +
+        "total_duration_ms DOUBLE, users STRING"
       patternSelect(p)
-        .select(col("pattern_id"),
-          to_json(struct(col("pattern_id"), col("frequency"),
-            col("total_duration_ms"), col("users"))).as("json"))
+        .select(to_json(struct(col("pattern_id"), col("frequency"),
+          col("total_duration_ms"), col("users"))).as("json"))
+        .select(from_json(col("json"),
+          org.apache.spark.sql.types.StructType.fromDDL(schema)).as("j"))
+        .select(col("j.pattern_id").as("pattern_id"),
+          col("j.frequency").as("frequency"),
+          col("j.total_duration_ms").as("total_duration_ms"),
+          col("j.users").as("users"))
         .orderBy(col("pattern_id"))
     }),
 
@@ -1232,6 +1242,14 @@ object SparkEntry {
       "q_pattern_merge" ->
         s"""$patternAggSqlBody
            |ORDER BY pattern_id""".stripMargin,
+
+      // The export pipeline's to_json→from_json round-trip must return the
+      // directly computed values bit-for-bit.
+      "q_json_export" ->
+        s"""SELECT pattern_id, frequency, total_duration_ms, users FROM (
+           |$patternAggSqlBody
+           |HAVING count(*) >= 2
+           |) ORDER BY pattern_id""".stripMargin,
 
       "q_pattern_salted" ->
         s"""$patternAggSqlBody
