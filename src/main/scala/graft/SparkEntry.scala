@@ -672,6 +672,20 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // SimHash with PORTABLE md5-nibble bit votes — the full
+    // signature→chunk-banding→hamming algebra under the oracle (the
+    // xxhash64 form stays the scale default, rows-only).
+    "q_dedup_simhash_portable" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 20 === 0)
+      val planted = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(Text.tokens(col("text")), lit(1),
+          greatest(size(Text.tokens(col("text"))) - 1, lit(1))), " ").as("text"))
+      Dedup.simhashNearDupsPortable(d.unionByName(planted), "doc_id", "text",
+        maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ------------------- beyond-reference: text analysis -----------------
 
     "q_text_stats" -> ((s, dir) =>
@@ -1638,6 +1652,61 @@ object SparkEntry {
           |JOIN sig sb ON sb.doc = p.doc_b
           |WHERE len(list_filter(generate_series(1, 16),
           |    j -> sa.sig[j] = sb.sig[j]))::DOUBLE / 16.0 >= 0.3
+          |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // Portable SimHash: DuckDB recomputes every nibble's bit votes from
+      // its own md5, reassembles the 16-hex-digit signature, re-runs the
+      // 4-chunk banding, and measures exact nibble-wise hamming.
+      "q_dedup_simhash_portable" ->
+        """WITH sub AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+          |planted AS (
+          |  SELECT doc_id + 1000000 AS doc_id,
+          |    array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ') AS text
+          |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          |        FROM sub)),
+          |base AS (
+          |  SELECT doc_id, text FROM sub
+          |  UNION ALL SELECT doc_id, text FROM planted),
+          |toks AS (
+          |  SELECT doc_id AS doc,
+          |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+          |  FROM base),
+          |nv AS (
+          |  SELECT doc, unnest(generate_series(1, 16)) AS j,
+          |    unnest(list_transform(generate_series(1, 16),
+          |      j2 -> instr('0123456789abcdef', substr(md5(t), j2, 1)) - 1)) AS v
+          |  FROM toks),
+          |bits AS (
+          |  SELECT doc, j, unnest(generate_series(0, 3)) AS k, v FROM nv),
+          |votes AS (
+          |  SELECT doc, j, k,
+          |    sum(CASE WHEN (v >> k) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          |  FROM bits GROUP BY doc, j, k),
+          |digits AS (
+          |  SELECT doc, j, sum(CASE WHEN vote > 0 THEN (1 << k) ELSE 0 END) AS d
+          |  FROM votes GROUP BY doc, j),
+          |sig AS (
+          |  SELECT doc, string_agg(substr('0123456789abcdef', CAST(d AS INT) + 1, 1),
+          |    '' ORDER BY j) AS hex
+          |  FROM digits GROUP BY doc),
+          |ch AS (
+          |  SELECT doc, c, substr(hex, c * 4 + 1, 4) AS cv
+          |  FROM (SELECT doc, hex, unnest(generate_series(0, 3)) AS c FROM sig)),
+          |pairs AS (
+          |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          |  FROM ch a JOIN ch b
+          |    ON a.c = b.c AND a.cv = b.cv AND a.doc < b.doc)
+          |SELECT doc_a, doc_b, hamming FROM (
+          |  SELECT p.doc_a, p.doc_b,
+          |    CAST(list_sum(list_transform(generate_series(1, 16),
+          |      j -> bit_count(xor(instr('0123456789abcdef', substr(sa.hex, j, 1)) - 1,
+          |                         instr('0123456789abcdef', substr(sb.hex, j, 1)) - 1))))
+          |      AS BIGINT) AS hamming
+          |  FROM pairs p
+          |  JOIN sig sa ON sa.doc = p.doc_a
+          |  JOIN sig sb ON sb.doc = p.doc_b) t
+          |WHERE hamming <= 3
           |ORDER BY doc_a, doc_b""".stripMargin,
 
       "q_text_stats" ->

@@ -183,6 +183,58 @@ object Dedup {
       .drop("sh_a", "sh_b")
   }
 
+  /** Signature half of [[simhashNearDupsPortable]]: the same vote algebra
+    * as [[simhash]], but over an md5-derived hash family with the 64 bits
+    * carried as 16 hex digits (4 bit-votes per nibble), so an independent
+    * SQL engine can recompute every vote from its own md5. Hex-string
+    * signatures sidestep signed-64-bit overflow portability entirely. */
+  def simhashPortableSigs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc"), Text.tokens(lower(col(textCol))).as("toks"))
+      .select(col("doc"), transform(col("toks"), t => md5(t)).as("hs"))
+    def nibOf(h: Column, j: Int) = conv(substring(h, j, 1), 16, 10).cast("int")
+    val digits = (1 to 16).map { j =>
+      val digit = (0 until 4).map { k =>
+        val vote = aggregate(col("hs"), lit(0), (acc, h) =>
+          acc + when(shiftright(nibOf(h, j), k).bitwiseAND(1) === 1, 1).otherwise(-1))
+        when(vote > 0, lit(1 << k)).otherwise(lit(0))
+      }.reduce(_ + _)
+      lower(conv(digit.cast("string"), 10, 16))
+    }
+    base.select(col("doc"), concat(digits: _*).as("simhash_hex"))
+  }
+
+  /** Portable SimHash twin: signature → 4×4-hex-digit chunk banding →
+    * exact hamming over nibbles, all expressible in portable SQL — the
+    * same role [[minhashNearDupsPortable]] plays for MinHash: the WHOLE
+    * algorithm sits under the oracle, while the xxhash64 [[simhash]] +
+    * [[simhashNearDups]] remain the scale default (8-byte signatures,
+    * capped buckets). Pair dedup is ids-only with signatures rejoined,
+    * the narrow-shuffle shape shared by every banded join here. */
+  def simhashNearDupsPortable(docs: DataFrame, idCol: String, textCol: String,
+                              maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding only guarantees recall for hamming <= 3")
+    val sigs = simhashPortableSigs(docs, idCol, textCol).persist()
+    val banded = sigs.select(col("doc"),
+        posexplode(array((0 until 4).map(c =>
+          substring(col("simhash_hex"), c * 4 + 1, 4)): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val pairs = banded.select(col("chunk"), col("chunk_val"), col("doc").as("doc_a"))
+      .join(banded.select(col("chunk"), col("chunk_val"), col("doc").as("doc_b")),
+        Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    def nib(c: Column, j: Int) = conv(substring(c, j, 1), 16, 10).cast("int")
+    val hamming = (1 to 16).map(j =>
+      bit_count(nib(col("hex_a"), j).bitwiseXOR(nib(col("hex_b"), j)))).reduce(_ + _)
+    pairs
+      .join(sigs.select(col("doc").as("doc_a"), col("simhash_hex").as("hex_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc").as("doc_b"), col("simhash_hex").as("hex_b")), Seq("doc_b"))
+      .withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Embedding-cosine near-dups, exact: all pairs with cosine ≥ threshold,
     * via the native [[graft.plans.CosineSimilarity]] expression on a
     * broadcast self-join. O(n²) BY DESIGN — this is the small-n oracle

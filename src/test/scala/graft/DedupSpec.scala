@@ -100,6 +100,19 @@ class DedupSpec extends SparkSpec {
     assert(fast.nonEmpty)
   }
 
+  test("portable simhash: identical token streams collide at hamming 0") {
+    val pairs = Dedup.simhashNearDupsPortable(corpus, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    // byte-identical text and the ws/case variant both tokenize to the
+    // same stream under lower+split → identical signatures
+    assert(pairs((2L, 102L)) == 0L)
+    assert(pairs((2L, 103L)) == 0L)
+    assert(pairs((102L, 103L)) == 0L)
+    // unrelated docs never collide within hamming 3
+    assert(!pairs.contains((1L, 2L)) && !pairs.contains((1L, 3L)))
+  }
+
   test("native single-pass simhash == 64-fold composable form") {
     val native = Dedup.simhash(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
