@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * Scale notes (the 100 TB story):
   *  - exact/normalized dedup is a single hash aggregate on a fingerprint —
   *    one shuffle on the dedup key, map-side partial aggregation.
-  *  - MinHash signatures are computed in ONE pass over the exploded shingle
-  *    table (k min-aggregates in the same groupBy), not k passes.
+  *  - MinHash signatures never leave the row: the whole k-family signature
+  *    is one native single-pass expression over the per-doc shingle-hash
+  *    array ([[graft.plans.MinHashSig]]) — ZERO shuffles; only the banded
+  *    candidate join moves data.
   *  - candidate generation joins on (band, bandHash) buckets; bucket size
   *    is capped ([[LshMaxBucket]]) so a degenerate hot bucket (all-equal
   *    docs) cannot go quadratic — the cap drops only buckets that exact
@@ -19,6 +21,23 @@ import org.apache.spark.sql.functions._
   *  - all pair outputs use `idA < idB` so each pair appears once.
   */
 object Dedup {
+
+  /** Persisted intermediates registered by the dedup builders. The returned
+    * frames are LAZY, so the builders cannot eagerly unpersist without
+    * defeating their own cache — long-lived sessions (CLI loops, benches,
+    * test suites) call [[unpersistIntermediates]] once results are
+    * materialized so repeated invocations don't accumulate cached blocks. */
+  private val cachedIntermediates =
+    new scala.collection.mutable.ArrayBuffer[DataFrame]
+  private def tracked(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist()
+    cachedIntermediates += p
+    p
+  }
+  def unpersistIntermediates(): Unit = synchronized {
+    cachedIntermediates.foreach(_.unpersist(false))
+    cachedIntermediates.clear()
+  }
 
   /** Exact duplicate groups by md5 fingerprint of `text`. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -49,10 +68,33 @@ object Dedup {
       .distinct()
 
   /** MinHash signatures: k deterministic hash families via
-    * `xxhash64(seed_i, shingle)`, all k minima computed in one aggregate
-    * pass. Returns (doc, sig array<long>). */
+    * `xxhash64(seed_i, shingle)`, the whole signature computed IN-ROW by
+    * the native single-pass [[graft.plans.MinHashSig]] expression over the
+    * per-doc shingle-hash array. Returns (doc, sig array<long>).
+    *
+    * ZERO shuffles: the form this replaced ([[minhashSignaturesShuffled]],
+    * kept as the spec twin) exploded every 5-gram occurrence, ran a
+    * corpus-wide `.distinct()`, then `groupBy(doc)` with k min-aggregates —
+    * two full shuffles of the shingle stream that dominated the round-3
+    * sf1 MinHash bench. A minimum is insensitive to duplicates, so the
+    * in-row form needs no distinct at all; signatures are bit-equal
+    * (proven in `DedupSpec`). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 32, shingleN: Int = 5): DataFrame = {
+                        numHashes: Int = 32, shingleN: Int = 5): DataFrame =
+    docs.select(col(idCol).as("doc"), Text.tokens(lower(col(textCol))).as("toks"))
+      .select(col("doc"),
+        transform(Text.shinglesFromTokens(col("toks"), shingleN),
+          s => xxhash64(s)).as("hs"))
+      .select(col("doc"),
+        graft.plans.MinHashSig.minhashSig(col("hs"), numHashes).as("sig"))
+
+  /** Spec twin: the exploded-shingle groupBy formulation the in-row default
+    * replaced — kept so `DedupSpec` can assert signature equality. Do NOT
+    * use on large corpora: it shuffles every shingle occurrence twice. */
+  private[graft] def minhashSignaturesShuffled(docs: DataFrame, idCol: String,
+                                               textCol: String,
+                                               numHashes: Int = 32,
+                                               shingleN: Int = 5): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, shingleN)
     val minCols = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
@@ -91,12 +133,12 @@ object Dedup {
   def minhashCandidates(sigs: DataFrame, numHashes: Int = 32, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigsP = sigs.persist()
+    val sigsP = tracked(sigs)
     val banded = sigsP.select(col("doc"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val bucketed = capBuckets(banded, Seq("band", "band_hash"), LshMaxBucket).persist()
+    val bucketed = tracked(capBuckets(banded, Seq("band", "band_hash"), LshMaxBucket))
     val a = bucketed.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
     val b = bucketed.select(col("band"), col("band_hash"), col("doc").as("doc_b"))
     val pairs = a.join(b, Seq("band", "band_hash"))
@@ -170,7 +212,7 @@ object Dedup {
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
-    val chunked = capBuckets(banded, Seq("chunk", "chunk_val"), maxBucket).persist()
+    val chunked = tracked(capBuckets(banded, Seq("chunk", "chunk_val"), maxBucket))
     val a = chunked.select(col("chunk"), col("chunk_val"),
       col("doc").as("doc_a"), col("simhash").as("sh_a"))
     val b = chunked.select(col("chunk"), col("chunk_val"),
@@ -214,7 +256,7 @@ object Dedup {
   def simhashNearDupsPortable(docs: DataFrame, idCol: String, textCol: String,
                               maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding only guarantees recall for hamming <= 3")
-    val sigs = simhashPortableSigs(docs, idCol, textCol).persist()
+    val sigs = tracked(simhashPortableSigs(docs, idCol, textCol))
     val banded = sigs.select(col("doc"),
         posexplode(array((0 until 4).map(c =>
           substring(col("simhash_hex"), c * 4 + 1, 4)): _*)))
@@ -281,7 +323,7 @@ object Dedup {
         posexplode(array((0 until tables).map(t =>
           Vectors.srpBucket(col("vec"), planes, seed = t + 1)): _*)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-    val bucketed = capBuckets(banded, Seq("tbl", "bucket"), maxBucket).persist()
+    val bucketed = tracked(capBuckets(banded, Seq("tbl", "bucket"), maxBucket))
     val cand = bucketed.select(col("tbl"), col("bucket"), col("vid").as("id_a"))
       .join(bucketed.select(col("tbl"), col("bucket"), col("vid").as("id_b")),
         Seq("tbl", "bucket"))
@@ -374,10 +416,9 @@ object Dedup {
     val minCols = (0 until numHashes).map(i =>
       min(md5(concat_ws(":", lit(i.toString), col("shingle")))).as(s"h$i"))
     // signature feeds banding + both sides of the estimation join
-    val sig = sh.groupBy("doc").agg(minCols.head, minCols.tail: _*)
+    val sig = tracked(sh.groupBy("doc").agg(minCols.head, minCols.tail: _*)
       .select(col("doc"),
-        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-      .persist()
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig")))
     val banded = sig.select(col("doc"), posexplode(
         array((0 until bands).map(b =>
           md5(concat_ws("|", (0 until r).map(j => col("sig")(b * r + j)): _*))): _*)))
@@ -431,7 +472,7 @@ object Dedup {
                       shingleN: Int = 5, dfMax: Int = 20,
                       minJaccard: Double = 0.5): DataFrame = {
     // The inverted index feeds five plan branches — persist it once.
-    val sh = shingleTable(docs, idCol, textCol, shingleN).persist()
+    val sh = tracked(shingleTable(docs, idCol, textCol, shingleN))
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("set_size"))
     val discriminative = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df"))

@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * n-gram character fraction) that public web-scale pipelines apply before
   * dedup proper.
   *
-  * Shape at scale: ONE explode producing (doc, n, gram) rows tagged with
-  * the n-gram order, a (doc, n, gram) hash-count, then per-doc rollups —
-  * every step is a decomposable hash-agg keyed by the doc, so partial
-  * aggregation collapses the gram fan-out map-side and nothing is
-  * quadratic in document length (the naive per-doc `filter(grams, g = x)`
-  * counting form is O(tokens²) per document and is deliberately avoided).
+  * Shape at scale: MAP-ONLY. Every metric here is a function of a single
+  * document, so nothing ever leaves the row: distinct-counts come from
+  * `array_distinct` arithmetic and the per-doc argmax bigram from the
+  * single-pass native [[graft.plans.TopGram]] expression. The previous
+  * formulation ([[ngramRepetitionShuffled]], kept as the spec twin)
+  * exploded every uni/bi/trigram occurrence into `(doc, n, gram)` rows and
+  * hash-aggregated across the cluster — mostly-distinct grams defeat
+  * map-side combine, so the full token stream (×3 gram orders, string
+  * keys) hit the exchange: the round-3 sf1 bench measured 60× cost at 10×
+  * data. The in-row form is trivially linear and shuffle-free.
   */
 object Repetition {
 
@@ -29,7 +33,8 @@ object Repetition {
     *    fraction" filter signal);
     *  - `dup_trigram_frac` — fraction of 3-gram occurrences that are
     *    repeats of an earlier occurrence (Gopher's "duplicate n-gram"
-    *    signal).
+    *    signal): `(total − distinct) / total`, exactly `sum(c−1)/sum(c)`
+    *    of the per-gram counts.
     *
     * Documents shorter than the gram order degenerate to one whole-text
     * shingle (same convention as [[Text.shinglesFromTokens]]).
@@ -37,7 +42,37 @@ object Repetition {
   def ngramRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // Token array gets its own projection boundary: Catalyst does not CSE
     // across lambda boundaries, so inlining the split would re-run it per
-    // shingle (see Text.shinglesFromTokens scaladoc).
+    // shingle (see Text.shinglesFromTokens scaladoc). The shingle arrays
+    // get the same treatment one level up.
+    val base = docs.select(
+      col(idCol).as("doc"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      Text.tokens(lower(col(textCol))).as("toks"))
+    val arrs = base.select(col("doc"), col("n_chars"), col("toks"),
+      Text.shinglesFromTokens(col("toks"), 2).as("bis"),
+      Text.shinglesFromTokens(col("toks"), 3).as("tris"))
+    arrs
+      .select(col("doc"), col("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+        graft.plans.TopGram.topGram(col("bis")).as("tb"),
+        ((size(col("tris")) - size(array_distinct(col("tris")))).cast("double")
+          / size(col("tris")).cast("double")).as("dup_trigram_frac"))
+      .select(col("doc").as(idCol),
+        col("n_tokens"), col("n_distinct_tokens"),
+        col("tb.gram").as("top_bigram"),
+        col("tb.cnt").as("top_bigram_count"),
+        (col("tb.cnt") * length(col("tb.gram"))).cast("double")
+          ./(col("n_chars").cast("double")).as("top_bigram_char_frac"),
+        col("dup_trigram_frac"))
+  }
+
+  /** Spec twin: the explode + corpus-wide hash-agg formulation the in-row
+    * default replaced — kept so `TextHygieneSpec` can assert frame-level
+    * equivalence of the two algorithms. Do NOT use on large corpora: it
+    * shuffles every n-gram occurrence for per-document outputs. */
+  private[graft] def ngramRepetitionShuffled(docs: DataFrame, idCol: String,
+                                             textCol: String): DataFrame = {
     val base = docs.select(
       col(idCol).as("doc"),
       length(col(textCol)).cast("long").as("n_chars"),

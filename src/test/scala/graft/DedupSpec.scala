@@ -59,6 +59,19 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(2L, 4L))
   }
 
+  test("in-row native minhash signatures == shuffled groupBy form") {
+    // the zero-shuffle MinHashSig path must be bit-equal to the exploded
+    // distinct+groupBy formulation it replaced (min is duplicate-insensitive)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc") -> r.getSeq[Long](1).toList).toMap
+    val fast = collect(Dedup.minhashSignatures(corpus, "doc_id", "text",
+      numHashes = 32, shingleN = 3))
+    val ref = collect(Dedup.minhashSignaturesShuffled(corpus, "doc_id", "text",
+      numHashes = 32, shingleN = 3))
+    assert(fast == ref)
+    assert(fast.size == corpus.count())
+  }
+
   test("minhash LSH finds the planted near-dup pair") {
     val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
       numHashes = 32, bands = 16, shingleN = 3, minEstJaccard = 0.4)

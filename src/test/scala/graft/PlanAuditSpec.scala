@@ -36,6 +36,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("repetition metrics are map-only: no exchange in the plan") {
+    val p = plan(graft.operators.Repetition.ngramRepetition(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("minhash signature build is map-only: no exchange in the plan") {
+    val p = plan(graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("SRP-LSH near-dup plan has no corpus broadcast and no product join") {
     val emb = (1 to 40).map(i =>
       (i.toLong, Seq.fill(8)((i % 5).toFloat + 1f))).toDF("vec_id", "embedding")

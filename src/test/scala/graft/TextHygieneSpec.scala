@@ -100,6 +100,18 @@ class TextHygieneSpec extends SparkSpec {
     }
   }
 
+  test("map-only repetition == the shuffled explode+groupBy formulation") {
+    val rnd = new scala.util.Random(57)
+    val vocab = Vector("aa", "b", "cc c", "dd", "e f", "gg", "hh", "i")
+    val docs = (1L to 30L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(rows(Repetition.ngramRepetition(docs, "doc_id", "text")) ==
+      rows(Repetition.ngramRepetitionShuffled(docs, "doc_id", "text")))
+  }
+
   test("scrub is idempotent: redacted text has nothing left to redact") {
     val lines = Seq(
       "mail a@b.co and c.d+x@e-f.org via https://h.example/p?q=1 from 1.2.3.4",
