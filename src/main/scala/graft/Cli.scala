@@ -27,10 +27,18 @@ import org.apache.spark.sql.functions._
   */
 object Cli {
 
-  /** `--key value` pairs plus bare boolean flags (`--force-reset`,
-    * `--no-cache` — click's is_flag style, `querysight.py:291-292`): a
-    * `--key` followed by another `--key` or end-of-args parses as
-    * `key=true`. */
+  /** Boolean flags that may appear with no value (click's is_flag style,
+    * `querysight.py:291-292`). `cache` is listed because the reference's
+    * `--cache/--no-cache` toggle allows a bare `--cache`; it still accepts
+    * an explicit value (`--cache false`). */
+  private val BareFlags = Set("force-reset", "no-cache", "cache")
+
+  /** `--key value` pairs plus the known bare boolean flags ([[BareFlags]],
+    * which parse as `key=true` when no value follows). Any OTHER `--key`
+    * with no value is a parse error — previously `analyze --logs` yielded
+    * logs="true" which flowed downstream as a file path and died with a
+    * confusing read error. `--key=value` is the escape hatch for values
+    * that themselves start with `--`. */
   private def parseArgs(args: Seq[String]): Map[String, String] = {
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
     var i = 0
@@ -38,10 +46,15 @@ object Cli {
       val a = args(i)
       require(a.startsWith("--"), s"unexpected argument: $a")
       val k = a.stripPrefix("--")
-      if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+      if (k.contains('=')) {
+        val Array(key, value) = k.split("=", 2)
+        out(key) = value; i += 1
+      } else if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
         // sbt's runMain passes shell-style quotes through literally
         out(k) = args(i + 1).stripPrefix("'").stripSuffix("'"); i += 2
-      } else { out(k) = "true"; i += 1 }
+      } else if (BareFlags(k)) { out(k) = "true"; i += 1 }
+      else sys.error(s"missing value for --$k (use --$k=<value> if the " +
+        "value starts with --)")
     }
     out.toMap
   }
@@ -132,10 +145,13 @@ object Cli {
 
     // Cache controls (`querysight.py:291-292`): `--force-reset` wipes the
     // store before this run's merge; `--no-cache` (or `--cache false`)
-    // bypasses the store entirely — nothing read, nothing written.
+    // bypasses the store entirely — nothing read, nothing written. The
+    // reset is NOT gated on the cache flag: the reference wipes whenever
+    // force_reset is set (initialize_analysis_components, querysight.py:313,
+    // cache_manager.py:26), so `--no-cache --force-reset` still clears.
     val useCache = !opts.get("no-cache").contains("true") &&
       !opts.get("cache").contains("false")
-    opts.get("store").filter(_ => useCache).foreach { dir =>
+    opts.get("store").foreach { dir =>
       if (opts.get("force-reset").contains("true"))
         graft.operators.PatternStore.reset(dir)
     }

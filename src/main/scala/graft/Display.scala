@@ -26,8 +26,14 @@ object Display {
   private def fmtTs(r: Row, field: String): String = {
     val i = r.fieldIndex(field)
     if (r.isNullAt(i)) "N/A"
-    else new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm")
-      .format(r.getTimestamp(i))
+    else {
+      // pinned to UTC: the session computes timestamps in UTC, and the
+      // "deterministic plain ASCII" promise must hold across JVM default
+      // timezones
+      val f = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm")
+      f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      f.format(r.getTimestamp(i))
+    }
   }
 
   private def strSeq(r: Row, field: String): Seq[String] =

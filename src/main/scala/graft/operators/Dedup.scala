@@ -344,9 +344,16 @@ object Dedup {
     * shuffle-partitioned on the node id, no driver-side graph. The labels
     * frame is persisted per round and the loop exits on a driver-checked
     * convergence count (bounded by `maxIters`), which is the standard
-    * Spark iterative-algorithm shape. Returns (doc, component) where
-    * component = min doc id reachable. */
-  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    * Spark iterative-algorithm shape. The convergence probe runs only
+    * every `probeEvery` rounds: each probe is a synchronous driver action,
+    * and near-dup components are shallow (diameter 1-2 for pair-dominated
+    * dedup graphs), so probing at round 2 usually catches convergence with
+    * half the driver round-trips; the cost of batching is at most
+    * `probeEvery - 1` no-op propagation rounds after the fixed point,
+    * each an idempotent map of already-converged labels. Returns
+    * (doc, component) where component = min doc id reachable. */
+  def components(pairs: DataFrame, maxIters: Int = 20,
+                 probeEvery: Int = 2): DataFrame = {
     // Both directions from ONE pass over the pair stream (explode, not
     // self-union): the pair-generation subtree is typically an expensive
     // LSH plan, and a union of two selects would execute it twice.
@@ -383,11 +390,15 @@ object Dedup {
             .as("component"),
           col("component").as("old"))
         .localCheckpoint(true)
-      val changed = next.filter(col("component") =!= col("old")).limit(1).count()
       labels.unpersist()
       labels = next
-      converged = changed == 0
       iter += 1
+      // batched probe: only pay the synchronous count every probeEvery
+      // rounds (and on the last permitted round)
+      if (iter % probeEvery == 0 || iter == maxIters) {
+        converged =
+          labels.filter(col("component") =!= col("old")).limit(1).count() == 0
+      }
     }
     edges.unpersist()
     labels.select("doc", "component")

@@ -152,6 +152,36 @@ class CliSpec extends SparkSpec {
     assert(m("force-reset") == "true" && m("no-cache") == "true" && m("level") == "2")
   }
 
+  test("parseArgs rejects a value-taking option with no value") {
+    // `analyze --logs` used to yield logs="true" and die downstream with a
+    // confusing parquet-read error; now it is a parse error up front
+    val e = intercept[RuntimeException](Cli.parseArgsForTest(Seq("--logs")))
+    assert(e.getMessage.contains("missing value for --logs"))
+    val e2 = intercept[RuntimeException](
+      Cli.parseArgsForTest(Seq("--logs", "--level", "2")))
+    assert(e2.getMessage.contains("missing value for --logs"))
+  }
+
+  test("parseArgs --key=value escape hatch allows values starting with --") {
+    val m = Cli.parseArgsForTest(Seq("--sort-by=--weird--", "--level=2", "--cache"))
+    assert(m("sort-by") == "--weird--" && m("level") == "2" && m("cache") == "true")
+  }
+
+  test("--force-reset wipes the store even under --no-cache (reference parity)") {
+    // initialize_analysis_components resets whenever force_reset is set,
+    // regardless of the cache flag (querysight.py:313, cache_manager.py:26)
+    val store = Files.createTempDirectory("cli_cache_fr").toString + "/hist"
+    capture(Cli.analyze(spark, Map(
+      "logs" -> logsPath, "as-of" -> asOf, "level" -> "2", "store" -> store,
+      "format" -> "json")))
+    assert(Files.exists(Paths.get(store)))
+    capture(Cli.analyze(spark, Map(
+      "logs" -> logsPath, "as-of" -> asOf, "level" -> "2", "store" -> store,
+      "no-cache" -> "true", "force-reset" -> "true", "format" -> "json")))
+    // reset ran (store gone) and no-cache kept the enrich path from rewriting
+    assert(!Files.exists(Paths.get(store)))
+  }
+
   test("generate-model writes dbt scaffolds for uncovered tables") {
     val outDir = Files.createTempDirectory("cli_models").toString
     capture(Cli.generateModel(spark, Map(
