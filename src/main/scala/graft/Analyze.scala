@@ -109,13 +109,17 @@ object Analyze {
     * (`querysight.py:341-357`). `sampleFraction` is `--sample-size`
     * (`querysight.py:287`). `schemas` (a Schemas.describeTables frame)
     * makes recommendations name actual columns (`ai_suggester.py:56-63`).
+    * `recommender` selects the level-4 backend ([[operators.Recommender]]):
+    * the deterministic rule engine by default; an [[operators.LlmRecommender]]
+    * with a transport closure for the reference's LLM path.
     */
   def run(logs: DataFrame, cfg: SamplingConfig, project: Option[DbtProject],
           level: AnalysisLevel, asOf: Column, minFrequency: Int = 2,
           focus: QueryFocus = QueryFocus.All,
           criteria: Filters.PatternCriteria = Filters.PatternCriteria(),
           sampleFraction: Option[Double] = None,
-          schemas: Option[DataFrame] = None): AnalysisResult = {
+          schemas: Option[DataFrame] = None,
+          recommender: operators.Recommender = operators.RuleRecommender): AnalysisResult = {
     val spark = logs.sparkSession
     val focusedCfg =
       if (focus == QueryFocus.Slow && cfg.slowOnlyThresholdMs.isEmpty)
@@ -158,7 +162,7 @@ object Analyze {
       return AnalysisResult(collected, enriched, Some(cov), None)
 
     AnalysisResult(collected, enriched, Some(cov),
-      Some(Recommend.recommend(enriched, schemas)))
+      Some(recommender.recommend(enriched, schemas)))
   }
 
   /** S9: JSON export of the top-N patterns (driver-side, post-filter —

@@ -798,12 +798,23 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))),
 
-    // SRP-LSH bucketed approximate neighbors (no oracle; recall < 1).
-    "q_ann_srp" -> ((s, dir) =>
-      Similarity.srpTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        col("vid") % 20 === 0, k = 5, planes = 6)
+    // SRP-LSH bucketed approximate neighbors, ORACLE-EXACT by
+    // construction: queries are planted collinear copies (×1.5) of corpus
+    // vectors, so every query shares its partner's hyperplane-sign bucket
+    // (a positive scale never flips a dot-product sign) and the exact
+    // top-1 — the partner, cosine 1.0 — is inside the candidate set; the
+    // generic recall<1 configuration stays covered by SimilaritySpec's
+    // recall tests.
+    "q_ann_srp" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      Similarity.srpTopK(emb.unionByName(planted), "vec_id", "embedding",
+        col("vid") >= 1000000L, k = 1, planes = 6)
         .withColumnRenamed("rank", "rnk")
-        .orderBy(col("query_id"), col("rnk"))),
+        .orderBy(col("query_id"), col("rnk"))
+    }),
 
     // L2 normalization of the embedding column — bit-exact across engines
     // (in-order fold both sides; no rounding anywhere). The unit vector is
@@ -2217,6 +2228,27 @@ object SparkEntry {
           |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
           |  WHERE q.vec_id % 20 = 0) t
           |WHERE rnk <= 5
+          |ORDER BY query_id, rnk""".stripMargin,
+
+      // planted collinear queries → SRP recall 1 → the exact top-1 oracle
+      // carries over (same plant as q_dedup_components' corpus)
+      "q_ann_srp" ->
+        """WITH corpus AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 1000000,
+          |    list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT))
+          |  FROM embeddings WHERE vec_id % 20 = 0)
+          |SELECT query_id, neighbor_id, cosine, rnk FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 5)
+          |      AS cosine,
+          |    CAST(row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 5)
+          |        DESC, c.vec_id) AS BIGINT) AS rnk
+          |  FROM corpus q JOIN corpus c ON q.vec_id != c.vec_id
+          |  WHERE q.vec_id >= 1000000) t
+          |WHERE rnk <= 1
           |ORDER BY query_id, rnk""".stripMargin,
 
       // Normalize: NO rounding — list_reduce is the same left-to-right

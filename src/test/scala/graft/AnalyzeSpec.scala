@@ -58,6 +58,54 @@ class AnalyzeSpec extends SparkSpec {
     sysId.foreach(id => assert(!recs.exists(_.getAs[String]("pattern_id") == id)))
   }
 
+  test("recommender seam: rule engine is the default, LLM backend is drop-in") {
+    import graft.operators.{LlmRecommender, RuleRecommender}
+    // (a) the default is the rule engine: explicit RuleRecommender produces
+    // the identical recommendation set
+    val base = Analyze.run(logsDf, SamplingConfig(), Some(proj),
+      AnalysisLevel.Optimization, asOf = lit(ts(100)))
+    val explicit = Analyze.run(logsDf, SamplingConfig(), Some(proj),
+      AnalysisLevel.Optimization, asOf = lit(ts(100)),
+      recommender = RuleRecommender)
+    def rows(r: AnalysisResult) = r.recommendations.get
+      .orderBy("pattern_id", "rec_type").collect().map(_.toSeq).toSeq
+    assert(rows(base) == rows(explicit))
+
+    // (b) the LLM path: fake transport answering the reference's RESPONSE
+    // FORMAT (ai_suggester.py:199-204); prompts must carry the pattern
+    // metrics, system-only patterns must never reach the transport, and
+    // sections parse into the shared output schema
+    val prompts = scala.collection.mutable.ArrayBuffer[String]()
+    val llm = new LlmRecommender(p => {
+      prompts += p
+      """Here you go:
+        |**Type:** REWRITE_QUERY
+        |Description: Pre-aggregate the revenue side
+        |before joining.
+        |Impact: high
+        |```sql
+        |SELECT 1
+        |```""".stripMargin
+    })
+    val viaLlm = Analyze.run(logsDf, SamplingConfig(), Some(proj),
+      AnalysisLevel.Optimization, asOf = lit(ts(100)), recommender = llm)
+    val recs = viaLlm.recommendations.get.collect()
+    assert(recs.nonEmpty && recs.forall(_.getAs[String]("rec_type") == "REWRITE_QUERY"))
+    assert(recs.forall(_.getAs[String]("impact_level") == "HIGH"))
+    // multi-line Description accumulates until the next marker
+    assert(recs.forall(_.getAs[String]("description") ==
+      "Pre-aggregate the revenue side before joining."))
+    // system-table-only pattern never produced a prompt
+    assert(prompts.nonEmpty && !prompts.exists(_.contains("system.query_log")))
+    assert(prompts.exists(p => p.contains("legacy.raw_stuff") && p.contains("Frequency: 4")))
+
+    // (c) a transport failure skips that pattern, not the run
+    val flaky = new LlmRecommender(_ => sys.error("boom"))
+    val viaFlaky = Analyze.run(logsDf, SamplingConfig(), Some(proj),
+      AnalysisLevel.Optimization, asOf = lit(ts(100)), recommender = flaky)
+    assert(viaFlaky.recommendations.get.count() == 0)
+  }
+
   test("sampling config filters apply (F1/F2/F5)") {
     val res = Analyze.run(logsDf,
       SamplingConfig(includeUsers = Seq("ALICE"), slowOnlyThresholdMs = Some(30.0)),
