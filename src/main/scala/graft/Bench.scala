@@ -72,7 +72,7 @@ object Bench {
     * differ → no exact-dup flood); embeddings get a per-index offset of at
     * most ±3e-3·r (cosine to the original stays ≈1 → still a near-dup, but
     * no longer bit-equal → SRP buckets spread instead of flooding). */
-  private def perturb(table: String, r: Int, df: DataFrame): DataFrame =
+  private[graft] def perturb(table: String, r: Int, df: DataFrame): DataFrame =
     if (r == 0) df
     else table match {
       case "documents" =>

@@ -45,6 +45,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 101L)) && pairs((1L, 101L)) < 1.0)
   }
 
+  test("unpersistIntermediates releases every tracked cached block") {
+    spark.catalog.clearCache()
+    Dedup.unpersistIntermediates() // drain leftovers from other tests
+    // minhashNearDups persists signatures + capped buckets internally
+    Dedup.minhashNearDups(corpus, "doc_id", "text",
+      numHashes = 16, bands = 8, shingleN = 3, minEstJaccard = 0.3).count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    Dedup.unpersistIntermediates()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("incremental dedup drops store dups and within-batch copies") {
     val store = Seq("already kept text").toDF("text")
       .select(md5(col("text")).as("fingerprint"))
