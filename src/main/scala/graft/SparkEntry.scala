@@ -780,6 +780,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Sliding context-window chunking with overlap: map-only in-row
+    // fan-out over the token COUNT (no shuffle, no token materialization).
+    "q_chunk_sliding" -> ((s, dir) =>
+      graft.operators.Packing.slidingChunks(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", seqLen = 48, stride = 24)
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          col("n_in_chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Deterministic epoch shuffle: seeded md5 permutation + sharding —
+    // reproducible training order without ORDER BY rand()'s global sort.
+    "q_global_shuffle" -> ((s, dir) =>
+      graft.operators.Sampling.globalShuffle(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+        shards = 8, seed = 7)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))),
+
+    // Corpus-frequency familiarity scoring (the deterministic core of
+    // CCNet-style LM quality filtering; corpus as its own model).
+    "q_token_familiarity" -> ((s, dir) =>
+      graft.operators.Familiarity.tokenFamiliarity(
+        Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // ------------------- beyond-reference: similarity search -------------
 
     // Exact brute-force cosine top-5 (oracle-checked). "rnk" because RANK
@@ -2191,6 +2218,46 @@ object SparkEntry {
            |  FROM (SELECT doc_id, ${Text.duckdbTokenCountSql("text")} AS n_tokens
            |        FROM documents))
            |ORDER BY doc_id""".stripMargin,
+
+      "q_chunk_sliding" ->
+        s"""SELECT doc_id, CAST(start_tok // 24 AS BIGINT) AS chunk_idx,
+           |  start_tok, CAST(least(48, n_tokens - start_tok) AS BIGINT)
+           |    AS n_in_chunk
+           |FROM (
+           |  SELECT doc_id, n_tokens,
+           |    unnest(generate_series(0, CAST(n_tokens - 1 AS BIGINT), 24))
+           |      AS start_tok
+           |  FROM (SELECT doc_id,
+           |          CAST(${Text.duckdbTokenCountSql("text")} AS BIGINT)
+           |            AS n_tokens
+           |        FROM documents)
+           |  WHERE n_tokens > 0)
+           |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      "q_global_shuffle" -> {
+        val key = graft.operators.Sampling.duckdbShuffleKeySql("doc_id", 7)
+        s"""SELECT doc_id, shard,
+           |  CAST(row_number() OVER (PARTITION BY shard
+           |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+           |FROM (
+           |  SELECT doc_id, shuffle_key,
+           |    ('0x' || substring(shuffle_key, 1, 8))::BIGINT % 8 AS shard
+           |  FROM (SELECT doc_id, $key AS shuffle_key FROM documents))
+           |ORDER BY shard, pos""".stripMargin
+      },
+
+      "q_token_familiarity" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+          |    AS token
+          |  FROM documents),
+          |vocab AS (SELECT token, count(*) AS tf FROM tok GROUP BY token)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  CAST(sum(tf) AS BIGINT) AS sum_tf,
+          |  CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+          |  CAST(sum(tf) AS DOUBLE) / count(*) AS avg_token_freq
+          |FROM tok JOIN vocab USING (token)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q_multimodal_audio" ->
         """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS window_idx,

@@ -39,6 +39,32 @@ object Packing {
       .drop("_prior")
   }
 
+  /** Sliding context-window chunk spans per document: starts at
+    * 0, stride, 2·stride, … while < `tokensCol`, each chunk covering
+    * `[start, min(start+seqLen, n))` — the overlap-chunking step that
+    * prepares long documents for a fixed context window (stride < seqLen
+    * gives overlapping windows; stride == seqLen gives disjoint ones).
+    *
+    * MAP-ONLY: the fan-out is an in-row `explode(sequence(...))` over the
+    * token COUNT — no shuffle, no token materialization, trivially linear
+    * at any corpus size. `seqLen >= stride` guarantees every token is
+    * covered. `chunk_idx = start/stride` exactly (starts are multiples of
+    * stride), so no window function is needed for the index either.
+    * Output: input + (chunk_idx, start_tok, n_in_chunk); zero-token
+    * documents produce no chunks. */
+  def slidingChunks(docs: DataFrame, idCol: String, tokensCol: String,
+                    seqLen: Int, stride: Int): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    require(seqLen >= stride, "seqLen < stride would leave token gaps")
+    docs.filter(col(tokensCol) > 0)
+      .withColumn("start_tok",
+        explode(sequence(lit(0L), col(tokensCol).cast("long") - 1L,
+          lit(stride.toLong))))
+      .withColumn("chunk_idx", (col("start_tok") / stride).cast("long"))
+      .withColumn("n_in_chunk",
+        least(lit(seqLen.toLong), col(tokensCol).cast("long") - col("start_tok")))
+  }
+
   /** Exact greedy first-fit-in-order packing per shard. Output schema:
     * input + (shard, pack_id); same global pack_id convention. */
   def greedy(docs: DataFrame, idCol: String, tokensCol: String,

@@ -50,4 +50,32 @@ object Sampling {
   /** DuckDB twin of [[hashBucket]] for oracle SQL. */
   def duckdbHashBucketSql(idCol: String, buckets: Int): String =
     s"(('0x' || substring(md5(CAST($idCol AS VARCHAR)), 1, 8))::BIGINT % $buckets)"
+
+  /** Deterministic global shuffle + shard assignment — the
+    * "shuffle the corpus before packing batches" step of a training
+    * pipeline, without `ORDER BY rand()`'s two sins (not reproducible, and
+    * a single global sort). Every row gets a seeded content-hash shuffle
+    * key; `shard` is a hash bucket of that key and `pos` the row's rank
+    * within its shard by the same key — so the (shard, pos) order is a
+    * reproducible pseudo-random permutation, any engine can recompute it,
+    * and changing `seed` yields an independent epoch order.
+    *
+    * Scale shape: the window partitions by `shard`, so each shard sorts
+    * independently — parallelism = `shards`, no global sort, no skew
+    * (md5 spreads uniformly). Downstream writers consume shards as
+    * independent files/tasks. */
+  def globalShuffle(df: DataFrame, idCol: String, shards: Int,
+                    seed: Int = 0): DataFrame = {
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("shuffle_key"), col(idCol))
+    df.withColumn("shuffle_key", key)
+      .withColumn("shard",
+        conv(substring(col("shuffle_key"), 1, 8), 16, 10).cast("long") % shards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
+  /** DuckDB twin of [[globalShuffle]]'s key for oracle SQL. */
+  def duckdbShuffleKeySql(idCol: String, seed: Int): String =
+    s"md5($seed || ':' || CAST($idCol AS VARCHAR))"
 }

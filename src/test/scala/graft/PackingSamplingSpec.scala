@@ -64,6 +64,69 @@ class PackingSamplingSpec extends SparkSpec {
     assert(perShard.length == 4)
   }
 
+  test("sliding chunks tile every token exactly under the stride contract") {
+    val d = docs(300, 5)
+    val c = Packing.slidingChunks(d, "doc_id", "n_tokens", seqLen = 64, stride = 32)
+      .collect()
+    val byDoc = c.groupBy(_.getAs[Long]("doc_id"))
+    val lens = docs(300, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (id, rows) =>
+      val n = lens(id)
+      val sorted = rows.sortBy(_.getAs[Long]("chunk_idx"))
+      // starts are 0, 32, 64, ... and strictly below the token count
+      assert(sorted.zipWithIndex.forall { case (r, i) =>
+        r.getAs[Long]("start_tok") == 32L * i && r.getAs[Long]("start_tok") < n })
+      // last chunk reaches exactly the end of the doc; none overruns
+      assert(sorted.forall(r =>
+        r.getAs[Long]("start_tok") + r.getAs[Long]("n_in_chunk") <= n))
+      val last = sorted.last
+      assert(last.getAs[Long]("start_tok") + last.getAs[Long]("n_in_chunk") == n)
+    }
+    // every doc with tokens produced at least one chunk
+    assert(byDoc.keySet == lens.filter(_._2 > 0).keySet)
+    // the fan-out is in-row: no exchange anywhere in the plan
+    val plan = Packing.slidingChunks(d, "doc_id", "n_tokens", 64, 32)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("global shuffle is a reproducible permutation and layout-invariant") {
+    val d = docs(1000, 6).select("doc_id")
+    val s1 = Sampling.globalShuffle(d, "doc_id", shards = 8, seed = 7).collect()
+    // every doc appears once; positions are 1..n_shard within each shard
+    assert(s1.length == 1000 && s1.map(_.getLong(0)).distinct.length == 1000)
+    s1.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // same seed → same order, regardless of input layout
+    def order(df: org.apache.spark.sql.DataFrame, seed: Int) =
+      Sampling.globalShuffle(df, "doc_id", 8, seed)
+        .orderBy("shard", "pos").select("doc_id").as[Long].collect().toSeq
+    assert(order(d, 7) == order(d.repartition(13), 7))
+    // different seed → a different epoch order
+    assert(order(d, 7) != order(d, 8))
+    // and the order is not the identity (it actually shuffles)
+    assert(order(d, 7) != (0L until 1000L).toSeq)
+  }
+
+  test("familiarity: hapax-dense docs score low, stereotyped docs high") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the mat"),
+      (3L, "qzxv wkpj mnbt rlsd yhgf"), // all hapax
+      (4L, "the the the the")).toDF("doc_id", "text")
+    val f = graft.operators.Familiarity.tokenFamiliarity(corpus, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(f(3L).getAs[Long]("n_hapax") == 5L)
+    assert(f(3L).getAs[Double]("avg_token_freq") == 1.0)
+    // 'the' appears 8 times corpus-wide → doc 4 averages exactly 8
+    assert(f(4L).getAs[Double]("avg_token_freq") == 8.0)
+    assert(f(1L).getAs[Double]("avg_token_freq") >
+      f(3L).getAs[Double]("avg_token_freq"))
+    assert(f(1L).getAs[Long]("n_tokens") == 6L)
+  }
+
   test("greedy pack count sits between the token lower bound and 2x") {
     val d = docs(400, 4)
     val nGreedy = Packing.greedy(d, "doc_id", "n_tokens", 512, 4)
