@@ -656,6 +656,16 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Cross-doc duplicated-SPAN detection (windowed substring dedup) in
+    // its portable-md5 configuration — the whole pipeline (in-row window
+    // hashing, df-capped dup set, coverage union) is oracle-exact; the
+    // xxhash64 default is spec-proven value-identical (DedupSpec).
+    "q_span_dedup" -> ((s, dir) =>
+      Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text",
+        w = 8, maxDf = 64, portable = true)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // MinHash with PORTABLE md5-string hash families — the full
     // signature→band→bucket→estimate algebra under the oracle (the
     // xxhash64 form stays the scale default, rows-only).
@@ -791,6 +801,17 @@ object SparkEntry {
           col("n_in_chunk"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Temperature-weighted (α=0.5) source mixing: rare sources upweighted,
+    // rates from one tiny aggregate, membership a portable md5-bucket
+    // filter — bit-reproducible in any IEEE engine (correctly rounded
+    // sqrt + integer-scaled weights; see Sampling.mixtureSample).
+    "q_mixture_sample" -> ((s, dir) =>
+      graft.operators.Sampling.mixtureSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", "source", targetRows = 200L)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
     // Deterministic epoch shuffle: seeded md5 permutation + sharding —
     // reproducible training order without ORDER BY rand()'s global sort.
     "q_global_shuffle" -> ((s, dir) =>
@@ -822,6 +843,19 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) =>
       graft.operators.Ivf.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
         col("vid") % 20 === 0, k = 5, numCentroids = 16, nProbe = 4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))),
+
+    // IVF in its probe-ALL configuration, ORACLE-EXACT by construction:
+    // with nProbe = numCentroids every query scores every cell, so the
+    // result is the exhaustive top-k regardless of centroid placement —
+    // the entire IVF machinery (Lloyd build, cell assignment, probe
+    // selection, bucket-local scoring, ranking) runs under the same
+    // oracle as brute force. The recall<1 configuration above stays the
+    // scale path; IvfSpec covers its recall floor.
+    "q_ann_ivf_full" -> ((s, dir) =>
+      graft.operators.Ivf.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vid") % 20 === 0, k = 5, numCentroids = 16, nProbe = 16)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))),
 
@@ -2164,6 +2198,40 @@ object SparkEntry {
           |  >= 0.3
           |ORDER BY doc_a, doc_b""".stripMargin,
 
+      // Duplicated spans: same md5 window hashes (portable config), same
+      // df cap, coverage via exploded positions — DuckDB thinks in rows
+      // where Spark unions in-row, but the covered-token set is identical.
+      "q_span_dedup" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+          |  FROM documents),
+          |wins AS (
+          |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS h
+          |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+          |        FROM toks WHERE len(t) >= 8)),
+          |dups AS (
+          |  SELECT h FROM wins GROUP BY h
+          |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64),
+          |dw AS (
+          |  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS dup_windows
+          |  FROM wins w JOIN dups USING (h) GROUP BY 1),
+          |cov AS (
+          |  SELECT doc_id, CAST(count(DISTINCT j) AS BIGINT) AS covered FROM (
+          |    SELECT w.doc_id, unnest(generate_series(w.pos, w.pos + 7)) AS j
+          |    FROM wins w JOIN dups USING (h)) GROUP BY 1),
+          |tot AS (
+          |  SELECT doc_id, len(t) AS n_toks,
+          |    CAST(greatest(len(t) - 7, 0) AS BIGINT) AS n_windows
+          |  FROM toks)
+          |SELECT t.doc_id, t.n_windows,
+          |  coalesce(d.dup_windows, 0) AS dup_windows,
+          |  round(CAST(coalesce(c.covered, 0) AS DOUBLE) / t.n_toks, 5)
+          |    AS dup_token_frac
+          |FROM tot t
+          |LEFT JOIN dw d USING (doc_id)
+          |LEFT JOIN cov c USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
+
       // Frame sampling is pure byte arithmetic; documents are ASCII, so
       // DuckDB's char-indexed substring sees the same bytes Spark's
       // binary substring does, and md5 pins the frame CONTENT, not just
@@ -2234,6 +2302,12 @@ object SparkEntry {
            |  WHERE n_tokens > 0)
            |ORDER BY doc_id, chunk_idx""".stripMargin,
 
+      "q_mixture_sample" -> {
+        val body = graft.operators.Sampling.duckdbMixtureSampleSql(
+          "documents", "doc_id", "source", 200L, "d.doc_id, d.source")
+        s"$body\nORDER BY doc_id"
+      },
+
       "q_global_shuffle" -> {
         val key = graft.operators.Sampling.duckdbShuffleKeySql("doc_id", 7)
         s"""SELECT doc_id, shard,
@@ -2285,6 +2359,20 @@ object SparkEntry {
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "q_ann_cosine" ->
+        """SELECT query_id, neighbor_id, cosine, rnk FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 5)
+          |      AS cosine,
+          |    CAST(row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 5)
+          |        DESC, c.vec_id) AS BIGINT) AS rnk
+          |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+          |  WHERE q.vec_id % 20 = 0) t
+          |WHERE rnk <= 5
+          |ORDER BY query_id, rnk""".stripMargin,
+
+      // probe-ALL IVF is exhaustive → identical oracle to brute force
+      "q_ann_ivf_full" ->
         """SELECT query_id, neighbor_id, cosine, rnk FROM (
           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
           |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 5)

@@ -510,4 +510,71 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
+
+  /** Exact duplicated-SPAN detection — substring-level dedup, the windowed
+    * form of "find spans of `w` consecutive tokens that appear verbatim in
+    * MORE THAN ONE document" (the cross-document half of suffix-array
+    * training-data dedup; within-doc repetition is [[Repetition]]'s job).
+    * Returns per doc: `(doc, n_windows, dup_windows, dup_token_frac)`
+    * where `dup_token_frac` is the fraction of the doc's tokens covered by
+    * at least one cross-doc duplicated window.
+    *
+    * Scale shape:
+    *  - window hashes are built IN-ROW (one `transform` over the token
+    *    array — each window is hashed once, no per-window row until the
+    *    explode), carried as 8-byte xxhash64 keys by default so the two
+    *    unavoidable cross-doc shuffles (df-count of each window hash, and
+    *    the dup-hash join back) move longs, not w-token strings;
+    *  - duplicated hashes are df-capped to [2, maxDf] like
+    *    [[jaccardNearDups]]'s inverted index: boilerplate spans that occur
+    *    in hundreds of documents are exactly the ones whose positions
+    *    would fan out quadratically, and they signal template text that a
+    *    cheaper doc-level dedup should field first;
+    *  - per-doc token coverage is computed in-row from the collected dup
+    *    positions (`array_distinct(flatten(sequence ranges))`), so no
+    *    token-level rows ever hit an exchange.
+    *
+    * `portable = true` swaps xxhash64 for md5 hex strings so any engine
+    * reproduces the hashes — the oracle-checked configuration; results are
+    * hash-choice-invariant absent collisions (spec-asserted). */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      w: Int = 8, maxDf: Int = 64,
+                      portable: Boolean = false): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+      Text.tokens(lower(col(textCol))).as("toks"))
+    def winStr(i: Column): Column = concat_ws(" ", slice(col("toks"), i + 1, w))
+    // sequence(0, n-w) would run DESCENDING for n < w — guard with an
+    // explicitly typed empty array (md5 strings portable, longs otherwise)
+    val whs =
+      if (portable)
+        when(size(col("toks")) < w, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(col("toks")) - w),
+            i => md5(winStr(i))))
+      else
+        when(size(col("toks")) < w, array().cast("array<bigint>"))
+          .otherwise(transform(sequence(lit(0), size(col("toks")) - w),
+            i => xxhash64(winStr(i))))
+    val hashed = toks.select(col("doc"), size(col("toks")).as("n_toks"),
+      whs.as("whs"))
+    val wins = hashed.select(col("doc"), posexplode(col("whs")))
+      .withColumnRenamed("col", "h")
+    val dups = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("h")
+    val dupPerDoc = wins.join(dups, Seq("h"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("dup_windows"),
+        collect_list(col("pos")).as("dup_pos"))
+      .select(col("doc"), col("dup_windows"),
+        size(array_distinct(flatten(transform(col("dup_pos"),
+          p => sequence(p, p + w - 1))))).as("covered"))
+    hashed.select(col("doc"), col("n_toks"), size(col("whs")).as("n_windows"))
+      .join(dupPerDoc, Seq("doc"), "left")
+      .select(col("doc"),
+        col("n_windows").cast("long").as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        round(coalesce(col("covered"), lit(0)).cast("double")
+          / col("n_toks").cast("double"), 5).as("dup_token_frac"))
+  }
 }

@@ -78,4 +78,60 @@ object Sampling {
   /** DuckDB twin of [[globalShuffle]]'s key for oracle SQL. */
   def duckdbShuffleKeySql(idCol: String, seed: Int): String =
     s"md5($seed || ':' || CAST($idCol AS VARCHAR))"
+
+  /** Temperature-weighted mixture sampling — the data-mixing step of an
+    * LLM training pipeline: draw from source s at a rate ∝ n_s^α with
+    * α = 0.5, so rare sources are upweighted relative to their raw share
+    * (the GPT-3/Pile mixing shape). `targetRows` sets the expected total;
+    * a source whose proportional share exceeds its size is kept whole
+    * (rate capped at 1).
+    *
+    * Determinism across engines, so the sampled corpus is reproducible
+    * bit-for-bit anywhere:
+    *  - α is fixed at 0.5 because IEEE-754 `sqrt` is correctly rounded in
+    *    every engine, unlike `pow(n, α)` whose libm varies by platform;
+    *  - the weight is scaled to an exact integer (`floor(sqrt(n)·2^20)`)
+    *    so the cross-source total is an order-free BIGINT sum, not a
+    *    float sum whose value depends on aggregation order;
+    *  - the per-source rate is a fixed left-associated chain of correctly
+    *    rounded double ops, identical in any IEEE engine;
+    *  - membership is the same portable md5-bucket rule as
+    *    [[stratifiedSample]].
+    *
+    * Scale shape: one tiny per-source aggregate (|sources| rows), rates
+    * broadcast back, membership a map-only filter — no corpus shuffle. */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+                    targetRows: Long): DataFrame = {
+    val counts = df.groupBy(col(sourceCol).as("src"))
+      .agg(count(lit(1)).as("n_s"))
+      .withColumn("w_int",
+        floor(sqrt(col("n_s").cast("double")) * lit(1048576.0)).cast("long"))
+    val tot = counts.agg(sum(col("w_int")).as("w_tot"))
+    val rates = counts.crossJoin(tot)
+      .select(col("src"),
+        least(lit(10000.0),
+          lit(10000.0) * lit(targetRows.toDouble) * col("w_int").cast("double")
+            / col("w_tot").cast("double") / col("n_s").cast("double"))
+          .as("rate_bp"))
+    df.join(broadcast(rates), col(sourceCol) === col("src"))
+      .filter(hashBucket(col(idCol), 10000).cast("double") < col("rate_bp"))
+      .drop("src", "rate_bp")
+  }
+
+  /** DuckDB twin of [[mixtureSample]] for oracle SQL: same integer-scaled
+    * sqrt weights, same op order, same md5 bucket rule. */
+  def duckdbMixtureSampleSql(table: String, idCol: String, sourceCol: String,
+                             targetRows: Long, selectCols: String): String =
+    s"""WITH counts AS (
+       |  SELECT $sourceCol AS src, count(*) AS n_s,
+       |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1048576.0) AS BIGINT) AS w_int
+       |  FROM $table GROUP BY 1),
+       |tot AS (SELECT CAST(sum(w_int) AS BIGINT) AS w_tot FROM counts),
+       |rates AS (
+       |  SELECT src,
+       |    least(10000.0, 10000.0 * ${targetRows.toDouble} * CAST(w_int AS DOUBLE)
+       |      / CAST(w_tot AS DOUBLE) / CAST(n_s AS DOUBLE)) AS rate_bp
+       |  FROM counts, tot)
+       |SELECT $selectCols FROM $table d JOIN rates r ON d.$sourceCol = r.src
+       |WHERE CAST(${duckdbHashBucketSql(s"d.$idCol", 10000)} AS DOUBLE) < r.rate_bp""".stripMargin
 }

@@ -245,4 +245,32 @@ class DedupSpec extends SparkSpec {
     // exactly 3 shingles: |A∩B| = 8, |A∪B| = 14 → 4/7.
     assert(math.abs(planted.get._3 - 8.0 / 14.0) < 1e-12)
   }
+
+  test("duplicated spans: exact cross-doc windows, coverage union, hash-invariant") {
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, s"alpha beta $shared gamma"),          // shared run at pos 2..11 of 13
+      (2L, s"$shared delta epsilon zeta"),        // shared run at pos 0..9 of 13
+      (3L, "completely different words that never repeat anywhere at all ok"),
+      (4L, "short text"))                         // < w tokens → zero windows
+      .toDF("doc_id", "text")
+    val res = Dedup.duplicatedSpans(d, "doc_id", "text", w = 8, portable = true)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // 13 tokens → 6 windows; the 10-token shared run admits 3 fully
+    // contained 8-windows, identical across docs 1 and 2; their union
+    // covers the full 10 shared tokens → 10/13
+    assert(res(1L) == ((6L, 3L, 0.76923)))
+    assert(res(2L) == ((6L, 3L, 0.76923)))
+    assert(res(3L) == ((3L, 0L, 0.0)))
+    assert(res(4L) == ((0L, 0L, 0.0)))
+    // the xxhash64 scale default is value-identical to the md5 portable
+    // configuration (hash choice only changes the join keys)
+    val fast = Dedup.duplicatedSpans(d, "doc_id", "text", w = 8, portable = false)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(fast == res)
+  }
 }

@@ -140,4 +140,25 @@ class PackingSamplingSpec extends SparkSpec {
     // a closed pack plus the item that closed it exceeds the budget
     assert(nGreedy <= 2 * nChunked + 4) // +1 per shard tail
   }
+
+  test("mixture sample upweights rare sources, caps at keep-all, stable under layout") {
+    // 900 web / 90 books / 10 code → sqrt weights 30 : 9.49 : 3.16
+    val d = (0 until 1000).map(i =>
+        (i.toLong, if (i < 900) "web" else if (i < 990) "books" else "code"))
+      .toDF("doc_id", "source")
+    val kept = Sampling.mixtureSample(d, "doc_id", "source", targetRows = 300L)
+      .collect()
+    val bySrc = kept.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    // code's proportional share (300·0.074 ≈ 22) exceeds its 10 rows → rate
+    // caps at 1 and the whole source is kept
+    assert(bySrc("code") == 10)
+    // books: rate ≈ 300·0.222/90 ≈ 0.74 → well above its raw 9% share
+    assert(bySrc("books") > 45 && bySrc("books") < 90)
+    // web: rate ≈ 300·0.703/900 ≈ 0.23 — downweighted from its 90% share
+    assert(bySrc("web") > 150 && bySrc("web") < 280)
+    // membership is a content-hash rule: repartitioning changes nothing
+    val kept2 = Sampling.mixtureSample(d.repartition(7), "doc_id", "source", 300L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.map(_.getLong(0)).toSet == kept2)
+  }
 }
