@@ -542,7 +542,7 @@ object Dedup {
                       portable: Boolean = false): DataFrame = {
     val toks = docs.select(col(idCol).as("doc"),
       Text.tokens(lower(col(textCol))).as("toks"))
-    def winStr(i: Column): Column = concat_ws(" ", slice(col("toks"), i + 1, w))
+    def winStr(i: Column): Column = concat_ws(" ", slice(col("toks"), i + lit(1), lit(w)))
     // sequence(0, n-w) would run DESCENDING for n < w — guard with an
     // explicitly typed empty array (md5 strings portable, longs otherwise)
     val whs =
