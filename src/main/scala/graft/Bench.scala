@@ -180,8 +180,13 @@ object Bench {
         s""","streaming":{$sj}"""
       }
 
+    // SPARK_GRAFT_SF1_ONLY=q_a,q_b: iterate on a subset of the sf1 phase
+    // (forces the phase on even when SPARK_GRAFT_ONLY trimmed the engine
+    // phase, so a single superlinear suspect can be re-measured alone).
+    val sf1Only = sys.env.get("SPARK_GRAFT_SF1_ONLY").map(_.split(',').toSet)
     val sf1Json =
-      if (sys.env.get("SPARK_GRAFT_SF1").contains("0") || only.isDefined) ""
+      if (sys.env.get("SPARK_GRAFT_SF1").contains("0") ||
+          (only.isDefined && sf1Only.isEmpty)) ""
       else {
         // cache key includes the source SF so an sf0.01 iteration run can't
         // poison the driver's sf0.1 bench with a stale small copy
@@ -203,7 +208,8 @@ object Bench {
           spark.read.parquet(s"$sf1Dir/$t.parquet").count()
         }
         val warmSec = (System.nanoTime() - tWarm0) / 1e9
-        val (_, sf1Section) = sectionJson(timeQueries(spark, sf1Dir, Sf1Queries, iters))
+        val sf1Names = Sf1Queries.filter(n => sf1Only.forall(_.contains(n)))
+        val (_, sf1Section) = sectionJson(timeQueries(spark, sf1Dir, sf1Names, iters))
         s""","sf1":{"dir":"$sf1Dir","build_sec":$buildSec,"warm_sec":$warmSec,"iters":$iters,$sf1Section}"""
       }
 

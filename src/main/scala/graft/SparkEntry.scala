@@ -657,12 +657,15 @@ object SparkEntry {
     }),
 
     // Cross-doc duplicated-SPAN detection (windowed substring dedup) in
-    // its portable-md5 configuration — the whole pipeline (in-row window
-    // hashing, df-capped dup set, coverage union) is oracle-exact; the
-    // xxhash64 default is spec-proven value-identical (DedupSpec).
+    // the xxhash64 SCALE configuration. Still fully oracle-exact: every
+    // output column (window counts, coverage fraction) is hash-CHOICE-
+    // invariant — the hash is only ever a join key and never escapes the
+    // plan — so the DuckDB mirror recomputes with md5 and must agree
+    // unless xxhash64 collides where md5 doesn't (~1e-8 at 10^6 windows;
+    // DedupSpec additionally proves xx == md5 on a planted corpus).
     "q_span_dedup" -> ((s, dir) =>
       Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text",
-        w = 8, maxDf = 64, portable = true)
+        w = 8, maxDf = 64)
         .withColumnRenamed("doc", "doc_id")
         .orderBy(col("doc_id"))),
 
@@ -993,6 +996,23 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SemDeDup (arXiv:2303.09540): deterministic k-means (1 Lloyd update)
+    // then near-dup pairs WITHIN each cluster — O(n²/k), the published
+    // scale path for embedding dedup. The WHOLE pipeline, Lloyd update
+    // included, is mirrored by the oracle (seeds → assign → fixed-point
+    // update → reassign → truncate → pairs). Planted collinear copies get
+    // identical centroid sims (cosine is scale-invariant) ⇒ same argmax
+    // cluster as their partner ⇒ recall 1 on the planted set by
+    // construction.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      Dedup.semanticDedup(emb.unionByName(planted), "vec_id", "embedding",
+        threshold = 0.95, k = 64, iters = 1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Pairs → connected components → canonical labels: the step a real
     // dedup pipeline runs AFTER near-dup pair generation. Min-label
     // propagation on Spark; DuckDB mirrors with a recursive CTE. Pairs
@@ -1254,10 +1274,10 @@ object SparkEntry {
          |    CAST(len(toks) AS BIGINT) AS n_tokens,
          |    list_sum(list_transform(toks, t -> length(t)))::DOUBLE
          |      / greatest(len(toks)::DOUBLE, 1.0) AS mean_word_len,
-         |    len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE
+         |    ${Text.duckdbPunctCountSql("text")}::DOUBLE
          |      / greatest(length(text)::DOUBLE, 1.0) AS punct_ratio,
          |    ${Text.duckdbStopwordRatioSql("text")} AS stopword_ratio,
-         |    len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE
+         |    (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
          |      / greatest(length(text)::DOUBLE, 1.0) AS alpha_ratio
          |  FROM (SELECT doc_id, lang, text,
          |          string_split_regex(trim(text), '\\s+') AS toks
@@ -2086,6 +2106,67 @@ object SparkEntry {
           |    AS cosine
           |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
           |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5)
+          |  >= 0.95
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      // SemDeDup: the oracle recomputes the ENTIRE pipeline — seed pick
+      // (k lowest ids), argmax assignment (unrounded cosine, tie-break
+      // lowest centroid), the exact fixed-point centroid update (floor to
+      // 2^20 binary places, BIGINT sums — associative, so DuckDB's
+      // aggregation order can't drift from Spark's), float-rounded
+      // centroid storage, reassignment, lowest-id cluster truncation, and
+      // the in-cluster pair scan. Cosine parity is the established
+      // in-order fold (CosineSimilarity scaladoc).
+      "q_dedup_semantic" ->
+        """WITH corpus AS (
+          |  SELECT vec_id AS vid, embedding AS vec FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 1000000,
+          |    list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT))
+          |  FROM embeddings),
+          |seeds AS (
+          |  SELECT CAST(row_number() OVER (ORDER BY vid) AS INTEGER) AS cid,
+          |    vec AS cvec
+          |  FROM (SELECT vid, vec FROM corpus ORDER BY vid LIMIT 64)),
+          |a0 AS (
+          |  SELECT vid, vec, cid FROM (
+          |    SELECT c.vid, c.vec, s.cid,
+          |      row_number() OVER (PARTITION BY c.vid
+          |        ORDER BY list_cosine_similarity(c.vec::DOUBLE[], s.cvec::DOUBLE[]) DESC,
+          |          s.cid) AS rn
+          |    FROM corpus c CROSS JOIN seeds s) WHERE rn = 1),
+          |ex AS (
+          |  SELECT cid, unnest(generate_series(1, len(vec))) AS pos,
+          |    unnest(vec) AS x
+          |  FROM a0),
+          |upd AS (
+          |  SELECT cid, pos,
+          |    sum(CAST(floor(x::DOUBLE * 1048576.0) AS BIGINT)) AS s,
+          |    count(*) AS n
+          |  FROM ex GROUP BY cid, pos),
+          |cents1 AS (
+          |  SELECT cid,
+          |    list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS FLOAT)
+          |      ORDER BY pos) AS cvec
+          |  FROM upd GROUP BY cid),
+          |a1 AS (
+          |  SELECT vid, vec, cid FROM (
+          |    SELECT c.vid, c.vec, t.cid,
+          |      row_number() OVER (PARTITION BY c.vid
+          |        ORDER BY list_cosine_similarity(c.vec::DOUBLE[], t.cvec::DOUBLE[]) DESC,
+          |          t.cid) AS rn
+          |    FROM corpus c CROSS JOIN cents1 t) WHERE rn = 1),
+          |capped AS (
+          |  SELECT vid, vec, cid FROM (
+          |    SELECT vid, vec, cid,
+          |      row_number() OVER (PARTITION BY cid ORDER BY vid) AS rn
+          |    FROM a1) WHERE rn <= 4096)
+          |SELECT CAST(a.cid AS BIGINT) AS centroid_id, a.vid AS id_a,
+          |  b.vid AS id_b,
+          |  round(list_cosine_similarity(a.vec::DOUBLE[], b.vec::DOUBLE[]), 5)
+          |    AS cosine
+          |FROM capped a JOIN capped b ON a.cid = b.cid AND a.vid < b.vid
+          |WHERE round(list_cosine_similarity(a.vec::DOUBLE[], b.vec::DOUBLE[]), 5)
           |  >= 0.95
           |ORDER BY id_a, id_b""".stripMargin,
 

@@ -543,21 +543,22 @@ object Dedup {
     val toks = docs.select(col(idCol).as("doc"),
       Text.tokens(lower(col(textCol))).as("toks"))
     def winStr(i: Column): Column = concat_ws(" ", slice(col("toks"), i + lit(1), lit(w)))
-    // sequence(0, n-w) would run DESCENDING for n < w — guard with an
-    // explicitly typed empty array (md5 strings portable, longs otherwise)
-    val whs =
-      if (portable)
-        when(size(col("toks")) < w, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(0), size(col("toks")) - w),
-            i => md5(winStr(i))))
-      else
-        when(size(col("toks")) < w, array().cast("array<bigint>"))
-          .otherwise(transform(sequence(lit(0), size(col("toks")) - w),
-            i => xxhash64(winStr(i))))
-    val hashed = toks.select(col("doc"), size(col("toks")).as("n_toks"),
-      whs.as("whs"))
-    val wins = hashed.select(col("doc"), posexplode(col("whs")))
-      .withColumnRenamed("col", "h")
+    def winHash(i: Column): Column =
+      if (portable) md5(winStr(i)) else xxhash64(winStr(i))
+    // Docs shorter than w contribute no windows: FILTER them out rather
+    // than branching to an empty array — a when() guard around the
+    // transform drags the whole projection through the interpreted
+    // CaseWhen path (higher-order lambdas are CodegenFallback) and
+    // measured 3x slower than the filtered form. It would also run
+    // sequence(0, n-w) DESCENDING for n < w.
+    val eligible = toks.filter(size(col("toks")) >= w)
+      .select(col("doc"),
+        transform(sequence(lit(0), size(col("toks")) - w), i => winHash(i))
+          .as("whs"))
+    // wins feeds BOTH the df count and the join-back; persist the tiny
+    // (doc, pos, h) rows so the window-hash pass runs once, not twice
+    val wins = tracked(eligible.select(col("doc"), posexplode(col("whs")))
+      .withColumnRenamed("col", "h"))
     val dups = wins.groupBy(col("h"))
       .agg(countDistinct(col("doc")).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
@@ -569,12 +570,69 @@ object Dedup {
       .select(col("doc"), col("dup_windows"),
         size(array_distinct(flatten(transform(col("dup_pos"),
           p => sequence(p, p + w - 1))))).as("covered"))
-    hashed.select(col("doc"), col("n_toks"), size(col("whs")).as("n_windows"))
-      .join(dupPerDoc, Seq("doc"), "left")
-      .select(col("doc"),
-        col("n_windows").cast("long").as("n_windows"),
+    // per-doc totals for EVERY doc (short docs → 0 windows) — pure
+    // arithmetic on the token count, no second window-hash evaluation
+    val totals = toks.select(col("doc"),
+      size(col("toks")).cast("long").as("n_toks"),
+      greatest(size(col("toks")).cast("long") - lit((w - 1).toLong), lit(0L))
+        .as("n_windows"))
+    totals.join(dupPerDoc, Seq("doc"), "left")
+      .select(col("doc"), col("n_windows"),
         coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
         round(coalesce(col("covered"), lit(0)).cast("double")
           / col("n_toks").cast("double"), 5).as("dup_token_frac"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup via
+    * clustering: k-means the embedding space, then search for near-dup
+    * pairs only WITHIN each cluster. The published scale path for
+    * embedding-level dedup of web corpora: within-cluster pairing costs
+    * O(n²/k) vs the exact path's O(n²), and the cluster id carries the
+    * semantic locality that [[embeddingNearDupsLsh]]'s hyperplane buckets
+    * approximate statistically.
+    *
+    * Scale shape:
+    *  - clustering is [[Ivf.build]]: deterministic seeds (k lowest ids),
+    *    exact fixed-point centroid updates (byte-reproducible under any
+    *    partitioning/AQE re-plan), broadcast centroids, map-only
+    *    assignment — the corpus itself never shuffles for the build;
+    *  - the corpus shuffles ONCE on `centroid_id` for the cluster-local
+    *    self-join; the truncation window and both join sides reuse that
+    *    same partitioning, so one exchange total;
+    *  - clusters are truncated to their `maxCluster` LOWEST ids
+    *    (deterministic) — unlike [[capBuckets]]' drop-the-bucket rule,
+    *    because a large cluster is legitimate semantic mass, not an
+    *    exact-dup flood; truncation bounds the worst cluster at
+    *    O(maxCluster²) instead of silently deleting it;
+    *  - scoring is the native codegen [[graft.plans.CosineSimilarity]].
+    *
+    * Every step is deterministic and engine-portable (seeded init, exact
+    * integer centroid sums, IEEE-identical cosine fold), so the WHOLE
+    * pipeline — Lloyd update included — sits under the DuckDB oracle
+    * (`q_dedup_semantic` mirrors seeds → assign → fixed-point update →
+    * reassign → truncate → in-cluster pairs), unlike the seeded-LSH
+    * families that need portable twins. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, k: Int = 64, iters: Int = 1,
+                    maxCluster: Int = 4096, roundTo: Int = 5): DataFrame = {
+    import graft.plans.CosineSimilarity.cosineSim
+    val (assignments, _) = Ivf.build(emb, idCol, vecCol, k, iters)
+    val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("centroid_id")).orderBy(col("vid"))
+    val clustered = tracked(vecs.join(assignments, Seq("vid"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxCluster)
+      .drop("rn"))
+    val a = clustered.select(col("centroid_id"),
+      col("vid").as("id_a"), col("vec").as("vec_a"))
+    val b = clustered.select(col("centroid_id"),
+      col("vid").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosineSim(col("vec_a"), col("vec_b")), roundTo))
+      .filter(col("cosine") >= threshold)
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col("id_a"), col("id_b"), col("cosine"))
   }
 }

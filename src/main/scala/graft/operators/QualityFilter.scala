@@ -44,7 +44,10 @@ object QualityFilter {
       (Text.punctCount(col("txt")).cast("double") /
         greatest(length(col("txt")).cast("double"), lit(1.0d))).as("punct_ratio"),
       Text.stopwordRatio(col("txt")).as("stopword_ratio"),
-      (size(regexp_extract_all(col("txt"), lit("[A-Za-z]"), lit(0))).cast("double") /
+      // single-char class ⇒ count = chars removed; regexp_extract_all here
+      // would allocate one array element PER LETTER of every document
+      ((length(col("txt")) - length(regexp_replace(col("txt"), "[A-Za-z]", "")))
+        .cast("double") /
         greatest(length(col("txt")).cast("double"), lit(1.0d))).as("alpha_ratio"))
     val reasons = array_compact(array(
       when(col("n_tokens") < cfg.minTokens, lit("too_few_tokens")),

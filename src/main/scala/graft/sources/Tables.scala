@@ -15,6 +15,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The driver fixtures are SINGLE-ROW-GROUP parquet files, and Spark
+    * cannot split a parquet read below row-group granularity — so a plain
+    * scan yields ONE populated partition and every per-row pass (window
+    * hashing, quality signals, fingerprints, regex scrubbing) serializes
+    * on one core while the other 31 idle. A real 100 TB table carries
+    * thousands of row groups, which is why this spread is CONDITIONAL: it
+    * only fires when the scan has fewer splits than half the cores, so on
+    * any realistically laid-out input it inserts nothing. At fixture
+    * scale the round-robin exchange moves <11 MB once. Filters and column
+    * pruning push through Repartition (PushPredicateThroughNonJoin /
+    * ColumnPruning), so PushedFilters/ReadSchema at the scan are
+    * unaffected, and an explicit repartition(n) is exempt from AQE
+    * coalescing (REPARTITION_BY_NUM origin), so the spread can't be
+    * silently undone on tiny data. */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(target)
+  }
+
   /** events.ts is parquet TIMESTAMP(NANOS,false), which Spark's vectorized
     * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw
     * longs, then truncate to microseconds — the engine's native timestamp
@@ -24,10 +43,10 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      spread(spark, spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)")))
     case n =>
-      spark.read.parquet(s"$dir/$n.parquet")
+      spread(spark, spark.read.parquet(s"$dir/$n.parquet"))
   }
 
   def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")

@@ -273,4 +273,31 @@ class DedupSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(fast == res)
   }
+
+  test("semantic dedup: collinear copies cluster together; pairs subset of exact") {
+    // three well-separated directions in 4-dim space, each with a scaled
+    // copy (collinear ⇒ cosine 1 ⇒ must be found), plus one orthogonal
+    // singleton that pairs with nothing
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (11L, Array(2f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)), (12L, Array(0f, 3f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0.1f)), (13L, Array(0f, 0f, 0.5f, 0.05f)),
+      (4L, Array(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val sem = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 0.95, k = 3, iters = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(sem.keySet == Set((1L, 11L), (2L, 12L), (3L, 13L)))
+    assert(sem.values.forall(_ >= 0.99999))
+    // subset-of-exact invariant: clustering can only REMOVE candidate
+    // pairs (cross-cluster), never invent them
+    val exact = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.keySet.subsetOf(exact))
+    // maxCluster = 1 truncates every cluster to a singleton → no pairs
+    val truncated = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 0.95, k = 3, iters = 1, maxCluster = 1)
+    assert(truncated.count() == 0L)
+  }
 }
