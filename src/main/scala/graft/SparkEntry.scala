@@ -831,6 +831,25 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Characteristic terms per doc, ranked by tf/df — the linear-idf
+    // weighting whose sort key (exact-int division) is bit-portable,
+    // unlike ln(N/df) whose last ulp varies by libm (Tfidf scaladoc).
+    "q_tfidf_topk" -> ((s, dir) =>
+      graft.operators.Tfidf.topTerms(Tables.documents(s, dir), "doc_id", "text",
+        k = 5)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"), col("rnk"))),
+
+    // Feature-hashed bag of words (hashing trick): text → fixed-dim signed
+    // BIGINT vector, no vocabulary pass, map-only, exact in any engine.
+    "q_feature_hash" -> ((s, dir) =>
+      graft.operators.Vectors.hashedBow(Tables.documents(s, dir), "doc_id",
+        "text", dim = 32)
+        .select(col("doc_id"), col("n_tokens"), posexplode(col("vec")))
+        .select(col("doc_id"), col("n_tokens"),
+          col("pos").cast("long").as("pos"), col("col").as("v"))
+        .orderBy(col("doc_id"), col("pos"))),
+
     // ------------------- beyond-reference: similarity search -------------
 
     // Exact brute-force cosine top-5 (oracle-checked). "rnk" because RANK
@@ -2413,6 +2432,53 @@ object SparkEntry {
           |  CAST(sum(tf) AS DOUBLE) / count(*) AS avg_token_freq
           |FROM tok JOIN vocab USING (token)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // tf/df sort key is an exact-integer division — bit-equal DOUBLE in
+      // both engines; ties broken by term, so the rank is total
+      "q_tfidf_topk" ->
+        """WITH pairs AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+          |    AS term
+          |  FROM documents),
+          |tf AS (
+          |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          |  FROM pairs GROUP BY 1, 2),
+          |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+          |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df, score
+          |FROM (
+          |  SELECT t.doc_id, t.term, t.tf, d.df,
+          |    CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS score,
+          |    row_number() OVER (PARTITION BY t.doc_id
+          |      ORDER BY CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) DESC,
+          |        t.term) AS rnk
+          |  FROM tf t JOIN dfx d USING (term))
+          |WHERE rnk <= 5
+          |ORDER BY doc_id, rnk""".stripMargin,
+
+      // hashing trick: same md5 bucket + 9th-nibble sign rule; DuckDB
+      // aggregates per (doc, bucket) then left-joins a dense (doc, pos)
+      // grid where Spark folds in-row — exact integers, any shape agrees
+      "q_feature_hash" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+          |  FROM documents),
+          |pairs AS (
+          |  SELECT doc_id,
+          |    ('0x' || substring(md5(tok), 1, 8))::BIGINT % 32 AS b,
+          |    CASE WHEN ('0x' || substring(md5(tok), 9, 1))::BIGINT % 2 = 0
+          |      THEN 1 ELSE -1 END AS s
+          |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+          |sums AS (
+          |  SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v
+          |  FROM pairs GROUP BY 1, 2),
+          |grid AS (
+          |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+          |    unnest(generate_series(0, 31)) AS pos
+          |  FROM toks)
+          |SELECT g.doc_id, g.n_tokens, CAST(g.pos AS BIGINT) AS pos,
+          |  coalesce(s.v, 0) AS v
+          |FROM grid g LEFT JOIN sums s ON g.doc_id = s.doc_id AND g.pos = s.b
+          |ORDER BY 1, 3""".stripMargin,
 
       "q_multimodal_audio" ->
         """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS window_idx,

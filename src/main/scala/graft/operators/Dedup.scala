@@ -22,22 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Persisted intermediates registered by the dedup builders. The returned
-    * frames are LAZY, so the builders cannot eagerly unpersist without
-    * defeating their own cache — long-lived sessions (CLI loops, benches,
-    * test suites) call [[unpersistIntermediates]] once results are
-    * materialized so repeated invocations don't accumulate cached blocks. */
-  private val cachedIntermediates =
-    new scala.collection.mutable.ArrayBuffer[DataFrame]
-  private def tracked(df: DataFrame): DataFrame = synchronized {
-    val p = df.persist()
-    cachedIntermediates += p
-    p
-  }
-  def unpersistIntermediates(): Unit = synchronized {
-    cachedIntermediates.foreach(_.unpersist(false))
-    cachedIntermediates.clear()
-  }
+  /** Persisted intermediates route through the shared [[Caches]] registry
+    * (see its scaladoc for the lazy-builder rationale); kept as named
+    * passthroughs so call sites read locally. */
+  private def tracked(df: DataFrame): DataFrame = Caches.tracked(df)
+  def unpersistIntermediates(): Unit = Caches.unpersistAll()
 
   /** Exact duplicate groups by md5 fingerprint of `text`. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =

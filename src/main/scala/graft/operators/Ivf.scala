@@ -70,15 +70,24 @@ object Ivf {
     * same reason). */
   def build(emb: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int = 3): (DataFrame, DataFrame) = {
-    val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("vec")).persist()
+    // corpus + final centroids stay cached until the caller materializes
+    // its result — registered with Caches so long-lived sessions reclaim
+    // them; superseded per-iteration centroid tables are unpersisted
+    // EAGERLY (safe: the next table is counted, i.e. fully materialized,
+    // before its predecessor is dropped).
+    val vecs = Caches.tracked(emb.select(col(idCol).as("vid"), col(vecCol).as("vec")))
     var centroids = vecs.orderBy(col("vid")).limit(k)
       .select(row_number().over(Window.orderBy(col("vid"))).as("centroid_id"),
         col("vec").as("cvec"))
+    var prev: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val next = updateCentroids(assign(vecs, centroids)).persist()
       next.count() // materialize before dropping the previous iteration
+      prev.foreach(_.unpersist(false))
+      prev = Some(next)
       centroids = next
     }
+    prev.foreach(Caches.register) // the surviving table outlives the build
     (assign(vecs, centroids).select("vid", "centroid_id"), centroids)
   }
 

@@ -79,6 +79,40 @@ object Vectors {
     *
     * Storage story at 100 TB: 64 float32 dims → 64 bytes + two floats,
     * a 3.8× cut on the dominant column before ANN bucketing. */
+  /** Feature-hashed bag of words — the "hashing trick" (Weinberger et al.
+    * 2009, arXiv:0902.2206): a fixed-`dim` SIGNED-count vector straight
+    * from the token stream, no vocabulary pass, no dictionary to ship.
+    * bucket = md5(token) mod dim; sign = parity of the 9th md5 nibble
+    * (the signed variant keeps inner products unbiased). The text → vector
+    * bridge: its output feeds [[centroids]], [[Dedup.semanticDedup]], or
+    * ANN without a model.
+    *
+    * Entirely map-only, and every output is an exact BIGINT — no floats
+    * anywhere — so the vectors are bit-identical in any engine (the md5
+    * bucket rule is [[Sampling.hashBucket]]'s, inlined to keep the token
+    * hash one expression).
+    *
+    * The (bucket, sign) structs get their own projection boundary AND the
+    * second select references `bs` twice (n_tokens + the fold) — both
+    * deliberate: Catalyst inlines single-referenced non-cheap aliases
+    * into lambdas, which would re-run the md5 pass once per output
+    * dimension (the [[Text.shinglesFromTokens]] trap). */
+  def hashedBow(docs: DataFrame, idCol: String, textCol: String,
+                dim: Int = 32): DataFrame = {
+    import graft.functions.Text
+    val bs = docs.select(col(idCol),
+      transform(Text.tokens(lower(col(textCol))), t => struct(
+        (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim).as("b"),
+        when(conv(substring(md5(t), 9, 1), 16, 10).cast("long") % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)).as("s"))).as("bs"))
+    bs.select(col(idCol),
+      size(col("bs")).cast("long").as("n_tokens"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        aggregate(col("bs"), lit(0L), (acc, x) =>
+          acc + when(x.getField("b") === j.cast("long"), x.getField("s"))
+            .otherwise(lit(0L)))).as("vec"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol), col(vecCol).as("v"))
       .withColumn("vmin", array_min(col("v")).cast("double"))
