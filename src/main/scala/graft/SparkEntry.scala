@@ -850,6 +850,12 @@ object SparkEntry {
           col("pos").cast("long").as("pos"), col("col").as("v"))
         .orderBy(col("doc_id"), col("pos"))),
 
+    // Pre-shuffle skew diagnostic: heaviest join keys with exact counts
+    // and integer-basis-point shares (BIGINT DIV — no float ratios).
+    "q_skew_report" -> ((s, dir) =>
+      graft.operators.SkewReport.topKeys(
+        Tables.events(s, dir).select(col("user_id")), "user_id", k = 10)),
+
     // ------------------- beyond-reference: similarity search -------------
 
     // Exact brute-force cosine top-5 (oracle-checked). "rnk" because RANK
@@ -2432,6 +2438,15 @@ object SparkEntry {
           |  CAST(sum(tf) AS DOUBLE) / count(*) AS avg_token_freq
           |FROM tok JOIN vocab USING (token)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_skew_report" ->
+        """WITH counts AS (
+          |  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1),
+          |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+          |SELECT key, n, CAST(n * 10000 // total AS BIGINT) AS share_bp
+          |FROM counts, tot
+          |ORDER BY n DESC, key LIMIT 10""".stripMargin,
 
       // tf/df sort key is an exact-integer division — bit-equal DOUBLE in
       // both engines; ties broken by term, so the rank is total

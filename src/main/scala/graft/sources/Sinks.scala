@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Output side of the engine. The reference's only sinks are its SQLite
+  * cache and a JSON export (`querysight.py:815-817`, covered by
+  * [[graft.operators.PatternStore]] / `Cli export`); a corpus engine
+  * additionally needs a LAYOUT-AWARE bulk sink, because at 100 TB the
+  * write is where downstream read performance is decided.
+  */
+object Sinks {
+
+  /** Hive-style partitioned parquet, laid out for downstream pruning:
+    *
+    *  - `partitionCols` become directory levels, so any later filter on
+    *    them is answered by LISTING, not scanning (partition pruning);
+    *    choose low-cardinality axes (lang, source, date) — a high-
+    *    cardinality partition column melts the namenode/listing instead;
+    *  - one `repartition(partitionCols)` shuffle co-locates each partition
+    *    value, so every partition directory is written by ONE task instead
+    *    of every task appending a sliver-file to every directory (the
+    *    small-files explosion: tasks × partitions files otherwise);
+    *  - `sortWithinPartitions(sortCols)` gives row-group locality on the
+    *    secondary key, so parquet min/max stats prune row groups for
+    *    range predicates on it;
+    *  - `maxRecordsPerFile` caps file size so one hot partition value
+    *    still splits into reader-parallel files.
+    */
+  def partitionedParquet(df: DataFrame, dir: String, partitionCols: Seq[String],
+                         sortCols: Seq[String] = Nil,
+                         maxRecordsPerFile: Long = 5000000L): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(dir)
+}
