@@ -532,18 +532,21 @@ object Dedup {
     val toks = docs.select(col(idCol).as("doc"),
       Text.tokens(lower(col(textCol))).as("toks"))
     def winStr(i: Column): Column = concat_ws(" ", slice(col("toks"), i + lit(1), lit(w)))
-    def winHash(i: Column): Column =
-      if (portable) md5(winStr(i)) else xxhash64(winStr(i))
+    // Fast path: native one-pass window hashing (TokenWindowHash64 — no
+    // per-window strings, stays in codegen). Portable path: md5 of the
+    // joined window text, reproducible by any engine — the oracle's form.
     // Docs shorter than w contribute no windows: FILTER them out rather
     // than branching to an empty array — a when() guard around the
     // transform drags the whole projection through the interpreted
     // CaseWhen path (higher-order lambdas are CodegenFallback) and
     // measured 3x slower than the filtered form. It would also run
     // sequence(0, n-w) DESCENDING for n < w.
+    val whs =
+      if (portable)
+        transform(sequence(lit(0), size(col("toks")) - w), i => md5(winStr(i)))
+      else graft.plans.TokenWindowHash64.tokenWindowHash(col("toks"), w)
     val eligible = toks.filter(size(col("toks")) >= w)
-      .select(col("doc"),
-        transform(sequence(lit(0), size(col("toks")) - w), i => winHash(i))
-          .as("whs"))
+      .select(col("doc"), whs.as("whs"))
     // wins feeds BOTH the df count and the join-back; persist the tiny
     // (doc, pos, h) rows so the window-hash pass runs once, not twice
     val wins = tracked(eligible.select(col("doc"), posexplode(col("whs")))
