@@ -49,12 +49,20 @@ object Dedup {
     *    (distinct, df-count, inverted-index self-join) moves 8-byte longs
     *    instead of ~30-byte strings. Collision odds at 64 bits are
     *    negligible against corpus sizes this targets. */
+  /** Distinct per-doc shingle hashes as (doc, shingle) rows. Hashes come
+    * from the native one-pass [[graft.plans.TokenWindowHash64]] (no
+    * shingle strings materialize, stays in codegen; whole-text degenerate
+    * for docs shorter than n, matching
+    * [[Text.shinglesFromTokens]]), and the per-doc set dedup happens
+    * IN-ROW via `array_distinct` BEFORE the explode — so no corpus-wide
+    * `.distinct()` shuffle exists: rows leave the map side already
+    * set-unique. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc"), Text.tokens(lower(col(textCol))).as("toks"))
       .select(col("doc"),
-        explode(transform(Text.shinglesFromTokens(col("toks"), n),
-          s => xxhash64(s))).as("shingle"))
-      .distinct()
+        explode(array_distinct(
+          graft.plans.TokenWindowHash64.tokenWindowHash(col("toks"), n,
+            wholeTextIfShort = true))).as("shingle"))
 
   /** MinHash signatures: k deterministic hash families via
     * `xxhash64(seed_i, shingle)`, the whole signature computed IN-ROW by
@@ -72,8 +80,8 @@ object Dedup {
                         numHashes: Int = 32, shingleN: Int = 5): DataFrame =
     docs.select(col(idCol).as("doc"), Text.tokens(lower(col(textCol))).as("toks"))
       .select(col("doc"),
-        transform(Text.shinglesFromTokens(col("toks"), shingleN),
-          s => xxhash64(s)).as("hs"))
+        graft.plans.TokenWindowHash64.tokenWindowHash(col("toks"), shingleN,
+          wholeTextIfShort = true).as("hs"))
       .select(col("doc"),
         graft.plans.MinHashSig.minhashSig(col("hs"), numHashes).as("sig"))
 

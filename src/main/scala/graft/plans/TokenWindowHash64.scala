@@ -24,26 +24,33 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * escapes the plan; any injective-in-practice window fingerprint yields
   * identical counts absent collisions), which is also why the md5-mirror
   * DuckDB oracle covers this path (`DedupSpec` proves native == md5
-  * end-to-end on a planted corpus). Documents shorter than `w` yield an
-  * empty array. */
-case class TokenWindowHash64(child: Expression, w: Int) extends UnaryExpression {
+  * end-to-end on a planted corpus).
+  *
+  * Documents shorter than `w` yield an empty array by default;
+  * `wholeTextIfShort = true` instead yields ONE hash over all tokens —
+  * [[graft.functions.Text.shinglesFromTokens]]'s degenerate-shingle
+  * convention, for the shingle-set consumers (jaccard index, minhash). */
+case class TokenWindowHash64(child: Expression, w: Int,
+                             wholeTextIfShort: Boolean = false)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "token_window_hash"
 
   override def nullSafeEval(input: Any): Any =
-    TokenWindowHash64.compute(input.asInstanceOf[ArrayData], w)
+    TokenWindowHash64.compute(input.asInstanceOf[ArrayData], w, wholeTextIfShort)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.TokenWindowHash64.compute($c, $w)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TokenWindowHash64.compute($c, $w, $wholeTextIfShort)")
 
   override protected def withNewChildInternal(newChild: Expression): TokenWindowHash64 =
     copy(child = newChild)
 }
 
 object TokenWindowHash64 {
-  def compute(toks: ArrayData, w: Int): ArrayData = {
+  def compute(toks: ArrayData, w: Int, wholeTextIfShort: Boolean): ArrayData = {
     val n = toks.numElements()
-    if (n < w) return new GenericArrayData(Array.emptyLongArray)
+    if (n < w && !wholeTextIfShort) return new GenericArrayData(Array.emptyLongArray)
     // hash every token once...
     val th = new Array[Long](n)
     var i = 0
@@ -55,18 +62,20 @@ object TokenWindowHash64 {
     // ...then chain w token hashes per window (boundary-safe: the chain
     // folds ordered PAIRS, so "ab c" and "a bc" hash differently even
     // though their concatenations agree)
-    val out = new Array[Long](n - w + 1)
+    val eff = math.min(w, n) // n < w only under wholeTextIfShort
+    val out = new Array[Long](n - eff + 1)
     var p = 0
     while (p < out.length) {
       var h = 42L
       var j = p
-      while (j < p + w) { h = XXH64.hashLong(th(j), h); j += 1 }
+      while (j < p + eff) { h = XXH64.hashLong(th(j), h); j += 1 }
       out(p) = h
       p += 1
     }
     new GenericArrayData(out)
   }
 
-  def tokenWindowHash(c: Column, w: Int): Column =
-    GraftSqlBridge.column(TokenWindowHash64(GraftSqlBridge.expression(c), w))
+  def tokenWindowHash(c: Column, w: Int, wholeTextIfShort: Boolean = false): Column =
+    GraftSqlBridge.column(
+      TokenWindowHash64(GraftSqlBridge.expression(c), w, wholeTextIfShort))
 }
