@@ -267,13 +267,29 @@ object Cli {
       verdicts.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
     val deduped = opts.getOrElse("dedup", "normalized") match {
       case "none" => kept
-      case mode =>
+      // near-dup modes: pair generation → components → keep-list
+      case "minhash" =>
+        val pairs = Dedup.minhashNearDups(kept, "doc_id", "text",
+          minEstJaccard = opts.getOrElse("min-jaccard", "0.5").toDouble)
+          .select("doc_a", "doc_b")
+        Dedup.keepCanonical(kept, "doc_id", pairs)
+      // SemDeDup over a sibling embeddings table (--embeddings <path>,
+      // vec_id aligned with doc_id)
+      case "semantic" =>
+        val emb = spark.read.parquet(opts("embeddings"))
+        val pairs = Dedup.semanticDedup(emb, "vec_id", "embedding",
+          threshold = opts.getOrElse("threshold", "0.95").toDouble)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        Dedup.keepCanonical(kept, "doc_id", pairs)
+      case mode @ ("exact" | "normalized") =>
         val fp = if (mode == "exact") md5(col("text"))
           else md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(fp).orderBy(col("doc_id"))
         kept.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn")
+      case other => sys.error(
+        s"unknown dedup mode: $other (none|exact|normalized|minhash|semantic)")
     }
     val out = opts("out")
     deduped.write.mode("overwrite").parquet(out)

@@ -227,4 +227,48 @@ class CliSpec extends SparkSpec {
     val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 4L))
   }
+
+  test("corpus: minhash near-dup mode keeps the min-id doc per component") {
+    val shared = "the quick brown fox and the dog walk to a house in the field today fine"
+    val docs = Seq(
+      (1L, shared, "en"),
+      // token-identical (whitespace variant) → shingle Jaccard 1 → the
+      // banded candidate join finds it deterministically (probabilistic
+      // near-dup recall is DedupSpec's subject, not the CLI wiring's)
+      (2L, shared.replace("dog walk", "dog  walk"), "en"),
+      (4L, "a completely different long document with many plain words that is fine and the end", "en"))
+      .toDF("doc_id", "text", "lang")
+    val in = Files.createTempDirectory("cli_corpus_mh").toString + "/docs.parquet"
+    docs.write.parquet(in)
+    val out = Files.createTempDirectory("cli_corpus_mh_out").toString + "/kept"
+    val json = capture(Cli.corpus(spark, Map(
+      "docs" -> in, "out" -> out, "min-tokens" -> "3", "dedup" -> "minhash",
+      "min-jaccard" -> "0.3"))).trim
+    assert(json == """{"n_in":3,"n_quality":3,"n_out":2,"dropped_quality":0,"dropped_dup":1}""")
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L))
+  }
+
+  test("corpus: semantic mode dedups via an embeddings sidecar") {
+    val docs = Seq(
+      (1L, "first document body with plenty of ordinary words to pass the gate fine", "en"),
+      (2L, "second document body with plenty of ordinary words to pass the gate too", "en"),
+      (3L, "third completely unrelated text with plenty of other words that is fine", "en"))
+      .toDF("doc_id", "text", "lang")
+    // doc 2's embedding is a scaled copy of doc 1's → semantic near-dup
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(2f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val base = Files.createTempDirectory("cli_corpus_sem").toString
+    docs.write.parquet(base + "/docs.parquet")
+    emb.write.parquet(base + "/emb.parquet")
+    val out = Files.createTempDirectory("cli_corpus_sem_out").toString + "/kept"
+    val json = capture(Cli.corpus(spark, Map(
+      "docs" -> (base + "/docs.parquet"), "embeddings" -> (base + "/emb.parquet"),
+      "out" -> out, "min-tokens" -> "3", "dedup" -> "semantic"))).trim
+    assert(json == """{"n_in":3,"n_quality":3,"n_out":2,"dropped_quality":0,"dropped_dup":1}""")
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
 }
