@@ -850,6 +850,14 @@ object SparkEntry {
           col("pos").cast("long").as("pos"), col("col").as("v"))
         .orderBy(col("doc_id"), col("pos"))),
 
+    // Per-source quota: at most 10 docs per source, picked by the
+    // deterministic md5 order — the "cap any single domain" mixing rule.
+    "q_group_cap" -> ((s, dir) =>
+      graft.operators.Sampling.groupCap(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", "source", n = 10)
+        .orderBy(col("doc_id"))),
+
     // Pre-shuffle skew diagnostic: heaviest join keys with exact counts
     // and integer-basis-point shares (BIGINT DIV — no float ratios).
     "q_skew_report" -> ((s, dir) =>
@@ -2438,6 +2446,14 @@ object SparkEntry {
           |  CAST(sum(tf) AS DOUBLE) / count(*) AS avg_token_freq
           |FROM tok JOIN vocab USING (token)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_group_cap" ->
+        """SELECT doc_id, source FROM (
+          |  SELECT doc_id, source,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          |  FROM documents) t
+          |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
       "q_skew_report" ->
         """WITH counts AS (

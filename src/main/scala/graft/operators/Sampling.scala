@@ -79,6 +79,21 @@ object Sampling {
   def duckdbShuffleKeySql(idCol: String, seed: Int): String =
     s"md5($seed || ':' || CAST($idCol AS VARCHAR))"
 
+  /** Per-group quota: keep at most `n` rows per group, selected by the
+    * deterministic md5 order of the row id — a reproducible "random n per
+    * source" that any engine recomputes identically (same property story
+    * as [[hashBucket]]). The per-source cap of a data-mixing recipe
+    * ("at most 100k docs from any single domain"), one shuffle on the
+    * group key; within-partition sort only, no global sort. */
+  def groupCap(df: DataFrame, idCol: String, groupCol: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(concat(lit("cap:"), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .drop("rn")
+  }
+
   /** Temperature-weighted mixture sampling — the data-mixing step of an
     * LLM training pipeline: draw from source s at a rate ∝ n_s^α with
     * α = 0.5, so rare sources are upweighted relative to their raw share

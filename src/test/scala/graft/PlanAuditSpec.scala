@@ -53,4 +53,25 @@ class PlanAuditSpec extends SparkSpec {
       emb, "vec_id", "embedding", threshold = 0.9))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("feature-hashed BoW is map-only: no exchange in the plan") {
+    val p = plan(Vectors.hashedBow(docs, "doc_id", "text", dim = 8))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("tfidf joins the vocabulary df side as a broadcast") {
+    val p = plan(graft.operators.Tfidf.topTerms(docs, "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("semantic dedup pairs via equi-join on the cluster id, never a product join") {
+    val emb = (1 to 40).map(i =>
+      (i.toLong, Seq.fill(8)((i % 5).toFloat + 1f))).toDF("vec_id", "embedding")
+    val p = plan(graft.operators.Dedup.semanticDedup(
+      emb, "vec_id", "embedding", threshold = 0.9, k = 4, iters = 1))
+    // the only broadcast allowed is the k-row centroid table
+    assert(!p.contains("CartesianProduct"), p)
+    graft.operators.Caches.unpersistAll()
+  }
 }
