@@ -36,4 +36,24 @@ object Sinks {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
       .parquet(dir)
+
+  /** Bucketed managed table — the CO-LOCATED-JOIN layout: two tables
+    * bucketed on the same key with the same bucket count join WITHOUT any
+    * exchange (each bucket pairs with its twin by file layout), turning
+    * the recurring fact-to-fact join of a pipeline from a full corpus
+    * shuffle into a zero-shuffle sort-merge. That trade is the point of
+    * paying one shuffle at WRITE time: amortized over every later join
+    * on the key. `sortBy` pre-sorts each bucket so the merge side skips
+    * its sort too. Requires `saveAsTable` (bucket metadata lives in the
+    * catalog; plain `.parquet(dir)` cannot carry it) — works against the
+    * in-memory catalog locally and any metastore on a cluster.
+    * `SinksSpec` proves the no-Exchange join plan. */
+  def bucketedTable(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.repartition(numBuckets, col(bucketCol))
+      .write.mode("overwrite")
+    val b = w.bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) b.sortBy(sortCols.head, sortCols.tail: _*) else b)
+      .format("parquet").saveAsTable(table)
+  }
 }

@@ -32,4 +32,25 @@ class SinksSpec extends SparkSpec {
     val plan = filtered.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("lang"), plan)
   }
+
+  test("bucketed tables: same-key same-count join plans with ZERO exchanges") {
+    val left = (1 to 100).map(i => (i.toLong, s"text$i")).toDF("doc_id", "text")
+    val right = (1 to 100).map(i => (i.toLong, i % 7)).toDF("doc_id", "score")
+    Sinks.bucketedTable(left, "b_left", "doc_id", 4, sortCols = Seq("doc_id"))
+    Sinks.bucketedTable(right, "b_right", "doc_id", 4, sortCols = Seq("doc_id"))
+    // force the sort-merge path (broadcast would trivially avoid the
+    // exchange and prove nothing about the bucketing layout)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_left").join(spark.table("b_right"), "doc_id")
+      assert(joined.count() == 100)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_left")
+      spark.sql("DROP TABLE IF EXISTS b_right")
+    }
+  }
 }

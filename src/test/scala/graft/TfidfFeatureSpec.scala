@@ -51,5 +51,10 @@ class TfidfFeatureSpec extends SparkSpec {
     val re = Vectors.hashedBow(docs.repartition(7), "doc_id", "text", dim = 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
     assert(re == rows.map { case (k, (_, v)) => k -> v })
+    // the native one-pass expression is bit-equal to the composable
+    // transform x aggregate form it replaced
+    val comp = Vectors.hashedBowComposable(docs, "doc_id", "text", dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    assert(comp == rows.map { case (k, (_, v)) => k -> v })
   }
 }
