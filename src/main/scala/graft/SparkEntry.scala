@@ -864,6 +864,22 @@ object SparkEntry {
       graft.operators.SkewReport.topKeys(
         Tables.events(s, dir).select(col("user_id")), "user_id", k = 10)),
 
+    // Count-min sketch heavy hitters: the fixed-size sketch path for
+    // unbounded key cardinality, with the CMS guarantee visible in the
+    // output (n_est >= n). md5-seeded cells + BIGINT counters + plain
+    // min ⇒ DuckDB rebuilds the ENTIRE sketch bit-for-bit — the whole
+    // build/estimate algebra is under the oracle, which no opaque
+    // library sketch blob could offer.
+    "q_cms_heavy" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"))
+      val sketch = graft.operators.Sketches.cmsBuild(ev, "user_id")
+      val top = graft.operators.SkewReport.topKeys(ev, "user_id", k = 10)
+        .select(col("key"), col("n"))
+      val est = graft.operators.Sketches.cmsEstimate(sketch, top, "key")
+      top.join(est, Seq("key"))
+        .orderBy(col("n").desc, col("key"))
+    }),
+
     // ------------------- beyond-reference: similarity search -------------
 
     // Exact brute-force cosine top-5 (oracle-checked). "rnk" because RANK
@@ -2466,6 +2482,31 @@ object SparkEntry {
 
       // tf/df sort key is an exact-integer division — bit-equal DOUBLE in
       // both engines; ties broken by term, so the rank is total
+      "q_cms_heavy" -> {
+        def c(expr: String, s: Int) =
+          graft.operators.Sketches.duckdbCellSql(expr, s, 1024)
+        val buildArms = (0 until 4).map(s =>
+          s"SELECT $s AS row, ${c("user_id", s)} AS bucket FROM events")
+          .mkString("\n    UNION ALL ")
+        val probeArms = (0 until 4).map(s =>
+          s"SELECT key, $s AS row, ${c("key", s)} AS bucket FROM exact")
+          .mkString("\n    UNION ALL ")
+        s"""WITH cells AS (
+           |  SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |    $buildArms)
+           |  GROUP BY 1, 2),
+           |exact AS (
+           |  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1 ORDER BY n DESC, key LIMIT 10),
+           |est AS (
+           |  SELECT p.key, CAST(min(c.cnt) AS BIGINT) AS n_est FROM (
+           |    $probeArms) p
+           |  JOIN cells c USING (row, bucket) GROUP BY p.key)
+           |SELECT x.key, x.n, e.n_est
+           |FROM exact x JOIN est e USING (key)
+           |ORDER BY n DESC, key""".stripMargin
+      },
+
       "q_tfidf_topk" ->
         """WITH pairs AS (
           |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
