@@ -864,6 +864,23 @@ object SparkEntry {
       graft.operators.SkewReport.topKeys(
         Tables.events(s, dir).select(col("user_id")), "user_id", k = 10)),
 
+    // Unicode NFC normalization (native expression — Spark has no
+    // builtin): decomposed combining sequences are planted per doc so the
+    // pass provably composes them; lengths shrink accordingly and the
+    // normalized bytes are md5-pinned against DuckDB's nfc_normalize.
+    "q_unicode_norm" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" caf\u00e9 cafe\u0301 \u00c5 A\u030a"))
+            .as("raw"))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("len_raw"),
+          graft.plans.NfcNormalize.nfc(col("raw")).as("norm"))
+        .select(col("doc_id"), col("len_raw"),
+          length(col("norm")).cast("long").as("len_norm"),
+          md5(col("norm")).as("norm_md5"))
+        .orderBy(col("doc_id"))),
+
     // Count-min sketch heavy hitters: the fixed-size sketch path for
     // unbounded key cardinality, with the CMS guarantee visible in the
     // output (n_est >= n). md5-seeded cells + BIGINT counters + plain
@@ -2482,6 +2499,19 @@ object SparkEntry {
 
       // tf/df sort key is an exact-integer division — bit-equal DOUBLE in
       // both engines; ties broken by term, so the rank is total
+      // same planted sequences via chr() codepoints; nfc_normalize is
+      // DuckDB's NFC, byte-for-byte what java.text.Normalizer emits
+      "q_unicode_norm" ->
+        """SELECT doc_id, CAST(length(raw) AS BIGINT) AS len_raw,
+          |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_norm,
+          |  md5(nfc_normalize(raw)) AS norm_md5
+          |FROM (
+          |  SELECT doc_id,
+          |    text || ' caf' || chr(233) || ' cafe' || chr(769) || ' '
+          |      || chr(197) || ' A' || chr(778) AS raw
+          |  FROM documents)
+          |ORDER BY doc_id""".stripMargin,
+
       "q_cms_heavy" -> {
         def c(expr: String, s: Int) =
           graft.operators.Sketches.duckdbCellSql(expr, s, 1024)
