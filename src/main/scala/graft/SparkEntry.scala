@@ -1209,6 +1209,32 @@ object SparkEntry {
     // The SAME QualityFilter code running unmodified over a file STREAM —
     // map-only, so append mode needs no watermark/state; per-row results
     // are identical to the batch gate and share its oracle shape.
+    // The CMS sketch built over the event STREAM (complete-mode agg):
+    // counters are exact associative sums, so the finished streaming
+    // sketch is bit-equal to the batch build — q_cms_heavy's DuckDB
+    // oracle covers the streaming path verbatim (streaming ≡ batch ≡
+    // oracle, the strongest replay check available to a sketch).
+    "q_stream_cms" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("user_id"))
+      val name = "stream_cms_" + math.abs(dir.hashCode).toString
+      s.catalog.dropTempView(name)
+      val q = graft.operators.Sketches.cmsBuild(stream, "user_id")
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      val ev = Tables.events(s, dir).select(col("user_id"))
+      val top = graft.operators.SkewReport.topKeys(ev, "user_id", k = 10)
+        .select(col("key"), col("n"))
+      top.join(
+          graft.operators.Sketches.cmsEstimate(s.table(name), top, "key"),
+          Seq("key"))
+        .orderBy(col("n").desc, col("key"))
+    }),
+
     "q_stream_quality" -> ((s, dir) => {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val stream = s.readStream.schema(schema)
@@ -2591,6 +2617,33 @@ object SparkEntry {
           |          greatest((length(text) - 64)//32, 0))) AS i
           |      FROM documents)
           |ORDER BY media_id, window_idx""".stripMargin,
+
+      // streaming sketch == batch sketch (associative counters) -> reuse
+      // the batch CMS oracle verbatim
+      "q_stream_cms" -> {
+        def c(expr: String, sd: Int) =
+          graft.operators.Sketches.duckdbCellSql(expr, sd, 1024)
+        val buildArms = (0 until 4).map(sd =>
+          s"SELECT $sd AS row, ${c("user_id", sd)} AS bucket FROM events")
+          .mkString("\n    UNION ALL ")
+        val probeArms = (0 until 4).map(sd =>
+          s"SELECT key, $sd AS row, ${c("key", sd)} AS bucket FROM exact")
+          .mkString("\n    UNION ALL ")
+        s"""WITH cells AS (
+           |  SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |    $buildArms)
+           |  GROUP BY 1, 2),
+           |exact AS (
+           |  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1 ORDER BY n DESC, key LIMIT 10),
+           |est AS (
+           |  SELECT p.key, CAST(min(c.cnt) AS BIGINT) AS n_est FROM (
+           |    $probeArms) p
+           |  JOIN cells c USING (row, bucket) GROUP BY p.key)
+           |SELECT x.key, x.n, e.n_est
+           |FROM exact x JOIN est e USING (key)
+           |ORDER BY n DESC, key""".stripMargin
+      },
 
       "q_stream_quality" ->
         s"""WITH $qualityCtes
