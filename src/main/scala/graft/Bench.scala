@@ -192,9 +192,14 @@ object Bench {
         // cache key includes the source SF so an sf0.01 iteration run can't
         // poison the driver's sf0.1 bench with a stale small copy
         val srcTag = java.nio.file.Paths.get(sfDir).getFileName.toString
-        val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", s"/tmp/graft_x10_$srcTag")
+        // SPARK_GRAFT_SF1_REPLICAS widens the scale probe (e.g. 20 for a
+        // second scaling point); the default cache dir is replica-tagged
+        // so different multipliers never share a fixture.
+        val replicas = sys.env.getOrElse("SPARK_GRAFT_SF1_REPLICAS", "10").toInt
+        val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+          s"/tmp/graft_x${replicas}_$srcTag")
         val tBuild0 = System.nanoTime()
-        buildSf1(spark, sfDir, sf1Dir, replicas = 10)
+        buildSf1(spark, sfDir, sf1Dir, replicas)
         val buildSec = (System.nanoTime() - tBuild0) / 1e9
         // Warm pass: pull every sf1 table through the page cache before the
         // timed window, so the first query isn't charged the cold read of
