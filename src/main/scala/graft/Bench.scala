@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   *    engine total buried real trends.
   *  - every run is followed by clearCache + Dedup.unpersistIntermediates()
   *    so no query is measured under another query's cached blocks.
+  *  - `shuffle_mb` records each query's total shuffle traffic (read +
+  *    write bytes over the LAST iteration) — the direct evidence behind
+  *    shuffle-shape claims. Caveat: the conditional fixture spread
+  *    (Tables.load scaladoc) adds roughly the scanned input's size to
+  *    EVERY query here, because the single-row-group fixture must be
+  *    redistributed before parallel work; on a realistically-split input
+  *    that exchange does not exist, so a "map-only" operator reads as
+  *    ~the input size, not 0, in this artifact.
   *
   * A second phase re-runs a headline subset at ~sf1 to expose super-linear
   * queries early: the sf1 input is synthesized once (cached under
@@ -108,20 +116,52 @@ object Bench {
     java.nio.file.Files.createFile(marker)
   }
 
-  /** Run each named query `iters` times; returns name → all wall times.
+  /** Accumulates shuffle read/write bytes across completed stages — the
+    * bench's direct evidence for shuffle claims ("map-only" must read as
+    * 0 MB here, not just as a fast wall time). */
+  private class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+    private val read = new java.util.concurrent.atomic.AtomicLong
+    private val write = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def reset(): Unit = { read.set(0L); write.set(0L) }
+    def mb: (Double, Double) =
+      (read.get / 1048576.0, write.get / 1048576.0)
+  }
+
+  /** Run each named query `iters` times; returns name → (wall times,
+    * (shuffle read MB, shuffle write MB) of the LAST iteration).
     * Cache state is wiped between runs so iteration i+1 isn't measured
     * against iteration i's persisted intermediates. */
   private def timeQueries(spark: SparkSession, dir: String,
-                          names: Seq[String], iters: Int): Seq[(String, Seq[Double])] =
-    names.map { name =>
+                          names: Seq[String], iters: Int)
+      : Seq[(String, (Seq[Double], (Double, Double)))] = {
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    try names.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to iters).map { _ =>
+      var shuffle = (0.0, 0.0)
+      val times = (1 to iters).map { i =>
+        if (i == iters) {
+          org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+          tally.reset()
+        }
         val t0 = System.nanoTime()
         try fn(spark, dir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        if (i == iters) {
+          org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+          shuffle = tally.mb
+        }
         // Operators persist intermediate indexes (Dedup); drop them so
         // later runs aren't measured under another run's cache pressure,
         // and release the tracked handles so a long bench doesn't
@@ -130,8 +170,9 @@ object Bench {
         graft.operators.Dedup.unpersistIntermediates()
         dt
       }
-      name -> times
-    }
+      name -> ((times, shuffle))
+    } finally spark.sparkContext.removeSparkListener(tally)
+  }
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -142,12 +183,16 @@ object Bench {
   private def toJson(results: Seq[(String, Double)]): String =
     results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
-  /** Median (primary), min, and totals for one timed section. */
-  private def sectionJson(timed: Seq[(String, Seq[Double])]): (Double, String) = {
-    val med = timed.map { case (n, ts) => n -> median(ts) }
-    val mn = timed.map { case (n, ts) => n -> ts.min }
+  /** Median (primary), min, totals, and per-query shuffle MB (read+write,
+    * last iteration) for one timed section. */
+  private def sectionJson(timed: Seq[(String, (Seq[Double], (Double, Double)))])
+      : (Double, String) = {
+    val med = timed.map { case (n, (ts, _)) => n -> median(ts) }
+    val mn = timed.map { case (n, (ts, _)) => n -> ts.min }
+    val sh = timed.map { case (n, (_, (r, w))) =>
+      n -> (math.rint((r + w) * 100) / 100) }
     val total = med.map(_._2).sum
-    (total, s""""total":$total,"queries":${toJson(med)},"queries_min":${toJson(mn)}""")
+    (total, s""""total":$total,"queries":${toJson(med)},"queries_min":${toJson(mn)},"shuffle_mb":${toJson(sh)}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -169,8 +214,10 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val (streamNames, engineNames) = all.partition(_.startsWith("q_stream_"))
     val engineTimed = timeQueries(spark, sfDir, engineNames, iters)
-    val engineMed = engineTimed.map { case (n, ts) => n -> median(ts) }
-    val engineMin = engineTimed.map { case (n, ts) => n -> ts.min }
+    val engineMed = engineTimed.map { case (n, (ts, _)) => n -> median(ts) }
+    val engineMin = engineTimed.map { case (n, (ts, _)) => n -> ts.min }
+    val engineShuffle = engineTimed.map { case (n, (_, (r, w))) =>
+      n -> (math.rint((r + w) * 100) / 100) }
     val total = engineMed.map(_._2).sum
     // Streaming: micro-batch scheduling dominates, one iteration is enough
     // and medians would just re-measure the scheduler (class doc).
@@ -220,7 +267,7 @@ object Bench {
       }
 
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":${toJson(engineMed)},"queries_min":${toJson(engineMin)},"sf":"$sfDir"$streamingJson$sf1Json}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":${toJson(engineMed)},"queries_min":${toJson(engineMin)},"shuffle_mb":${toJson(engineShuffle)},"sf":"$sfDir"$streamingJson$sf1Json}"""
     println(line)
     // Also persist the full line: the driver's stdout tail-capture truncated
     // a round's artifact once; the file is the complete record.
