@@ -98,7 +98,10 @@ object Bench {
     * /tmp copies from earlier rounds). */
   private def buildSf1(spark: SparkSession, srcDir: String, dstDir: String,
                        replicas: Int): Unit = {
-    val marker = java.nio.file.Paths.get(dstDir, "_BUILT_V2")
+    // marker encodes the replica count: an explicit SPARK_GRAFT_SF1_DIR
+    // reused with a different SPARK_GRAFT_SF1_REPLICAS must rebuild, not
+    // silently measure the stale multiplier
+    val marker = java.nio.file.Paths.get(dstDir, s"_BUILT_V2_r$replicas")
     if (java.nio.file.Files.exists(marker)) return
     // events is TIMESTAMP(NANOS): read raw (ts as long) and write the long
     // back so graft.sources.Tables.events keeps working on the copy.
@@ -213,12 +216,9 @@ object Bench {
     val all = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val (streamNames, engineNames) = all.partition(_.startsWith("q_stream_"))
-    val engineTimed = timeQueries(spark, sfDir, engineNames, iters)
-    val engineMed = engineTimed.map { case (n, (ts, _)) => n -> median(ts) }
-    val engineMin = engineTimed.map { case (n, (ts, _)) => n -> ts.min }
-    val engineShuffle = engineTimed.map { case (n, (_, (r, w))) =>
-      n -> (math.rint((r + w) * 100) / 100) }
-    val total = engineMed.map(_._2).sum
+    // engine section reuses sectionJson (same extraction as streaming/sf1)
+    // and splices its fields at the top level of the line
+    val (total, engineSection) = sectionJson(timeQueries(spark, sfDir, engineNames, iters))
     // Streaming: micro-batch scheduling dominates, one iteration is enough
     // and medians would just re-measure the scheduler (class doc).
     val streamingJson =
@@ -267,7 +267,7 @@ object Bench {
       }
 
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":${toJson(engineMed)},"queries_min":${toJson(engineMin)},"shuffle_mb":${toJson(engineShuffle)},"sf":"$sfDir"$streamingJson$sf1Json}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,$engineSection,"sf":"$sfDir"$streamingJson$sf1Json}"""
     println(line)
     // Also persist the full line: the driver's stdout tail-capture truncated
     // a round's artifact once; the file is the complete record.

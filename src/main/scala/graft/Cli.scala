@@ -274,9 +274,14 @@ object Cli {
           .select("doc_a", "doc_b")
         Dedup.keepCanonical(kept, "doc_id", pairs)
       // SemDeDup over a sibling embeddings table (--embeddings <path>,
-      // vec_id aligned with doc_id)
+      // vec_id aligned with doc_id). Pairs are computed over the
+      // QUALITY-KEPT subset only, like the minhash branch: a pair against
+      // a quality-dropped doc would otherwise delete the surviving copy
+      // too (its canonical partner no longer exists in the corpus).
       case "semantic" =>
         val emb = spark.read.parquet(opts("embeddings"))
+          .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+            "left_semi")
         val pairs = Dedup.semanticDedup(emb, "vec_id", "embedding",
           threshold = opts.getOrElse("threshold", "0.95").toDouble)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))

@@ -12,23 +12,33 @@ import org.apache.spark.sql.DataFrame
   * operator invocations don't accumulate cached blocks until executor
   * storage evicts under pressure. */
 object Caches {
-  private val registered = new scala.collection.mutable.ArrayBuffer[DataFrame]
+  private val registered =
+    new scala.collection.mutable.ArrayBuffer[(String, DataFrame)]
 
-  def tracked(df: DataFrame): DataFrame = synchronized {
+  /** `scope` partitions ownership so one operator family's cleanup cannot
+    * drop another's still-needed cache (e.g. Dedup.unpersistIntermediates
+    * must not evict a TextSources.quarantine parse that the caller's bad
+    * side still reads from). */
+  def tracked(df: DataFrame, scope: String = "misc"): DataFrame = synchronized {
     val p = df.persist()
-    registered += p
+    registered += scope -> p
     p
   }
 
   /** Register a frame that is ALREADY persisted (e.g. an iteratively
     * materialized table whose siblings were eagerly dropped). */
-  def register(df: DataFrame): DataFrame = synchronized {
-    registered += df
+  def register(df: DataFrame, scope: String = "misc"): DataFrame = synchronized {
+    registered += scope -> df
     df
   }
 
+  def unpersistScope(scope: String): Unit = synchronized {
+    registered.filter(_._1 == scope).foreach(_._2.unpersist(false))
+    registered.filterInPlace(_._1 != scope)
+  }
+
   def unpersistAll(): Unit = synchronized {
-    registered.foreach(_.unpersist(false))
+    registered.foreach(_._2.unpersist(false))
     registered.clear()
   }
 }

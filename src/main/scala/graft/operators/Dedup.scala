@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Persisted intermediates route through the shared [[Caches]] registry
-    * (see its scaladoc for the lazy-builder rationale); kept as named
-    * passthroughs so call sites read locally. */
-  private def tracked(df: DataFrame): DataFrame = Caches.tracked(df)
-  def unpersistIntermediates(): Unit = Caches.unpersistAll()
+    * under the "dedup" scope (see its scaladoc for the lazy-builder
+    * rationale); [[unpersistIntermediates]] releases ONLY this operator
+    * family's caches, never another owner's (Ivf, TextSources). */
+  private def tracked(df: DataFrame): DataFrame = Caches.tracked(df, "dedup")
+  def unpersistIntermediates(): Unit = Caches.unpersistScope("dedup")
 
   /** Exact duplicate groups by md5 fingerprint of `text`. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =

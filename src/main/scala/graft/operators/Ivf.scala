@@ -75,7 +75,7 @@ object Ivf {
     // them; superseded per-iteration centroid tables are unpersisted
     // EAGERLY (safe: the next table is counted, i.e. fully materialized,
     // before its predecessor is dropped).
-    val vecs = Caches.tracked(emb.select(col(idCol).as("vid"), col(vecCol).as("vec")))
+    val vecs = Caches.tracked(emb.select(col(idCol).as("vid"), col(vecCol).as("vec")), "ivf")
     var centroids = vecs.orderBy(col("vid")).limit(k)
       .select(row_number().over(Window.orderBy(col("vid"))).as("centroid_id"),
         col("vec").as("cvec"))
@@ -87,7 +87,7 @@ object Ivf {
       prev = Some(next)
       centroids = next
     }
-    prev.foreach(Caches.register) // the surviving table outlives the build
+    prev.foreach(Caches.register(_, "ivf")) // the surviving table outlives the build
     (assign(vecs, centroids).select("vid", "centroid_id"), centroids)
   }
 

@@ -37,15 +37,19 @@ object Sketches {
 
   /** Point estimates for the distinct keys of `keys`: min over the
     * sketch rows of each key's cell counter (the classic CMS upper-bound
-    * estimate: `n_est >= n_true`, within 2N/width w.h.p.). */
+    * estimate: `n_est >= n_true`, within 2N/width w.h.p.). A cell absent
+    * from the grid is a ZERO counter, so the probe LEFT-joins and
+    * coalesces — an unseen key estimates 0 instead of silently vanishing
+    * (an inner join would also overestimate keys with some empty cells by
+    * taking the min over the surviving cells only). */
   def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
                   depth: Int = 4, width: Int = 1024): DataFrame = {
     val k = keys.select(col(keyCol).as("key")).distinct()
     val cells = k.select(col("key"), posexplode(array((0 until depth).map(s =>
       cell("key", s, width)): _*)).as(Seq("row", "bucket")))
-    cells.join(broadcast(sketch), Seq("row", "bucket"))
+    cells.join(broadcast(sketch), Seq("row", "bucket"), "left")
       .groupBy(col("key"))
-      .agg(min(col("cnt")).as("n_est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
   }
 
   /** DuckDB twin of one sketch cell for oracle SQL. */

@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   * any idf curve (including true log idf) without recomputation.
   *
   * Scale shape: one shuffle of (doc, term) pairs for tf (map-side
-  * combinable counts), one vocabulary-sized aggregate for df, df joined
-  * back BROADCAST (a vocabulary is tiny next to the corpus), per-doc
-  * top-k via a window partitioned on doc. The corpus itself never
-  * broadcasts and never sorts globally. */
+  * combinable counts), one vocabulary-sized aggregate for df, per-doc
+  * top-k via a window partitioned on doc. The df join-back carries NO
+  * broadcast hint on purpose: a natural-language vocabulary fits under
+  * the auto-broadcast threshold and Catalyst broadcasts it unhinted,
+  * but a web-scale token vocabulary does not bound (the same reason
+  * [[Familiarity]] uses a shuffled equi-join) — a forced hint would
+  * bypass the threshold safety exactly when it matters. The corpus
+  * itself never broadcasts and never sorts globally. */
 object Tfidf {
 
   /** Top `k` terms per document by `tf/df`, ties broken by term.
@@ -36,7 +40,7 @@ object Tfidf {
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc"))
       .orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(df_), Seq("term"))
+    tf.join(df_, Seq("term"))
       .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

@@ -52,9 +52,9 @@ object TextSources {
     * documented remedy is exactly this: materialize the parse once, serve
     * both splits from the cache. One read of the input instead of two is
     * what you'd want at scale anyway; callers release the block via
-    * `Caches.unpersistAll()` once both sides are consumed. */
+    * `Caches.unpersistScope("sources")` once both sides are consumed. */
   def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
-    val parsed = graft.operators.Caches.tracked(df)
+    val parsed = graft.operators.Caches.tracked(df, "sources")
     (parsed.filter(col(CorruptCol).isNull).drop(CorruptCol),
       parsed.filter(col(CorruptCol).isNotNull)
         .withColumnRenamed(CorruptCol, "raw_line"))

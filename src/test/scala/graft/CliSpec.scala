@@ -251,12 +251,18 @@ class CliSpec extends SparkSpec {
 
   test("corpus: semantic mode dedups via an embeddings sidecar") {
     val docs = Seq(
+      // doc 0 FAILS the quality gate (1 token) and is a semantic near-dup
+      // of doc 1: pairs must be computed over the kept subset only, or
+      // doc 1 would be canonicalized to the vanished doc 0 and deleted
+      // with no surviving copy
+      (0L, "tiny", "en"),
       (1L, "first document body with plenty of ordinary words to pass the gate fine", "en"),
       (2L, "second document body with plenty of ordinary words to pass the gate too", "en"),
       (3L, "third completely unrelated text with plenty of other words that is fine", "en"))
       .toDF("doc_id", "text", "lang")
-    // doc 2's embedding is a scaled copy of doc 1's → semantic near-dup
+    // docs 0/1/2 are collinear → semantic near-dups
     val emb = Seq(
+      (0L, Array(0.5f, 0f, 0f, 0f)),
       (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(2f, 0f, 0f, 0f)),
       (3L, Array(0f, 1f, 0f, 0f)))
       .toDF("vec_id", "embedding")
@@ -267,7 +273,7 @@ class CliSpec extends SparkSpec {
     val json = capture(Cli.corpus(spark, Map(
       "docs" -> (base + "/docs.parquet"), "embeddings" -> (base + "/emb.parquet"),
       "out" -> out, "min-tokens" -> "3", "dedup" -> "semantic"))).trim
-    assert(json == """{"n_in":3,"n_quality":3,"n_out":2,"dropped_quality":0,"dropped_dup":1}""")
+    assert(json == """{"n_in":4,"n_quality":3,"n_out":2,"dropped_quality":1,"dropped_dup":1}""")
     val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 3L))
   }
