@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   *    `streaming` section and run ONCE: their wall time is MemoryStream
   *    micro-batch scheduling, not operator cost, and mixing them into the
   *    engine total buried real trends.
-  *  - every run is followed by clearCache + Dedup.unpersistIntermediates()
-  *    so no query is measured under another query's cached blocks.
+  *  - every run is followed by clearCache + Caches.unpersistAll() so no
+  *    query is measured under another query's cached blocks and the cache
+  *    registry doesn't grow for the length of the run.
   *  - `shuffle_mb` records each query's total shuffle traffic (read +
   *    write bytes over the LAST iteration) — the direct evidence behind
   *    shuffle-shape claims. Caveat: the conditional fixture spread
@@ -170,7 +171,10 @@ object Bench {
         // and release the tracked handles so a long bench doesn't
         // accumulate cached blocks.
         spark.catalog.clearCache()
-        graft.operators.Dedup.unpersistIntermediates()
+        // unpersistAll (not just the dedup scope): ivf/sources-scoped
+        // entries otherwise keep plan references in Caches.registered for
+        // the whole run — an unbounded registry leak in long sessions
+        graft.operators.Caches.unpersistAll()
         dt
       }
       name -> ((times, shuffle))

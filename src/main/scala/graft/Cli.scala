@@ -279,7 +279,8 @@ object Cli {
       // a quality-dropped doc would otherwise delete the surviving copy
       // too (its canonical partner no longer exists in the corpus).
       case "semantic" =>
-        val emb = spark.read.parquet(opts("embeddings"))
+        val emb = spark.read.parquet(opts.getOrElse("embeddings",
+          sys.error("--dedup semantic requires --embeddings <path>")))
           .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"),
             "left_semi")
         val pairs = Dedup.semanticDedup(emb, "vec_id", "embedding",

@@ -2555,9 +2555,9 @@ object SparkEntry {
            |  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
            |  FROM events GROUP BY 1 ORDER BY n DESC, key LIMIT 10),
            |est AS (
-           |  SELECT p.key, CAST(min(c.cnt) AS BIGINT) AS n_est FROM (
-           |    $probeArms) p
-           |  JOIN cells c USING (row, bucket) GROUP BY p.key)
+           |  SELECT p.key, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS n_est
+           |  FROM ($probeArms) p
+           |  LEFT JOIN cells c USING (row, bucket) GROUP BY p.key)
            |SELECT x.key, x.n, e.n_est
            |FROM exact x JOIN est e USING (key)
            |ORDER BY n DESC, key""".stripMargin
@@ -2637,9 +2637,9 @@ object SparkEntry {
            |  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
            |  FROM events GROUP BY 1 ORDER BY n DESC, key LIMIT 10),
            |est AS (
-           |  SELECT p.key, CAST(min(c.cnt) AS BIGINT) AS n_est FROM (
-           |    $probeArms) p
-           |  JOIN cells c USING (row, bucket) GROUP BY p.key)
+           |  SELECT p.key, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS n_est
+           |  FROM ($probeArms) p
+           |  LEFT JOIN cells c USING (row, bucket) GROUP BY p.key)
            |SELECT x.key, x.n, e.n_est
            |FROM exact x JOIN est e USING (key)
            |ORDER BY n DESC, key""".stripMargin

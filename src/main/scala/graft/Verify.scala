@@ -25,9 +25,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release dedup builders' persisted intermediates: 86 queries in one
-      // session would otherwise accumulate cached blocks round-robin
-      graft.operators.Dedup.unpersistIntermediates()
+      // release ALL operators' persisted intermediates (dedup, ivf,
+      // sources scopes): ~100 queries in one session would otherwise
+      // accumulate cached blocks and registry entries round-robin
+      graft.operators.Caches.unpersistAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -20,9 +20,12 @@ object SkewReport {
     val total = counts.agg(sum(col("n")).as("total"))
     counts.crossJoin(broadcast(total))
       // DIV, not `/`: Column./ is DOUBLE division, whose rounded quotient
-      // can truncate differently than exact integer division at the edge
+      // can truncate differently than exact integer division at the edge.
+      // DECIMAL(38,0) first: n * 10000 in BIGINT overflows past ~9.2e14
+      // rows per key, which a 100 TB corpus can reach.
       .select(col("key"), col("n"),
-        expr("CAST((n * 10000) DIV total AS BIGINT)").as("share_bp"))
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * 10000) DIV total AS BIGINT)")
+          .as("share_bp"))
       .orderBy(col("n").desc, col("key"))
       .limit(k)
   }
