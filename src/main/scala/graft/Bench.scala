@@ -74,7 +74,7 @@ object Bench {
     "q_quality_filter", "q_repetition", "q_pii_scrub", "q_contamination",
     "q_dedup_components", "q_token_familiarity", "q_global_shuffle",
     "q_span_dedup", "q_dedup_jaccard", "q_dedup_semantic", "q_tfidf_topk",
-    "q_feature_hash")
+    "q_feature_hash", "q_multimodal_features")
 
   /** Per-replica content perturbation, so replicas are NEAR-dups of the
     * original rather than exact-equal floods (see class doc). Replica 0 is

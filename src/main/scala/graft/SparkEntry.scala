@@ -1293,24 +1293,37 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
-    // Multimodal plumbing: documents' bytes as opaque payloads → batched
-    // per-partition feature extraction (deterministic stub decode).
+    // Multimodal REAL image decode: a deterministic PNG is synthesized per
+    // doc (channel value i = (doc_id*31 + i) mod 256, dims derived from
+    // doc_id — Multimodal.synthPng) and round-tripped through
+    // javax.imageio; the oracle recomputes the decoded channel sums and
+    // min/max from the closed form, so a hash match proves the pixels
+    // were genuinely decoded from the PNG byte stream, not inferred.
     "q_multimodal_features" -> ((s, dir) => {
       import graft.operators.Multimodal
-      val media = Tables.documents(s, dir).select(
-        col("doc_id").as("media_id"), lit("image").as("kind"),
-        col("text").cast("binary").as("payload"))
-      // Bucket fractions are Float; multiplying back by n_bytes and
-      // rounding recovers the exact integer byte counts (counts < 2^24 are
-      // exact in Float), which oracle bit-stably — raw Float fractions
-      // would not.
-      Multimodal.extractFeatures(media).toDF()
-        .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
-          col("pseudo_dim").cast("long").as("pseudo_dim"),
-          round(element_at(col("features"), 2).cast("double") * col("n_bytes"))
-            .cast("long").as("bucket1_bytes"),
-          round(element_at(col("features"), 4).cast("double") * col("n_bytes"))
-            .cast("long").as("bucket3_bytes"))
+      Multimodal.imageStatsOk(synthMedia(s, dir))
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"),
+          col("min_px").cast("long").as("min_px"),
+          col("max_px").cast("long").as("max_px"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Real resize: decode → 2×2 box-filter floor-average → PNG re-encode,
+    // then the RE-ENCODED payload is decoded again for its stats — the
+    // oracle mirrors the integer box filter, so a match proves the full
+    // decode→resample→encode→decode chain.
+    "q_multimodal_resize" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val resized = Multimodal.resizeBox(synthMedia(s, dir), factor = 2)
+        .toDF().filter(col("ok")).select(col("media_id"), col("payload"))
+      Multimodal.imageStatsOk(resized)
+        .select(col("media_id"),
+          col("width").cast("long").as("out_w"),
+          col("height").cast("long").as("out_h"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
         .orderBy(col("media_id"))
     }),
 
@@ -1328,6 +1341,25 @@ object SparkEntry {
         .orderBy(col("media_id"), col("window_idx"))
     })
   )
+
+  /** Shared by the q_multimodal_features / q_multimodal_resize pair: one
+    * REAL synthesized PNG per document (Multimodal.synthPng — pixel values
+    * follow a closed form of doc_id, so the DuckDB oracle needs no image
+    * library), dims varied per doc (w ∈ 8..16, h ∈ 6..10, both even).
+    * Synthesis is batched mapPartitions like the decode — payload bytes
+    * are born and consumed executor-side, never shuffled. */
+  private def synthMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (lit(8) + pmod(col("doc_id"), lit(5)) * 2).cast("int").as("w"),
+        (lit(6) + pmod(col("doc_id"), lit(3)) * 2).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        (id, "image", graft.operators.Multimodal.synthPng(id, w, h))
+      })
+      .toDF("media_id", "kind", "payload")
+  }
 
   /** Shared by q_analyze_pipeline / q_dbt_coverage: events mapped to
     * SQL-text logs whose FROM targets hit the demo dbt project's models
@@ -2419,17 +2451,55 @@ object SparkEntry {
           |      FROM documents)
           |ORDER BY media_id, frame_idx""".stripMargin,
 
-      // The stub decode is a byte histogram (bucket j = bytes in
-      // [32j, 32j+31]); on ASCII text bucket counts are char-class counts.
+      // The engine decodes REAL PNGs (javax.imageio); the oracle recomputes
+      // every decoded channel value from the synthesis closed form
+      // (value at linear index i = (doc_id*31 + i) mod 256) and aggregates
+      // — a hash match proves the engine's pixels came from a real decode.
       "q_multimodal_features" ->
-        """SELECT doc_id AS media_id,
-          |  CAST(length(text) AS BIGINT) AS n_bytes,
-          |  CAST(ascii(substring(text, 1, 1)) + 1 AS BIGINT) AS pseudo_dim,
-          |  CAST(length(text) - length(regexp_replace(text, '[\x20-\x3f]', '', 'g'))
-          |    AS BIGINT) AS bucket1_bytes,
-          |  CAST(length(text) - length(regexp_replace(text, '[\x60-\x7f]', '', 'g'))
-          |    AS BIGINT) AS bucket3_bytes
-          |FROM documents ORDER BY media_id""".stripMargin,
+        """WITH dims AS (
+          |  SELECT doc_id, 8 + (doc_id % 5) * 2 AS w, 6 + (doc_id % 3) * 2 AS h
+          |  FROM documents),
+          |v AS (
+          |  SELECT doc_id, w, h, (doc_id*31 + i) % 256 AS val, i % 3 AS c
+          |  FROM (SELECT doc_id, w, h,
+          |          unnest(generate_series(0, w*h*3 - 1)) AS i
+          |        FROM dims))
+          |SELECT doc_id AS media_id,
+          |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          |  CAST(sum(CASE WHEN c = 0 THEN val END) AS BIGINT) AS sum_r,
+          |  CAST(sum(CASE WHEN c = 1 THEN val END) AS BIGINT) AS sum_g,
+          |  CAST(sum(CASE WHEN c = 2 THEN val END) AS BIGINT) AS sum_b,
+          |  CAST(min(val) AS BIGINT) AS min_px,
+          |  CAST(max(val) AS BIGINT) AS max_px
+          |FROM v GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin,
+
+      // Integer 2×2 box filter mirrored exactly: each output channel is
+      // floor((v00+v01+v10+v11)/4) of the synthesized source values.
+      "q_multimodal_resize" ->
+        """WITH dims AS (
+          |  SELECT doc_id, 8 + (doc_id % 5) * 2 AS w, 6 + (doc_id % 3) * 2 AS h
+          |  FROM documents),
+          |op AS (
+          |  SELECT doc_id, w, w//2 AS ow, h//2 AS oh,
+          |    unnest(generate_series(0, (w//2)*(h//2)*3 - 1)) AS i
+          |  FROM dims),
+          |px AS (
+          |  SELECT doc_id, w, ow, oh, i % 3 AS c,
+          |    (i//3) % ow AS xo, (i//3) // ow AS yo
+          |  FROM op),
+          |rv AS (
+          |  SELECT doc_id, ow, oh, c,
+          |    ((doc_id*31 + ((2*yo    )*w + 2*xo    )*3 + c) % 256
+          |   + (doc_id*31 + ((2*yo    )*w + 2*xo + 1)*3 + c) % 256
+          |   + (doc_id*31 + ((2*yo + 1)*w + 2*xo    )*3 + c) % 256
+          |   + (doc_id*31 + ((2*yo + 1)*w + 2*xo + 1)*3 + c) % 256) // 4 AS v
+          |  FROM px)
+          |SELECT doc_id AS media_id,
+          |  CAST(ow AS BIGINT) AS out_w, CAST(oh AS BIGINT) AS out_h,
+          |  CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+          |  CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+          |  CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+          |FROM rv GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
 
       "q_dataset_split" -> {
         val b = graft.operators.Sampling.duckdbHashBucketSql("doc_id", 10000)

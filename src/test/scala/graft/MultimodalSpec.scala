@@ -17,18 +17,46 @@ class MultimodalSpec extends SparkSpec {
       spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
   }
 
-  test("batched feature extraction: schema, determinism, null payloads") {
-    val feats = Multimodal.extractFeatures(media).collect()
-      .map(f => f.media_id -> f).toMap
-    assert(feats.size == 5)
-    assert(feats(1L).n_bytes == 64)
-    assert(math.abs(feats(1L).features.sum - 1.0f) < 1e-5f)
-    assert(feats(5L).n_bytes == 0)               // null payload → zero features
-    assert(feats(5L).features.forall(_ == 0.0f))
-    // determinism: same payload → same features
-    val again = Multimodal.extractFeatures(media).collect()
-      .map(f => f.media_id -> f.features.toSeq).toMap
-    assert(again(3L) == feats(3L).features.toSeq)
+  // (media_id, kind, payload) frame for image APIs, which only read those
+  private def imageFrame(rows: Seq[(Long, Array[Byte])]) = {
+    val rdd = spark.sparkContext.parallelize(
+      rows.map { case (id, p) => Row(id, "image", p, null) }, 2)
+    spark.createDataFrame(rdd, Multimodal.mediaSchema)
+  }
+
+  test("real PNG decode: stats match the synthesis closed form") {
+    // synthPng pixel value at linear index i is (id*31 + i) mod 256 —
+    // recompute the expected sums by hand, independent of any decoder
+    val cases = Seq((7L, 4, 2), (200L, 8, 6), (123456789L, 16, 10))
+    val df = imageFrame(cases.map { case (id, w, h) =>
+      id -> Multimodal.synthPng(id, w, h) })
+    val got = Multimodal.imageStats(df).collect().map(s => s.media_id -> s).toMap
+    cases.foreach { case (id, w, h) =>
+      val vals = (0 until w * h * 3).map(i => ((id * 31 + i) % 256).toInt)
+      val s = got(id)
+      assert(s.ok && s.err == null)
+      assert((s.width, s.height) == ((w, h)))
+      assert(s.sum_r == vals.zipWithIndex.collect { case (v, i) if i % 3 == 0 => v.toLong }.sum)
+      assert(s.sum_g == vals.zipWithIndex.collect { case (v, i) if i % 3 == 1 => v.toLong }.sum)
+      assert(s.sum_b == vals.zipWithIndex.collect { case (v, i) if i % 3 == 2 => v.toLong }.sum)
+      assert(s.min_px == vals.min && s.max_px == vals.max)
+    }
+  }
+
+  test("corrupt / truncated / empty payloads quarantine instead of failing") {
+    val valid = Multimodal.synthPng(1L, 4, 4)
+    val df = imageFrame(Seq(
+      1L -> valid,
+      2L -> "definitely not a png".getBytes("UTF-8"),
+      3L -> valid.take(20), // valid signature, truncated body
+      4L -> null,
+      5L -> Array.empty[Byte]))
+    val ok = Multimodal.imageStatsOk(df).collect().map(_.getAs[Long]("media_id"))
+    assert(ok.toSet == Set(1L))
+    val quarantined = Multimodal.imageQuarantine(df).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[String]("err")).toMap
+    assert(quarantined.keySet == Set(2L, 3L, 4L, 5L))
+    assert(quarantined.values.forall(e => e != null && e.nonEmpty))
   }
 
   test("frame sampling explodes fixed-size windows (video only)") {
@@ -58,16 +86,38 @@ class MultimodalSpec extends SparkSpec {
     assert(short.head.getAs[Array[Byte]]("window_bytes").length == 10)
   }
 
-  test("resize stub decimates to the target size, passes small/null through") {
-    val out = Multimodal.resizeStub(media, targetBytes = 32).collect()
-      .map(r => r.media_id -> r).toMap
-    assert(out(2L).payload.length == 32)      // 256 -> 32
-    assert(out(1L).payload.length == 32)      // 64 -> 32
-    assert(out(5L).payload == null)           // null passes through
-    // determinism
-    val again = Multimodal.resizeStub(media, targetBytes = 32).collect()
-      .map(r => r.media_id -> r.payload).toMap
-    assert(again(2L).toSeq == out(2L).payload.toSeq)
+  test("box-filter resize: exact floor-average pixels, re-encoded PNG decodes back") {
+    // 4×2, id=10: output 2×1; output pixel (xo,0) channel c =
+    // floor(mean of the 2×2 block) — recomputed by hand from the formula
+    val id = 10L
+    val df = imageFrame(Seq(id -> Multimodal.synthPng(id, 4, 2)))
+    def src(x: Int, y: Int, c: Int) = ((id * 31 + (y * 4 + x) * 3 + c) % 256).toInt
+    val out = Multimodal.resizeBox(df, factor = 2).collect().head
+    assert(out.ok && out.out_w == 2 && out.out_h == 1)
+    // decode the re-encoded payload and check every pixel exactly
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.payload))
+    assert(img.getWidth == 2 && img.getHeight == 1)
+    for (xo <- 0 until 2; c <- 0 until 3) {
+      val expected = (src(2 * xo, 0, c) + src(2 * xo + 1, 0, c) +
+        src(2 * xo, 1, c) + src(2 * xo + 1, 1, c)) / 4
+      val rgb = img.getRGB(xo, 0)
+      val gotC = c match {
+        case 0 => (rgb >> 16) & 0xFF
+        case 1 => (rgb >> 8) & 0xFF
+        case 2 => rgb & 0xFF
+      }
+      assert(gotC == expected, s"pixel ($xo,0) channel $c")
+    }
+    // odd dims: 5×3 at factor 2 floors to 2×1 (edge row/col dropped by
+    // the floor output dims; covered blocks are full 2×2)
+    val odd = Multimodal.resizeBox(
+      imageFrame(Seq(3L -> Multimodal.synthPng(3L, 5, 3))), factor = 2)
+      .collect().head
+    assert(odd.out_w == 2 && odd.out_h == 1)
+    // corrupt payload quarantines with null output
+    val bad = Multimodal.resizeBox(
+      imageFrame(Seq(9L -> Array[Byte](1, 2, 3))), factor = 2).collect().head
+    assert(!bad.ok && bad.payload == null && bad.err.nonEmpty)
   }
 
   test("metadata-only query prunes the payload column from the parquet scan") {
