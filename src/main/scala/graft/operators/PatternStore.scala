@@ -53,6 +53,46 @@ object PatternStore {
     spark.read.parquet(dir)
   }
 
+  /** A6 at 100 TB: the reference's hottest recurring operation is this
+    * enrichment (`cache_manager.py:591-607`), and [[enrich]]'s
+    * union+re-agg re-shuffles the FULL accumulated history on
+    * `pattern_id` every run. The scale path keeps history as a
+    * `pattern_id`-bucketed, bucket-sorted catalog table
+    * ([[graft.sources.Sinks.bucketedTable]]): the merge becomes a
+    * sort-merge full-outer join ([[Patterns.mergeJoin]]) where the
+    * history scan needs NO Exchange and NO Sort (bucket layout provides
+    * both) — only the fresh delta, orders of magnitude smaller, pays a
+    * shuffle. One bucket-write at save time, amortized over every later
+    * enrichment. Plan asserted in `PlanAuditSpec`; semantics proven equal
+    * to [[Patterns.merge]] there too.
+    *
+    * Deployments should also set
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`: the layout
+    * writes one file per bucket pre-sorted by `pattern_id` (`sortBy`),
+    * and with the flag on the history-side Sort is eliminated too (the
+    * planner then trusts bucket sort metadata) — leaving the history
+    * scan with neither Exchange nor Sort, the fully streaming merge.
+    *
+    * Swap is two-phase like [[enrich]]: merged history is written to a
+    * staging table (the merge plan reads the table being replaced), then
+    * drop + rename. */
+  def enrichBucketed(spark: SparkSession, fresh: DataFrame, table: String,
+                     numBuckets: Int = 32): DataFrame = {
+    val sortedBuckets = Seq("pattern_id")
+    if (!spark.catalog.tableExists(table)) {
+      graft.sources.Sinks.bucketedTable(fresh, table, "pattern_id",
+        numBuckets, sortCols = sortedBuckets)
+    } else {
+      val merged = Patterns.mergeJoin(fresh, spark.table(table))
+      val staging = table + "_staging"
+      graft.sources.Sinks.bucketedTable(merged, staging, "pattern_id",
+        numBuckets, sortCols = sortedBuckets)
+      spark.sql(s"DROP TABLE `$table`")
+      spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+    }
+    spark.table(table)
+  }
+
   /** `--force-reset` (`querysight.py:292`, reset impl
     * `cache_manager.py`): wipe the store directory and its TTL sidecar. */
   def reset(dir: String): Unit = deleteRecursively(Paths.get(dir))

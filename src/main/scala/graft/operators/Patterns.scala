@@ -142,4 +142,41 @@ object Patterns {
         sum("total_read_bytes").as("total_read_bytes"))
       .withColumn("avg_duration_ms", col("total_duration_ms") / col("frequency"))
   }
+
+  /** [[merge]] re-expressed as a full-outer JOIN-merge — semantically
+    * identical (spec-proven), but shaped for the bucketed-history scale
+    * path ([[PatternStore.enrichBucketed]]): `union + groupBy` destroys
+    * the history side's bucketed outputPartitioning and re-shuffles ALL
+    * accumulated history on every enrichment, while a sort-merge join
+    * against a `pattern_id`-bucketed, bucket-sorted history scan needs no
+    * Exchange and no Sort on that side — only the (orders-of-magnitude
+    * smaller) fresh delta pays a shuffle. */
+  def mergeJoin(fresh: DataFrame, hist: DataFrame): DataFrame = {
+    val dataCols = fresh.columns.toSeq.filterNot(_ == "avg_duration_ms")
+    require(dataCols.toSet.subsetOf(hist.columns.toSet),
+      s"pattern schemas differ: $dataCols vs ${hist.columns.toSeq}")
+    val f = fresh.select(dataCols.map(col): _*).as("f")
+    val h = hist.select(dataCols.map(col): _*).as("h")
+    def both(c: String) = (col(s"f.$c"), col(s"h.$c"))
+    def added(c: String) = {
+      val (a, b) = both(c)
+      (coalesce(a, lit(0L)) + coalesce(b, lit(0L))).as(c)
+    }
+    val (fu, hu) = both("users")
+    val emptyUsers = array().cast("array<string>")
+    f.join(h, col("f.pattern_id") === col("h.pattern_id"), "full_outer")
+      .select(
+        coalesce(col("f.pattern_id"), col("h.pattern_id")).as("pattern_id"),
+        least(col("f.sql_pattern"), col("h.sql_pattern")).as("sql_pattern"),
+        added("frequency"),
+        added("total_duration_ms"),
+        least(col("f.first_seen"), col("h.first_seen")).as("first_seen"),
+        greatest(col("f.last_seen"), col("h.last_seen")).as("last_seen"),
+        sort_array(array_distinct(concat(
+          coalesce(fu, emptyUsers), coalesce(hu, emptyUsers)))).as("users"),
+        added("memory_usage"),
+        added("total_read_rows"),
+        added("total_read_bytes"))
+      .withColumn("avg_duration_ms", col("total_duration_ms") / col("frequency"))
+  }
 }

@@ -65,6 +65,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("bucketed pattern enrich: history side joins with no Exchange, merge-equal results") {
+    import java.sql.Timestamp
+    def pats(ids: Seq[String], freq: Long) = ids.map(id =>
+      (id, s"SELECT $id", freq, 100.0 * freq, Timestamp.valueOf("2024-01-01 00:00:00"),
+        Timestamp.valueOf("2024-06-01 00:00:00"), Seq("u1", s"u_$id"), 10L * freq,
+        20L * freq, 30L * freq))
+      .toDF("pattern_id", "sql_pattern", "frequency", "total_duration_ms",
+        "first_seen", "last_seen", "users", "memory_usage",
+        "total_read_rows", "total_read_bytes")
+      .withColumn("avg_duration_ms", col("total_duration_ms") / col("frequency"))
+    val t = "pat_hist_audit"
+    spark.sql(s"DROP TABLE IF EXISTS $t"); spark.sql(s"DROP TABLE IF EXISTS ${t}_staging")
+    val first = pats(Seq("a", "b", "c"), 2L)
+    val second = pats(Seq("b", "c", "d"), 5L) // overlap + new id both ways
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      graft.operators.PatternStore.enrichBucketed(spark, first, t, numBuckets = 4)
+      // the scale claim: history scans bucket-partitioned AND bucket-sorted,
+      // so the full-outer sort-merge join plans exactly ONE Exchange and
+      // ONE Sort — the fresh delta's — and none above the history scan
+      val merged = graft.operators.Patterns.mergeJoin(second, spark.table(t))
+      val p = plan(merged)
+      assert(p.contains("SortMergeJoin"), p)
+      assert("Exchange".r.findAllIn(p).length == 1, p)
+      assert("(?m)^(?!.*SortMergeJoin).*\\bSort\\b".r.findAllIn(p).length == 1, p)
+      assert(p.contains("SelectedBucketsCount"), p)
+      // semantics: join-merge == union+re-agg merge, row for row
+      val viaJoin = graft.operators.PatternStore
+        .enrichBucketed(spark, second, t, numBuckets = 4)
+        .orderBy("pattern_id").collect().toSeq
+      val viaUnion = graft.operators.Patterns.merge(second, first)
+        .select(viaJoin.head.schema.fieldNames.map(col): _*)
+        .orderBy("pattern_id").collect().toSeq
+      assert(viaJoin == viaUnion)
+    } finally {
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_staging")
+    }
+  }
+
   test("semantic dedup pairs via equi-join on the cluster id, never a product join") {
     val emb = (1 to 40).map(i =>
       (i.toLong, Seq.fill(8)((i % 5).toFloat + 1f))).toDF("vec_id", "embedding")
