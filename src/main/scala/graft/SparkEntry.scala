@@ -998,12 +998,20 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))),
 
     // BPE-ish sub-word token counting next to whitespace tokens.
-    "q_token_bpe" -> ((s, dir) =>
+    // Token budgets: whitespace count, BPE pre-token count, and the REAL
+    // merges-file BPE count (native expression, pinned fixture vocab —
+    // graft.plans.BpeTokenCount; the oracle re-runs the merges as a
+    // generated replace-chain, so the count is algorithm-exact).
+    "q_token_bpe" -> ((s, dir) => {
+      val merges = graft.functions.Bpe.loadMerges()
       Tables.documents(s, dir).select(
         col("doc_id"),
         Text.tokenCount(col("text")).as("n_ws_tokens"),
-        Text.bpeTokenCount(col("text")).as("n_bpe_tokens"))
-        .orderBy(col("doc_id"))),
+        Text.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        graft.functions.Bpe.mergedTokenCount(col("text"), merges)
+          .as("n_bpe_merged"))
+        .orderBy(col("doc_id"))
+    }),
 
     // Gopher-style repetition metrics (duplicate-trigram fraction, top
     // bigram char fraction) — one explode + two-level hash-agg, nothing
@@ -2124,7 +2132,9 @@ object SparkEntry {
       "q_token_bpe" ->
         s"""SELECT doc_id,
            |  ${Text.duckdbTokenCountSql("text")} AS n_ws_tokens,
-           |  ${Text.duckdbBpeTokenCountSql("text")} AS n_bpe_tokens
+           |  ${Text.duckdbBpeTokenCountSql("text")} AS n_bpe_tokens,
+           |  CAST(${graft.functions.Bpe.duckdbMergedCountSql("text",
+                graft.functions.Bpe.loadMerges())} AS BIGINT) AS n_bpe_merged
            |FROM documents ORDER BY doc_id""".stripMargin,
 
       // Repetition metrics: DuckDB mirrors the explode + count + rollup
