@@ -907,8 +907,12 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))),
 
-    // IVF coarse-quantizer ANN (no oracle; recall < 1 by design — the
-    // probe-everything configuration is proven exhaustive in IvfSpec).
+    // IVF coarse-quantizer ANN in its recall<1 scale configuration.
+    // ORACLE-EXACT since round 5: the fixed-point Lloyd build is
+    // byte-reproducible, so the oracle re-runs the entire algorithm in
+    // SQL — seed cells, two assignment/update iterations, final
+    // assignment, nProbe cell selection, bucket-local ranking — the same
+    // mirroring q_dedup_semantic already proved out for one iteration.
     "q_ann_ivf" -> ((s, dir) =>
       graft.operators.Ivf.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
         col("vid") % 20 === 0, k = 5, numCentroids = 16, nProbe = 4)
@@ -2752,6 +2756,72 @@ object SparkEntry {
           |  WHERE q.vec_id % 20 = 0) t
           |WHERE rnk <= 5
           |ORDER BY query_id, rnk""".stripMargin,
+
+      // The recall<1 IVF config, fully mirrored: the build is fixed-point
+      // byte-reproducible (Ivf scaladoc), so DuckDB re-runs the whole
+      // algorithm — seeds = 16 lowest ids, two Lloyd iterations
+      // (argmax assignment on unrounded cosine, exact bigint fixed-point
+      // centroid update — the identical arithmetic q_dedup_semantic
+      // already mirrors), final assignment, nProbe=4 cell selection per
+      // query, and round-5 ranking inside probed cells only.
+      "q_ann_ivf" -> {
+        def assignSql(name: String, cents: String) =
+          s"""$name AS (
+             |  SELECT vid, vec, cid FROM (
+             |    SELECT c.vid, c.vec, t.cid,
+             |      row_number() OVER (PARTITION BY c.vid
+             |        ORDER BY list_cosine_similarity(c.vec::DOUBLE[], t.cvec::DOUBLE[]) DESC,
+             |          t.cid) AS rn
+             |    FROM corpus c CROSS JOIN $cents t) WHERE rn = 1)"""
+        def updateSql(exName: String, updName: String, centsName: String, from: String) =
+          s"""$exName AS (
+             |  SELECT cid, unnest(generate_series(1, len(vec))) AS pos,
+             |    unnest(vec) AS x
+             |  FROM $from),
+             |$updName AS (
+             |  SELECT cid, pos,
+             |    sum(CAST(floor(x::DOUBLE * 1048576.0) AS BIGINT)) AS s,
+             |    count(*) AS n
+             |  FROM $exName GROUP BY cid, pos),
+             |$centsName AS (
+             |  SELECT cid,
+             |    list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS FLOAT)
+             |      ORDER BY pos) AS cvec
+             |  FROM $updName GROUP BY cid)"""
+        s"""WITH corpus AS (
+           |  SELECT vec_id AS vid, embedding AS vec FROM embeddings),
+           |seeds AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vid) AS INTEGER) AS cid,
+           |    vec AS cvec
+           |  FROM (SELECT vid, vec FROM corpus ORDER BY vid LIMIT 16)),
+           |${assignSql("a0", "seeds")},
+           |${updateSql("ex0", "upd0", "cents1", "a0")},
+           |${assignSql("a1", "cents1")},
+           |${updateSql("ex1", "upd1", "cents2", "a1")},
+           |${assignSql("fin", "cents2")},
+           |probes AS (
+           |  SELECT query_id, qvec, cid FROM (
+           |    SELECT q.vid AS query_id, q.vec AS qvec, t.cid,
+           |      row_number() OVER (PARTITION BY q.vid
+           |        ORDER BY list_cosine_similarity(q.vec::DOUBLE[], t.cvec::DOUBLE[]) DESC,
+           |          t.cid) AS rn
+           |    FROM corpus q CROSS JOIN cents2 t WHERE q.vid % 20 = 0)
+           |  WHERE rn <= 4),
+           |scored AS (
+           |  SELECT p.query_id, f.vid,
+           |    round(list_cosine_similarity(p.qvec::DOUBLE[], f.vec::DOUBLE[]), 5)
+           |      AS cosine
+           |  FROM fin f JOIN probes p ON f.cid = p.cid
+           |  WHERE f.vid != p.query_id)
+           |SELECT query_id, vid AS neighbor_id, cosine,
+           |  CAST(rnk AS BIGINT) AS rnk FROM (
+           |  SELECT query_id, vid, cosine,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, vid) AS rnk
+           |  FROM scored)
+           |WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin
+      },
 
       // probe-ALL IVF is exhaustive → identical oracle to brute force
       "q_ann_ivf_full" ->
