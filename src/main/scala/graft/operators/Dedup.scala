@@ -492,17 +492,27 @@ object Dedup {
       .join(discriminative.select(col("shingle"), col("doc").as("doc_b")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+      // Length-ratio prefilter, applied BEFORE the shingle fan-out:
+      // |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so
+      // J(A,B) ≤ min/max — a pair whose size ratio already misses
+      // minJaccard cannot pass the exact test. Cuts the heavy
+      // candidate×shingle join's input at pair granularity for the cost
+      // of two joins against the (one-row-per-doc) size table; exactness
+      // (no false negatives) is by the bound above, spec-asserted.
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("set_size", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("set_size", "size_b"), Seq("doc_b"))
+      .filter(least(col("size_a"), col("size_b")).cast("double") /
+        greatest(col("size_a"), col("size_b")).cast("double") >= minJaccard)
     // |A∩B| per candidate pair: fan the (small) pair list out to doc_a's
     // shingles, then inner-join on (doc_b, shingle) to keep only shared
     // ones — two equi-joins sized by the candidate set, instead of a full
-    // inverted-index self-join over the whole corpus.
-    val common = cand
+    // inverted-index self-join over the whole corpus. Sizes ride through
+    // the aggregate (functionally determined by the pair) so no re-join.
+    cand
       .join(sh.select(col("doc").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("set_size", "size_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("set_size", "size_b"), Seq("doc_b"))
+      .groupBy("doc_a", "doc_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("n_common"))
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("size_a") + col("size_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= minJaccard)

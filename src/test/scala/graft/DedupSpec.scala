@@ -246,6 +246,34 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(planted.get._3 - 8.0 / 14.0) < 1e-12)
   }
 
+  test("jaccard length-ratio prefilter loses no qualifying pair (boundary-exact)") {
+    // doc 11 (3 shingles) ⊂ doc 12 (10 shingles): J = 3/10 = minJaccard
+    // EXACTLY — the prefilter ratio min/max = 3/10 must keep it (>=, not >).
+    // doc 13 is a 30-shingle superset of 11: ratio 3/30 < 0.3 → prefiltered,
+    // and brute force agrees J < 0.3 (no false negative).
+    val docs = Seq(
+      (11L, "a b c d e"),
+      (12L, "a b c d e f g h i j k l"),
+      (13L, ("a b c d e" +: (1 to 27).map(i => s"w$i")).mkString(" ")),
+      (14L, "totally different words here now friend")).toDF("doc_id", "text")
+    def shingleSet(s: String) =
+      s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val texts = Map(11L -> "a b c d e", 12L -> "a b c d e f g h i j k l",
+      13L -> ("a b c d e" +: (1 to 27).map(i => s"w$i")).mkString(" "),
+      14L -> "totally different words here now friend")
+    val brute = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      sa = shingleSet(texts(a)); sb = shingleSet(texts(b))
+      j = (sa & sb).size.toDouble / (sa | sb).size.toDouble if j >= 0.3
+    } yield (a, b, j)).toSet
+    val got = Dedup.jaccardNearDups(docs, "doc_id", "text",
+      shingleN = 3, dfMax = 100, minJaccard = 0.3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(got == brute, s"got $got expected $brute")
+    assert(got.contains((11L, 12L, 0.3))) // the boundary pair survived
+  }
+
   test("duplicated spans: exact cross-doc windows, coverage union, hash-invariant") {
     val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
     val d = Seq(
