@@ -181,11 +181,18 @@ object Bench {
 
   /** Fixed-work calibration action: pure codegen arithmetic, no IO, no
     * shuffle — its wall time varies only with how much of the box this
-    * JVM actually owns at that moment. */
+    * JVM actually owns at that moment. Each sample is the MIN of two
+    * runs: a single GC pause (common right after the cache-churning
+    * dedup queries) inflates one run, not two back-to-back, while
+    * sustained external contention — the thing the sentinel exists to
+    * catch — inflates both. */
   private def calibrate(spark: SparkSession): Double = {
-    val t0 = System.nanoTime()
-    spark.range(500000000L).selectExpr("sum(id * 3)").collect()
-    (System.nanoTime() - t0) / 1e9
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(500000000L).selectExpr("sum(id * 3)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
   }
 
   /** Run each named query `iters` times; returns (per-query (wall times,

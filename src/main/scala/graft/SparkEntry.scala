@@ -1339,6 +1339,33 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // Multimodal REAL audio decode: deterministic 16-bit PCM WAVs (sample
+    // i = (doc_id*37 + i*13) mod 2^16 - 2^15 — Multimodal.synthWav) are
+    // parsed back through javax.sound.sampled (the JDK's actual RIFF
+    // parser); the oracle recomputes amplitude stats from the closed
+    // form, so a hash match proves a real decode, same design as
+    // q_multimodal_features.
+    "q_multimodal_wav" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (lit(200) + pmod(col("doc_id"), lit(77))).cast("int").as("n"),
+          (lit(8000) * (lit(1) + pmod(col("doc_id"), lit(3)))).cast("int").as("sr"))
+        .as[(Long, Int, Int)]
+        .mapPartitions(_.map { case (id, n, sr) =>
+          (id, "audio", Multimodal.synthWav(id, n, sr))
+        })
+        .toDF("media_id", "kind", "payload")
+      Multimodal.audioStats(media).toDF().filter(col("ok"))
+        .select(col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"), col("sum_amp"),
+          col("min_amp").cast("long").as("min_amp"),
+          col("max_amp").cast("long").as("max_amp"))
+        .orderBy(col("media_id"))
+    }),
+
     // Overlapping audio-style windows (frame 64, hop 32 ⇒ 50% overlap),
     // md5 pins each window's bytes.
     "q_multimodal_audio" -> ((s, dir) => {
@@ -2691,6 +2718,26 @@ object SparkEntry {
           |  coalesce(s.v, 0) AS v
           |FROM grid g LEFT JOIN sums s ON g.doc_id = s.doc_id AND g.pos = s.b
           |ORDER BY 1, 3""".stripMargin,
+
+      // real WAV decode mirrored from the synthesis closed form — same
+      // proof shape as q_multimodal_features
+      "q_multimodal_wav" ->
+        """WITH dims AS (
+          |  SELECT doc_id, 200 + (doc_id % 77) AS n,
+          |    8000 * (1 + doc_id % 3) AS sr
+          |  FROM documents),
+          |v AS (
+          |  SELECT doc_id, n, sr,
+          |    ((doc_id*37 + i*13) % 65536) - 32768 AS amp
+          |  FROM (SELECT doc_id, n, sr,
+          |          unnest(generate_series(0, n - 1)) AS i
+          |        FROM dims))
+          |SELECT doc_id AS media_id, CAST(sr AS BIGINT) AS sample_rate,
+          |  CAST(n AS BIGINT) AS n_samples,
+          |  CAST(sum(amp) AS BIGINT) AS sum_amp,
+          |  CAST(min(amp) AS BIGINT) AS min_amp,
+          |  CAST(max(amp) AS BIGINT) AS max_amp
+          |FROM v GROUP BY doc_id, sr, n ORDER BY media_id""".stripMargin,
 
       "q_multimodal_audio" ->
         """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS window_idx,

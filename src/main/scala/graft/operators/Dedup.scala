@@ -488,21 +488,25 @@ object Dedup {
         .filter(col("df") >= 2 && col("df") <= dfMax)
         .select("shingle"),
       Seq("shingle"))
-    val cand = discriminative.select(col("shingle"), col("doc").as("doc_a"))
-      .join(discriminative.select(col("shingle"), col("doc").as("doc_b")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-      // Length-ratio prefilter, applied BEFORE the shingle fan-out:
-      // |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so
-      // J(A,B) ≤ min/max — a pair whose size ratio already misses
-      // minJaccard cannot pass the exact test. Cuts the heavy
-      // candidate×shingle join's input at pair granularity for the cost
-      // of two joins against the (one-row-per-doc) size table; exactness
-      // (no false negatives) is by the bound above, spec-asserted.
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("set_size", "size_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("set_size", "size_b"), Seq("doc_b"))
-      .filter(least(col("size_a"), col("size_b")).cast("double") /
-        greatest(col("size_a"), col("size_b")).cast("double") >= minJaccard)
+    // Length-ratio prefilter, carried from INDEX granularity: sizes join
+    // the (linear-sized) inverted index once, so the candidate self-join
+    // emits (pair, size_a, size_b) for free and unpassable pairs die
+    // BEFORE the distinct's shuffle and the shingle fan-out. The bound:
+    // |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so J(A,B) ≤
+    // min/max — a pair whose size ratio already misses minJaccard cannot
+    // pass the exact test (no false negatives, spec-asserted with a
+    // boundary pair at J == threshold). Joining sizes at pair granularity
+    // instead would shuffle the quadratic side twice — measured +40% on
+    // the replica fixture.
+    val withSize = discriminative.join(sizes, Seq("doc"))
+    val cand = withSize
+      .select(col("shingle"), col("doc").as("doc_a"), col("set_size").as("size_a"))
+      .join(withSize.select(col("shingle"), col("doc").as("doc_b"),
+        col("set_size").as("size_b")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("size_a"), col("size_b")).cast("double") /
+          greatest(col("size_a"), col("size_b")).cast("double") >= minJaccard)
+      .select("doc_a", "doc_b", "size_a", "size_b").distinct()
     // |A∩B| per candidate pair: fan the (small) pair list out to doc_a's
     // shingles, then inner-join on (doc_b, shingle) to keep only shared
     // ones — two equi-joins sized by the candidate set, instead of a full

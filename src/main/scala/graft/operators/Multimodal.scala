@@ -17,10 +17,12 @@ import org.apache.spark.sql.types._
   * Image decode is REAL: `javax.imageio` (JDK-built-in, no external
   * dependencies) reads PNG/JPEG/BMP/GIF; [[imageStats]] and [[resizeBox]]
   * operate on actual decoded pixels, with undecodable payloads captured on
-  * a quarantine side instead of failing the job. Audio/video remain
-  * byte-window framing ([[audioWindows]], [[sampleFrames]]) — the JDK
-  * ships no general audio/video codecs, so those transforms stay
-  * payload-level by documented necessity, not as a stub.
+  * a quarantine side instead of failing the job. Audio decode is REAL for
+  * PCM WAV via `javax.sound.sampled` ([[audioStats]] — the JDK's actual
+  * RIFF parser). Video and compressed-audio transforms remain byte-window
+  * framing ([[audioWindows]], [[sampleFrames]]) — the JDK ships no codecs
+  * for those, so they stay payload-level by documented necessity, not as
+  * a stub.
   *
   * Scale notes: payloads never pass through a groupBy — per-item
   * transforms are `mapPartitions`, and metadata-only operations (filtering
@@ -222,7 +224,96 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
-  // Payload-level framing (audio/video — no JDK codecs for these)
+  // Real audio decode: javax.sound.sampled (PCM WAV — the one audio
+  // format the JDK ships a codec for)
+  // ------------------------------------------------------------------
+
+  /** Synthesize a REAL 16-bit PCM mono WAV whose sample `i` is
+    * `((id*37 + i*13) mod 65536) - 32768` — same design as [[synthPng]]:
+    * the closed form keeps decoded statistics SQL-computable while the
+    * payload is a genuine RIFF/WAVE byte stream that only a real parser
+    * can read back. Canonical 44-byte header + little-endian samples. */
+  def synthWav(id: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort((java.lang.Long.remainderUnsigned(id * 37L + i * 13L, 65536L)
+        - 32768L).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Per-payload decode outcome for audio; `ok = false` quarantines. */
+  final case class AudioStats(
+      media_id: Long, ok: Boolean, err: String,
+      sample_rate: Int, n_samples: Long,
+      sum_amp: Long, min_amp: Int, max_amp: Int)
+
+  /** Batched per-partition REAL WAV decode via `AudioSystem` (the JDK's
+    * actual RIFF parser, not byte arithmetic) → amplitude statistics.
+    * Non-PCM / corrupt / empty payloads quarantine. */
+  def audioStats(media: DataFrame): Dataset[AudioStats] = {
+    implicit val enc: org.apache.spark.sql.Encoder[AudioStats] =
+      org.apache.spark.sql.Encoders.product[AudioStats]
+    media.select("media_id", "payload")
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val id = r.getAs[Long]("media_id")
+          val payload = r.getAs[Array[Byte]]("payload")
+          if (payload == null || payload.isEmpty)
+            AudioStats(id, ok = false, "empty payload", 0, 0L, 0L, 0, 0)
+          else
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new ByteArrayInputStream(payload))
+              val fmt = ais.getFormat
+              if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+                  || fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1)
+                AudioStats(id, ok = false,
+                  s"unsupported format: $fmt", 0, 0L, 0L, 0, 0)
+              else {
+                val bytes = ais.readAllBytes()
+                val bb = java.nio.ByteBuffer.wrap(bytes).order(
+                  if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                  else java.nio.ByteOrder.LITTLE_ENDIAN)
+                var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+                var n = 0L
+                while (bb.remaining() >= 2) {
+                  val s = bb.getShort.toInt
+                  sum += s
+                  if (s < mn) mn = s
+                  if (s > mx) mx = s
+                  n += 1
+                }
+                if (n == 0) AudioStats(id, ok = true, null,
+                  fmt.getSampleRate.toInt, 0L, 0L, 0, 0)
+                else AudioStats(id, ok = true, null,
+                  fmt.getSampleRate.toInt, n, sum, mn, mx)
+              }
+            } catch {
+              case e: Exception =>
+                AudioStats(id, ok = false,
+                  s"decode failed: ${e.getClass.getSimpleName}", 0, 0L, 0L, 0, 0)
+            }
+        }
+      }
+  }
+
+  // ------------------------------------------------------------------
+  // Payload-level framing (video — no JDK video codecs)
   // ------------------------------------------------------------------
 
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size

@@ -120,6 +120,29 @@ class MultimodalSpec extends SparkSpec {
     assert(!bad.ok && bad.payload == null && bad.err.nonEmpty)
   }
 
+  test("real WAV decode: stats match the synthesis closed form, corrupt quarantines") {
+    // synthWav sample i is ((id*37 + i*13) mod 65536) - 32768
+    val cases = Seq((3L, 50, 8000), (999L, 277, 16000))
+    def audioFrame(rows: Seq[(Long, Array[Byte])]) = {
+      val rdd = spark.sparkContext.parallelize(
+        rows.map { case (id, p) => Row(id, "audio", p, null) }, 2)
+      spark.createDataFrame(rdd, Multimodal.mediaSchema)
+    }
+    val df = audioFrame(cases.map { case (id, n, sr) =>
+      id -> Multimodal.synthWav(id, n, sr) } :+
+      (7L -> "not a wav at all".getBytes("UTF-8")))
+    val got = Multimodal.audioStats(df).collect().map(s => s.media_id -> s).toMap
+    cases.foreach { case (id, n, sr) =>
+      val amps = (0 until n).map(i => (((id * 37 + i * 13) % 65536) - 32768).toInt)
+      val s = got(id)
+      assert(s.ok && s.err == null)
+      assert(s.sample_rate == sr && s.n_samples == n.toLong)
+      assert(s.sum_amp == amps.map(_.toLong).sum)
+      assert(s.min_amp == amps.min && s.max_amp == amps.max)
+    }
+    assert(!got(7L).ok && got(7L).err.nonEmpty)
+  }
+
   test("metadata-only query prunes the payload column from the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString + "/media"
     media.write.mode("overwrite").parquet(dir)
