@@ -1017,6 +1017,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The tokenizer surface itself: every document's full BPE symbol
+    // sequence with deterministic ids (code point for single chars,
+    // 256 + introducing-rule rank for composites) — what a training
+    // pipeline actually feeds the model. Native expression; the oracle
+    // reconstructs the identical sequence from the replace-chain.
+    "q_token_ids" -> ((s, dir) => {
+      val merges = graft.functions.Bpe.loadMerges()
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(graft.functions.Bpe.tokens(col("text"), merges)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("token"),
+          graft.functions.Bpe.tokenId(col("col"), merges).cast("long")
+            .as("token_id"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // Gopher-style repetition metrics (duplicate-trigram fraction, top
     // bigram char fraction) — one explode + two-level hash-agg, nothing
     // quadratic in document length.
@@ -2159,6 +2176,22 @@ object SparkEntry {
           |  md5('key:' || o_orderkey) AS key_md5,
           |  sha256('key:' || o_orderkey) AS key_sha256
           |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
+
+      "q_token_ids" -> {
+        val merges = graft.functions.Bpe.loadMerges()
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    ${graft.functions.Bpe.duckdbTokensSql("text", merges)} AS ts
+           |  FROM documents)
+           |SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos, tok AS token,
+           |  CAST(${graft.functions.Bpe.duckdbTokenIdSql("tok", merges)}
+           |    AS BIGINT) AS token_id
+           |FROM (
+           |  SELECT doc_id, unnest(ts) AS tok,
+           |    unnest(generate_series(1, len(ts))) AS pos
+           |  FROM toks)
+           |ORDER BY doc_id, pos""".stripMargin
+      },
 
       "q_token_bpe" ->
         s"""SELECT doc_id,

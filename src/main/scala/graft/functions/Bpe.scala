@@ -55,21 +55,63 @@ object Bpe {
   def mergedTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     graft.plans.BpeTokenCount.count(text, merges)
 
+  /** The encoded symbol sequence itself — the tokenizer surface. */
+  def tokens(text: Column, merges: Seq[(String, String)]): Column =
+    graft.plans.BpeTokenCount.tokens(text, merges)
+
+  /** Deterministic id scheme shared with the oracle: single-code-point
+    * symbols map to their code point; composite symbols map to
+    * 256 + first-introducing-rule rank. */
+  def vocabIds(merges: Seq[(String, String)]): Map[String, Int] = {
+    val b = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    merges.zipWithIndex.foreach { case ((x, y), i) =>
+      if (!b.contains(x + y)) b(x + y) = 256 + i // first introduction wins
+    }
+    b.toMap
+  }
+
+  /** Token string → id (see [[vocabIds]]). */
+  def tokenId(tok: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.functions.{ascii, element_at, length, typedLit, when}
+    when(length(tok) === 1, ascii(tok))
+      .otherwise(element_at(typedLit(vocabIds(merges)), tok))
+  }
+
   // ---- DuckDB twin -----------------------------------------------------
 
   private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
   private def sep(sym: String) = s"chr(1)||${sqlStr(sym)}"
 
-  /** Generated oracle: chr(2)-marked pre-tokens, chr(1)-prefixed symbols,
-    * one `replace` per merge rule in rank order, then count the SEPs. */
-  def duckdbMergedCountSql(col: String, merges: Seq[(String, String)]): String = {
+  private def mergedExprSql(col: String, merges: Seq[(String, String)]): String = {
     val marked =
       s"array_to_string(list_transform(regexp_extract_all($col, ${sqlStr(Text.BpeTokenRe)}), " +
         "t -> chr(2) || array_to_string(list_transform(string_split(t, ''), " +
         "c -> chr(1) || c), '')), '')"
-    val merged = merges.foldLeft(marked) { case (acc, (x, y)) =>
+    merges.foldLeft(marked) { case (acc, (x, y)) =>
       s"replace($acc, ${sep(x)}||${sep(y)}, ${sep(x + y)})"
     }
+  }
+
+  /** Generated oracle: chr(2)-marked pre-tokens, chr(1)-prefixed symbols,
+    * one `replace` per merge rule in rank order, then count the SEPs. */
+  def duckdbMergedCountSql(col: String, merges: Seq[(String, String)]): String = {
+    val merged = mergedExprSql(col, merges)
     s"coalesce(length($merged) - length(replace($merged, chr(1), '')), 0)"
+  }
+
+  /** Oracle twin of [[tokens]]: split the merged string on chr(1) —
+    * fragment 1 is the leading chr(2), later pre-token markers stick to
+    * the preceding symbol and are stripped — yielding the symbol
+    * sequence in order. */
+  def duckdbTokensSql(col: String, merges: Seq[(String, String)]): String =
+    s"list_transform(string_split(${mergedExprSql(col, merges)}, chr(1))[2:], " +
+      "f -> replace(f, chr(2), ''))"
+
+  /** Oracle twin of [[tokenId]]'s id scheme, as a CASE over the vocab. */
+  def duckdbTokenIdSql(tok: String, merges: Seq[(String, String)]): String = {
+    val arms = vocabIds(merges).map { case (s, id) =>
+      s"WHEN $tok = ${sqlStr(s)} THEN $id"
+    }.mkString(" ")
+    s"(CASE $arms ELSE ascii($tok) END)"
   }
 }

@@ -65,6 +65,14 @@ object BpeTokenCount {
       total
     }
 
+    /** Full-text symbol sequence: pre-tokens encoded in order. */
+    def tokenize(text: String): java.util.ArrayList[String] = {
+      val out = new java.util.ArrayList[String]()
+      val m = preTokenRe.matcher(text)
+      while (m.find()) out.addAll(encode(m.group()))
+      out
+    }
+
     /** Symbol count after all merges for ONE pre-token. */
     private[plans] def encodeCount(tok: String): Int = encode(tok).size
 
@@ -107,4 +115,43 @@ object BpeTokenCount {
 
   def count(c: Column, merges: Seq[(String, String)]): Column =
     GraftSqlBridge.column(BpeTokenCount(GraftSqlBridge.expression(c), merges))
+
+  def tokens(c: Column, merges: Seq[(String, String)]): Column =
+    GraftSqlBridge.column(BpeTokens(GraftSqlBridge.expression(c), merges))
+}
+
+/** The symbol SEQUENCE the same encoder produces — the actual
+  * tokenization surface (token counting is its cardinality). Same
+  * sequential rank-order algorithm, same equivalence argument, same
+  * codegen shape as [[BpeTokenCount]]. */
+case class BpeTokens(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "bpe_tokens"
+
+  @transient private lazy val encoder = new BpeTokenCount.Encoder(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeTokens.toArrayData(encoder.tokenize(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncoder", encoder,
+      classOf[BpeTokenCount.Encoder].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.BpeTokens.toArrayData($ref.tokenize($c.toString()))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokens =
+    copy(child = newChild)
+}
+
+object BpeTokens {
+  def toArrayData(syms: java.util.ArrayList[String])
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val out = new Array[Any](syms.size)
+    var i = 0
+    while (i < syms.size) { out(i) = UTF8String.fromString(syms.get(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

@@ -71,6 +71,22 @@ class BpeSpec extends SparkSpec {
     assert(Seq("data", "batch", "scan", "the").forall(w => got(w) == 1L))
   }
 
+  test("tokenizer surface: symbol sequences and deterministic ids") {
+    val df = Seq((1L, "hello, world")).toDF("id", "text")
+      .select(posexplode(Bpe.tokens(col("text"), toyMerges)))
+      .select(col("pos"), col("col").as("tok"),
+        Bpe.tokenId(col("col"), toyMerges).as("tid"))
+    val got = df.collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    // vocab ids: he=256, ll=257, hell=258, hello=259; singles = code point
+    assert(got == Seq(
+      (0, "hello", 259), (1, ",", 44), (2, "w", 119), (3, "o", 111),
+      (4, "r", 114), (5, "l", 108), (6, "d", 100)), got.toString)
+    // count surface and token surface agree by construction
+    val n = Seq((1L, "hello, world")).toDF("id", "text")
+      .select(Bpe.mergedTokenCount(col("text"), toyMerges)).head().getLong(0)
+    assert(n == got.length.toLong)
+  }
+
   test("loadMerges validates well-formedness") {
     Bpe.validate(toyMerges) // fine
     val bad = Seq(("th", "e")) // 'th' never introduced
