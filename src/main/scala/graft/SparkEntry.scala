@@ -206,6 +206,24 @@ object SparkEntry {
       patternSelect(Patterns.merge(a, b)).orderBy(col("pattern_id"))
     }),
 
+    // A6 SCALE PATH under the oracle: disjoint halves enriched
+    // SEQUENTIALLY through the pattern_id-bucketed history table
+    // (PatternStore.enrichBucketed — full-outer sort-merge join-merge,
+    // history side shuffle-free per PlanAuditSpec) must equal the
+    // one-shot aggregate: additive upsert over disjoint inputs is exact.
+    // Same oracle body as q_pattern_merge.
+    "q_enrich_bucketed" -> ((s, dir) => {
+      val logs = eventsAsLogs(s, dir)
+      val a = Patterns.aggregate(logs.filter(col("read_bytes") % 2 === 0))
+      val b = Patterns.aggregate(logs.filter(col("read_bytes") % 2 === 1))
+      val table = "pat_hist_oracle_" + math.abs(dir.hashCode).toString
+      s.sql(s"DROP TABLE IF EXISTS `$table`")
+      s.sql(s"DROP TABLE IF EXISTS `${table}_staging`")
+      graft.operators.PatternStore.enrichBucketed(s, a, table, numBuckets = 8)
+      val out = graft.operators.PatternStore.enrichBucketed(s, b, table, numBuckets = 8)
+      patternSelect(out).orderBy(col("pattern_id"))
+    }),
+
     // A1 under skew: salted two-phase aggregate — must equal the plain
     // aggregate (same oracle body as q_pattern_merge).
     "q_pattern_salted" -> ((s, dir) =>
@@ -1034,6 +1052,27 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // Context-window packing at the TRUE token budget: documents cut into
+    // ≤32-token chunks of the real BPE sequence (not whitespace counts —
+    // the heuristic silently over/under-fills windows), chunk content
+    // pinned by md5 over the space-joined symbols (pre-tokens cannot
+    // contain whitespace, so the join is unambiguous). Map-only.
+    "q_pack_bpe" -> ((s, dir) => {
+      val merges = graft.functions.Bpe.loadMerges()
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.Bpe.tokens(col("text"), merges).as("ts"))
+        .select(col("doc_id"), posexplode(
+          transform(
+            sequence(lit(0),
+              greatest(ceil(size(col("ts")).cast("double") / 32.0).cast("int") - 1, lit(0))),
+            i => slice(col("ts"), i * 32 + 1, lit(32)))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          size(col("col")).cast("long").as("n_in_chunk"),
+          md5(array_join(col("col"), " ")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Gopher-style repetition metrics (duplicate-trigram fraction, top
     // bigram char fraction) — one explode + two-level hash-agg, nothing
     // quadratic in document length.
@@ -1538,6 +1577,10 @@ object SparkEntry {
            |) ORDER BY pattern_id""".stripMargin,
 
       "q_pattern_salted" ->
+        s"""$patternAggSqlBody
+           |ORDER BY pattern_id""".stripMargin,
+
+      "q_enrich_bucketed" ->
         s"""$patternAggSqlBody
            |ORDER BY pattern_id""".stripMargin,
 
@@ -2176,6 +2219,25 @@ object SparkEntry {
           |  md5('key:' || o_orderkey) AS key_md5,
           |  sha256('key:' || o_orderkey) AS key_sha256
           |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
+
+      "q_pack_bpe" -> {
+        val merges = graft.functions.Bpe.loadMerges()
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    ${graft.functions.Bpe.duckdbTokensSql("text", merges)} AS ts
+           |  FROM documents),
+           |chunks AS (
+           |  SELECT doc_id, i,
+           |    ts[i*32 + 1 : i*32 + 32] AS chunk
+           |  FROM (SELECT doc_id, ts,
+           |          unnest(generate_series(0,
+           |            greatest(CAST(ceil(len(ts) / 32.0) AS INTEGER) - 1, 0))) AS i
+           |        FROM toks))
+           |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           |  CAST(len(chunk) AS BIGINT) AS n_in_chunk,
+           |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+           |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+      },
 
       "q_token_ids" -> {
         val merges = graft.functions.Bpe.loadMerges()
