@@ -1052,6 +1052,15 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // Corpus-relative length outlier filter: keep docs inside the
+    // corpus's own [p1, p99] token-count band (QualityFilter.lengthBand)
+    // — thresholds from one tiny percentile aggregate broadcast back;
+    // the corpus never shuffles.
+    "q_length_band" -> ((s, dir) =>
+      graft.operators.QualityFilter.lengthBand(
+        Tables.documents(s, dir), "doc_id", "text", lo = 0.05, hi = 0.95)
+        .orderBy(col("doc_id"))),
+
     // Context-window packing at the TRUE token budget: documents cut into
     // ≤32-token chunks of the real BPE sequence (not whitespace counts —
     // the heuristic silently over/under-fills windows), chunk content
@@ -2219,6 +2228,19 @@ object SparkEntry {
           |  md5('key:' || o_orderkey) AS key_md5,
           |  sha256('key:' || o_orderkey) AS key_sha256
           |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
+
+      "q_length_band" ->
+        s"""WITH counts AS (
+           |  SELECT doc_id, CAST(${Text.duckdbTokenCountSql("text")} AS BIGINT)
+           |    AS n_tokens
+           |  FROM documents),
+           |b AS (
+           |  SELECT quantile_cont(n_tokens, 0.05) AS lo_tokens,
+           |    quantile_cont(n_tokens, 0.95) AS hi_tokens
+           |  FROM counts)
+           |SELECT doc_id, n_tokens, lo_tokens, hi_tokens,
+           |  n_tokens >= lo_tokens AND n_tokens <= hi_tokens AS keep
+           |FROM counts, b ORDER BY doc_id""".stripMargin,
 
       "q_pack_bpe" -> {
         val merges = graft.functions.Bpe.loadMerges()

@@ -62,4 +62,25 @@ object QualityFilter {
       .withColumn("keep", size(col("reasons")) === 0)
       .drop("lang_tag")
   }
+
+  /** CORPUS-RELATIVE length filter: keep documents whose token count lies
+    * within the corpus's own [lo, hi] percentile band — the complement of
+    * the fixed-threshold gate above (fixed bounds misfire when the corpus
+    * mix shifts; a percentile band adapts per ingest).
+    *
+    * Scale shape: thresholds come from ONE tiny aggregate (`percentile`
+    * is a single-pass exact interpolated quantile, same value as DuckDB's
+    * `quantile_cont`), broadcast back as a 1-row cross join — the corpus
+    * itself never shuffles, so the pass is scan-speed like the gate. */
+  def lengthBand(docs: DataFrame, idCol: String, textCol: String,
+                 lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    val counts = docs.select(col(idCol),
+      Text.tokenCount(col(textCol)).as("n_tokens"))
+    val bounds = counts.agg(
+      expr(s"percentile(n_tokens, $lo)").as("lo_tokens"),
+      expr(s"percentile(n_tokens, $hi)").as("hi_tokens"))
+    counts.crossJoin(broadcast(bounds))
+      .withColumn("keep",
+        col("n_tokens") >= col("lo_tokens") && col("n_tokens") <= col("hi_tokens"))
+  }
 }

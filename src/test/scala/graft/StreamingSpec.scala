@@ -36,6 +36,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingestion through the bucketed history equals the batch aggregate") {
+    import graft.operators.{Patterns, PatternStore}
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val t = "pat_hist_stream"
+    spark.sql(s"DROP TABLE IF EXISTS $t"); spark.sql(s"DROP TABLE IF EXISTS ${t}_staging")
+    def asLogs(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("pattern_id", graft.functions.Normalize.fingerprint(col("query")))
+      .withColumn("read_rows", lit(1L))
+      .withColumn("read_bytes", lit(10L))
+    val input = MemoryStream[LogEvent]
+    // foreachBatch: per micro-batch partial aggregate, then the additive
+    // upsert into the bucketed store — disjoint batches ⇒ exact
+    val q = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[LogEvent], _: Long) =>
+        PatternStore.enrichBucketed(
+          batch.sparkSession, Patterns.aggregate(asLogs(batch.toDF())), t,
+          numBuckets = 4)
+        ()
+      }.start()
+    try {
+      input.addData(ev("SELECT a FROM t WHERE x = 1", "alice", 0, 100),
+        ev("SELECT b FROM u WHERE y = 9", "bob", 5, 200))
+      q.processAllAvailable()
+      input.addData(ev("SELECT a FROM t WHERE x = 3", "carol", 10, 300),
+        ev("SELECT b FROM u WHERE y = 1", "alice", 15, 50))
+      q.processAllAvailable()
+      val all = Seq(
+        ev("SELECT a FROM t WHERE x = 1", "alice", 0, 100),
+        ev("SELECT b FROM u WHERE y = 9", "bob", 5, 200),
+        ev("SELECT a FROM t WHERE x = 3", "carol", 10, 300),
+        ev("SELECT b FROM u WHERE y = 1", "alice", 15, 50)).toDS()
+      val cols = Patterns.aggregate(asLogs(all.toDF())).columns.map(col)
+      val expected = Patterns.aggregate(asLogs(all.toDF()))
+        .orderBy("pattern_id").collect().toSeq
+      val got = spark.table(t).select(cols: _*)
+        .orderBy("pattern_id").collect().toSeq
+      assert(got == expected)
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_staging")
+    }
+  }
+
   test("stream-stream interval join bounds both state stores by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val qs = MemoryStream[(Long, Timestamp, String)] // (user, time, query)
