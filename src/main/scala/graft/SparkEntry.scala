@@ -674,6 +674,21 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Subset-duplication (containment): 12-token EXCERPTS of every 20th
+    // doc are planted — their shingles sit wholly inside the original, so
+    // containment ≈ 1 while symmetric Jaccard is far below any useful
+    // threshold; the case jaccard structurally misses.
+    "q_dedup_containment" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val excerpts = d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(Text.tokens(col("text")), lit(1), lit(12)), " ")
+            .as("text"))
+      Dedup.containmentNearDups(d.unionByName(excerpts), "doc_id", "text",
+        shingleN = 5, dfMax = 20, minContainment = 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Cross-doc duplicated-SPAN detection (windowed substring dedup) in
     // the xxhash64 SCALE configuration. Still fully oracle-exact: every
     // output column (window counts, coverage fraction) is hash-CHOICE-
@@ -2559,6 +2574,50 @@ object SparkEntry {
           |JOIN sizes zb ON zb.doc = m.doc_b
           |WHERE CAST(m.n_common AS DOUBLE) / (za.set_size + zb.set_size - m.n_common)
           |  >= 0.3
+          |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // containment: same inverted-index mirror as q_dedup_jaccard, score
+      // |A∩B| / min(|A|,|B|), planted excerpts instead of token-dropped
+      // near-copies
+      "q_dedup_containment" ->
+        """WITH planted AS (
+          |  SELECT doc_id + 2000000 AS doc_id,
+          |    array_to_string(toks[1:12], ' ') AS text
+          |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          |        FROM documents WHERE doc_id % 20 = 0)),
+          |base AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id, text FROM planted),
+          |tok AS (
+          |  SELECT doc_id AS doc, string_split_regex(trim(lower(text)), '\s+') AS toks
+          |  FROM base),
+          |shingles AS (
+          |  SELECT DISTINCT doc, shingle FROM (
+          |    SELECT doc, unnest(
+          |      CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+          |      ELSE list_transform(generate_series(1, len(toks) - 4),
+          |        i -> array_to_string(toks[i:i+4], ' ')) END) AS shingle
+          |    FROM tok) u),
+          |sizes AS (SELECT doc, count(*) AS set_size FROM shingles GROUP BY doc),
+          |disc AS (SELECT shingle FROM shingles
+          |         GROUP BY shingle HAVING count(*) BETWEEN 2 AND 20),
+          |ds AS (SELECT s.doc, s.shingle FROM shingles s JOIN disc USING (shingle)),
+          |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          |         FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc < b.doc),
+          |common AS (
+          |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+          |  FROM cand c
+          |  JOIN shingles sa ON sa.doc = c.doc_a
+          |  JOIN shingles sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
+          |  GROUP BY 1, 2)
+          |SELECT m.doc_a, m.doc_b, m.n_common,
+          |  CAST(m.n_common AS DOUBLE) / least(za.set_size, zb.set_size)
+          |    AS containment
+          |FROM common m
+          |JOIN sizes za ON za.doc = m.doc_a
+          |JOIN sizes zb ON zb.doc = m.doc_b
+          |WHERE CAST(m.n_common AS DOUBLE) / least(za.set_size, zb.set_size)
+          |  >= 0.8
           |ORDER BY doc_a, doc_b""".stripMargin,
 
       // Duplicated spans: same md5 window hashes (portable config), same

@@ -523,6 +523,44 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
 
+  /** Subset-duplication detector: containment C(A,B) = |A∩B| / min(|A|,|B|)
+    * — near 1 when the smaller document sits (almost) wholly inside the
+    * larger one, even when symmetric Jaccard is tiny (a 50-token quote in
+    * a 5000-token page: C ≈ 1, J ≈ 0.01). The excerpt/quote/boilerplate
+    * case [[jaccardNearDups]] structurally misses.
+    *
+    * Same df-capped inverted-index candidate generation and exact
+    * recount as [[jaccardNearDups]], but deliberately WITHOUT its
+    * length-ratio prefilter: size asymmetry is the signal here, not
+    * grounds for pruning. */
+  def containmentNearDups(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 5, dfMax: Int = 20,
+                          minContainment: Double = 0.8): DataFrame = {
+    val sh = tracked(shingleTable(docs, idCol, textCol, shingleN))
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("set_size"))
+    val discriminative = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= dfMax)
+        .select("shingle"),
+      Seq("shingle"))
+    val withSize = discriminative.join(sizes, Seq("doc"))
+    val cand = withSize
+      .select(col("shingle"), col("doc").as("doc_a"), col("set_size").as("size_a"))
+      .join(withSize.select(col("shingle"), col("doc").as("doc_b"),
+        col("set_size").as("size_b")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "size_a", "size_b").distinct()
+    cand
+      .join(sh.select(col("doc").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("containment", col("n_common").cast("double") /
+        least(col("size_a"), col("size_b")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select("doc_a", "doc_b", "n_common", "containment")
+  }
+
   /** Exact duplicated-SPAN detection — substring-level dedup, the windowed
     * form of "find spans of `w` consecutive tokens that appear verbatim in
     * MORE THAN ONE document" (the cross-document half of suffix-array

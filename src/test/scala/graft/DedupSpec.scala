@@ -246,6 +246,26 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(planted.get._3 - 8.0 / 14.0) < 1e-12)
   }
 
+  test("containment finds subset duplication that jaccard misses") {
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (5 to 16).map(i => s"w$i").mkString(" ") // 12 tokens inside big
+    val docs = Seq((1L, big), (2L, excerpt),
+      (3L, "unrelated words that never appear anywhere else at all"))
+      .toDF("doc_id", "text")
+    // excerpt: 12 tokens → 8 5-shingles, ALL inside big (56 shingles):
+    // containment 8/8 = 1.0
+    val cont = Dedup.containmentNearDups(docs, "doc_id", "text",
+      shingleN = 5, dfMax = 50, minContainment = 0.9)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_common"), r.getAs[Double]("containment"))).toSeq
+    assert(cont == Seq((1L, 2L, 8L, 1.0)))
+    // symmetric jaccard of the same pair: 8/(56+8-8) ≈ 0.14 — invisible
+    // to any useful jaccard threshold
+    val jac = Dedup.jaccardNearDups(docs, "doc_id", "text",
+      shingleN = 5, dfMax = 50, minJaccard = 0.3).collect()
+    assert(jac.isEmpty)
+  }
+
   test("jaccard length-ratio prefilter loses no qualifying pair (boundary-exact)") {
     // doc 11 (3 shingles) ⊂ doc 12 (10 shingles): J = 3/10 = minJaccard
     // EXACTLY — the prefilter ratio min/max = 3/10 must keep it (>=, not >).
