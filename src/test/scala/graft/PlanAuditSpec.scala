@@ -106,6 +106,37 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("BPE token count and tokenizer surface are map-only: no exchange") {
+    // parquet-backed so ConvertToLocalRelation can't pre-evaluate the
+    // projection — the assertion must see the real scan pipeline
+    val dir = java.nio.file.Files.createTempDirectory("bpe_plan").toString + "/docs"
+    docs.write.mode("overwrite").parquet(dir)
+    val pdocs = spark.read.parquet(dir)
+    val merges = graft.functions.Bpe.loadMerges()
+    val p1 = plan(pdocs.select(graft.functions.Bpe.mergedTokenCount(col("text"), merges)))
+    assert(!p1.contains("Exchange"), p1)
+    val p2 = plan(pdocs.select(posexplode(graft.functions.Bpe.tokens(col("text"), merges))))
+    assert(!p2.contains("Exchange"), p2)
+    // native expressions stay inside whole-stage codegen ("*(n)" is the
+    // codegen-stage marker in the executed-plan rendering)
+    assert(p1.contains("*(1) Project"), p1)
+  }
+
+  test("length band: one tiny percentile aggregate broadcast back, corpus never shuffles") {
+    val p = plan(QualityFilter.lengthBand(docs, "doc_id", "text"))
+    // the only exchanges feed the 1-row bounds aggregate (partial/final +
+    // its broadcast); the corpus side joins via BroadcastNestedLoop on a
+    // single-row build — no corpus repartition
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("hashpartitioning(doc_id"), p)
+  }
+
+  test("containment candidates come from equi-joins, never a product join") {
+    val p = plan(graft.operators.Dedup.containmentNearDups(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    graft.operators.Caches.unpersistAll()
+  }
+
   test("semantic dedup pairs via equi-join on the cluster id, never a product join") {
     val emb = (1 to 40).map(i =>
       (i.toLong, Seq.fill(8)((i % 5).toFloat + 1f))).toDF("vec_id", "embedding")
