@@ -99,7 +99,7 @@ object Bench {
     "q_quality_filter", "q_repetition", "q_pii_scrub", "q_contamination",
     "q_dedup_components", "q_token_familiarity", "q_global_shuffle",
     "q_span_dedup", "q_dedup_jaccard", "q_dedup_semantic", "q_tfidf_topk",
-    "q_feature_hash", "q_multimodal_features")
+    "q_feature_hash", "q_multimodal_features", "q_token_bpe")
 
   /** 20× probe set: the dedup heavies that exposed superlinearity before,
     * PLUS the shuffled-by-design operators (familiarity's vocab join,

@@ -217,8 +217,14 @@ object SparkEntry {
       val a = Patterns.aggregate(logs.filter(col("read_bytes") % 2 === 0))
       val b = Patterns.aggregate(logs.filter(col("read_bytes") % 2 === 1))
       val table = "pat_hist_oracle_" + math.abs(dir.hashCode).toString
-      s.sql(s"DROP TABLE IF EXISTS `$table`")
-      s.sql(s"DROP TABLE IF EXISTS `${table}_staging`")
+      Seq(table, table + "_staging").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS `$t`")
+        // a PREVIOUS session's managed-table directory is invisible to
+        // this session's catalog (in-memory), but saveAsTable still
+        // refuses the non-empty location — clear it physically
+        graft.operators.PatternStore.reset(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + "/" + t)
+      }
       graft.operators.PatternStore.enrichBucketed(s, a, table, numBuckets = 8)
       val out = graft.operators.PatternStore.enrichBucketed(s, b, table, numBuckets = 8)
       patternSelect(out).orderBy(col("pattern_id"))
