@@ -783,6 +783,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The curation funnel report: docs/tokens surviving each stage
+    // (ingest → quality gate → exact dedup) — 3 rows out regardless of
+    // corpus size; the per-ingest retention accounting a production
+    // pipeline publishes next to its output.
+    "q_corpus_funnel" -> ((s, dir) =>
+      graft.operators.CorpusReport.funnel(
+        Tables.documents(s, dir), "doc_id", "text", "lang")
+        .orderBy(col("stage_idx"))),
+
     // Document fingerprint, DEFAULT = native O(n) rolling-hash expression.
     // Oracle: DuckDB recomputes each window's Rabin-Karp polynomial in
     // HUGEINT, reduces mod 2^64, and reinterprets as signed — bit-equal to
@@ -2204,6 +2213,30 @@ object SparkEntry {
            |SELECT doc_id, lang, source,
            |  ${Text.duckdbTokenCountSql("text")}::BIGINT AS n_tokens
            |FROM canon WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+      "q_corpus_funnel" ->
+        s"""WITH $qualityCtes,
+           |keepers AS (SELECT doc_id FROM judged WHERE len(reasons) = 0),
+           |kept AS (
+           |  SELECT d.doc_id, d.text FROM documents d
+           |  JOIN keepers k ON d.doc_id = k.doc_id),
+           |uniq AS (
+           |  SELECT doc_id, text FROM (
+           |    SELECT doc_id, text, row_number() OVER (
+           |      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           |      ORDER BY doc_id) AS rn
+           |    FROM kept) WHERE rn = 1)
+           |SELECT CAST(0 AS BIGINT) AS stage_idx, 'ingest' AS stage,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(${Text.duckdbTokenCountSql("text")}) AS BIGINT) AS n_tokens
+           |FROM documents
+           |UNION ALL
+           |SELECT 1, 'quality_kept', CAST(count(*) AS BIGINT),
+           |  CAST(sum(${Text.duckdbTokenCountSql("text")}) AS BIGINT) FROM kept
+           |UNION ALL
+           |SELECT 2, 'exact_unique', CAST(count(*) AS BIGINT),
+           |  CAST(sum(${Text.duckdbTokenCountSql("text")}) AS BIGINT) FROM uniq
+           |ORDER BY stage_idx""".stripMargin,
 
       // Rabin-Karp min-hash recomputed per window in HUGEINT, reduced
       // mod 2^64, reinterpreted as signed int64 — bit-equal to the native

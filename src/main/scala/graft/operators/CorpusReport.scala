@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stage-by-stage curation FUNNEL: the per-ingest accounting report every
+  * production corpus pipeline publishes next to its output — how many
+  * documents and tokens survive each stage (ingest → quality gate →
+  * exact dedup), so a sudden retention shift is visible as a number, not
+  * as a downstream model regression.
+  *
+  * Scale shape: each stage is summarized by ONE tiny aggregate (count +
+  * token sum); the only shuffle beyond the quality gate's map-only pass
+  * is the normalized-fingerprint window the dedup stage already pays.
+  * Output is 3 rows regardless of corpus size. */
+object CorpusReport {
+
+  def funnel(docs: DataFrame, idCol: String, textCol: String,
+             langCol: String): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol).as("text"))
+    val kept = base.join(
+      QualityFilter(docs, idCol, textCol, langCol)
+        .filter(col("keep")).select(idCol),
+      Seq(idCol), "left_semi")
+    val w = Window
+      .partitionBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .orderBy(col(idCol))
+    val uniq = kept.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    def stage(df: DataFrame, idx: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount(col("text"))).as("n_tokens"))
+        .select(lit(idx).cast("long").as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    stage(base, 0, "ingest")
+      .unionByName(stage(kept, 1, "quality_kept"))
+      .unionByName(stage(uniq, 2, "exact_unique"))
+  }
+}
