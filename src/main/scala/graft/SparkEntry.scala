@@ -945,6 +945,24 @@ object SparkEntry {
         .orderBy(col("n").desc, col("key"))
     }),
 
+    // Sketch DISTRIBUTABILITY under the oracle: grids built over disjoint
+    // halves and merged cell-wise (Sketches.cmsMerge) must estimate
+    // identically to the single-pass build — shares q_cms_heavy's oracle
+    // verbatim, so the merge algebra itself is driver-verified.
+    "q_cms_merge" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"))
+      val a = Sketches.cmsBuild(ev.filter(col("event_id") % 2 === 0), "user_id")
+      val b = Sketches.cmsBuild(ev.filter(col("event_id") % 2 === 1), "user_id")
+      val sketch = Sketches.cmsMerge(a, b)
+      val keys = ev.select(col("user_id"))
+      val top = graft.operators.SkewReport.topKeys(keys, "user_id", k = 10)
+        .select(col("key"), col("n"))
+      val est = Sketches.cmsEstimate(sketch, top, "key")
+      top.join(est, Seq("key"))
+        .orderBy(col("n").desc, col("key"))
+    }),
+
     // ------------------- beyond-reference: similarity search -------------
 
     // Exact brute-force cosine top-5 (oracle-checked). "rnk" because RANK
@@ -2863,6 +2881,33 @@ object SparkEntry {
           |      || chr(197) || ' A' || chr(778) AS raw
           |  FROM documents)
           |ORDER BY doc_id""".stripMargin,
+
+      // merged half-sketches == single-pass sketch (counter associativity)
+      // ⇒ the q_cms_heavy oracle carries over verbatim
+      "q_cms_merge" -> {
+        def c(expr: String, s: Int) =
+          graft.operators.Sketches.duckdbCellSql(expr, s, 1024)
+        val buildArms = (0 until 4).map(s =>
+          s"SELECT $s AS row, ${c("user_id", s)} AS bucket FROM events")
+          .mkString("\n    UNION ALL ")
+        val probeArms = (0 until 4).map(s =>
+          s"SELECT key, $s AS row, ${c("key", s)} AS bucket FROM exact")
+          .mkString("\n    UNION ALL ")
+        s"""WITH cells AS (
+           |  SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |    $buildArms)
+           |  GROUP BY 1, 2),
+           |exact AS (
+           |  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1 ORDER BY n DESC, key LIMIT 10),
+           |est AS (
+           |  SELECT p.key, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS n_est
+           |  FROM ($probeArms) p
+           |  LEFT JOIN cells c USING (row, bucket) GROUP BY p.key)
+           |SELECT x.key, x.n, e.n_est
+           |FROM exact x JOIN est e USING (key)
+           |ORDER BY n DESC, key""".stripMargin
+      },
 
       "q_cms_heavy" -> {
         def c(expr: String, s: Int) =

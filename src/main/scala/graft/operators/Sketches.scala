@@ -52,6 +52,18 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
   }
 
+  /** Merge sketches built over disjoint (or overlapping — counters just
+    * add) slices of a stream: cell-wise counter addition. This is the
+    * property that makes the sketch DISTRIBUTABLE: per-partition/per-day
+    * grids union into the global grid with a fixed-size shuffle, and a
+    * grid built incrementally equals one built in a single pass
+    * (`cmsMerge(build(A), build(B)) == build(A ∪ B)`, spec-proven and
+    * under the q_cms_merge oracle). */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** DuckDB twin of one sketch cell for oracle SQL. */
   def duckdbCellSql(keyExpr: String, seed: Int, width: Int): String =
     s"(('0x' || substring(md5('cms$seed:' || CAST($keyExpr AS VARCHAR)), 1, 8))::BIGINT % $width)"

@@ -24,4 +24,20 @@ class SketchSpec extends SparkSpec {
     // sketch size is depth x width bounded, not keyed by cardinality
     assert(sketch.count() <= 4L * 1024L)
   }
+
+  test("cmsMerge: merged half-sketches equal the single-pass build cell-for-cell") {
+    val rows = (Seq.fill(30)("a") ++ Seq.fill(12)("b") ++
+      (1 to 25).map(i => s"k$i")).zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("k", "i")
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = Sketches.cmsBuild(rows, "k")
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsBuild(rows.filter(col("i") % 2 === 0), "k"),
+      Sketches.cmsBuild(rows.filter(col("i") % 2 === 1), "k"))
+    assert(cells(merged) == cells(full))
+    // overlapping merge just adds counters: build ∪ build = doubled grid
+    val doubled = Sketches.cmsMerge(full, full)
+    assert(cells(doubled) == cells(full).view.mapValues(_ * 2).toMap)
+  }
 }
