@@ -298,10 +298,21 @@ object Cli {
         s"unknown dedup mode: $other (none|exact|normalized|minhash|semantic)")
     }
     val out = opts("out")
-    deduped.write.mode("overwrite").parquet(out)
+    // --format jsonl: trainer hand-off shards instead of parquet
+    opts.getOrElse("format", "parquet") match {
+      case "parquet" => deduped.write.mode("overwrite").parquet(out)
+      case "jsonl" => graft.sources.Sinks.jsonlShards(deduped, out,
+        maxRecordsPerFile = opts.getOrElse("shard-records", "100000").toLong)
+      case other => sys.error(s"unknown format: $other (parquet|jsonl)")
+    }
+    // --funnel <path>: persist the stage retention report next to the run
+    opts.get("funnel").foreach { p =>
+      graft.operators.CorpusReport.funnel(docs, "doc_id", "text", "lang")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
     val nIn = docs.count()
     val nKept = kept.count()
-    val nFinal = spark.read.parquet(out).count()
+    val nFinal = deduped.count()
     println(s"""{"n_in":$nIn,"n_quality":$nKept,"n_out":$nFinal,""" +
       s""""dropped_quality":${nIn - nKept},"dropped_dup":${nKept - nFinal}}""")
   }

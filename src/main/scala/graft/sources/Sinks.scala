@@ -37,6 +37,23 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(dir)
 
+  /** JSONL shard export — the corpus hand-off format trainers consume
+    * (one JSON object per line, many shard files). `maxRecordsPerFile`
+    * bounds shard size so downstream loaders parallelize; an optional
+    * `repartition` count sets a shard-count floor without a global sort.
+    * Compression is codec-pluggable (gzip by default: splittable-enough
+    * for line-oriented readers that shard at file granularity, and the
+    * universal default for JSONL corpora). */
+  def jsonlShards(df: DataFrame, dir: String,
+                  maxRecordsPerFile: Long = 100000L,
+                  numShards: Option[Int] = None,
+                  codec: String = "gzip"): Unit =
+    numShards.fold(df)(df.repartition(_))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression", codec)
+      .json(dir)
+
   /** Bucketed managed table — the CO-LOCATED-JOIN layout: two tables
     * bucketed on the same key with the same bucket count join WITHOUT any
     * exchange (each bucket pairs with its twin by file layout), turning

@@ -228,6 +228,32 @@ class CliSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L))
   }
 
+  test("corpus: jsonl shard export + funnel report sidecar") {
+    val docs = Seq(
+      (1L, "the quick brown fox and the dog walk to a house in the field today fine", "en"),
+      (2L, "the quick  brown fox and the dog walk to a house in the field today fine", "en"),
+      (3L, "short", "en"),
+      (4L, "a completely different long document with many plain words that is fine and the end", "en"))
+      .toDF("doc_id", "text", "lang")
+    val base = Files.createTempDirectory("cli_corpus_jl").toString
+    val in = base + "/docs.parquet"
+    docs.write.parquet(in)
+    val out = base + "/kept"
+    val funnel = base + "/funnel"
+    capture(Cli.corpus(spark, Map(
+      "docs" -> in, "out" -> out, "min-tokens" -> "3",
+      "dedup" -> "normalized", "format" -> "jsonl", "funnel" -> funnel)))
+    // shards are gzip JSONL, readable back with full fidelity
+    val files = new java.io.File(out).listFiles.map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz")), files.mkString(","))
+    val back = spark.read.json(out).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(back == Seq(1L, 4L))
+    // the funnel sidecar carries the 3-stage retention accounting
+    val f = spark.read.parquet(funnel)
+      .select("stage", "n_docs").as[(String, Long)].collect().toMap
+    assert(f == Map("ingest" -> 4L, "quality_kept" -> 3L, "exact_unique" -> 2L))
+  }
+
   test("corpus: minhash near-dup mode keeps the min-id doc per component") {
     val shared = "the quick brown fox and the dog walk to a house in the field today fine"
     val docs = Seq(
