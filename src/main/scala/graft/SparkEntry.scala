@@ -217,7 +217,7 @@ object SparkEntry {
       val a = Patterns.aggregate(logs.filter(col("read_bytes") % 2 === 0))
       val b = Patterns.aggregate(logs.filter(col("read_bytes") % 2 === 1))
       val table = "pat_hist_oracle_" + math.abs(dir.hashCode).toString
-      Seq(table, table + "_staging").foreach { t =>
+      Seq(table, table + "_staging", table + "_backup").foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS `$t`")
         // a PREVIOUS session's managed-table directory is invisible to
         // this session's catalog (in-memory), but saveAsTable still

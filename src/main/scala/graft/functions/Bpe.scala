@@ -17,36 +17,64 @@ import org.apache.spark.sql.Column
   * and the count is the number of SEP chars left. */
 object Bpe {
 
-  /** Default pinned merges fixture (format: GPT-2 merges.txt — one
-    * "left right" pair per line, rank = order, `#` comments). */
-  def defaultMergesPath: String =
-    sys.env.getOrElse("GRAFT_REPO", "/root/repo") + "/fixtures/bpe/merges.txt"
+  /** Marker path meaning "read the fixture bundled on the classpath". */
+  val ClasspathMerges = "classpath:bpe/merges.txt"
 
-  /** Load + validate a merges file. Well-formedness (every non-single-
-    * code-point symbol produced by an EARLIER rule) is what licenses the
-    * sequential rank-order encoder — see [[graft.plans.BpeTokenCount]] —
-    * so it is enforced here, not assumed. */
+  /** Default pinned merges fixture (format: GPT-2 merges.txt — one
+    * "left right" pair per line, rank = order, `#` comments). Resolved in
+    * order: `GRAFT_BPE_MERGES` env override, `$GRAFT_REPO/fixtures/bpe/
+    * merges.txt`, `fixtures/bpe/merges.txt` relative to the working
+    * directory, then the identical copy bundled as a classpath resource —
+    * so any checkout (or the packaged jar alone) resolves without
+    * container-specific absolute paths. */
+  def defaultMergesPath: String =
+    (sys.env.get("GRAFT_BPE_MERGES") ++
+      sys.env.get("GRAFT_REPO").map(_ + "/fixtures/bpe/merges.txt") ++
+      Seq("fixtures/bpe/merges.txt"))
+      .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .getOrElse(ClasspathMerges)
+
+  /** Load + validate a merges file (filesystem path or the
+    * `classpath:` marker). Well-formedness (every non-single-code-point
+    * symbol produced by an EARLIER rule, and each composite introduced at
+    * most ONCE) is what licenses the sequential rank-order encoder — see
+    * [[graft.plans.BpeTokenCount]] — so it is enforced here, not assumed. */
   def loadMerges(path: String = defaultMergesPath): Seq[(String, String)] = {
-    import scala.jdk.CollectionConverters._
-    val merges = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
-      .asScala.map(_.trim)
+    val lines: Seq[String] =
+      if (path == ClasspathMerges) {
+        val in = getClass.getClassLoader.getResourceAsStream("bpe/merges.txt")
+        require(in != null, "bundled bpe/merges.txt resource missing")
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+        finally in.close()
+      } else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)).asScala.toSeq
+      }
+    val merges = lines.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l =>
         val parts = l.split(" ")
         require(parts.length == 2, s"malformed merges line: '$l'")
         (parts(0), parts(1))
-      }.toSeq
+      }
     validate(merges)
     merges
   }
 
-  /** Require every composite symbol to be introduced before use. */
+  /** Require every composite symbol to be introduced before use, and
+    * introduced exactly once: a symbol re-introduced by a later rule
+    * (e.g. 'abc' via (ab,c) and again via (a,bc)) could create
+    * adjacencies after a consuming rule's pass that the sequential
+    * rank-order encoder never revisits — breaking its equivalence with
+    * the priority-queue encoder. */
   def validate(merges: Seq[(String, String)]): Unit = {
     val known = scala.collection.mutable.Set.empty[String]
     merges.zipWithIndex.foreach { case ((x, y), i) =>
       def ok(s: String) = s.codePointCount(0, s.length) == 1 || known(s)
       require(ok(x) && ok(y),
         s"merges rule $i ($x, $y) uses a composite symbol no earlier rule produced")
+      require(!known(x + y),
+        s"merges rule $i ($x, $y) re-introduces symbol '${x + y}'")
       known += x + y
     }
   }

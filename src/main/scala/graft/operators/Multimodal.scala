@@ -234,6 +234,11 @@ object Multimodal {
     * payload is a genuine RIFF/WAVE byte stream that only a real parser
     * can read back. Canonical 44-byte header + little-endian samples. */
   def synthWav(id: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    // Int arithmetic bounds: i*13 overflows past ~165M samples and
+    // nSamples*2 past ~1B — far beyond any sane synthetic payload, but
+    // the closed form must stay correct, so widen and guard.
+    require(nSamples >= 0 && nSamples <= 100000000,
+      s"synthWav nSamples out of range: $nSamples")
     val dataLen = nSamples * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -249,7 +254,7 @@ object Multimodal {
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
     while (i < nSamples) {
-      bb.putShort((java.lang.Long.remainderUnsigned(id * 37L + i * 13L, 65536L)
+      bb.putShort((java.lang.Long.remainderUnsigned(id * 37L + i.toLong * 13L, 65536L)
         - 32768L).toShort)
       i += 1
     }

@@ -58,39 +58,146 @@ object PatternStore {
     * union+re-agg re-shuffles the FULL accumulated history on
     * `pattern_id` every run. The scale path keeps history as a
     * `pattern_id`-bucketed, bucket-sorted catalog table
-    * ([[graft.sources.Sinks.bucketedTable]]): the merge becomes a
-    * sort-merge full-outer join ([[Patterns.mergeJoin]]) where the
-    * history scan needs NO Exchange and NO Sort (bucket layout provides
-    * both) — only the fresh delta, orders of magnitude smaller, pays a
-    * shuffle. One bucket-write at save time, amortized over every later
-    * enrichment. Plan asserted in `PlanAuditSpec`; semantics proven equal
-    * to [[Patterns.merge]] there too.
+    * ([[graft.sources.Sinks.bucketedTable]]) and merges via
+    * [[Patterns.mergeJoin]], with two regimes chosen per delta:
     *
-    * Deployments should also set
-    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`: the layout
-    * writes one file per bucket pre-sorted by `pattern_id` (`sortBy`),
-    * and with the flag on the history-side Sort is eliminated too (the
-    * planner then trusts bucket sort metadata) — leaving the history
-    * scan with neither Exchange nor Sort, the fully streaming merge.
+    *  - BUCKET-PRUNED (delta touches < half the buckets — the steady
+    *    state at scale, where a delta's few hundred distinct patterns
+    *    land in a few of ~1024 buckets): only the touched buckets'
+    *    files are read, merged, and REWRITTEN; untouched bucket files
+    *    are never opened and stay byte-identical (spec-proven). Both
+    *    read and write I/O are O(touched buckets), not O(history) —
+    *    the full-history rewrite was the one remaining per-delta
+    *    scale-killer. The touched subset is re-read as plain parquet
+    *    (file-level pruning has no bucket-filter API), so the merge
+    *    shuffles that subset — bounded by the same O(touched) — and
+    *    the file swap is crash-safe via a write-ahead journal
+    *    (`_swap_journal`: roll forward if all adds landed, roll back
+    *    otherwise, replayed on the next enrich after a crash).
+    *    Bucket-id assignment reuses Spark's own bucketing function
+    *    (`pmod(hash(pattern_id), n)` — `hash` IS Murmur3(seed 42),
+    *    identical to `HashPartitioning.partitionIdExpression`), and
+    *    the spec asserts file/bucket purity after a pruned swap.
     *
-    * Swap is two-phase like [[enrich]]: merged history is written to a
-    * staging table (the merge plan reads the table being replaced), then
-    * drop + rename. */
+    *  - FULL (delta touches most buckets): the r4 shape — full-outer
+    *    sort-merge join against the bucketed history scan, which needs
+    *    NO Exchange and NO Sort (bucket layout provides both; set
+    *    `spark.sql.legacy.bucketedTableScan.outputOrdering=true` so the
+    *    planner trusts bucket sort metadata); only the fresh delta pays
+    *    a shuffle. The rewrite is O(history), but so is the touched
+    *    data — pruning would not help. The table swap is now crash-safe
+    *    too: rename live→backup, staging→live, drop backup (a leftover
+    *    backup or staging from a crashed run is recovered/dropped on
+    *    entry — the previous non-atomic DROP+RENAME could lose the live
+    *    table).
+    */
   def enrichBucketed(spark: SparkSession, fresh: DataFrame, table: String,
                      numBuckets: Int = 32): DataFrame = {
-    val sortedBuckets = Seq("pattern_id")
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val staging = table + "_staging"
+    val backup = table + "_backup"
+    if (!spark.catalog.tableExists(table)) {
+      // crash recovery: a backup with no live table means a full-path swap
+      // died between its two renames — the backup IS the last good history
+      if (spark.catalog.tableExists(backup))
+        spark.sql(s"ALTER TABLE `$backup` RENAME TO `$table`")
+    }
+    if (spark.catalog.tableExists(staging)) spark.sql(s"DROP TABLE `$staging`")
+    if (spark.catalog.tableExists(backup)) spark.sql(s"DROP TABLE `$backup`")
     if (!spark.catalog.tableExists(table)) {
       graft.sources.Sinks.bucketedTable(fresh, table, "pattern_id",
-        numBuckets, sortCols = sortedBuckets)
+        numBuckets, sortCols = Seq("pattern_id"))
     } else {
-      val merged = Patterns.mergeJoin(fresh, spark.table(table))
-      val staging = table + "_staging"
-      graft.sources.Sinks.bucketedTable(merged, staging, "pattern_id",
-        numBuckets, sortCols = sortedBuckets)
-      spark.sql(s"DROP TABLE `$table`")
-      spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+      val loc = tableDir(spark, table)
+      replaySwapJournal(loc)
+      spark.catalog.refreshTable(table)
+      val touched = fresh
+        .select(pmod(hash(col("pattern_id")), lit(numBuckets)).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      if (touched.size * 2 >= numBuckets) {
+        val merged = Patterns.mergeJoin(fresh, spark.table(table))
+        graft.sources.Sinks.bucketedTable(merged, staging, "pattern_id",
+          numBuckets, sortCols = Seq("pattern_id"))
+        spark.sql(s"ALTER TABLE `$table` RENAME TO `$backup`")
+        spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+        spark.sql(s"DROP TABLE `$backup`")
+      } else {
+        val liveByBucket = bucketFiles(loc)
+        val oldFiles = liveByBucket.filter { case (b, _) => touched(b) }
+          .values.flatten.toSeq
+        val schema = spark.table(table).schema
+        val histTouched =
+          if (oldFiles.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          else spark.read.schema(schema).parquet(oldFiles.map(_.toString): _*)
+        val merged = Patterns.mergeJoin(fresh, histTouched)
+        graft.sources.Sinks.bucketedTable(merged, staging, "pattern_id",
+          numBuckets, sortCols = Seq("pattern_id"))
+        val newByBucket = bucketFiles(tableDir(spark, staging))
+        require(newByBucket.keySet.subsetOf(touched),
+          s"merged rows escaped the touched bucket set: ${newByBucket.keySet} vs $touched")
+        swapBucketFiles(loc, oldFiles, newByBucket.values.flatten.toSeq)
+        spark.sql(s"DROP TABLE `$staging`") // its files were moved into `loc`
+        spark.catalog.refreshTable(table)
+      }
     }
     spark.table(table)
+  }
+
+  private def tableDir(spark: SparkSession, table: String): java.nio.file.Path =
+    Paths.get(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString))
+
+  /** Data files of a bucketed table's directory, grouped by the bucket id
+    * encoded in the file name (`part-<task>-<uuid>_<bucket>.c000...`). */
+  private def bucketFiles(dir: java.nio.file.Path): Map[Int, Seq[java.nio.file.Path]] = {
+    import scala.jdk.CollectionConverters._
+    val BucketRe = "_(\\d+)\\.".r
+    val stream = Files.list(dir)
+    val parts =
+      try stream.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-")).toSeq
+      finally stream.close()
+    parts.groupBy(p => BucketRe.findFirstMatchIn(p.getFileName.toString) match {
+      case Some(m) => m.group(1).toInt
+      case None => sys.error(s"bucketed data file without bucket id: $p")
+    })
+  }
+
+  /** Journaled swap: record intent (ADD new file names, DEL old ones) in
+    * `_swap_journal`, move the new files in, delete the old, drop the
+    * journal. [[replaySwapJournal]] makes any crash point recoverable. */
+  private def swapBucketFiles(loc: java.nio.file.Path,
+                              oldFiles: Seq[java.nio.file.Path],
+                              newFiles: Seq[java.nio.file.Path]): Unit = {
+    val journal = loc.resolve("_swap_journal")
+    val lines =
+      newFiles.map(f => s"ADD ${f.getFileName}") ++
+        oldFiles.map(f => s"DEL ${f.getFileName}")
+    Files.writeString(journal, lines.mkString("\n"))
+    newFiles.foreach(f => Files.move(f, loc.resolve(f.getFileName.toString)))
+    oldFiles.foreach(Files.delete)
+    Files.delete(journal)
+  }
+
+  /** Recover from a crash mid-[[swapBucketFiles]]: if every ADD landed the
+    * old files were safe to drop — roll forward (delete remaining DELs);
+    * otherwise the copy phase died — roll back (remove partial ADDs; all
+    * DELs are still present because deletion only starts after the last
+    * ADD). Idempotent; no-op when no journal exists. */
+  private def replaySwapJournal(loc: java.nio.file.Path): Unit = {
+    val journal = loc.resolve("_swap_journal")
+    if (!Files.exists(journal)) return
+    val entries = Files.readString(journal).linesIterator.toSeq
+      .collect { case s if s.nonEmpty =>
+        val Array(op, name) = s.split(" ", 2); (op, loc.resolve(name)) }
+    val adds = entries.collect { case ("ADD", p) => p }
+    val dels = entries.collect { case ("DEL", p) => p }
+    if (adds.forall(Files.exists(_))) dels.filter(Files.exists(_)).foreach(Files.delete)
+    else adds.filter(Files.exists(_)).foreach(Files.delete)
+    Files.delete(journal)
   }
 
   /** `--force-reset` (`querysight.py:292`, reset impl

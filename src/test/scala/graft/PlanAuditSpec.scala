@@ -106,6 +106,71 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("bucket-pruned enrich: untouched bucket files byte-identical, touched bucket pure, merge-equal") {
+    import java.sql.Timestamp
+    def pats(ids: Seq[String], freq: Long) = ids.map(id =>
+      (id, s"SELECT $id", freq, 100.0 * freq, Timestamp.valueOf("2024-01-01 00:00:00"),
+        Timestamp.valueOf("2024-06-01 00:00:00"), Seq("u1", s"u_$id"), 10L * freq,
+        20L * freq, 30L * freq))
+      .toDF("pattern_id", "sql_pattern", "frequency", "total_duration_ms",
+        "first_seen", "last_seen", "users", "memory_usage",
+        "total_read_rows", "total_read_bytes")
+      .withColumn("avg_duration_ms", col("total_duration_ms") / col("frequency"))
+    val t = "pat_hist_pruned"
+    val n = 4
+    Seq(t, s"${t}_staging", s"${t}_backup").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      // history spread over several buckets; the delta enriches ONE pattern
+      val hist = pats(Seq("a", "b", "c", "d", "e", "f", "g", "h"), 2L)
+      graft.operators.PatternStore.enrichBucketed(spark, hist, t, numBuckets = n)
+      val loc = java.nio.file.Paths.get(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)).location.toString))
+      def snapshot(): Map[String, Seq[Byte]] = {
+        val s = java.nio.file.Files.list(loc)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(_.getFileName.toString.startsWith("part-"))
+            .map(p => p.getFileName.toString ->
+              java.nio.file.Files.readAllBytes(p).toSeq).toMap
+        } finally s.close()
+      }
+      val before = snapshot()
+      val delta = pats(Seq("a"), 5L) // touches exactly bucket(pmod(hash('a'), n))
+      val touchedBucket = delta
+        .select(pmod(hash(col("pattern_id")), lit(n))).head().getInt(0)
+      def bucketOf(name: String): Int =
+        "_(\\d+)\\.".r.findFirstMatchIn(name).get.group(1).toInt
+      graft.operators.PatternStore.enrichBucketed(spark, delta, t, numBuckets = n)
+      val after = snapshot()
+      // untouched buckets: the very same files, byte for byte
+      val beforeUntouched = before.filter { case (f, _) => bucketOf(f) != touchedBucket }
+      val afterUntouched = after.filter { case (f, _) => bucketOf(f) != touchedBucket }
+      assert(beforeUntouched == afterUntouched)
+      // the touched bucket was rewritten (different file name)
+      assert(before.keys.filter(bucketOf(_) == touchedBucket).toSet !=
+        after.keys.filter(bucketOf(_) == touchedBucket).toSet)
+      // bucket purity: every row of every file hashes to its file's bucket —
+      // the invariant that keeps later bucketed (exchange-free) joins correct
+      after.keys.foreach { f =>
+        val bad = spark.read.parquet(loc.resolve(f).toString)
+          .filter(pmod(hash(col("pattern_id")), lit(n)) =!= bucketOf(f)).count()
+        assert(bad == 0L, s"file $f holds rows outside its bucket")
+      }
+      // no journal left behind; staging table dropped
+      assert(!java.nio.file.Files.exists(loc.resolve("_swap_journal")))
+      assert(!spark.catalog.tableExists(s"${t}_staging"))
+      // semantics: pruned enrich == union+re-agg merge, row for row
+      val viaPruned = spark.table(t).orderBy("pattern_id").collect().toSeq
+      val viaUnion = graft.operators.Patterns.merge(delta, hist)
+        .select(viaPruned.head.schema.fieldNames.map(col): _*)
+        .orderBy("pattern_id").collect().toSeq
+      assert(viaPruned == viaUnion)
+    } finally Seq(t, s"${t}_staging", s"${t}_backup").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("BPE token count and tokenizer surface are map-only: no exchange") {
     // parquet-backed so ConvertToLocalRelation can't pre-evaluate the
     // projection — the assertion must see the real scan pipeline
