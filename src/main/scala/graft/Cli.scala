@@ -302,7 +302,8 @@ object Cli {
     opts.getOrElse("format", "parquet") match {
       case "parquet" => deduped.write.mode("overwrite").parquet(out)
       case "jsonl" => graft.sources.Sinks.jsonlShards(deduped, out,
-        maxRecordsPerFile = opts.getOrElse("shard-records", "100000").toLong)
+        maxRecordsPerFile = opts.getOrElse("shard-records", "100000").toLong,
+        codec = opts.getOrElse("codec", "zstd"))
       case other => sys.error(s"unknown format: $other (parquet|jsonl)")
     }
     // --funnel <path>: persist the stage retention report next to the run

@@ -41,18 +41,41 @@ object Sinks {
     * (one JSON object per line, many shard files). `maxRecordsPerFile`
     * bounds shard size so downstream loaders parallelize; an optional
     * `repartition` count sets a shard-count floor without a global sort.
-    * Compression is codec-pluggable (gzip by default: splittable-enough
-    * for line-oriented readers that shard at file granularity, and the
-    * universal default for JSONL corpora). */
+    * Compression is codec-pluggable, zstd by default: at similar ratios
+    * zstd decompresses ~3-4× faster than gzip, which is real trainer
+    * wall-time when a 100 TB hand-off is re-read every epoch. Neither
+    * codec is block-splittable, but shard-per-file layouts parallelize at
+    * file granularity anyway — `maxRecordsPerFile` is the split knob
+    * here. Pass `codec = "gzip"` for consumers that require it.
+    *
+    * Spark's text-source shortname table has no zstd entry, so "zstd"
+    * maps to parquet-hadoop's `ZstandardCodec` — a Hadoop
+    * `CompressionCodec` backed by zstd-jni (both already on every Spark
+    * classpath, no native Hadoop needed). It is also registered in
+    * `io.compression.codecs` so Spark sessions sharing this Hadoop conf
+    * decompress the `.json.zstd` shards on read; external loaders just
+    * see standard zstd frames. */
   def jsonlShards(df: DataFrame, dir: String,
                   maxRecordsPerFile: Long = 100000L,
                   numShards: Option[Int] = None,
-                  codec: String = "gzip"): Unit =
+                  codec: String = "zstd"): Unit = {
+    val resolved = codec match {
+      case "zstd" =>
+        val cls = "org.apache.parquet.hadoop.codec.ZstandardCodec"
+        val conf = df.sparkSession.sparkContext.hadoopConfiguration
+        val registered = conf.get("io.compression.codecs", "")
+        if (!registered.contains(cls))
+          conf.set("io.compression.codecs",
+            if (registered.isEmpty) cls else s"$registered,$cls")
+        cls
+      case other => other
+    }
     numShards.fold(df)(df.repartition(_))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .option("compression", codec)
+      .option("compression", resolved)
       .json(dir)
+  }
 
   /** Bucketed managed table — the CO-LOCATED-JOIN layout: two tables
     * bucketed on the same key with the same bucket count join WITHOUT any

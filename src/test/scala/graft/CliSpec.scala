@@ -243,11 +243,20 @@ class CliSpec extends SparkSpec {
     capture(Cli.corpus(spark, Map(
       "docs" -> in, "out" -> out, "min-tokens" -> "3",
       "dedup" -> "normalized", "format" -> "jsonl", "funnel" -> funnel)))
-    // shards are gzip JSONL, readable back with full fidelity
+    // shards are zstd JSONL by default, readable back with full fidelity
     val files = new java.io.File(out).listFiles.map(_.getName)
-    assert(files.exists(_.endsWith(".json.gz")), files.mkString(","))
+    assert(files.exists(_.endsWith(".json.zstd")), files.mkString(","))
     val back = spark.read.json(out).select("doc_id").as[Long].collect().sorted.toSeq
     assert(back == Seq(1L, 4L))
+    // --codec gzip stays accepted for consumers that require it
+    val outGz = base + "/kept_gz"
+    capture(Cli.corpus(spark, Map(
+      "docs" -> in, "out" -> outGz, "min-tokens" -> "3",
+      "dedup" -> "normalized", "format" -> "jsonl", "codec" -> "gzip")))
+    val gzFiles = new java.io.File(outGz).listFiles.map(_.getName)
+    assert(gzFiles.exists(_.endsWith(".json.gz")), gzFiles.mkString(","))
+    assert(spark.read.json(outGz).select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 4L))
     // the funnel sidecar carries the 3-stage retention accounting
     val f = spark.read.parquet(funnel)
       .select("stage", "n_docs").as[(String, Long)].collect().toMap
