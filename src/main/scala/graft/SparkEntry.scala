@@ -792,6 +792,30 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", "lang")
         .orderBy(col("stage_idx"))),
 
+    // The FULL curation funnel: ingest → quality gate → exact dedup →
+    // NEAR-dup keep-list (the real pipeline's biggest token drop). The
+    // corpus plants drop-last-token near-copies (as q_dedup_jaccard does),
+    // which survive the gate and the normalized-exact stage but fall to
+    // the jaccard keep-list — so stage 3's retention drop is exercised,
+    // not vacuously equal to stage 2. Keep-list = keepCanonical over
+    // jaccard pairs computed on exactly the stage-2 population
+    // (CorpusReport.exactUnique).
+    "q_corpus_funnel_neardup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val planted = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(Text.tokens(col("text")), lit(1),
+          greatest(size(Text.tokens(col("text"))) - 1, lit(1))), " ").as("text"),
+        col("lang"))
+      val corpus = d.unionByName(planted)
+      val uniq = graft.operators.CorpusReport.exactUnique(corpus, "doc_id", "text", "lang")
+      val pairs = graft.operators.Dedup.jaccardNearDups(uniq, "doc_id", "text",
+        shingleN = 5, dfMax = 20, minJaccard = 0.5).select("doc_a", "doc_b")
+      val keep = graft.operators.Dedup.keepCanonical(
+        uniq.select("doc_id"), "doc_id", pairs)
+      graft.operators.CorpusReport.funnel(corpus, "doc_id", "text", "lang",
+        nearDupKeep = Some(keep)).orderBy(col("stage_idx"))
+    }),
+
     // Document fingerprint, DEFAULT = native O(n) rolling-hash expression.
     // Oracle: DuckDB recomputes each window's Rabin-Karp polynomial in
     // HUGEINT, reduces mod 2^64, and reinterprets as signed — bit-equal to
@@ -1542,9 +1566,11 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     val normSql = Normalize.duckdbNormalizeSql(logQuerySql)
-    // Shared by q_quality_filter / q_corpus_pipeline: signal CTEs mirroring
-    // operators.QualityFilter (same fixed reason order).
-    val qualityCtes =
+    // Shared by q_quality_filter / q_corpus_pipeline / the funnels: signal
+    // CTEs mirroring operators.QualityFilter (same fixed reason order),
+    // parameterized by the source relation so planted-corpus variants can
+    // gate a CTE instead of the raw table.
+    def qualityCtesOver(src: String) =
       s"""sig AS (
          |  SELECT doc_id, lang AS lang_tag,
          |    CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -1557,7 +1583,7 @@ object SparkEntry {
          |      / greatest(length(text)::DOUBLE, 1.0) AS alpha_ratio
          |  FROM (SELECT doc_id, lang, text,
          |          string_split_regex(trim(text), '\\s+') AS toks
-         |        FROM documents)),
+         |        FROM $src)),
          |judged AS (
          |  SELECT *, list_filter([
          |      CASE WHEN n_tokens < 10 THEN 'too_few_tokens' END,
@@ -1571,6 +1597,7 @@ object SparkEntry {
          |        THEN 'lang_not_allowed' END
          |    ], x -> x IS NOT NULL) AS reasons
          |  FROM sig)""".stripMargin
+    val qualityCtes = qualityCtesOver("documents")
     Map(
       "q_scan_project" ->
         """SELECT event_id, user_id, event_type, value FROM events
@@ -2254,6 +2281,86 @@ object SparkEntry {
            |UNION ALL
            |SELECT 2, 'exact_unique', CAST(count(*) AS BIGINT),
            |  CAST(sum(${Text.duckdbTokenCountSql("text")}) AS BIGINT) FROM uniq
+           |ORDER BY stage_idx""".stripMargin,
+
+      // Full 4-stage funnel: the gate runs over the planted corpus (CTE
+      // source), then the jaccard pair set + recursive-CTE components +
+      // min-id keep-list — each piece the same mirror q_dedup_jaccard /
+      // q_dedup_keep already prove — feed the neardup_kept stage.
+      "q_corpus_funnel_neardup" ->
+        s"""WITH RECURSIVE planted AS (
+           |  SELECT doc_id + 1000000 AS doc_id,
+           |    array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ') AS text,
+           |    lang
+           |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+           |        FROM documents)),
+           |corpus0 AS (
+           |  SELECT doc_id, text, lang FROM documents
+           |  UNION ALL SELECT doc_id, text, lang FROM planted),
+           |${qualityCtesOver("corpus0")},
+           |keepers AS (SELECT doc_id FROM judged WHERE len(reasons) = 0),
+           |kept AS (
+           |  SELECT d.doc_id, d.text FROM corpus0 d
+           |  JOIN keepers k ON d.doc_id = k.doc_id),
+           |uniq AS (
+           |  SELECT doc_id, text FROM (
+           |    SELECT doc_id, text, row_number() OVER (
+           |      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           |      ORDER BY doc_id) AS rn
+           |    FROM kept) WHERE rn = 1),
+           |tok AS (
+           |  SELECT doc_id AS doc, string_split_regex(trim(lower(text)), '\\s+') AS toks
+           |  FROM uniq),
+           |shingles AS (
+           |  SELECT DISTINCT doc, shingle FROM (
+           |    SELECT doc, unnest(
+           |      CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+           |      ELSE list_transform(generate_series(1, len(toks) - 4),
+           |        i -> array_to_string(toks[i:i+4], ' ')) END) AS shingle
+           |    FROM tok) u),
+           |sizes AS (SELECT doc, count(*) AS set_size FROM shingles GROUP BY doc),
+           |disc AS (SELECT shingle FROM shingles
+           |         GROUP BY shingle HAVING count(*) BETWEEN 2 AND 20),
+           |ds AS (SELECT s.doc, s.shingle FROM shingles s JOIN disc USING (shingle)),
+           |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+           |         FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc < b.doc),
+           |common AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+           |  FROM cand c
+           |  JOIN shingles sa ON sa.doc = c.doc_a
+           |  JOIN shingles sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
+           |  GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT m.doc_a, m.doc_b FROM common m
+           |  JOIN sizes za ON za.doc = m.doc_a
+           |  JOIN sizes zb ON zb.doc = m.doc_b
+           |  WHERE CAST(m.n_common AS DOUBLE) / (za.set_size + zb.set_size - m.n_common)
+           |    >= 0.5),
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(doc, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc),
+           |comp AS (SELECT doc, min(r) AS component FROM reach GROUP BY doc),
+           |final AS (
+           |  SELECT u.doc_id, u.text FROM uniq u
+           |  LEFT JOIN comp ON comp.doc = u.doc_id
+           |  WHERE comp.doc IS NULL OR comp.component = u.doc_id)
+           |SELECT CAST(0 AS BIGINT) AS stage_idx, 'ingest' AS stage,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(${Text.duckdbTokenCountSql("text")}) AS BIGINT) AS n_tokens
+           |FROM corpus0
+           |UNION ALL
+           |SELECT 1, 'quality_kept', CAST(count(*) AS BIGINT),
+           |  CAST(sum(${Text.duckdbTokenCountSql("text")}) AS BIGINT) FROM kept
+           |UNION ALL
+           |SELECT 2, 'exact_unique', CAST(count(*) AS BIGINT),
+           |  CAST(sum(${Text.duckdbTokenCountSql("text")}) AS BIGINT) FROM uniq
+           |UNION ALL
+           |SELECT 3, 'neardup_kept', CAST(count(*) AS BIGINT),
+           |  CAST(sum(${Text.duckdbTokenCountSql("text")}) AS BIGINT) FROM final
            |ORDER BY stage_idx""".stripMargin,
 
       // Rabin-Karp min-hash recomputed per window in HUGEINT, reduced

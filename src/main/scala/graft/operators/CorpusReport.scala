@@ -8,17 +8,42 @@ import org.apache.spark.sql.functions._
 /** Stage-by-stage curation FUNNEL: the per-ingest accounting report every
   * production corpus pipeline publishes next to its output — how many
   * documents and tokens survive each stage (ingest → quality gate →
-  * exact dedup), so a sudden retention shift is visible as a number, not
-  * as a downstream model regression.
+  * exact dedup → optional near-dup), so a sudden retention shift is
+  * visible as a number, not as a downstream model regression.
   *
   * Scale shape: each stage is summarized by ONE tiny aggregate (count +
-  * token sum); the only shuffle beyond the quality gate's map-only pass
-  * is the normalized-fingerprint window the dedup stage already pays.
-  * Output is 3 rows regardless of corpus size. */
+  * token sum); the only shuffles beyond the quality gate's map-only pass
+  * are the normalized-fingerprint window the dedup stage already pays and
+  * the id semi-join against the caller's keep-list. Output is 3-4 rows
+  * regardless of corpus size. */
 object CorpusReport {
 
+  /** Stages 0-2 as a population: quality-kept, normalized-exact-unique
+    * docs (`idCol`, `text`). Exposed so a caller can build its NEAR-DUP
+    * pair set over exactly the stage-2 survivors the funnel reports on —
+    * then feed the resulting keep-list back via [[funnel]]'s
+    * `nearDupKeep`. */
+  def exactUnique(docs: DataFrame, idCol: String, textCol: String,
+                  langCol: String): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol).as("text"))
+    val kept = base.join(
+      QualityFilter(docs, idCol, textCol, langCol)
+        .filter(col("keep")).select(idCol),
+      Seq(idCol), "left_semi")
+    val w = Window
+      .partitionBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .orderBy(col(idCol))
+    kept.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** The funnel report. `nearDupKeep` (ids surviving near-dup dedup — the
+    * biggest token-drop of a real curation run, e.g.
+    * [[Dedup.keepCanonical]] over minhash/jaccard/semantic pairs computed
+    * on [[exactUnique]]) adds a 4th `neardup_kept` stage so retention
+    * accounting covers the full curation path. */
   def funnel(docs: DataFrame, idCol: String, textCol: String,
-             langCol: String): DataFrame = {
+             langCol: String, nearDupKeep: Option[DataFrame] = None): DataFrame = {
     val base = docs.select(col(idCol), col(textCol).as("text"))
     val kept = base.join(
       QualityFilter(docs, idCol, textCol, langCol)
@@ -34,8 +59,13 @@ object CorpusReport {
         sum(Text.tokenCount(col("text"))).as("n_tokens"))
         .select(lit(idx).cast("long").as("stage_idx"), lit(name).as("stage"),
           col("n_docs"), col("n_tokens"))
-    stage(base, 0, "ingest")
+    val core = stage(base, 0, "ingest")
       .unionByName(stage(kept, 1, "quality_kept"))
       .unionByName(stage(uniq, 2, "exact_unique"))
+    nearDupKeep.fold(core) { keep =>
+      core.unionByName(stage(
+        uniq.join(keep.select(col(idCol)), Seq(idCol), "left_semi"),
+        3, "neardup_kept"))
+    }
   }
 }
