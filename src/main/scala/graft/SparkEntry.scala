@@ -1270,13 +1270,26 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // A4 at scale: HLL approximate distincts next to the exact counts
-    // (no oracle: approximate by design; exact twins live in
-    // q_summary_stats).
+    // A4 at scale: HLL approximate distincts UNDER THE ORACLE. Sketch
+    // internals differ across engines, so the approx value itself can't
+    // hash-match — instead each engine emits its exact distinct plus a
+    // boolean relative-error-bound check of ITS OWN HLL estimate
+    // (|approx−exact| ≤ 5%·exact, well above both engines' default HLL
+    // rsd). The exact columns prove the grouping; the booleans prove each
+    // HLL ran and landed inside the bound — both hash identically.
     "q_approx_distinct" -> ((s, dir) =>
       Tables.events(s, dir).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          approx_count_distinct(col("props")).as("approx_props"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          countDistinct(col("props")).as("exact_props"),
+          // rsd 0.02 (vs the 0.05 default) so the estimate sits well
+          // inside the 5% bound at ANY scale factor, not just the gate's
+          approx_count_distinct(col("user_id"), 0.02).as("au"),
+          approx_count_distinct(col("props"), 0.02).as("ap"))
+        .select(col("event_type"), col("exact_users"), col("exact_props"),
+          (abs(col("au") - col("exact_users")).cast("double")
+            <= lit(0.05) * col("exact_users")).as("users_within_bound"),
+          (abs(col("ap") - col("exact_props")).cast("double")
+            <= lit(0.05) * col("exact_props")).as("props_within_bound"))
         .orderBy(col("event_type"))),
 
     // S9: JSON export, verified as a serialize→parse round-trip: the rows
@@ -1677,6 +1690,18 @@ object SparkEntry {
            |  epoch_ms(min(ts)) AS min_ts_ms,
            |  epoch_ms(max(ts)) AS max_ts_ms
            |FROM events""".stripMargin,
+
+      // Each engine checks ITS OWN HLL against the shared exact counts;
+      // only the (identically-hashing) booleans and exact values ship.
+      "q_approx_distinct" ->
+        """SELECT event_type,
+          |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+          |  CAST(count(DISTINCT props) AS BIGINT) AS exact_props,
+          |  (CAST(abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) AS DOUBLE)
+          |    <= 0.05 * count(DISTINCT user_id)) AS users_within_bound,
+          |  (CAST(abs(approx_count_distinct(props) - count(DISTINCT props)) AS DOUBLE)
+          |    <= 0.05 * count(DISTINCT props)) AS props_within_bound
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_value_buckets" ->
         """SELECT
