@@ -48,6 +48,12 @@ object Vectors {
   def srpBucket(vec: Column, planes: Int, seed: Int = 0): Column =
     graft.plans.SrpBucket.srpBucket(vec, planes, seed)
 
+  /** Multi-probe sequence for the QUERY side of an SRP search: own bucket
+    * plus the `probes−1` lowest-margin single-bit flips
+    * ([[graft.plans.SrpProbes]]). Probe 0 is always [[srpBucket]]'s value. */
+  def srpProbes(vec: Column, planes: Int, probes: Int, seed: Int = 0): Column =
+    graft.plans.SrpBucket.srpProbes(vec, planes, probes, seed)
+
   /** Spec twin of [[srpBucket]] — the same bucket id via higher-order
     * column functions only. */
   def srpBucketComposable(vec: Column, planes: Int, seed: Int = 0): Column = {

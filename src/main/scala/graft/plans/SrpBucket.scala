@@ -41,6 +41,39 @@ case class SrpBucket(child: Expression, planes: Int, seed: Int)
     copy(child = newChild)
 }
 
+/** Multi-probe companion of [[SrpBucket]]: the query-side probe sequence
+  * — the vector's own bucket plus the buckets reached by flipping the
+  * `probes−1` LOWEST-MARGIN sign bits (planes whose projection magnitude
+  * is smallest, i.e. where the vector sits closest to the hyperplane and
+  * a true neighbor most plausibly landed on the other side). Classic
+  * multi-probe LSH: recall rises toward multi-table levels while the
+  * corpus side keeps exactly ONE bucket per row and the join shape is
+  * unchanged — only the (broadcast) query side fans out ×probes. */
+case class SrpProbes(child: Expression, planes: Int, seed: Int, probes: Int)
+    extends UnaryExpression {
+  require(planes >= 1 && planes <= 64, "planes must be in [1, 64]")
+  require(probes >= 1 && probes <= planes + 1,
+    "probes must be in [1, planes + 1] (single-bit flips)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "srp_probes"
+
+  private def floatElems: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SrpBucket.computeProbes(input.asInstanceOf[ArrayData], planes, seed,
+      floatElems, probes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.SrpBucket.computeProbes($c, $planes, $seed, $floatElems, $probes)")
+
+  override protected def withNewChildInternal(newChild: Expression): SrpProbes =
+    copy(child = newChild)
+}
+
 object SrpBucket {
 
   /** Hyperplane matrices are deterministic functions of (planes, seed,
@@ -92,7 +125,46 @@ object SrpBucket {
     sig
   }
 
+  /** [[compute]] variant that also keeps per-plane projections and emits
+    * the probe sequence: own bucket first, then single-bit flips in
+    * ascending |projection| order (ties by plane index — deterministic). */
+  def computeProbes(vec: ArrayData, planes: Int, seed: Int,
+                    floatElems: Boolean, probes: Int): ArrayData = {
+    val dim = vec.numElements()
+    val hp = hyperplanes(planes, seed, dim)
+    val accs = new Array[Double](planes)
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      val base = p * dim
+      var i = 0
+      while (i < dim) {
+        val x = if (floatElems) vec.getFloat(i).toDouble else vec.getDouble(i)
+        acc += x * hp(base + i)
+        i += 1
+      }
+      accs(p) = acc
+      if (acc >= 0) sig |= 1L << p
+      p += 1
+    }
+    val order = Array.range(0, planes)
+      .sortBy(q => (math.abs(accs(q)), q))
+    val out = new Array[Long](probes)
+    out(0) = sig
+    var j = 1
+    while (j < probes) {
+      out(j) = sig ^ (1L << order(j - 1))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def srpBucket(vec: Column, planes: Int, seed: Int = 0): Column =
     GraftSqlBridge.column(
       SrpBucket(GraftSqlBridge.expression(vec), planes, seed))
+
+  def srpProbes(vec: Column, planes: Int, probes: Int, seed: Int = 0): Column =
+    GraftSqlBridge.column(
+      SrpProbes(GraftSqlBridge.expression(vec), planes, seed, probes))
 }

@@ -64,6 +64,47 @@ class SimilaritySpec extends SparkSpec {
       exact.contains((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))))
   }
 
+  test("srpProbes: probe 0 is the own bucket, flips are distinct single bits") {
+    import graft.functions.{Vectors => VF}
+    val rnd = new scala.util.Random(7)
+    val vecs = (1 to 200).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vid", "vec")
+    val planes = 8
+    val probes = 4
+    val rows = vecs.select(
+      VF.srpBucket(col("vec"), planes).as("own"),
+      VF.srpProbes(col("vec"), planes, probes).as("probes")).collect()
+    rows.foreach { r =>
+      val own = r.getAs[Long]("own")
+      val ps = r.getSeq[Long](1)
+      assert(ps.length == probes)
+      assert(ps.head == own)
+      // each later probe flips exactly one plane bit of the own bucket
+      ps.tail.foreach(p => assert(java.lang.Long.bitCount(p ^ own) == 1))
+      assert(ps.distinct.length == probes) // all probes hit distinct buckets
+    }
+  }
+
+  test("multi-probe SRP recall dominates single-probe and stays rank-sane") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pred = col("vid") % 100 === 0
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recall(probes: Int): Double = {
+      val a = Similarity.srpTopK(emb, "vec_id", "embedding", pred, k = 5,
+        planes = 6, probes = probes).collect()
+      a.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+        val ranks = rows.map(_.getAs[Long]("rank")).sorted.toSeq
+        assert(ranks == (1L to ranks.size)) // dedup held: no repeated ranks
+      }
+      a.count(r => exact.contains(
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))).toDouble / exact.size
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    assert(r4 >= r1, s"multi-probe recall $r4 below single-probe $r1")
+  }
+
   test("native srpBucket is bit-equivalent to the composable twin") {
     import graft.functions.{Vectors => VF}
     val rnd = new scala.util.Random(11)
