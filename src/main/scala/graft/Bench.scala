@@ -58,16 +58,21 @@ import org.apache.spark.sql.functions._
   *  - `sf20`: the same probe at 20× — a second scaling point that
   *    separates linear from superlinear operators (it is what exposed
   *    q_dedup_jaccard in round 4).
-  *  - `probe_controlled`: the jaccard linearity experiment. In
-  *    "controlled" fixture mode every replica token is salted per
-  *    replica (`w` → `w~r<k>`), a Jaccard-preserving bijection WITHIN
-  *    each replica that zeroes overlap ACROSS replicas: true near-dup
-  *    pair volume grows O(replicas) (each replica contributes exactly
-  *    replica-0's internal pairs) instead of the natural mode's
-  *    O(replicas²) (every doc pairs with all its perturbed copies). At
-  *    constant per-row pair volume, a linear operator must show
-  *    time ratios ≈ data ratios; superlinearity here would be
-  *    operator-inherent, not fixture-driven. Disable with
+  *  - `probe_controlled`: the pair-output linearity experiment — the
+  *    AUTHORITATIVE scale instrument for jaccard and containment (they
+  *    are excluded from the natural phases; see the Sf1Queries scaladoc
+  *    for the df-census evidence). In "controlled" fixture mode every
+  *    replica token is salted per replica (`w` → `w~r<k>`), a
+  *    Jaccard-preserving bijection WITHIN each replica that zeroes
+  *    overlap ACROSS replicas: true near-dup pair volume grows
+  *    O(replicas) (each replica contributes exactly replica-0's internal
+  *    pairs) instead of the natural mode's O(replicas²) (every doc pairs
+  *    with all its perturbed copies). At constant per-row pair volume, a
+  *    linear operator must show time ratios ≈ data ratios;
+  *    superlinearity here would be operator-inherent, not
+  *    fixture-driven. The probe pins the join strategy (AQE broadcast
+  *    flips off) so shuffle bytes compare across levels, and emits
+  *    `jaccard_stages` per-stage candidate counts. Disable with
   *    SPARK_GRAFT_SF1=0 / SPARK_GRAFT_SF20=0 / SPARK_GRAFT_PROBE=0.
   */
 object Bench {
@@ -91,23 +96,38 @@ object Bench {
   /** Headline subset for the sf1 point: one representative per family
     * (scan-agg, joins, filter-scan, pattern agg, window, dedup exact +
     * minhash, native fingerprint, ANN, text hygiene, canonicalization,
-    * real image decode). */
+    * real image decode).
+    *
+    * q_dedup_jaccard / q_dedup_containment are deliberately NOT here (r6):
+    * natural-mode replication makes every doc a genuine near-dup of its
+    * replicas−1 copies, so a pair-OUTPUT operator's correct answer — and
+    * therefore its work — grows quadratically with replica count, while
+    * the absolute df ceiling makes the measured workload NON-MONOTONIC
+    * (measured at sf0.001: x10 has base-df-1 shingles at df=10, in band,
+    * 4.4M enumerated pairs; at x20 EVERY shingle exceeds dfMax=20 and the
+    * banded index is EMPTY — 0 candidates, so the r5 "sf20 jaccard 4.6×"
+    * point timed a degenerate pipeline and the sf1>sf20 inversion was the
+    * fixture's census, not GC). Their scale instrument is the controlled
+    * probe below: linear true-pair volume, pinned join strategy,
+    * per-stage candidate counts. */
   private val Sf1Queries: Seq[String] = Seq(
     "q_tpch_q1", "q_tpch_q3", "q_tpch_q6", "q_pattern_agg", "q_star_join",
     "q_session_stats", "q_dedup_exact", "q_doc_fingerprint",
     "q_dedup_minhash", "q_ann_cosine", "q_dedup_embedding_lsh",
     "q_quality_filter", "q_repetition", "q_pii_scrub", "q_contamination",
     "q_dedup_components", "q_token_familiarity", "q_global_shuffle",
-    "q_span_dedup", "q_dedup_jaccard", "q_dedup_semantic", "q_tfidf_topk",
+    "q_span_dedup", "q_dedup_semantic", "q_tfidf_topk",
     "q_feature_hash", "q_multimodal_features", "q_token_bpe")
 
   /** 20× probe set: the dedup heavies that exposed superlinearity before,
     * PLUS the shuffled-by-design operators (familiarity's vocab join,
     * tfidf's df agg, CMS, sessionization, native as-of) that previously
-    * had no ≥20× evidence. */
+    * had no ≥20× evidence. Pair-output operators (jaccard, containment)
+    * live in the controlled probe instead — see the Sf1Queries scaladoc
+    * for the census evidence. */
   private val Sf20Queries: Seq[String] = Seq(
     "q_span_dedup", "q_repetition", "q_dedup_semantic", "q_dedup_minhash",
-    "q_dedup_jaccard", "q_dedup_components", "q_token_familiarity",
+    "q_dedup_components", "q_token_familiarity",
     "q_tfidf_topk", "q_cms_heavy", "q_session_stats", "q_asof_join_native",
     "q_multimodal_features")
 
@@ -202,7 +222,9 @@ object Bench {
     * Cache state is wiped between runs so iteration i+1 isn't measured
     * against iteration i's persisted intermediates. */
   private def timeQueries(spark: SparkSession, dir: String,
-                          names: Seq[String], iters: Int)
+                          names: Seq[String], iters: Int,
+                          gcBetween: Boolean = false,
+                          warmup: Boolean = false)
       : (Seq[(String, (Seq[Double], (Double, Double)))], Seq[Double]) = {
     val tally = new ShuffleTally
     val cal = Seq.newBuilder[Double]
@@ -211,8 +233,20 @@ object Bench {
                      // of the calibration plan itself to the first sample
     try {
       val timed = names.map { name =>
-        cal += calibrate(spark)
         val fn = SparkEntry.queries(name)
+        // Scale phases run each query once UNTIMED first: the first
+        // execution pays whole-stage-codegen compilation and JIT of the
+        // generated classes, which is phase-ordering bias, not data-volume
+        // cost — it made the x10 phase (always first) measure slower than
+        // its own x20 sibling at iters=1, a physical impossibility.
+        if (warmup) {
+          try fn(spark, dir).write.mode("overwrite").format("noop").save()
+          catch { case _: Throwable => () }
+          spark.catalog.clearCache()
+          graft.operators.Caches.unpersistAll()
+          if (gcBetween) System.gc()
+        }
+        cal += calibrate(spark)
         var shuffle = (0.0, 0.0)
         val times = (1 to iters).map { i =>
           if (i == iters) {
@@ -234,6 +268,13 @@ object Bench {
           // for the whole run — an unbounded registry leak
           spark.catalog.clearCache()
           graft.operators.Caches.unpersistAll()
+          // Scale phases force a full GC after each run: the r5 sf1 phase
+          // measured a 10×-data query SLOWER than its own 20× point
+          // because cache-churning neighbors bled GC pauses into later
+          // windows — min-of-2 calibration can't subtract a pause that
+          // lands inside the query itself. Draining the heap between
+          // queries makes each window self-contained.
+          if (gcBetween) System.gc()
           dt
         }
         name -> ((times, shuffle))
@@ -257,18 +298,21 @@ object Bench {
   /** Median (primary), min, totals, per-query shuffle MB (read+write,
     * last iteration), and the contention sentinel (calibration series +
     * contaminated list) for one timed section. */
-  private def sectionJson(timedAndCal: (Seq[(String, (Seq[Double], (Double, Double)))], Seq[Double]))
+  private def sectionJson(timedAndCal: (Seq[(String, (Seq[Double], (Double, Double)))], Seq[Double]),
+                          calThreshold: Double = 2.0)
       : (Double, String) = {
     val (timed, cal) = timedAndCal
     val med = timed.map { case (n, (ts, _)) => n -> median(ts) }
     val mn = timed.map { case (n, (ts, _)) => n -> ts.min }
     val sh = timed.map { case (n, (_, (r, w))) => n -> r2(r + w) }
     val calMed = if (cal.isEmpty) 0.0 else median(cal)
-    // query i's window is bracketed by samples i and i+1; >2× either side
-    // of the phase's own median marks the window contended
+    // query i's window is bracketed by samples i and i+1; > calThreshold×
+    // either side of the phase's own median marks the window contended
+    // (2× for the engine phase; 1.5× for scale phases, whose r5 list
+    // demonstrably under-flagged GC adjacency)
     val contaminated = timed.indices.collect {
       case i if calMed > 0 &&
-        (cal(i) > 2 * calMed || cal(i + 1) > 2 * calMed) => timed(i)._1
+        (cal(i) > calThreshold * calMed || cal(i + 1) > calThreshold * calMed) => timed(i)._1
     }
     val calPer = timed.indices.map(i => timed(i)._1 -> r2(cal(i)))
     val total = med.map(_._2).sum
@@ -279,9 +323,16 @@ object Bench {
   }
 
   /** recall@k of the SRP and IVF approximate paths vs brute force over
-    * the same query set — the ANN trade-off at a real scale point. */
+    * the same query set — the ANN trade-off at a real scale point.
+    * Returns (srp recall at the SHIPPED defaults, ivf recall, and the
+    * SRP recall/cost curve: (planes, probes, recall, sec) per swept
+    * config, timing the same noop materialization the engine phase uses).
+    * The curve is the evidence behind the default: r5's single-probe
+    * planes=6 lost a fifth of true neighbors (0.81); multi-probe buys
+    * recall at sub-linear cost because only the broadcast query side
+    * fans out. */
   private def annRecall(spark: SparkSession, dir: String, k: Int = 10)
-      : (Double, Double) = {
+      : (Double, Double, String) = {
     import graft.operators.{Ivf, Similarity}
     val emb = graft.sources.Tables.embeddings(spark, dir)
     val pred = col("vid") % 20 === 0
@@ -293,12 +344,25 @@ object Bench {
       if (nBf == 0) 1.0
       else r2(pairs(approx).join(bf, Seq("query_id", "neighbor_id"), "left_semi")
         .count() / nBf)
-    val srp = recallOf(Similarity.srpTopK(emb, "vec_id", "embedding", pred, k, planes = 6))
+    // probes is capped at planes+1 (single-bit flips only), so the
+    // "more probes" point at planes=6 is 7, not 8
+    val curve = Seq((6, 1), (6, 2), (6, 4), (6, 7), (8, 4)).map {
+      case (planes, probes) =>
+        val q = Similarity.srpTopK(emb, "vec_id", "embedding", pred, k,
+          planes = planes, probes = probes)
+        val t0 = System.nanoTime()
+        q.write.mode("overwrite").format("noop").save()
+        val sec = r2((System.nanoTime() - t0) / 1e9)
+        val rec = recallOf(q)
+        s"""{"planes":$planes,"probes":$probes,"recall":$rec,"sec":$sec}"""
+    }
+    // shipped defaults (Similarity.srpTopK: planes=6, probes=4)
+    val srp = recallOf(Similarity.srpTopK(emb, "vec_id", "embedding", pred, k))
     val ivf = recallOf(Ivf.topK(emb, "vec_id", "embedding", pred, k,
       numCentroids = 16, nProbe = 4))
     bf.unpersist()
     graft.operators.Caches.unpersistAll()
-    (srp, ivf)
+    (srp, ivf, curve.mkString("[", ",", "]"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -337,14 +401,30 @@ object Bench {
 
     /** Build (marker-cached) + page-cache-warm + time one scaled phase.
       * The warm pass is timed and reported (warm_sec) so the methodology
-      * stays visible in the artifact. */
+      * stays visible in the artifact. Scale phases run with an untimed
+      * per-query warm-up (codegen/JIT is phase-ordering bias, not
+      * data-volume cost), forced GC between queries, and a 1.5×
+      * contamination threshold (r5 postmortem: the sf1 phase
+      * under-flagged GC adjacency and produced a 10×-data point slower
+      * than its 20× sibling).
+      *
+      * `fixedJoin` pins the join strategy (AQE broadcast conversion off)
+      * for the timed window: the controlled probe compares shuffle BYTES
+      * across replica levels, and r5's "4.2× shuffle for 2× data" was AQE
+      * flipping candidate-sized joins to broadcast at r10 but not r20 —
+      * with the strategy pinned the same curve measures 1.95× for 2×
+      * (linear). Production configs keep AQE's flip: it is strictly a
+      * shuffle SAVING at the smaller scale, not a cost at the larger. */
     def scalePhase(replicas: Int, mode: String, names: Seq[String],
-                   phaseIters: Int, withRecall: Boolean): String = {
+                   phaseIters: Int, withRecall: Boolean,
+                   fixedJoin: Boolean = false,
+                   jaccardStages: Boolean = false): String = {
       val dirTag = if (mode == "natural") s"graft_x${replicas}_$srcTag"
         else s"graft_x${replicas}_${mode}_$srcTag"
-      val scaledDir = sys.env.getOrElse(
-        if (replicas == 10 && mode == "natural") "SPARK_GRAFT_SF1_DIR" else "",
-        s"/tmp/$dirTag")
+      val envOverride =
+        if (replicas == 10 && mode == "natural") sys.env.get("SPARK_GRAFT_SF1_DIR")
+        else None
+      val scaledDir = envOverride.getOrElse(s"/tmp/$dirTag")
       val tBuild0 = System.nanoTime()
       buildScaled(spark, sfDir, scaledDir, replicas, mode)
       val buildSec = (System.nanoTime() - tBuild0) / 1e9
@@ -358,14 +438,36 @@ object Bench {
         spark.read.parquet(s"$scaledDir/$t.parquet").count()
       }
       val warmSec = (System.nanoTime() - tWarm0) / 1e9
-      val (_, section) = sectionJson(timeQueries(spark, scaledDir, names, phaseIters))
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      if (fixedJoin) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (_, section) =
+        try sectionJson(
+          timeQueries(spark, scaledDir, names, phaseIters, gcBetween = true,
+            warmup = true),
+          calThreshold = 1.5)
+        finally if (fixedJoin)
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      // Candidate-volume accounting for the jaccard linearity probe: the
+      // per-stage row counts that separate "enumeration is quadratic"
+      // from "the plan flipped" (Dedup.jaccardStageCounts scaladoc).
+      val stagesJson =
+        if (!jaccardStages) ""
+        else {
+          val counts = graft.operators.Dedup.jaccardStageCounts(
+            SparkEntry.jaccardCorpus(spark, scaledDir), "doc_id", "text",
+            shingleN = 5, dfMax = 20, minJaccard = 0.3)
+          graft.operators.Caches.unpersistAll()
+          s""","jaccard_stages":${counts.toSeq.sortBy(_._1)
+            .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")}"""
+        }
       val recallJson =
         if (!withRecall) ""
         else {
-          val (srp, ivf) = annRecall(spark, scaledDir)
-          s""","recall_at10":{"q_ann_srp":$srp,"q_ann_ivf":$ivf}"""
+          val (srp, ivf, curve) = annRecall(spark, scaledDir)
+          s""","recall_at10":{"q_ann_srp":$srp,"q_ann_ivf":$ivf},"recall_curve":$curve"""
         }
-      s"""{"dir":"$scaledDir","replicas":$replicas,"mode":"$mode","build_sec":${r2(buildSec)},"warm_sec":${r2(warmSec)},"iters":$phaseIters,$section$recallJson}"""
+      val strategyJson = if (fixedJoin) ""","join_strategy":"fixed"""" else ""
+      s"""{"dir":"$scaledDir","replicas":$replicas,"mode":"$mode"$strategyJson,"build_sec":${r2(buildSec)},"warm_sec":${r2(warmSec)},"iters":$phaseIters,$section$stagesJson$recallJson}"""
     }
 
     def enabled(envKey: String): Boolean = !sys.env.get(envKey).contains("0")
@@ -389,25 +491,40 @@ object Bench {
       else s""","sf20":${scalePhase(20, "natural", Sf20Queries, math.min(iters, 2), withRecall = false)}"""
 
     // Controlled-pair-volume linearity probe (class doc): jaccard under
-    // O(replicas) true pair volume, minhash as the known-linear control.
+    // O(replicas) true pair volume, minhash as the known-linear control,
+    // containment (r6) as the no-ratio-prefilter suspect. Join strategy
+    // pinned + per-stage candidate counts emitted so the shuffle curve is
+    // comparable across replica levels (scalePhase scaladoc).
     val probeJson =
       if (!enabled("SPARK_GRAFT_PROBE") || only.isDefined || sf1Only.isDefined) ""
       else {
-        val names = Seq("q_dedup_jaccard", "q_dedup_minhash")
-        val r10 = scalePhase(10, "controlled", names, math.min(iters, 2), withRecall = false)
-        val r20 = scalePhase(20, "controlled", names, math.min(iters, 2), withRecall = false)
+        val names = Seq("q_dedup_jaccard", "q_dedup_minhash", "q_dedup_containment")
+        val r10 = scalePhase(10, "controlled", names, math.min(iters, 2),
+          withRecall = false, fixedJoin = true, jaccardStages = true)
+        val r20 = scalePhase(20, "controlled", names, math.min(iters, 2),
+          withRecall = false, fixedJoin = true, jaccardStages = true)
         s""","probe_controlled":{"r10":$r10,"r20":$r20}"""
       }
 
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,$engineSection,"sf":"$sfDir"$streamingJson$sf1Json$sf20Json$probeJson}"""
+    // Marker-prefixed line FIRST: the driver's artifact parser reads the
+    // structured payload from `BENCH_JSON: {...}` without depending on
+    // stdout tail ordering (r4/r5 artifacts carried parsed:null because
+    // the bare line was lost to tail truncation).
+    println(s"BENCH_JSON: $line")
     println(line)
-    // Also persist the full line: the driver's stdout tail-capture truncated
-    // a round's artifact once; the file is the complete record.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), line + "\n")
-    catch { case e: Throwable =>
+    // Also persist the full line ATOMICALLY (write-then-move): the file is
+    // the complete record even if the run is killed mid-write.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      val tmp = java.nio.file.Paths.get(out.toString + ".tmp")
+      java.nio.file.Files.writeString(tmp, line + "\n")
+      java.nio.file.Files.move(tmp, out,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
     }
     spark.stop()

@@ -67,6 +67,17 @@ object SparkEntry {
       cents(col("value")).as("memory_usage"))
       .withColumn("pattern_id", Normalize.fingerprint(col("query")))
 
+  /** The jaccard near-dup corpus (documents + drop-last-token planted
+    * copies) — shared by `q_dedup_jaccard` and the bench probe's
+    * stage-count instrumentation so both measure the same population. */
+  private[graft] def jaccardCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = d.select((col("doc_id") + 1000000L).as("doc_id"),
+      array_join(slice(Text.tokens(col("text")), lit(1),
+        greatest(size(Text.tokens(col("text"))) - 1, lit(1))), " ").as("text"))
+    d.unionByName(planted)
+  }
+
   /** The same identity expression on the DuckDB side. */
   private val logQuerySql = "event_type || ' ' || props"
   private val patternIdSql: String = Normalize.duckdbFingerprintSql(logQuerySql)
@@ -670,15 +681,10 @@ object SparkEntry {
     }),
 
     // Exact n-gram Jaccard near-dups on the same planted corpus.
-    "q_dedup_jaccard" -> ((s, dir) => {
-      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val planted = d.select((col("doc_id") + 1000000L).as("doc_id"),
-        array_join(slice(Text.tokens(col("text")), lit(1),
-          greatest(size(Text.tokens(col("text"))) - 1, lit(1))), " ").as("text"))
-      Dedup.jaccardNearDups(d.unionByName(planted), "doc_id", "text",
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardNearDups(jaccardCorpus(s, dir), "doc_id", "text",
         shingleN = 5, dfMax = 20, minJaccard = 0.3)
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // Subset-duplication (containment): 12-token EXCERPTS of every 20th
     // doc are planted — their shingles sit wholly inside the original, so
@@ -722,6 +728,30 @@ object SparkEntry {
       Dedup.minhashNearDupsPortable(d.unionByName(planted), "doc_id", "text",
         numHashes = 16, bands = 8, shingleN = 5, minEstJaccard = 0.3)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Incremental NEAR-dup ingestion: a batch (fresh docs ∪ near-copies
+    // of already-kept STORE docs ∪ near-copies of its own docs) meets the
+    // store's precomputed MinHash signatures — store near-dups rejected,
+    // within-batch near-dup components collapse to their min id, history
+    // never re-hashed. Same 5% slice + md5 families as the portable twin
+    // so the whole policy sits under the oracle.
+    "q_dedup_minhash_incr" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 20 === 0)
+      val store = d.filter(col("doc_id") % 40 === 0)
+      val nearCopy = (src: DataFrame, shift: Long) =>
+        src.select((col("doc_id") + shift).as("doc_id"),
+          array_join(slice(Text.tokens(col("text")), lit(1),
+            greatest(size(Text.tokens(col("text"))) - 1, lit(1))), " ").as("text"))
+      val batch = d.filter(col("doc_id") % 40 =!= 0)
+        .unionByName(nearCopy(store, 1000000L))
+        .unionByName(nearCopy(d.filter(col("doc_id") % 40 =!= 0), 2000000L))
+      val storeSigs = Dedup.minhashSignaturesPortable(store, "doc_id", "text",
+        numHashes = 16, shingleN = 5)
+      Dedup.newAgainstStoreMinhash(batch, "doc_id", "text", storeSigs,
+        numHashes = 16, bands = 8, shingleN = 5, minEstJaccard = 0.3)
+        .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
     // SimHash with PORTABLE md5-nibble bit votes — the full
@@ -886,6 +916,18 @@ object SparkEntry {
         "doc_id", "source", targetRows = 200L)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
+
+    // DSIR-style target-distribution selection: English docs as the
+    // target profile, hashed-bigram importance ratios in fixed point
+    // (one correctly rounded division per bucket, order-free BIGINT
+    // sums), top-200 most target-like docs of the whole corpus.
+    "q_dsir_select" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.operators.Sampling.dsirSelect(
+        d.select(col("doc_id"), col("text")),
+        d.filter(col("lang") === "en").select(col("text")),
+        "doc_id", "text", n = 200, buckets = 64, gramN = 2)
+    }),
 
     // Deterministic epoch shuffle: seeded md5 permutation + sharding —
     // reproducible training order without ORDER BY rand()'s global sort.
@@ -2078,6 +2120,85 @@ object SparkEntry {
           |    j -> sa.sig[j] = sb.sig[j]))::DOUBLE / 16.0 >= 0.3
           |ORDER BY doc_a, doc_b""".stripMargin,
 
+      // Incremental minhash ingestion: DuckDB recomputes store AND batch
+      // signatures from its own md5, re-runs the banded store join, the
+      // within-batch candidate join, and the min-id component collapse
+      // (recursive CTE) — the whole ingestion policy under one oracle.
+      "q_dedup_minhash_incr" ->
+        """WITH RECURSIVE sub AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+          |store AS (SELECT doc_id, text FROM sub WHERE doc_id % 40 = 0),
+          |rest AS (SELECT doc_id, text FROM sub WHERE doc_id % 40 <> 0),
+          |batch AS (
+          |  SELECT doc_id, text FROM rest
+          |  UNION ALL
+          |  SELECT doc_id + 1000000,
+          |    array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ')
+          |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          |        FROM store)
+          |  UNION ALL
+          |  SELECT doc_id + 2000000,
+          |    array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ')
+          |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          |        FROM rest)),
+          |alldocs AS (
+          |  SELECT doc_id, text, true AS in_batch FROM batch
+          |  UNION ALL SELECT doc_id, text, false FROM store),
+          |tok AS (
+          |  SELECT doc_id AS doc, in_batch,
+          |    string_split_regex(trim(lower(text)), '\s+') AS toks
+          |  FROM alldocs),
+          |shingles AS (
+          |  SELECT DISTINCT doc, shingle FROM (
+          |    SELECT doc, unnest(
+          |      CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+          |      ELSE list_transform(generate_series(1, len(toks) - 4),
+          |        i -> array_to_string(toks[i:i+4], ' ')) END) AS shingle
+          |    FROM tok) u),
+          |fams AS (
+          |  SELECT doc, i, min(md5(i::VARCHAR || ':' || shingle)) AS h
+          |  FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) f
+          |  GROUP BY doc, i),
+          |sig AS (SELECT doc, list(h ORDER BY i) AS sig FROM fams GROUP BY doc),
+          |bandh AS (
+          |  SELECT doc, i // 2 AS band, md5(string_agg(h, '|' ORDER BY i)) AS bh
+          |  FROM fams GROUP BY doc, i // 2),
+          |flags AS (SELECT doc_id AS doc, in_batch FROM alldocs),
+          |storehits AS (
+          |  SELECT DISTINCT ba.doc
+          |  FROM bandh ba JOIN flags fa ON fa.doc = ba.doc AND fa.in_batch
+          |  JOIN bandh bs ON ba.band = bs.band AND ba.bh = bs.bh
+          |  JOIN flags fs ON fs.doc = bs.doc AND NOT fs.in_batch
+          |  JOIN sig sa ON sa.doc = ba.doc
+          |  JOIN sig ss ON ss.doc = bs.doc
+          |  WHERE len(list_filter(generate_series(1, 16),
+          |      j -> sa.sig[j] = ss.sig[j]))::DOUBLE / 16.0 >= 0.3),
+          |fresh AS (
+          |  SELECT doc FROM flags WHERE in_batch
+          |  AND doc NOT IN (SELECT doc FROM storehits)),
+          |pairs AS (
+          |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          |  FROM bandh a JOIN bandh b
+          |    ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+          |  JOIN fresh f1 ON f1.doc = a.doc
+          |  JOIN fresh f2 ON f2.doc = b.doc
+          |  JOIN sig sa ON sa.doc = a.doc
+          |  JOIN sig sb ON sb.doc = b.doc
+          |  WHERE len(list_filter(generate_series(1, 16),
+          |      j -> sa.sig[j] = sb.sig[j]))::DOUBLE / 16.0 >= 0.3),
+          |edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |  UNION SELECT doc_b, doc_a FROM pairs),
+          |reach(doc, r) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc),
+          |comp AS (SELECT doc, min(r) AS component FROM reach GROUP BY doc)
+          |SELECT f.doc AS doc_id FROM fresh f
+          |LEFT JOIN comp ON comp.doc = f.doc
+          |WHERE comp.doc IS NULL OR comp.component = f.doc
+          |ORDER BY doc_id""".stripMargin,
+
       // Portable SimHash: DuckDB recomputes every nibble's bit votes from
       // its own md5, reassembles the 16-hex-digit signature, re-runs the
       // 4-chunk banding, and measures exact nibble-wise hamming.
@@ -2956,6 +3077,47 @@ object SparkEntry {
           "documents", "doc_id", "source", 200L, "d.doc_id, d.source")
         s"$body\nORDER BY doc_id"
       },
+
+      // DSIR selection: DuckDB rebuilds both hashed-bigram histograms,
+      // the fixed-point importance ratios (same single correctly rounded
+      // division and 2^20 floor), the order-free BIGINT doc scores, and
+      // the same total-ordered top-200 cut.
+      "q_dsir_select" ->
+        """WITH tok AS (
+          |  SELECT doc_id, lang,
+          |    string_split_regex(trim(lower(text)), '\s+') AS toks
+          |  FROM documents),
+          |grams AS (
+          |  SELECT doc_id, lang, unnest(
+          |    CASE WHEN len(toks) <= 1 THEN [array_to_string(toks, ' ')]
+          |    ELSE list_transform(generate_series(1, len(toks) - 1),
+          |      i -> array_to_string(toks[i:i+1], ' ')) END) AS gram
+          |  FROM tok),
+          |rg AS (
+          |  SELECT doc_id,
+          |    (('0x' || substring(md5(gram), 1, 8))::BIGINT % 64) AS bucket
+          |  FROM grams),
+          |tg AS (
+          |  SELECT (('0x' || substring(md5(gram), 1, 8))::BIGINT % 64) AS bucket
+          |  FROM grams WHERE lang = 'en'),
+          |rhist AS (SELECT bucket, count(*) AS rc FROM rg GROUP BY bucket),
+          |thist AS (SELECT bucket, count(*) AS tc FROM tg GROUP BY bucket),
+          |rtot AS (SELECT CAST(count(*) AS BIGINT) AS r_tot FROM rg),
+          |ttot AS (SELECT CAST(count(*) AS BIGINT) AS t_tot FROM tg),
+          |ratio AS (
+          |  SELECT r.bucket,
+          |    CAST(floor(CAST(coalesce(t.tc, 0) + 1 AS DOUBLE)
+          |        * CAST(r_tot + 64 AS DOUBLE)
+          |      / (CAST(r.rc + 1 AS DOUBLE) * CAST(t_tot + 64 AS DOUBLE))
+          |      * 1048576.0) AS BIGINT) AS affinity
+          |  FROM rhist r LEFT JOIN thist t ON r.bucket = t.bucket, rtot, ttot),
+          |scores AS (
+          |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          |    CAST(sum(a.affinity) AS BIGINT) AS aff_sum
+          |  FROM rg g JOIN ratio a ON g.bucket = a.bucket
+          |  GROUP BY g.doc_id)
+          |SELECT doc_id, n_grams, aff_sum // n_grams AS score
+          |FROM scores ORDER BY score DESC, doc_id LIMIT 200""".stripMargin,
 
       "q_global_shuffle" -> {
         val key = graft.operators.Sampling.duckdbShuffleKeySql("doc_id", 7)

@@ -402,6 +402,36 @@ object Dedup {
     labels.select("doc", "component")
   }
 
+  /** Portable md5-family MinHash signatures: (doc, sig ARRAY<STRING>).
+    * Family i's value is the lexicographic minimum of
+    * `md5(i + ":" + shingle)` over the doc's distinct shingles — a total
+    * order any engine computes identically. */
+  def minhashSignaturesPortable(docs: DataFrame, idCol: String,
+                                textCol: String, numHashes: Int = 16,
+                                shingleN: Int = 5): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc"), Text.tokens(lower(col(textCol))).as("toks"))
+      .select(col("doc"),
+        explode(Text.shinglesFromTokens(col("toks"), shingleN)).as("shingle"))
+      .distinct()
+    val minCols = (0 until numHashes).map(i =>
+      min(md5(concat_ws(":", lit(i.toString), col("shingle")))).as(s"h$i"))
+    sh.groupBy("doc").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding of portable signatures: (doc, band, bh) — band b's bucket
+    * key is the md5 of its `numHashes/bands` signature positions. */
+  private def bandedPortable(sig: DataFrame, numHashes: Int,
+                             bands: Int): DataFrame = {
+    val r = numHashes / bands
+    sig.select(col("doc"), posexplode(
+        array((0 until bands).map(b =>
+          md5(concat_ws("|", (0 until r).map(j => col("sig")(b * r + j)): _*))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+  }
+
   /** MinHash near-dups, PORTABLE twin: hash families are md5 hex STRINGS
     * (`md5(i + ":" + shingle)`), whose lexicographic minimum is a total
     * order any engine computes identically — so the whole MinHash algebra
@@ -416,22 +446,10 @@ object Dedup {
                               shingleN: Int = 5,
                               minEstJaccard: Double = 0.3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val sh = docs
-      .select(col(idCol).as("doc"), Text.tokens(lower(col(textCol))).as("toks"))
-      .select(col("doc"),
-        explode(Text.shinglesFromTokens(col("toks"), shingleN)).as("shingle"))
-      .distinct()
-    val minCols = (0 until numHashes).map(i =>
-      min(md5(concat_ws(":", lit(i.toString), col("shingle")))).as(s"h$i"))
     // signature feeds banding + both sides of the estimation join
-    val sig = tracked(sh.groupBy("doc").agg(minCols.head, minCols.tail: _*)
-      .select(col("doc"),
-        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig")))
-    val banded = sig.select(col("doc"), posexplode(
-        array((0 until bands).map(b =>
-          md5(concat_ws("|", (0 until r).map(j => col("sig")(b * r + j)): _*))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val sig = tracked(minhashSignaturesPortable(docs, idCol, textCol,
+      numHashes, shingleN))
+    val banded = bandedPortable(sig, numHashes, bands)
     val pairs = banded.select(col("band"), col("bh"), col("doc").as("doc_a"))
       .join(banded.select(col("band"), col("bh"), col("doc").as("doc_b")),
         Seq("band", "bh"))
@@ -464,6 +482,75 @@ object Dedup {
       .filter(col("rn") === 1).drop("rn", "fingerprint")
   }
 
+  /** Incremental NEAR-dup ingestion: rows of `batch` that are near-dup-new
+    * BOTH against a signature store (the kept corpus's precomputed MinHash
+    * signatures — (doc, sig) as [[minhashSignaturesPortable]] emits) AND
+    * within the batch itself (connected near-dup components collapse to
+    * their minimum id). The exact-hash form ([[newAgainstStore]]) catches
+    * byte-equal re-ingests; this catches the re-crawled page with a new
+    * timestamp, the boilerplate-wrapped syndication copy — the dominant
+    * duplication mode in rolling web ingestion.
+    *
+    * Scale shape: history signatures are computed ONCE at ingest time and
+    * never recomputed — each new batch hashes only itself (batch-sized
+    * shingle work), then meets the store in banded equi-joins keyed on
+    * (band, band-hash). Persist the store PRE-BANDED and bucketed on the
+    * band key ([[graft.sources.Sinks.bucketedTable]]) and ingestion never
+    * shuffles history at all — the same discipline as
+    * [[newAgainstStore]]'s fingerprint store, generalized to near-dup
+    * identity. Store-side buckets are capped like every banded join here
+    * (`LshMaxBucket`); the batch side is small by construction.
+    *
+    * Policy: (1) batch docs sharing a band bucket with a store doc AND
+    * estimated Jaccard ≥ `minEstJaccard` are dropped; (2) remaining batch
+    * docs near-dup to EACH OTHER collapse via [[keepCanonical]] (min-id
+    * component canonical). A batch doc whose only near-dup partner was
+    * itself dropped in (1) survives — transitive store identity is a
+    * CHOICE left to the caller (run components over batch∪store pair sets
+    * when syndication chains matter). */
+  def newAgainstStoreMinhash(batch: DataFrame, idCol: String, textCol: String,
+                             storeSigs: DataFrame, numHashes: Int = 16,
+                             bands: Int = 8, shingleN: Int = 5,
+                             minEstJaccard: Double = 0.3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val batchSigs = tracked(minhashSignaturesPortable(
+      batch, idCol, textCol, numHashes, shingleN))
+    val store = tracked(storeSigs.select(col("doc"), col("sig")))
+    val bBatch = tracked(bandedPortable(batchSigs, numHashes, bands))
+    val bStore = bandedPortable(store, numHashes, bands)
+    def est(a: Column, b: Column): Column =
+      size(filter(zip_with(a, b, (x, y) => x === y), p => p))
+        .cast("double") / lit(numHashes.toDouble)
+    // batch-vs-store: candidate (batch doc, store doc) per shared bucket
+    val storeHits = bBatch.select(col("band"), col("bh"), col("doc"))
+      .join(bStore.select(col("band"), col("bh"), col("doc").as("sdoc")),
+        Seq("band", "bh"))
+      .select("doc", "sdoc").distinct()
+      .join(batchSigs.select(col("doc"), col("sig")), Seq("doc"))
+      .join(store.select(col("doc").as("sdoc"), col("sig").as("ssig")),
+        Seq("sdoc"))
+      .filter(est(col("sig"), col("ssig")) >= minEstJaccard)
+      .select("doc").distinct()
+    val fresh = batch.join(
+      storeHits.withColumnRenamed("doc", idCol), Seq(idCol), "left_anti")
+    // within-batch: banded self-join over the SURVIVORS only, then min-id
+    // component canonicalization
+    val bFresh = bBatch.join(
+      fresh.select(col(idCol).as("doc")), Seq("doc"), "left_semi")
+    val pairs = bFresh.select(col("band"), col("bh"), col("doc").as("doc_a"))
+      .join(bFresh.select(col("band"), col("bh"), col("doc").as("doc_b")),
+        Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .join(batchSigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"))
+      .join(batchSigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")),
+        Seq("doc_b"))
+      .filter(est(col("sig_a"), col("sig_b")) >= minEstJaccard)
+      .select("doc_a", "doc_b")
+    keepCanonical(fresh, idCol, pairs)
+  }
+
   /** The dedup KEEP-list: every doc not in any near-dup pair, plus the
     * canonical (minimum-id) doc of each near-dup component. */
   def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
@@ -476,7 +563,19 @@ object Dedup {
   /** Exact n-gram Jaccard near-dups. Candidates come from an inverted-index
     * self-join restricted to discriminative shingles (document frequency in
     * [2, dfMax]); exact |A∩B| is then recounted over the candidates' FULL
-    * shingle sets, so the reported Jaccard is exact, not an estimate. */
+    * shingle sets, so the reported Jaccard is exact, not an estimate.
+    *
+    * Choosing `dfMax` at scale: the ceiling is a CORPUS-RELATIVE knob,
+    * not a constant. It bounds per-shingle candidate fan-out (C(df,2)
+    * pairs), but a shingle's df scales with how often its content recurs
+    * in the corpus — on a corpus with K-fold content duplication every df
+    * multiplies by K, and a ceiling tuned for the base corpus silently
+    * bands out ALL shingles (zero candidates, measured directly on the
+    * bench's 20×-replicated fixture). Size it from the df distribution of
+    * the target corpus (e.g. a high percentile of df), and treat
+    * candidate volume ≈ Σ C(df,2) over in-band shingles — computable
+    * cheaply in one aggregation ([[jaccardStageCounts]]) BEFORE running
+    * the quadratic stage. */
   def jaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 5, dfMax: Int = 20,
                       minJaccard: Double = 0.5): DataFrame = {
@@ -521,6 +620,50 @@ object Dedup {
         (col("size_a") + col("size_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
+
+  /** Per-stage candidate-volume accounting for [[jaccardNearDups]] — the
+    * bench probe's direct evidence on HOW candidate volume scales with
+    * corpus size at fixed true-pair volume. Emits: inverted-index rows,
+    * df-banded index rows, enumerated ordered pairs (Σ C(df,2) over the
+    * banded df histogram — exactly the pairs the candidate self-join
+    * produces before any filter), pairs surviving the length-ratio
+    * prefilter (pre-distinct), and distinct candidate pairs.
+    *
+    * Context (r5 postmortem): the controlled probe showed near-linear
+    * TIME but a 4.2× shuffle-byte jump for 2× data. These counts plus a
+    * fixed-join-strategy re-measurement showed enumeration is linear
+    * (1.95× shuffle for 2× data with AQE broadcast conversion disabled);
+    * the jump was AQE flipping candidate-sized joins to broadcast at r10
+    * but not at r20 — a measurement artifact of the fixture straddling
+    * the runtime broadcast threshold, not operator superlinearity. */
+  def jaccardStageCounts(docs: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 5, dfMax: Int = 20,
+                         minJaccard: Double = 0.5): Map[String, Long] = {
+    val sh = tracked(shingleTable(docs, idCol, textCol, shingleN))
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("set_size"))
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val banded = dfs.filter(col("df") >= 2 && col("df") <= dfMax)
+    // sum LONGS and halve on the driver: Spark's `/` always yields double,
+    // and df*(df-1) is even so the halving is exact
+    val enumerated = banded
+      .agg(coalesce(sum(col("df") * (col("df") - 1)), lit(0L)).as("n"))
+      .head().getLong(0) / 2
+    val discriminative = sh.join(banded.select("shingle"), Seq("shingle"))
+    val withSize = discriminative.join(sizes, Seq("doc"))
+    val pairs = withSize
+      .select(col("shingle"), col("doc").as("doc_a"), col("set_size").as("size_a"))
+      .join(withSize.select(col("shingle"), col("doc").as("doc_b"),
+        col("set_size").as("size_b")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("size_a"), col("size_b")).cast("double") /
+          greatest(col("size_a"), col("size_b")).cast("double") >= minJaccard)
+    Map(
+      "index_rows" -> sh.count(),
+      "banded_index_rows" -> discriminative.count(),
+      "enumerated_pairs" -> enumerated,
+      "ratio_kept_pairs" -> pairs.count(),
+      "distinct_pairs" -> pairs.select("doc_a", "doc_b").distinct().count())
   }
 
   /** Subset-duplication detector: containment C(A,B) = |A∩B| / min(|A|,|B|)

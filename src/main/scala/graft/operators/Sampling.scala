@@ -133,6 +133,75 @@ object Sampling {
       .drop("src", "rate_bp")
   }
 
+  /** DSIR-style target-distribution data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw doc by how target-like its hashed n-gram profile is
+    * — per-bucket importance ratios between a small TARGET corpus (the
+    * distribution you want more of) and the RAW corpus — and keep the
+    * top `n`. The hashed-feature trick is the paper's: n-grams collapse
+    * into `buckets` hash buckets, so both "distributions" are
+    * fixed-size histograms regardless of vocabulary.
+    *
+    * Portability (the [[mixtureSample]] discipline): DSIR's
+    * Σ log(p_t/p_r) is a transcendental sum — last-ulp libm variance AND
+    * order-dependent float addition. Here each bucket's importance ratio
+    * (add-one smoothed) is ONE correctly rounded double division scaled
+    * to fixed point — `floor((tc+1)·(T_r+B) / ((rc+1)·(T_t+B)) · 2^20)`,
+    * exact-integer-valued doubles in, BIGINT out — so a doc's score is
+    * an order-free integer sum of per-gram bucket affinities, normalized
+    * by integer division. Arithmetic-mean-of-ratios rather than the
+    * paper's geometric mean: the same "upweight target-typical grams"
+    * signal, bit-reproducible in any IEEE engine; exact bucket counts
+    * are emitted by the histogram so a downstream consumer can apply
+    * the true log formula where cross-engine parity doesn't matter.
+    *
+    * Scale shape: two histogram aggregates bounded by `buckets` rows,
+    * ratio table broadcast back to the raw gram stream (map-side join),
+    * per-doc partial aggregation collapses each doc before the one
+    * O(docs) shuffle, and the top-n is a TakeOrdered — no global sort,
+    * the corpus never shuffles whole rows. The target corpus is re-read
+    * once for its histogram only.
+    *
+    * Output: (id, n_grams, score) for the selected docs, score =
+    * per-gram mean affinity in 2^-20 units. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, n: Int, buckets: Int = 256,
+                 gramN: Int = 2): DataFrame = {
+    import graft.functions.Text
+    def grams(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(Text.shinglesFromTokens(
+        Text.tokens(lower(col(textCol))), gramN)).as("gram"): _*)
+    def bucketOf(g: Column): Column = hashBucket(g, buckets)
+    val tHist = grams(target).groupBy(bucketOf(col("gram")).as("bucket"))
+      .agg(count(lit(1)).as("tc"))
+    val rGrams = grams(raw, col(idCol))
+    val rHist = rGrams.groupBy(bucketOf(col("gram")).as("bucket"))
+      .agg(count(lit(1)).as("rc"))
+    val tTot = tHist.agg(coalesce(sum(col("tc")), lit(0L)).as("t_tot"))
+    val rTot = rHist.agg(coalesce(sum(col("rc")), lit(0L)).as("r_tot"))
+    // domain = buckets present in raw (only those are ever looked up);
+    // target-absent buckets smooth to tc=0
+    val ratio = rHist
+      .join(tHist, Seq("bucket"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("bucket"),
+        floor((coalesce(col("tc"), lit(0L)) + lit(1L)).cast("double")
+            * (col("r_tot") + lit(buckets.toLong)).cast("double")
+          / ((col("rc") + lit(1L)).cast("double")
+            * (col("t_tot") + lit(buckets.toLong)).cast("double"))
+          * lit(1048576.0)).cast("long").as("affinity"))
+    rGrams.select(col(idCol), bucketOf(col("gram")).as("bucket"))
+      .join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("affinity")).as("aff_sum"))
+      // integral division (not `/` + cast: that routes through a double,
+      // which loses exactness once aff_sum nears 2^53 on huge docs)
+      .select(col(idCol), col("n_grams"),
+        expr("aff_sum div n_grams").as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(n)
+  }
+
   /** DuckDB twin of [[mixtureSample]] for oracle SQL: same integer-scaled
     * sqrt weights, same op order, same md5 bucket rule. */
   def duckdbMixtureSampleSql(table: String, idCol: String, sourceCol: String,

@@ -294,6 +294,44 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((11L, 12L, 0.3))) // the boundary pair survived
   }
 
+  test("jaccard stage counts match the hand-computed candidate funnel") {
+    // 1-shingles: d1={a,b,c} d2={a,b,d} d3={a,e,f}, all size 3.
+    // dfs: a=3 b=2 c=d=e=f=1 → banded [2,20] = {a,b}.
+    // index_rows = 9; banded rows = a:3 + b:2 = 5;
+    // Σ C(df,2) = C(3,2)+C(2,2) = 4; all sizes equal ⇒ ratio keeps all 4
+    // per-shingle ordered pairs; distinct pairs = {12,13,23} = 3.
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "a e f"))
+      .toDF("doc_id", "text")
+    val counts = Dedup.jaccardStageCounts(docs, "doc_id", "text",
+      shingleN = 1, dfMax = 20, minJaccard = 0.5)
+    assert(counts == Map(
+      "index_rows" -> 9L, "banded_index_rows" -> 5L,
+      "enumerated_pairs" -> 4L, "ratio_kept_pairs" -> 4L,
+      "distinct_pairs" -> 3L), counts.toString)
+  }
+
+  test("incremental minhash: store near-dups rejected, batch components collapse, history untouched") {
+    def sent(ws: Seq[String]) = ws.mkString(" ")
+    val storeWords = (1 to 20).map(i => s"stored$i")
+    val batchWords = (1 to 20).map(i => s"fresh$i")
+    val store = Seq((10L, sent(storeWords))).toDF("doc_id", "text")
+    val batch = Seq(
+      (21L, sent(batchWords)),               // genuinely new → kept
+      (22L, sent(storeWords.dropRight(1))),  // near-copy of store 10 → dropped
+      (23L, sent(batchWords.dropRight(1))),  // near-copy of 21 → collapses to 21
+      (24L, sent((1 to 20).map(i => s"other$i")))) // new → kept
+      .toDF("doc_id", "text")
+    val storeSigs = Dedup.minhashSignaturesPortable(store, "doc_id", "text")
+    val kept = Dedup.newAgainstStoreMinhash(batch, "doc_id", "text", storeSigs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(21L, 24L), kept.toString)
+    // the same batch against an empty store keeps the within-batch policy
+    val kept2 = Dedup.newAgainstStoreMinhash(batch, "doc_id", "text",
+        storeSigs.limit(0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(21L, 22L, 24L), kept2.toString)
+  }
+
   test("duplicated spans: exact cross-doc windows, coverage union, hash-invariant") {
     val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
     val d = Seq(

@@ -161,4 +161,53 @@ class PackingSamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept.map(_.getLong(0)).toSet == kept2)
   }
+
+  test("dsir select ranks target-like docs first, scores match the fixed-point formula") {
+    // target corpus: "alpha beta" style grams; raw: 3 target-like docs,
+    // 3 alien docs. Bucket collisions are irrelevant to the independent
+    // recompute below (it hashes the same way).
+    val target = Seq("alpha beta gamma delta", "alpha beta gamma", "beta gamma delta")
+      .toDF("text")
+    val raw = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "beta gamma delta epsilon"),
+      (3L, "alpha beta"), (4L, "zig zag zoom"),
+      (5L, "quux corge grault"), (6L, "wib wob web"))
+      .toDF("doc_id", "text")
+    val buckets = 64
+    val got = Sampling.dsirSelect(raw, target, "doc_id", "text",
+      n = 6, buckets = buckets, gramN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // independent recompute: same md5 bucketing via MessageDigest, same
+    // smoothed fixed-point ratio, same integer mean
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def bucket(g: String) = java.lang.Long.parseLong(md5hex(g).take(8), 16) % buckets
+    def grams(t: String) = {
+      val toks = t.toLowerCase.trim.split("\\s+").toSeq
+      if (toks.length <= 1) Seq(toks.mkString(" "))
+      else toks.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val rawDocs = Map(1L -> "alpha beta gamma delta", 2L -> "beta gamma delta epsilon",
+      3L -> "alpha beta", 4L -> "zig zag zoom", 5L -> "quux corge grault",
+      6L -> "wib wob web")
+    val tCnt = target.collect().map(_.getString(0)).flatMap(grams)
+      .groupBy(bucket).view.mapValues(_.length.toLong).toMap
+    val rAll = rawDocs.values.flatMap(grams).toSeq
+    val rCnt = rAll.groupBy(bucket).view.mapValues(_.length.toLong).toMap
+    val (tTot, rTot) = (tCnt.values.sum, rAll.size.toLong)
+    def affinity(b: Long): Long =
+      math.floor((tCnt.getOrElse(b, 0L) + 1L).toDouble * (rTot + buckets).toDouble
+        / ((rCnt(b) + 1L).toDouble * (tTot + buckets).toDouble) * 1048576.0).toLong
+    val expected = rawDocs.map { case (id, t) =>
+      val gs = grams(t)
+      val s = gs.map(g => affinity(bucket(g))).sum
+      (id, gs.size.toLong, s / gs.size)
+    }.toSeq.sortBy { case (id, _, sc) => (-sc, id) }
+    assert(got.toSeq == expected, s"got=${got.toSeq} expected=$expected")
+    // the target-like docs outrank every alien doc
+    val rank = got.map(_._1).toSeq
+    assert(Set(1L, 2L, 3L).subsetOf(rank.take(3).toSet), rank.toString)
+  }
 }
