@@ -551,6 +551,49 @@ object Dedup {
     keepCanonical(fresh, idCol, pairs)
   }
 
+  /** foreachBatch body for STREAMING near-dup ingestion: dedup `batch`
+    * against the persistent signature table (created on first batch),
+    * append the survivors' signatures so later micro-batches reject
+    * near-dups of everything kept so far, and return the survivors for
+    * the caller's corpus sink. The streaming face of
+    * [[newAgainstStoreMinhash]]: within a micro-batch the policy is
+    * identical (store rejection, then min-id component collapse); across
+    * micro-batches it is first-seen-wins in ARRIVAL order — equal to the
+    * one-shot min-id collapse whenever ingestion order follows ids and
+    * near-dup chains don't straddle batch boundaries (rejected docs'
+    * signatures are deliberately NOT stored, matching the batch
+    * operator's fresh-only pairing).
+    *
+    * Scale: the signature table grows by survivors only and is read once
+    * per micro-batch; persist it bucketed on the band key
+    * ([[graft.sources.Sinks.bucketedTable]] discipline) and each
+    * micro-batch's store join is shuffle-free on the history side. */
+  def ingestMinhash(spark: org.apache.spark.sql.SparkSession,
+                    batch: DataFrame, idCol: String, textCol: String,
+                    sigTable: String, numHashes: Int = 16, bands: Int = 8,
+                    shingleN: Int = 5,
+                    minEstJaccard: Double = 0.3): DataFrame = {
+    val storeSigs =
+      if (spark.catalog.tableExists(sigTable)) spark.table(sigTable)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sig",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType)))))
+    // localCheckpoint (eager): cut lineage BEFORE the store append below
+    // mutates sigTable — a lazy `kept` recomputed afterwards would see
+    // its own signatures in the store and reject every survivor
+    val kept = newAgainstStoreMinhash(batch, idCol, textCol, storeSigs,
+      numHashes, bands, shingleN, minEstJaccard)
+      .localCheckpoint()
+    minhashSignaturesPortable(kept, idCol, textCol, numHashes, shingleN)
+      .write.mode("append").saveAsTable(sigTable)
+    kept
+  }
+
   /** The dedup KEEP-list: every doc not in any near-dup pair, plus the
     * canonical (minimum-id) doc of each near-dup component. */
   def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {

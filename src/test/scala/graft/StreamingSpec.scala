@@ -158,6 +158,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingestion equals the batch twin across micro-batches") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val sigT = "ingest_sigs_stream"
+    spark.sql(s"DROP TABLE IF EXISTS $sigT")
+    def sent(p: String) = (1 to 20).map(i => s"$p$i").mkString(" ")
+    def dropLast(t: String) = t.split(" ").dropRight(1).mkString(" ")
+    val keptIds = scala.collection.mutable.Set.empty[Long]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        keptIds ++= Dedup.ingestMinhash(batch.sparkSession, batch,
+          "doc_id", "text", sigT).select("doc_id")
+          .collect().map(_.getLong(0))
+        graft.operators.Caches.unpersistScope("dedup")
+        ()
+      }.start()
+    try {
+      // batch 1: two distinct docs + a near-copy of the first
+      input.addData((1L, sent("alpha")), (2L, sent("beta")),
+        (3L, dropLast(sent("alpha"))))
+      q.processAllAvailable()
+      // batch 2: near-copies of batch-1 SURVIVORS (cross-batch store
+      // rejection) + one genuinely new doc
+      input.addData((4L, dropLast(sent("beta"))), (5L, sent("gamma")))
+      q.processAllAvailable()
+      assert(keptIds.toSet == Set(1L, 2L, 5L), keptIds.toString)
+      // batch twin over the union with an empty store: same keep set
+      // (ids arrive in increasing order, so first-seen == min-id)
+      val all = Seq((1L, sent("alpha")), (2L, sent("beta")),
+        (3L, dropLast(sent("alpha"))), (4L, dropLast(sent("beta"))),
+        (5L, sent("gamma"))).toDF("doc_id", "text")
+      val emptyStore = Dedup.minhashSignaturesPortable(
+        all.limit(0), "doc_id", "text")
+      val oneShot = Dedup.newAgainstStoreMinhash(all, "doc_id", "text",
+        emptyStore).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(oneShot == keptIds.toSet, s"one-shot=$oneShot stream=$keptIds")
+      // the signature store grew by survivors only
+      assert(spark.table(sigT).count() == 3L)
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $sigT")
+    }
+  }
+
   test("windowed watermarked stats over a bounded stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[LogEvent]
