@@ -453,12 +453,20 @@ object Bench {
       val stagesJson =
         if (!jaccardStages) ""
         else {
-          val counts = graft.operators.Dedup.jaccardStageCounts(
+          def fmt(counts: Map[String, Long]) = counts.toSeq.sortBy(_._1)
+            .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+          val jc = graft.operators.Dedup.jaccardStageCounts(
             SparkEntry.jaccardCorpus(spark, scaledDir), "doc_id", "text",
             shingleN = 5, dfMax = 20, minJaccard = 0.3)
           graft.operators.Caches.unpersistAll()
-          s""","jaccard_stages":${counts.toSeq.sortBy(_._1)
-            .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")}"""
+          // containment candidates = the same df-banded pairs with NO
+          // ratio prefilter (minJaccard=0 keeps every enumerated pair) —
+          // the funnel evidence for the probe's no-prefilter suspect
+          val cc = graft.operators.Dedup.jaccardStageCounts(
+            SparkEntry.containmentCorpus(spark, scaledDir), "doc_id", "text",
+            shingleN = 5, dfMax = 20, minJaccard = 0.0)
+          graft.operators.Caches.unpersistAll()
+          s""","jaccard_stages":${fmt(jc)},"containment_stages":${fmt(cc)}"""
         }
       val recallJson =
         if (!withRecall) ""

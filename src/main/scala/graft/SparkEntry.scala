@@ -67,6 +67,18 @@ object SparkEntry {
       cents(col("value")).as("memory_usage"))
       .withColumn("pattern_id", Normalize.fingerprint(col("query")))
 
+  /** The containment corpus (documents + 12-token excerpts of every 20th
+    * doc) — shared by `q_dedup_containment` and the bench probe's
+    * stage-count instrumentation so both measure the same population. */
+  private[graft] def containmentCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val excerpts = d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        array_join(slice(Text.tokens(col("text")), lit(1), lit(12)), " ")
+          .as("text"))
+    d.unionByName(excerpts)
+  }
+
   /** The jaccard near-dup corpus (documents + drop-last-token planted
     * copies) — shared by `q_dedup_jaccard` and the bench probe's
     * stage-count instrumentation so both measure the same population. */
@@ -690,16 +702,10 @@ object SparkEntry {
     // doc are planted — their shingles sit wholly inside the original, so
     // containment ≈ 1 while symmetric Jaccard is far below any useful
     // threshold; the case jaccard structurally misses.
-    "q_dedup_containment" -> ((s, dir) => {
-      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val excerpts = d.filter(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          array_join(slice(Text.tokens(col("text")), lit(1), lit(12)), " ")
-            .as("text"))
-      Dedup.containmentNearDups(d.unionByName(excerpts), "doc_id", "text",
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.containmentNearDups(containmentCorpus(s, dir), "doc_id", "text",
         shingleN = 5, dfMax = 20, minContainment = 0.8)
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // Cross-doc duplicated-SPAN detection (windowed substring dedup) in
     // the xxhash64 SCALE configuration. Still fully oracle-exact: every
@@ -711,6 +717,17 @@ object SparkEntry {
     "q_span_dedup" -> ((s, dir) =>
       Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text",
         w = 8, maxDf = 64)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // Duplicated-span REMOVAL on the excerpt-planted corpus: every
+    // window of a planted excerpt exists in its source doc, so the
+    // excerpt (non-canonical, higher id) is scrubbed to empty while the
+    // source keeps its text — clean_text itself is hash-choice-invariant
+    // and fully under the md5 oracle.
+    "q_span_scrub" -> ((s, dir) =>
+      Dedup.removeDuplicatedSpans(containmentCorpus(s, dir), "doc_id",
+        "text", w = 8, maxDf = 64)
         .withColumnRenamed("doc", "doc_id")
         .orderBy(col("doc_id"))),
 
@@ -837,13 +854,11 @@ object SparkEntry {
           greatest(size(Text.tokens(col("text"))) - 1, lit(1))), " ").as("text"),
         col("lang"))
       val corpus = d.unionByName(planted)
-      val uniq = graft.operators.CorpusReport.exactUnique(corpus, "doc_id", "text", "lang")
-      val pairs = graft.operators.Dedup.jaccardNearDups(uniq, "doc_id", "text",
-        shingleN = 5, dfMax = 20, minJaccard = 0.5).select("doc_a", "doc_b")
-      val keep = graft.operators.Dedup.keepCanonical(
-        uniq.select("doc_id"), "doc_id", pairs)
-      graft.operators.CorpusReport.funnel(corpus, "doc_id", "text", "lang",
-        nearDupKeep = Some(keep)).orderBy(col("stage_idx"))
+      graft.operators.CorpusReport.funnelWithNearDup(corpus, "doc_id", "text",
+        "lang", uniq => graft.operators.Dedup.jaccardNearDups(uniq, "doc_id",
+          "text", shingleN = 5, dfMax = 20, minJaccard = 0.5)
+          .select("doc_a", "doc_b"))
+        .orderBy(col("stage_idx"))
     }),
 
     // Document fingerprint, DEFAULT = native O(n) rolling-hash expression.
@@ -2962,6 +2977,48 @@ object SparkEntry {
           |FROM tot t
           |LEFT JOIN dw d USING (doc_id)
           |LEFT JOIN cov c USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
+
+      // Span removal: same md5 window mirror plus the min-id canonical
+      // per window; DuckDB rebuilds every doc's removed-index set and the
+      // filtered token stream — clean_text must agree byte-for-byte.
+      "q_span_scrub" ->
+        """WITH planted AS (
+          |  SELECT doc_id + 2000000 AS doc_id,
+          |    array_to_string(toks[1:12], ' ') AS text
+          |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          |        FROM documents WHERE doc_id % 20 = 0)),
+          |base AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id, text FROM planted),
+          |tok AS (
+          |  SELECT doc_id AS doc,
+          |    string_split_regex(trim(lower(text)), '\s+') AS toks
+          |  FROM base),
+          |wins AS (
+          |  SELECT doc, i - 1 AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS h
+          |  FROM (SELECT doc, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+          |        FROM tok WHERE len(toks) >= 8)),
+          |banded AS (
+          |  SELECT h, min(doc) AS canon FROM wins
+          |  GROUP BY h HAVING count(DISTINCT doc) BETWEEN 2 AND 64),
+          |rem AS (
+          |  SELECT w.doc,
+          |    list_distinct(flatten(list(generate_series(w.pos, w.pos + 7))))
+          |      AS rem
+          |  FROM wins w JOIN banded b ON w.h = b.h AND w.doc <> b.canon
+          |  GROUP BY w.doc)
+          |SELECT t.doc AS doc_id,
+          |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+          |  CAST(coalesce(len(r.rem), 0) AS BIGINT) AS n_removed,
+          |  CASE WHEN r.rem IS NULL THEN array_to_string(t.toks, ' ')
+          |  -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+          |  -- array_join([]) is '' — fully scrubbed docs must agree
+          |  ELSE coalesce(array_to_string(list_transform(
+          |    list_filter(generate_series(0, len(t.toks) - 1),
+          |      i -> NOT list_contains(r.rem, i)),
+          |    i -> t.toks[i + 1]), ' '), '') END AS clean_text
+          |FROM tok t LEFT JOIN rem r ON r.doc = t.doc
           |ORDER BY doc_id""".stripMargin,
 
       // Frame sampling is pure byte arithmetic; documents are ASCII, so

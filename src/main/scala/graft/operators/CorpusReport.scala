@@ -68,4 +68,40 @@ object CorpusReport {
         3, "neardup_kept"))
     }
   }
+
+  /** Whole-funnel form owning the near-dup stage: computes the gate and
+    * the exact-dedup window ONCE each (cached, scope "corpus" — caller
+    * releases via `Caches.unpersistScope("corpus")`), builds the pair set
+    * over the cached stage-2 survivors with the caller's `pairsOf`
+    * (e.g. `Dedup.jaccardNearDups(_, ...)`), and reports all four
+    * stages. The composed [[funnel]]+[[exactUnique]] route evaluates the
+    * gate once per stage branch and the window three times — 4 corpus
+    * passes this form collapses to 1 gate + 1 window + the pair build. */
+  def funnelWithNearDup(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String,
+                        pairsOf: DataFrame => DataFrame): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol).as("text"))
+    val kept = Caches.tracked(base.join(
+      QualityFilter(docs, idCol, textCol, langCol)
+        .filter(col("keep")).select(idCol),
+      Seq(idCol), "left_semi"), "corpus")
+    val w = Window
+      .partitionBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .orderBy(col(idCol))
+    val uniq = Caches.tracked(kept.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn"), "corpus")
+    val keep = graft.operators.Dedup.keepCanonical(
+      uniq.select(col(idCol)), idCol, pairsOf(uniq))
+    def stage(df: DataFrame, idx: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount(col("text"))).as("n_tokens"))
+        .select(lit(idx).cast("long").as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    stage(base, 0, "ingest")
+      .unionByName(stage(kept, 1, "quality_kept"))
+      .unionByName(stage(uniq, 2, "exact_unique"))
+      .unionByName(stage(
+        uniq.join(keep.select(col(idCol)), Seq(idCol), "left_semi"),
+        3, "neardup_kept"))
+  }
 }

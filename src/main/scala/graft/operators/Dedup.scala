@@ -822,6 +822,57 @@ object Dedup {
           / col("n_toks").cast("double"), 5).as("dup_token_frac"))
   }
 
+  /** Cross-doc duplicated-span REMOVAL — the dedup half of
+    * [[duplicatedSpans]] (Lee et al. 2022 remove repeated substrings,
+    * not whole documents): every w-token window shared by 2..maxDf docs
+    * keeps its text only in the window's canonical (minimum-id) doc;
+    * every other doc loses the covered tokens. Boilerplate, license
+    * headers, and syndicated passages vanish corpus-wide while one copy
+    * survives, and unique prose is untouched.
+    *
+    * Output per input doc: (doc, n_tokens, n_removed, clean_text) where
+    * `clean_text` is the doc's normalized (lowercased, single-spaced)
+    * token stream minus the union of its non-canonical dup windows —
+    * span identity is case-insensitive, matching the detector.
+    *
+    * Scale shape mirrors the detector: in-row window hashing (native
+    * one-pass [[graft.plans.TokenWindowHash64]]), ONE window-granularity
+    * aggregate carrying both the df band and the canonical min-id, an
+    * 8-byte-key join back, and in-row interval union + token filtering —
+    * the only shuffles move (hash, doc, pos) triples. Output is
+    * hash-CHOICE-invariant (the hash is only a join key; equal windows
+    * hash equal under any function), so the xxhash64 default is
+    * oracle-verifiable against an md5 recompute. */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            w: Int = 8, maxDf: Int = 64): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+      Text.tokens(lower(col(textCol))).as("toks"))
+    val eligible = toks.filter(size(col("toks")) >= w)
+      .select(col("doc"),
+        graft.plans.TokenWindowHash64.tokenWindowHash(col("toks"), w).as("whs"))
+    val wins = tracked(eligible.select(col("doc"), posexplode(col("whs")))
+      .withColumnRenamed("col", "h"))
+    // df band and canonical owner in ONE aggregate over the window table
+    val banded = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc")).as("df"), min(col("doc")).as("canon"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("h", "canon")
+    val removed = wins.join(banded, Seq("h"))
+      .filter(col("doc") =!= col("canon"))
+      .groupBy(col("doc"))
+      .agg(collect_list(col("pos")).as("ps"))
+      .select(col("doc"), array_distinct(flatten(transform(col("ps"),
+        p => sequence(p, p + w - 1)))).as("rem"))
+    toks.join(removed, Seq("doc"), "left")
+      .select(col("doc"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("rem")), lit(0)).cast("long").as("n_removed"),
+        when(col("rem").isNull, array_join(col("toks"), " "))
+          .otherwise(array_join(filter(col("toks"),
+            (_, i) => !array_contains(col("rem"), i)), " "))
+          .as("clean_text"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup via
     * clustering: k-means the embedding space, then search for near-dup
     * pairs only WITHIN each cluster. The published scale path for

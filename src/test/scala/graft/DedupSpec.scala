@@ -332,6 +332,22 @@ class DedupSpec extends SparkSpec {
     assert(kept2 == Set(21L, 22L, 24L), kept2.toString)
   }
 
+  test("span removal: canonical keeps the span, others lose exactly the covered tokens") {
+    val span = (1 to 10).map(i => s"shared$i")  // 10 tokens → 3 windows at w=8
+    val d = Seq(
+      (1L, (span ++ Seq("tail1", "tail2")).mkString(" ")),  // canonical (min id)
+      (2L, (Seq("head1", "head2") ++ span).mkString(" ")),  // loses span only
+      (3L, (1 to 12).map(i => s"unique$i").mkString(" ")))  // untouched
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(d, "doc_id", "text", w = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((12L, 0L, (span ++ Seq("tail1", "tail2")).mkString(" "))))
+    // doc 2: windows at pos 2..4 cover tokens 2..11 = the whole span
+    assert(got(2L) == ((12L, 10L, "head1 head2")))
+    assert(got(3L) == ((12L, 0L, (1 to 12).map(i => s"unique$i").mkString(" "))))
+  }
+
   test("duplicated spans: exact cross-doc windows, coverage union, hash-invariant") {
     val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
     val d = Seq(
