@@ -423,8 +423,8 @@ object Dedup {
 
   /** LSH banding of portable signatures: (doc, band, bh) — band b's bucket
     * key is the md5 of its `numHashes/bands` signature positions. */
-  private def bandedPortable(sig: DataFrame, numHashes: Int,
-                             bands: Int): DataFrame = {
+  private[graft] def bandedPortable(sig: DataFrame, numHashes: Int,
+                                    bands: Int): DataFrame = {
     val r = numHashes / bands
     sig.select(col("doc"), posexplode(
         array((0 until bands).map(b =>
@@ -495,7 +495,8 @@ object Dedup {
     * never recomputed — each new batch hashes only itself (batch-sized
     * shingle work), then meets the store in banded equi-joins keyed on
     * (band, band-hash). Persist the store PRE-BANDED and bucketed on the
-    * band key ([[graft.sources.Sinks.bucketedTable]]) and ingestion never
+    * composite band key ([[graft.sources.Sinks.bucketedTableOn]], proven
+    * Exchange-free in `PlanAuditSpec`) and ingestion never
     * shuffles history at all — the same discipline as
     * [[newAgainstStore]]'s fingerprint store, generalized to near-dup
     * identity. Store-side buckets are capped like every banded join here
@@ -511,13 +512,19 @@ object Dedup {
   def newAgainstStoreMinhash(batch: DataFrame, idCol: String, textCol: String,
                              storeSigs: DataFrame, numHashes: Int = 16,
                              bands: Int = 8, shingleN: Int = 5,
-                             minEstJaccard: Double = 0.3): DataFrame = {
+                             minEstJaccard: Double = 0.3,
+                             storeBanded: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val batchSigs = tracked(minhashSignaturesPortable(
       batch, idCol, textCol, numHashes, shingleN))
     val store = tracked(storeSigs.select(col("doc"), col("sig")))
     val bBatch = tracked(bandedPortable(batchSigs, numHashes, bands))
-    val bStore = bandedPortable(store, numHashes, bands)
+    // storeBanded: the (doc, band, bh) table persisted AT INGEST TIME,
+    // bucketed on (band, bh) (Sinks.bucketedTableOn — the full composite
+    // join key, or Spark disables the bucketed scan) — the join then
+    // plans with NO Exchange above the history scan (PlanAuditSpec);
+    // without it the banding is recomputed from the signatures here
+    val bStore = storeBanded.getOrElse(bandedPortable(store, numHashes, bands))
     def est(a: Column, b: Column): Column =
       size(filter(zip_with(a, b, (x, y) => x === y), p => p))
         .cast("double") / lit(numHashes.toDouble)
@@ -565,8 +572,8 @@ object Dedup {
     * operator's fresh-only pairing).
     *
     * Scale: the signature table grows by survivors only and is read once
-    * per micro-batch; persist it bucketed on the band key
-    * ([[graft.sources.Sinks.bucketedTable]] discipline) and each
+    * per micro-batch; persist it bucketed on the composite band key
+    * ([[graft.sources.Sinks.bucketedTableOn]] discipline) and each
     * micro-batch's store join is shuffle-free on the history side. */
   def ingestMinhash(spark: org.apache.spark.sql.SparkSession,
                     batch: DataFrame, idCol: String, textCol: String,

@@ -89,10 +89,20 @@ object Sinks {
     * in-memory catalog locally and any metastore on a cluster.
     * `SinksSpec` proves the no-Exchange join plan. */
   def bucketedTable(df: DataFrame, table: String, bucketCol: String,
-                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    val w = df.repartition(numBuckets, col(bucketCol))
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit =
+    bucketedTableOn(df, table, Seq(bucketCol), numBuckets, sortCols)
+
+  /** Multi-column bucket key variant: Spark only plans a bucketed scan
+    * when the join keys match the bucket columns EXACTLY, so a composite
+    * join key (e.g. the LSH store's (band, band-hash)) must bucket on
+    * the full composite — bucketing on a subset is "disabled by query
+    * planner" at join time and silently shuffles. */
+  def bucketedTableOn(df: DataFrame, table: String, bucketCols: Seq[String],
+                      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val w = df.repartition(numBuckets, bucketCols.map(col): _*)
       .write.mode("overwrite")
-    val b = w.bucketBy(numBuckets, bucketCol)
+    val b = w.bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) b.sortBy(sortCols.head, sortCols.tail: _*) else b)
       .format("parquet").saveAsTable(table)
   }

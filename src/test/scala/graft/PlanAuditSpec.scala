@@ -106,6 +106,43 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("pre-banded signature store: candidate join plans with no Exchange above the history scan") {
+    import graft.operators.Dedup
+    val t = "sig_store_banded_audit"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    try {
+      val store = (1 to 30).map(i =>
+        (i.toLong, (1 to 20).map(j => s"w${i}_$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      val sigs = Dedup.minhashSignaturesPortable(store, "doc_id", "text")
+      graft.sources.Sinks.bucketedTableOn(
+        Dedup.bandedPortable(sigs, 16, 8), t, Seq("band", "bh"), 4)
+      val batch = Seq((100L, (1 to 20).map(j => s"w5_$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      val bBatch = Dedup.bandedPortable(
+        Dedup.minhashSignaturesPortable(batch, "doc_id", "text"), 16, 8)
+      // force the sort-merge shape a real (large-batch) ingest would plan
+      // — a broadcast of the tiny test batch would bypass distribution
+      // requirements entirely and prove nothing about the store side
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cand = bBatch.join(spark.table(t), Seq("band", "bh"))
+      val p = plan(cand)
+      // bucketed history scan: bucket metadata present, and EVERY
+      // Exchange lives in the batch branch (the join's FIRST child, whose
+      // subtree lines carry the ':' tree prefix) — the store branch plans
+      // none above its scan
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("SelectedBucketsCount"), p)
+      val exchangeLines = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+      assert(exchangeLines.nonEmpty && exchangeLines.forall(_.contains(":")), p)
+      // and the candidate semantics survive the bucketed layout
+      assert(cand.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("bucket-pruned enrich: untouched bucket files byte-identical, touched bucket pure, merge-equal") {
     import java.sql.Timestamp
     def pats(ids: Seq[String], freq: Long) = ids.map(id =>
