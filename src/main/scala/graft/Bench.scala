@@ -306,13 +306,19 @@ object Bench {
     val mn = timed.map { case (n, (ts, _)) => n -> ts.min }
     val sh = timed.map { case (n, (_, (r, w))) => n -> r2(r + w) }
     val calMed = if (cal.isEmpty) 0.0 else median(cal)
-    // query i's window is bracketed by samples i and i+1; > calThreshold×
-    // either side of the phase's own median marks the window contended
-    // (2× for the engine phase; 1.5× for scale phases, whose r5 list
-    // demonstrably under-flagged GC adjacency)
+    // query i's window is bracketed by samples i and i+1; a sample marks
+    // the window contended when it exceeds calThreshold× the phase's own
+    // median (2× for the engine phase; 1.5× for scale phases, whose r5
+    // list demonstrably under-flagged GC adjacency) AND clears an
+    // absolute 150 ms slack over that median. The relative test alone
+    // flagged 50-60 ms of scheduler jitter on the ~100 ms clean floor as
+    // "contamination" (r6 isolated sf1 run: flat 0.09-0.16 s series, four
+    // spurious flags); real contention measures in multiples of the floor
+    // (the r6 shared-session sf1 tail hit 0.68-1.62 s) and still trips
+    // both tests.
+    def hot(c: Double) = c > calThreshold * calMed && c > calMed + 0.15
     val contaminated = timed.indices.collect {
-      case i if calMed > 0 &&
-        (cal(i) > calThreshold * calMed || cal(i + 1) > calThreshold * calMed) => timed(i)._1
+      case i if calMed > 0 && (hot(cal(i)) || hot(cal(i + 1))) => timed(i)._1
     }
     val calPer = timed.indices.map(i => timed(i)._1 -> r2(cal(i)))
     val total = med.map(_._2).sum
@@ -369,13 +375,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def mkSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = mkSession()
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warm-up
     spark.read.parquet(s"$sfDir/nation.parquet").count() // IO warm-up
     // SPARK_GRAFT_ONLY=q_a,q_b: iterate on a subset (skips the scale phases)
@@ -419,6 +429,20 @@ object Bench {
                    phaseIters: Int, withRecall: Boolean,
                    fixedJoin: Boolean = false,
                    jaccardStages: Boolean = false): String = {
+      // PHASE ISOLATION (r6): each scale phase gets a fresh SparkSession.
+      // Sharing one session across the whole run let the engine phase's
+      // ~330 executions degrade the sf1 tail — calibration (pure-CPU
+      // fixed work) drifted to 13× its clean value and flagged 9/24
+      // entries, while the identical phase in a fresh JVM ran flat at
+      // 0.11-0.21 s with clean numbers (q_multimodal_features 1.01 s vs
+      // 6.72 s contaminated). A context teardown drops the accumulated
+      // driver state (listener/status stores, block manager, cleaner
+      // backlog); codegen/JIT caches survive in the JVM, so the untimed
+      // per-query warm-up still covers compilation bias.
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      spark = mkSession()
       val dirTag = if (mode == "natural") s"graft_x${replicas}_$srcTag"
         else s"graft_x${replicas}_${mode}_$srcTag"
       val envOverride =
