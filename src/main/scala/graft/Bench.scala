@@ -425,6 +425,18 @@ object Bench {
       * with the strategy pinned the same curve measures 1.95× for 2×
       * (linear). Production configs keep AQE's flip: it is strictly a
       * shuffle SAVING at the smaller scale, not a cost at the larger. */
+    // Per-phase min-of-iters, kept for the cross-phase inversion report
+    // (key = s"x${replicas}_$mode"). The calibration sentinel brackets
+    // each query with fixed-work samples, so it catches contention that
+    // ARRIVES mid-phase — but a slowdown uniform across all of a query's
+    // iterations (CPU thermal / co-tenant pressure spanning the whole
+    // window) slows query and calibration alike and is invisible to it.
+    // A 10×-data min slower than the same query's 20×-data min is
+    // physically impossible on clean numbers, so the artifact reports
+    // every such inversion itself rather than leaving the contradiction
+    // for the reader to discover.
+    val phaseMins = scala.collection.mutable.Map.empty[String, Map[String, Double]]
+
     def scalePhase(replicas: Int, mode: String, names: Seq[String],
                    phaseIters: Int, withRecall: Boolean,
                    fixedJoin: Boolean = false,
@@ -464,13 +476,14 @@ object Bench {
       val warmSec = (System.nanoTime() - tWarm0) / 1e9
       val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       if (fixedJoin) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val (_, section) =
-        try sectionJson(
-          timeQueries(spark, scaledDir, names, phaseIters, gcBetween = true,
-            warmup = true),
-          calThreshold = 1.5)
+      val timedAndCal =
+        try timeQueries(spark, scaledDir, names, phaseIters, gcBetween = true,
+          warmup = true)
         finally if (fixedJoin)
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      phaseMins(s"x${replicas}_$mode") =
+        timedAndCal._1.map { case (n, (ts, _)) => n -> ts.min }.toMap
+      val (_, section) = sectionJson(timedAndCal, calThreshold = 1.5)
       // Candidate-volume accounting for the jaccard linearity probe: the
       // per-stage row counts that separate "enumeration is quadratic"
       // from "the plan flipped" (Dedup.jaccardStageCounts scaladoc).
@@ -517,10 +530,15 @@ object Bench {
         s""","sf1":${scalePhase(replicas, "natural", names, iters, withRecall = true)}"""
       }
 
-    // 20× second scaling point (class doc); 2 iterations bound its cost.
+    // 20× second scaling point (class doc). Full iteration count (r6):
+    // at 2 iters the min-of-2 on the phase's sub-1.5 s flat-scaling
+    // queries (session stats, token familiarity) carried enough
+    // scheduler noise to invert against their own 10× sibling by
+    // ~0.1 s; a third sample tightens the min where marginal data cost
+    // is smaller than the noise band.
     val sf20Json =
       if (!enabled("SPARK_GRAFT_SF20") || only.isDefined || sf1Only.isDefined) ""
-      else s""","sf20":${scalePhase(20, "natural", Sf20Queries, math.min(iters, 2), withRecall = false)}"""
+      else s""","sf20":${scalePhase(20, "natural", Sf20Queries, iters, withRecall = false)}"""
 
     // Controlled-pair-volume linearity probe (class doc): jaccard under
     // O(replicas) true pair volume, minhash as the known-linear control,
@@ -538,8 +556,30 @@ object Bench {
         s""","probe_controlled":{"r10":$r10,"r20":$r20}"""
       }
 
+    // Cross-phase inversion report (phaseMins scaladoc): every shared
+    // query whose min at the SMALLER natural scale exceeds its min at the
+    // LARGER — impossible on clean numbers, so each listed entry marks
+    // residual measurement noise (uniform-slowdown contamination the
+    // bracketing sentinel cannot see) and its magnitude. Empty = the two
+    // scale points are mutually consistent.
+    val scaleInversions = {
+      val nat = phaseMins.collect { case (k, m) if k.endsWith("_natural") =>
+        k.stripPrefix("x").stripSuffix("_natural").toInt -> m
+      }.toSeq.sortBy(_._1)
+      if (nat.size < 2) ""
+      else {
+        val (rLo, lo) = nat.head
+        val (rHi, hi) = nat.last
+        val inv = (lo.keySet & hi.keySet).toSeq.sorted.collect {
+          case q if lo(q) > hi(q) =>
+            s""""$q":{"x${rLo}_min":${r2(lo(q))},"x${rHi}_min":${r2(hi(q))},"ratio":${r2(lo(q) / hi(q))}}"""
+        }
+        s""","scale_inversions":${inv.mkString("{", ",", "}")}"""
+      }
+    }
+
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,$engineSection,"sf":"$sfDir"$streamingJson$sf1Json$sf20Json$probeJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,$engineSection,"sf":"$sfDir"$streamingJson$sf1Json$sf20Json$probeJson$scaleInversions}"""
     // Marker-prefixed line FIRST: the driver's artifact parser reads the
     // structured payload from `BENCH_JSON: {...}` without depending on
     // stdout tail ordering (r4/r5 artifacts carried parsed:null because
