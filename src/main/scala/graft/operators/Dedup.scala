@@ -110,10 +110,11 @@ object Dedup {
     * that exact dedup should have removed first. groupBy+join rather than a
     * count-over-window: a window would sort every partition; the aggregate
     * is map-side combinable. */
-  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int,
+                         minBucket: Int = 2): DataFrame = {
     val kept = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") >= 2 && col("bucket_n") <= maxBucket)
+      .filter(col("bucket_n") >= minBucket && col("bucket_n") <= maxBucket)
       .select(keys.map(col): _*)
     banded.join(kept, keys)
   }
