@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *  - integer outputs are BIGINT on both sides (DuckDB sums of ints are
   *    HUGEINT → explicitly CAST);
   *  - timestamps are compared as epoch milliseconds (`unix_millis` /
-  *    `epoch_ms`) — events.parquet carries TIMESTAMP(NANOS) which Spark
-  *    truncates to micros, and ms-flooring is truncation-stable;
+  *    `epoch_ms`) — events.parquet has carried TIMESTAMP(NANOS) or
+  *    TIMESTAMP(MICROS) depending on fixture generation; `Tables
+  *    .normalizeEventTs` maps either to micros, and ms-flooring is
+  *    truncation-stable;
   *  - money/metric sums go through exact integer cents
   *    (`round(x*100)::BIGINT` summed) so double addition order can never
   *    flip a result between engines; derived doubles (averages, ratios)
@@ -1471,15 +1473,14 @@ object SparkEntry {
     "q_stream_windowed" -> ((s, dir) => {
       import graft.streaming.StreamingPatterns
       val logsStatic = eventsAsLogs(s, dir)
-      // RAW file schema (ts is INT64 nanos under nanosAsLong) — the
-      // timestamp conversion must happen inside the stream.
+      // RAW file schema (whatever physical ts type the fixture carries) —
+      // the timestamp normalization must happen inside the stream.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
       // The parquet streaming source wants a directory; glob-filter to the
       // events file so sibling tables' schemas don't mix in.
-      val stream = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val stream = Tables.normalizeEventTs(s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
         .select(
           concat(col("event_type"), lit(" "), col("props")).as("query"),
           concat(lit("U"), col("user_id")).as("user"),

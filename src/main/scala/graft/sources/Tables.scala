@@ -34,17 +34,34 @@ object Tables {
     if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(target)
   }
 
-  /** events.ts is parquet TIMESTAMP(NANOS,false), which Spark's vectorized
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw
-    * longs, then truncate to microseconds — the engine's native timestamp
-    * resolution. DuckDB (the oracle) floors identically when asked for
-    * epoch_ms, so comparisons stay exact.
-    */
+  /** events.ts has shipped with different parquet physical types across
+    * fixture generations: TIMESTAMP(NANOS,false) — which Spark's vectorized
+    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]) unless nanosAsLong
+    * maps it to BIGINT — and TIMESTAMP(MICROS), which reads natively as
+    * TIMESTAMP_NTZ (or TIMESTAMP when adjusted to UTC). A real deployment
+    * hits the same drift the first time a log table's timestamp resolution
+    * changes (the reference adapts via a DESCRIBE probe,
+    * `utils/data_acquisition.py:250-293`). Normalize whatever arrived to
+    * session-zoned TimestampType at microsecond resolution; sessions run
+    * UTC, so the NTZ cast is value-identical and DuckDB's epoch_ms agrees
+    * on every path. Works on batch AND streaming frames (type dispatch is
+    * on the static schema, not the data). */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanosAsLong: raw INT64 nanos
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other; expected INT64 nanos, TIMESTAMP_NTZ or TIMESTAMP")
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
+      // Harmless when ts is already MICROS; required to read a NANOS fixture.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spread(spark, spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)")))
+      spread(spark, normalizeEventTs(spark.read.parquet(s"$dir/events.parquet")))
     case n =>
       spread(spark, spark.read.parquet(s"$dir/$n.parquet"))
   }

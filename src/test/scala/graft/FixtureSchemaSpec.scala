@@ -1,0 +1,56 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.types._
+
+/** Guard against driver fixture regeneration drift (round-7 incident: the
+  * regenerated events.parquet switched TIMESTAMP(NANOS) → TIMESTAMP(MICROS)
+  * and the unconditional nanos workaround crashed 35 queries). These tests
+  * load `events` through the production adapter at every shipped SF and
+  * assert the normalized schema, so any future physical-type change fails
+  * HERE, by name, instead of at analysis time in a third of the suite. */
+class FixtureSchemaSpec extends SparkSpec {
+
+  private val sfDirs = Seq("sf0.001", "sf0.01", "sf0.1")
+    .map(sf => s"/root/testdata/$sf")
+    .filter(d => new java.io.File(d, "events.parquet").exists())
+
+  test("events fixture exists at at least one SF") {
+    assert(sfDirs.nonEmpty, "no /root/testdata/sf*/events.parquet found")
+  }
+
+  test("Tables.events normalizes ts to TimestampType at every SF") {
+    sfDirs.foreach { dir =>
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType == TimestampType,
+        s"$dir: ts is ${ev.schema("ts").dataType}, expected TimestampType")
+      // Analysis alone is not enough — force one row through the physical
+      // plan so a reader-level failure (e.g. PARQUET_TYPE_ILLEGAL) surfaces.
+      assert(ev.limit(1).count() == 1L, s"$dir: events read produced no rows")
+    }
+  }
+
+  test("normalizeEventTs handles all three historical ts physical types") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // INT64 nanos (nanosAsLong path): 1.5e9 s * 1e9 ns
+    val nanos = Seq(1500000000000000000L).toDF("ts")
+    val fromNanos = Tables.normalizeEventTs(nanos)
+    assert(fromNanos.schema("ts").dataType == TimestampType)
+    assert(fromNanos.select(unix_millis(col("ts"))).as[Long].head() == 1500000000000L)
+    // TIMESTAMP_NTZ (current fixture): same instant, session is UTC
+    val ntz = Seq(1500000000000L).toDF("ms")
+      .select(timestamp_micros(col("ms") * 1000).cast(TimestampNTZType).as("ts"))
+    val fromNtz = Tables.normalizeEventTs(ntz)
+    assert(fromNtz.schema("ts").dataType == TimestampType)
+    assert(fromNtz.select(unix_millis(col("ts"))).as[Long].head() == 1500000000000L)
+    // TIMESTAMP (already session-zoned): pass-through
+    val ltz = Seq(1500000000000L).toDF("ms")
+      .select(timestamp_micros(col("ms") * 1000).as("ts"))
+    assert(Tables.normalizeEventTs(ltz).schema("ts").dataType == TimestampType)
+    // Anything else is a loud failure, not a silent mis-read
+    intercept[IllegalStateException] {
+      Tables.normalizeEventTs(Seq("x").toDF("ts"))
+    }
+  }
+}
