@@ -163,8 +163,10 @@ object Bench {
                           replicas: Int, mode: String): Unit = {
     val marker = java.nio.file.Paths.get(dstDir, s"_BUILT_V3_r${replicas}_$mode")
     if (java.nio.file.Files.exists(marker)) return
-    // events is TIMESTAMP(NANOS): read raw (ts as long) and write the long
-    // back so graft.sources.Tables.events keeps working on the copy.
+    // Read events RAW (nanosAsLong set in case the fixture is NANOS) and
+    // write whatever physical ts type arrived straight back —
+    // Tables.normalizeEventTs adapts on read, so the copy round-trips
+    // under either fixture generation.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ShiftCols.foreach { case (table, keys) =>
       val src = spark.read.parquet(s"$srcDir/$table.parquet")
@@ -215,17 +217,31 @@ object Bench {
     math.min(once(), once())
   }
 
-  /** Run each named query `iters` times; returns (per-query (wall times,
-    * (shuffle read MB, shuffle write MB) of the LAST iteration)),
-    * plus the calibration series — one sample BEFORE each query and one
-    * after the last, so sample i and i+1 bracket query i's window.
-    * Cache state is wiped between runs so iteration i+1 isn't measured
-    * against iteration i's persisted intermediates. */
-  private def timeQueries(spark: SparkSession, dir: String,
+  /** One query's measurement: wall times per iteration, shuffle MB of the
+    * last iteration, and — if ANY iteration threw — the first error's
+    * first line. A failed query's "times" measure crash latency, not
+    * work, so downstream JSON must exclude it from totals (round-7
+    * postmortem: 35 crashed queries silently "ran" in 0.05–0.08 s each
+    * and IMPROVED the headline total — a bench that can only err
+    * optimistic is not a bench). */
+  private[graft] case class QueryTiming(name: String, times: Seq[Double],
+                                        shuffle: (Double, Double),
+                                        error: Option[String])
+
+  /** Run each named query `iters` times; returns per-query timings plus
+    * the calibration series — one sample BEFORE each query and one after
+    * the last, so sample i and i+1 bracket query i's window. Cache state
+    * is wiped between runs so iteration i+1 isn't measured against
+    * iteration i's persisted intermediates. `lookup` is injectable so a
+    * spec can prove a deliberately-broken query lands in `failed`, not
+    * in `total`. */
+  private[graft] def timeQueries(spark: SparkSession, dir: String,
                           names: Seq[String], iters: Int,
                           gcBetween: Boolean = false,
-                          warmup: Boolean = false)
-      : (Seq[(String, (Seq[Double], (Double, Double)))], Seq[Double]) = {
+                          warmup: Boolean = false,
+                          lookup: String => (SparkSession, String) => DataFrame =
+                            SparkEntry.queries)
+      : (Seq[QueryTiming], Seq[Double]) = {
     val tally = new ShuffleTally
     val cal = Seq.newBuilder[Double]
     spark.sparkContext.addSparkListener(tally)
@@ -233,7 +249,7 @@ object Bench {
                      // of the calibration plan itself to the first sample
     try {
       val timed = names.map { name =>
-        val fn = SparkEntry.queries(name)
+        val fn = lookup(name)
         // Scale phases run each query once UNTIMED first: the first
         // execution pays whole-stage-codegen compilation and JIT of the
         // generated classes, which is phase-ordering bias, not data-volume
@@ -248,6 +264,7 @@ object Bench {
         }
         cal += calibrate(spark)
         var shuffle = (0.0, 0.0)
+        var error: Option[String] = None
         val times = (1 to iters).map { i =>
           if (i == iters) {
             org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
@@ -257,6 +274,9 @@ object Bench {
           try fn(spark, dir).write.mode("overwrite").format("noop").save()
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            if (error.isEmpty)
+              error = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.nextOption().getOrElse("").take(200))
           }
           val dt = (System.nanoTime() - t0) / 1e9
           if (i == iters) {
@@ -277,7 +297,7 @@ object Bench {
           if (gcBetween) System.gc()
           dt
         }
-        name -> ((times, shuffle))
+        QueryTiming(name, times, shuffle, error)
       }
       cal += calibrate(spark)
       (timed, cal.result())
@@ -293,18 +313,36 @@ object Bench {
   private def toJson(results: Seq[(String, Double)]): String =
     results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   private def r2(x: Double): Double = math.rint(x * 100) / 100
 
+  /** One timed section's (total seconds over SUCCEEDED queries, JSON
+    * fields, n succeeded, n failed, n contaminated). Failed queries are
+    * excluded from total/queries/queries_min/shuffle_mb — their wall
+    * time is crash latency, not work — and reported by name + first
+    * error line under `failed` so a broken third of the suite can never
+    * read as a speed-up again (round-7 postmortem). */
+  private[graft] case class Section(total: Double, json: String,
+                                    nOk: Int, nFailed: Int, nContaminated: Int)
+
   /** Median (primary), min, totals, per-query shuffle MB (read+write,
-    * last iteration), and the contention sentinel (calibration series +
-    * contaminated list) for one timed section. */
-  private def sectionJson(timedAndCal: (Seq[(String, (Seq[Double], (Double, Double)))], Seq[Double]),
-                          calThreshold: Double = 2.0)
-      : (Double, String) = {
+    * last iteration), the contention sentinel (calibration series +
+    * contaminated list), and the failed map for one timed section. */
+  private[graft] def sectionJson(timedAndCal: (Seq[QueryTiming], Seq[Double]),
+                          calThreshold: Double = 2.0): Section = {
     val (timed, cal) = timedAndCal
-    val med = timed.map { case (n, (ts, _)) => n -> median(ts) }
-    val mn = timed.map { case (n, (ts, _)) => n -> ts.min }
-    val sh = timed.map { case (n, (_, (r, w))) => n -> r2(r + w) }
+    val ok = timed.filter(_.error.isEmpty)
+    val med = ok.map(t => t.name -> median(t.times))
+    val mn = ok.map(t => t.name -> t.times.min)
+    val sh = ok.map(t => t.name -> r2(t.shuffle._1 + t.shuffle._2))
+    val failed = timed.flatMap(t => t.error.map(t.name -> _))
     val calMed = if (cal.isEmpty) 0.0 else median(cal)
     // query i's window is bracketed by samples i and i+1; a sample marks
     // the window contended when it exceeds calThreshold× the phase's own
@@ -318,14 +356,19 @@ object Bench {
     // both tests.
     def hot(c: Double) = c > calThreshold * calMed && c > calMed + 0.15
     val contaminated = timed.indices.collect {
-      case i if calMed > 0 && (hot(cal(i)) || hot(cal(i + 1))) => timed(i)._1
+      case i if calMed > 0 && (hot(cal(i)) || hot(cal(i + 1))) => timed(i).name
     }
-    val calPer = timed.indices.map(i => timed(i)._1 -> r2(cal(i)))
+    val calPer = timed.indices.map(i => timed(i).name -> r2(cal(i)))
     val total = med.map(_._2).sum
-    (total,
+    val failedJson = failed
+      .map { case (n, msg) => "\"" + n + "\":" + jsonStr(msg) }
+      .mkString("{", ",", "}")
+    Section(total,
       s""""total":$total,"queries":${toJson(med)},"queries_min":${toJson(mn)},"shuffle_mb":${toJson(sh)},""" +
         s""""calibration_sec":${toJson(calPer)},"calibration_median":${r2(calMed)},""" +
-        s""""contaminated":${contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
+        s""""contaminated":${contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""n_failed":${failed.size},"failed":$failedJson""",
+      ok.size, failed.size, contaminated.size)
   }
 
   /** recall@k of the SRP and IVF approximate paths vs brute force over
@@ -393,16 +436,22 @@ object Bench {
     val all = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val (streamNames, engineNames) = all.partition(_.startsWith("q_stream_"))
+    // Failure accounting across every timed section, for the summary line:
+    // a crashed query anywhere must surface in the <1 KB tail the driver
+    // actually reads, not only deep inside an 18 KB JSON line.
+    var nFailedTotal = 0
+    def record(s: Section): Section = { nFailedTotal += s.nFailed; s }
     // engine section reuses sectionJson (same extraction as streaming/sf1)
     // and splices its fields at the top level of the line
-    val (total, engineSection) = sectionJson(timeQueries(spark, sfDir, engineNames, iters))
+    val engine = record(sectionJson(timeQueries(spark, sfDir, engineNames, iters)))
+    val (total, engineSection) = (engine.total, engine.json)
     // Streaming: micro-batch scheduling dominates, one iteration is enough
     // and medians would just re-measure the scheduler (class doc).
     val streamingJson =
       if (streamNames.isEmpty) ""
       else {
-        val (_, sj) = sectionJson(timeQueries(spark, sfDir, streamNames, 1))
-        s""","streaming":{$sj}"""
+        val sj = record(sectionJson(timeQueries(spark, sfDir, streamNames, 1)))
+        s""","streaming":{${sj.json}}"""
       }
 
     // cache key includes the source SF so an sf0.01 iteration run can't
@@ -436,6 +485,7 @@ object Bench {
     // every such inversion itself rather than leaving the contradiction
     // for the reader to discover.
     val phaseMins = scala.collection.mutable.Map.empty[String, Map[String, Double]]
+    var lastRecall: Option[(Double, Double)] = None
 
     def scalePhase(replicas: Int, mode: String, names: Seq[String],
                    phaseIters: Int, withRecall: Boolean,
@@ -466,8 +516,8 @@ object Bench {
       val buildSec = (System.nanoTime() - tBuild0) / 1e9
       // Warm pass: pull every table through the page cache before the
       // timed window, so the first query isn't charged the cold read of a
-      // freshly built replica set. events is TIMESTAMP(NANOS), so the raw
-      // read needs the legacy flag even when the build was skipped.
+      // freshly built replica set. The raw events read needs the legacy
+      // flag only when the fixture is NANOS; setting it is harmless otherwise.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tWarm0 = System.nanoTime()
       ShiftCols.keys.foreach { t =>
@@ -481,9 +531,13 @@ object Bench {
           warmup = true)
         finally if (fixedJoin)
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      // Failed queries are excluded here too: r7's "q_session_stats
+      // inversion" was a crash latency at one scale beating real work at
+      // the other — crash times must never enter the inversion report.
       phaseMins(s"x${replicas}_$mode") =
-        timedAndCal._1.map { case (n, (ts, _)) => n -> ts.min }.toMap
-      val (_, section) = sectionJson(timedAndCal, calThreshold = 1.5)
+        timedAndCal._1.filter(_.error.isEmpty)
+          .map(t => t.name -> t.times.min).toMap
+      val section = record(sectionJson(timedAndCal, calThreshold = 1.5)).json
       // Candidate-volume accounting for the jaccard linearity probe: the
       // per-stage row counts that separate "enumeration is quadratic"
       // from "the plan flipped" (Dedup.jaccardStageCounts scaladoc).
@@ -509,6 +563,7 @@ object Bench {
         if (!withRecall) ""
         else {
           val (srp, ivf, curve) = annRecall(spark, scaledDir)
+          lastRecall = Some((srp, ivf))
           s""","recall_at10":{"q_ann_srp":$srp,"q_ann_ivf":$ivf},"recall_curve":$curve"""
         }
       val strategyJson = if (fixedJoin) ""","join_strategy":"fixed"""" else ""
@@ -562,6 +617,7 @@ object Bench {
     // residual measurement noise (uniform-slowdown contamination the
     // bracketing sentinel cannot see) and its magnitude. Empty = the two
     // scale points are mutually consistent.
+    var nInversions = 0
     val scaleInversions = {
       val nat = phaseMins.collect { case (k, m) if k.endsWith("_natural") =>
         k.stripPrefix("x").stripSuffix("_natural").toInt -> m
@@ -574,6 +630,7 @@ object Bench {
           case q if lo(q) > hi(q) =>
             s""""$q":{"x${rLo}_min":${r2(lo(q))},"x${rHi}_min":${r2(hi(q))},"ratio":${r2(lo(q) / hi(q))}}"""
         }
+        nInversions = inv.size
         s""","scale_inversions":${inv.mkString("{", ",", "}")}"""
       }
     }
@@ -599,6 +656,17 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
     }
+    // Compact (<1 KB) summary as the LAST stdout line: the driver's tail
+    // window is ~2 KB and the full BENCH_JSON line exceeds it (r4-r7
+    // artifacts carried parsed:null). Everything adjudication needs at a
+    // glance: total over succeeded queries, how many succeeded/failed,
+    // contention + inversion counts, ANN recall.
+    val recallJson = lastRecall
+      .map { case (srp, ivf) => s""","recall_srp":$srp,"recall_ivf":$ivf""" }
+      .getOrElse("")
+    println(s"""BENCH_SUMMARY: {"total":${r2(total)},"n_queries":${engine.nOk},""" +
+      s""""n_failed":$nFailedTotal,"contaminated_n":${engine.nContaminated},""" +
+      s""""inversions_n":$nInversions$recallJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
