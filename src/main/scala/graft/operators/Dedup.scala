@@ -103,20 +103,62 @@ object Dedup {
 
   val LshMaxBucket = 64
 
-  /** Keep only bucket rows whose bucket holds 2..maxBucket members — the
-    * guard every banded self-join below shares. Singleton buckets produce
-    * no pairs; over-full buckets are where a bucket join goes quadratic,
-    * and at these thresholds they can only be near-exact duplicate floods
-    * that exact dedup should have removed first. groupBy+join rather than a
-    * count-over-window: a window would sort every partition; the aggregate
-    * is map-side combinable. */
+  /** Keep only bucket rows whose bucket holds minBucket..maxBucket members
+    * (default 2..maxBucket) — the guard every banded join below shares.
+    * Over-full buckets are where a bucket join goes quadratic, and at
+    * these thresholds they can only be near-exact duplicate floods that
+    * exact dedup should have removed first. minBucket=2 is the SELF-join
+    * floor (a singleton bucket produces no pairs); CROSS-table joins
+    * (batch vs store) must pass minBucket=1, because a singleton bucket
+    * on one side still pairs with the other side's members — any higher
+    * floor silently loses recall, which is why values above 2 are
+    * rejected outright. groupBy+join rather than a count-over-window: a
+    * window would sort every partition; the aggregate is map-side
+    * combinable, and on a store bucketed by `keys` both the aggregate
+    * and the join-back are Exchange-free. */
   private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int,
                          minBucket: Int = 2): DataFrame = {
+    require(minBucket == 1 || minBucket == 2,
+      s"minBucket must be 1 (cross-table join) or 2 (self-join), got $minBucket")
     val kept = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") >= minBucket && col("bucket_n") <= maxBucket)
       .select(keys.map(col): _*)
     banded.join(kept, keys)
+  }
+
+  /** Shared banded-candidate stage for BOTH hash families (the `bh` and
+    * `sig` element types may be xxhash64 longs or portable md5 strings —
+    * the algebra is identical): cap (band, bh) buckets at
+    * `2..maxBucket`, self-join within buckets, dedup (doc_a, doc_b)
+    * pairs, rejoin signatures, and keep pairs whose estimated Jaccard
+    * (matching-position fraction) is ≥ `minEstJaccard`.
+    *
+    * Shuffle discipline: the self-join and the `.distinct()` carry only
+    * (band, bh, doc) rows; full signatures rejoin AFTER pair-dedup,
+    * touching each surviving pair once. */
+  private[graft] def bandedCandidates(banded: DataFrame, sigs: DataFrame,
+                                      numHashes: Int,
+                                      minEstJaccard: Double = 0.0,
+                                      maxBucket: Int = LshMaxBucket): DataFrame = {
+    // maxBucket = Int.MaxValue disables the cap — reserved for the
+    // portable ORACLE ANCHOR, whose DuckDB twin mirrors the raw algebra.
+    val bucketed =
+      if (maxBucket == Int.MaxValue) tracked(banded)
+      else tracked(capBuckets(banded, Seq("band", "bh"), maxBucket))
+    val pairs = bucketed.select(col("band"), col("bh"), col("doc").as("doc_a"))
+      .join(bucketed.select(col("band"), col("bh"), col("doc").as("doc_b")),
+        Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    pairs
+      .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          p => p)).cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
   /** LSH banding: split the signature into `bands` bands, hash each band,
@@ -131,27 +173,22 @@ object Dedup {
     * data (sf1 driver bench); this one is ~linear. */
   def minhashCandidates(sigs: DataFrame, numHashes: Int = 32, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     val sigsP = tracked(sigs)
-    val banded = sigsP.select(col("doc"),
+    bandedCandidates(bandedXxhash(sigsP, numHashes, bands), sigsP, numHashes)
+  }
+
+  /** LSH banding of xxhash64 signatures: (doc, band, bh) — band b's bucket
+    * key is xxhash64 over its `numHashes/bands` signature positions, seeded
+    * by the band index. The scale-default twin of [[bandedPortable]]:
+    * 8-byte BIGINT band keys instead of 32-char md5 strings in every
+    * shuffle. */
+  private[graft] def bandedXxhash(sig: DataFrame, numHashes: Int,
+                                  bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sig.select(col("doc"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val bucketed = tracked(capBuckets(banded, Seq("band", "band_hash"), LshMaxBucket))
-    val a = bucketed.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
-    val b = bucketed.select(col("band"), col("band_hash"), col("doc").as("doc_b"))
-    val pairs = a.join(b, Seq("band", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-    pairs
-      .join(sigsP.select(col("doc").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-      .join(sigsP.select(col("doc").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / lit(numHashes).cast("double"))
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
   }
 
   /** Full MinHash near-dup pipeline: docs → signatures → banded candidates
@@ -447,23 +484,14 @@ object Dedup {
                               shingleN: Int = 5,
                               minEstJaccard: Double = 0.3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // signature feeds banding + both sides of the estimation join
+    // signature feeds banding + both sides of the estimation join.
+    // UNCAPPED (maxBucket = Int.MaxValue): this twin is the oracle anchor
+    // and must mirror its DuckDB SQL bit-for-bit, cap included or not —
+    // the scale default ([[minhashNearDups]]) carries the bucket cap.
     val sig = tracked(minhashSignaturesPortable(docs, idCol, textCol,
       numHashes, shingleN))
-    val banded = bandedPortable(sig, numHashes, bands)
-    val pairs = banded.select(col("band"), col("bh"), col("doc").as("doc_a"))
-      .join(banded.select(col("band"), col("bh"), col("doc").as("doc_b")),
-        Seq("band", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    pairs
-      .join(sig.select(col("doc").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-      .join(sig.select(col("doc").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / lit(numHashes.toDouble))
-      .filter(col("est_jaccard") >= minEstJaccard)
-      .select("doc_a", "doc_b", "est_jaccard")
+    bandedCandidates(bandedPortable(sig, numHashes, bands), sig,
+      numHashes, minEstJaccard, maxBucket = Int.MaxValue)
   }
 
   /** Incremental exact dedup: rows of `batch` that are new BOTH against a
@@ -500,8 +528,13 @@ object Dedup {
     * Exchange-free in `PlanAuditSpec`) and ingestion never
     * shuffles history at all — the same discipline as
     * [[newAgainstStore]]'s fingerprint store, generalized to near-dup
-    * identity. Store-side buckets are capped like every banded join here
-    * (`LshMaxBucket`); the batch side is small by construction.
+    * identity. BOTH sides of the store join are capped at `LshMaxBucket`
+    * (minBucket=1 — cross-table, so singletons still pair), and the
+    * within-batch self-join runs through the shared capped
+    * [[bandedCandidates]] stage: a degenerate hot bucket bounds at
+    * LshMaxBucket² candidates instead of B·b. The recall trade is the
+    * same as every cap here — a >LshMaxBucket bucket is a near-exact
+    * flood that exact dedup should have consumed first.
     *
     * Policy: (1) batch docs sharing a band bucket with a store doc AND
     * estimated Jaccard ≥ `minEstJaccard` are dropped; (2) remaining batch
@@ -529,9 +562,20 @@ object Dedup {
     def est(a: Column, b: Column): Column =
       size(filter(zip_with(a, b, (x, y) => x === y), p => p))
         .cast("double") / lit(numHashes.toDouble)
+    // Degenerate-bucket guard (the one scale-killer in this topology): a
+    // hot (band, bh) bucket with B store docs and b batch docs enumerates
+    // B·b candidates unbounded. Cap EACH side at LshMaxBucket before the
+    // join — minBucket=1 because this is a cross-table join: a singleton
+    // bucket on one side still pairs with the other side. On a store
+    // bucketed by (band, bh) the cap's aggregate and join-back are
+    // Exchange-free, so history still never reshuffles.
+    val bStoreCapped = capBuckets(bStore, Seq("band", "bh"), LshMaxBucket,
+      minBucket = 1)
+    val bBatchCapped = capBuckets(bBatch, Seq("band", "bh"), LshMaxBucket,
+      minBucket = 1)
     // batch-vs-store: candidate (batch doc, store doc) per shared bucket
-    val storeHits = bBatch.select(col("band"), col("bh"), col("doc"))
-      .join(bStore.select(col("band"), col("bh"), col("doc").as("sdoc")),
+    val storeHits = bBatchCapped.select(col("band"), col("bh"), col("doc"))
+      .join(bStoreCapped.select(col("band"), col("bh"), col("doc").as("sdoc")),
         Seq("band", "bh"))
       .select("doc", "sdoc").distinct()
       .join(batchSigs.select(col("doc"), col("sig")), Seq("doc"))
@@ -541,20 +585,11 @@ object Dedup {
       .select("doc").distinct()
     val fresh = batch.join(
       storeHits.withColumnRenamed("doc", idCol), Seq(idCol), "left_anti")
-    // within-batch: banded self-join over the SURVIVORS only, then min-id
-    // component canonicalization
+    // within-batch: banded self-join over the SURVIVORS only (shared
+    // capped candidate stage), then min-id component canonicalization
     val bFresh = bBatch.join(
       fresh.select(col(idCol).as("doc")), Seq("doc"), "left_semi")
-    val pairs = bFresh.select(col("band"), col("bh"), col("doc").as("doc_a"))
-      .join(bFresh.select(col("band"), col("bh"), col("doc").as("doc_b")),
-        Seq("band", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-      .join(batchSigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")),
-        Seq("doc_a"))
-      .join(batchSigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")),
-        Seq("doc_b"))
-      .filter(est(col("sig_a"), col("sig_b")) >= minEstJaccard)
+    val pairs = bandedCandidates(bFresh, batchSigs, numHashes, minEstJaccard)
       .select("doc_a", "doc_b")
     keepCanonical(fresh, idCol, pairs)
   }

@@ -332,6 +332,27 @@ class DedupSpec extends SparkSpec {
     assert(kept2 == Set(21L, 22L, 24L), kept2.toString)
   }
 
+  test("incremental minhash: degenerate hot store buckets cap, bounded buckets still reject") {
+    // 200 byte-identical store docs: every (band, bh) bucket they occupy
+    // holds 200 members — far beyond LshMaxBucket (64). Without the cap
+    // the store join enumerates bands × 200 candidates for any batch
+    // near-dup; with it those flood buckets drop out entirely (the
+    // documented recall trade: a flood that size is exact-dup territory).
+    val floodText = (1 to 30).map(i => s"flood$i").mkString(" ")
+    val normText = (1 to 30).map(i => s"norm$i").mkString(" ")
+    val store = ((1L to 200L).map(i => (i, floodText)) ++
+      (301L to 310L).map(i => (i, normText))).toDF("doc_id", "text")
+    val storeSigs = Dedup.minhashSignaturesPortable(store, "doc_id", "text")
+    val batch = Seq(
+      (401L, (1 to 29).map(i => s"flood$i").mkString(" ")), // near-dup of the FLOOD → bucket capped → survives
+      (402L, (1 to 29).map(i => s"norm$i").mkString(" ")),  // near-dup of the 10-doc bucket → rejected
+      (403L, (1 to 30).map(i => s"new$i").mkString(" ")))   // genuinely new → kept
+      .toDF("doc_id", "text")
+    val kept = Dedup.newAgainstStoreMinhash(batch, "doc_id", "text", storeSigs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(401L, 403L), kept.toString)
+  }
+
   test("span removal: canonical keeps the span, others lose exactly the covered tokens") {
     val span = (1 to 10).map(i => s"shared$i")  // 10 tokens → 3 windows at w=8
     val d = Seq(
