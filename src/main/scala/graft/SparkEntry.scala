@@ -773,6 +773,30 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // The SAME ingestion policy under the xxhash64 scale family: in-row
+    // MinHashSig signatures, BIGINT band keys, capped buckets. Shares the
+    // md5 twin's oracle because the KEEP SET is hash-family-invariant on
+    // this corpus — near-copies estimate ≈0.97, unrelated docs ≈0, and
+    // 0.3 sits in the empty middle of that bimodal gap (DedupSpec proves
+    // family equality on a planted corpus as well).
+    "q_dedup_minhash_incr_fast" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 20 === 0)
+      val store = d.filter(col("doc_id") % 40 === 0)
+      val nearCopy = (src: DataFrame, shift: Long) =>
+        src.select((col("doc_id") + shift).as("doc_id"),
+          array_join(slice(Text.tokens(col("text")), lit(1),
+            greatest(size(Text.tokens(col("text"))) - 1, lit(1))), " ").as("text"))
+      val batch = d.filter(col("doc_id") % 40 =!= 0)
+        .unionByName(nearCopy(store, 1000000L))
+        .unionByName(nearCopy(d.filter(col("doc_id") % 40 =!= 0), 2000000L))
+      val storeSigs = Dedup.minhashSignatures(store, "doc_id", "text",
+        numHashes = 32, shingleN = 5)
+      Dedup.newAgainstStoreMinhashFast(batch, "doc_id", "text", storeSigs,
+        numHashes = 32, bands = 8, shingleN = 5, minEstJaccard = 0.3)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // SimHash with PORTABLE md5-nibble bit votes — the full
     // signature→chunk-banding→hamming algebra under the oracle (the
     // xxhash64 form stays the scale default, rows-only).
@@ -1635,6 +1659,87 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- oracle
 
+  /** Incremental minhash ingestion oracle: DuckDB recomputes store AND
+    * batch signatures from its own md5, re-runs the banded store join,
+    * the within-batch candidate join, and the min-id component collapse
+    * (recursive CTE) — the whole ingestion policy under one oracle.
+    * Shared by the md5 query and its xxhash64 scale twin (keep sets are
+    * hash-family-invariant on this corpus). */
+  private val oracleForIncrMinhash: String =
+    """WITH RECURSIVE sub AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+      |store AS (SELECT doc_id, text FROM sub WHERE doc_id % 40 = 0),
+      |rest AS (SELECT doc_id, text FROM sub WHERE doc_id % 40 <> 0),
+      |batch AS (
+      |  SELECT doc_id, text FROM rest
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ')
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM store)
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ')
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM rest)),
+      |alldocs AS (
+      |  SELECT doc_id, text, true AS in_batch FROM batch
+      |  UNION ALL SELECT doc_id, text, false FROM store),
+      |tok AS (
+      |  SELECT doc_id AS doc, in_batch,
+      |    string_split_regex(trim(lower(text)), '\s+') AS toks
+      |  FROM alldocs),
+      |shingles AS (
+      |  SELECT DISTINCT doc, shingle FROM (
+      |    SELECT doc, unnest(
+      |      CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(generate_series(1, len(toks) - 4),
+      |        i -> array_to_string(toks[i:i+4], ' ')) END) AS shingle
+      |    FROM tok) u),
+      |fams AS (
+      |  SELECT doc, i, min(md5(i::VARCHAR || ':' || shingle)) AS h
+      |  FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) f
+      |  GROUP BY doc, i),
+      |sig AS (SELECT doc, list(h ORDER BY i) AS sig FROM fams GROUP BY doc),
+      |bandh AS (
+      |  SELECT doc, i // 2 AS band, md5(string_agg(h, '|' ORDER BY i)) AS bh
+      |  FROM fams GROUP BY doc, i // 2),
+      |flags AS (SELECT doc_id AS doc, in_batch FROM alldocs),
+      |storehits AS (
+      |  SELECT DISTINCT ba.doc
+      |  FROM bandh ba JOIN flags fa ON fa.doc = ba.doc AND fa.in_batch
+      |  JOIN bandh bs ON ba.band = bs.band AND ba.bh = bs.bh
+      |  JOIN flags fs ON fs.doc = bs.doc AND NOT fs.in_batch
+      |  JOIN sig sa ON sa.doc = ba.doc
+      |  JOIN sig ss ON ss.doc = bs.doc
+      |  WHERE len(list_filter(generate_series(1, 16),
+      |      j -> sa.sig[j] = ss.sig[j]))::DOUBLE / 16.0 >= 0.3),
+      |fresh AS (
+      |  SELECT doc FROM flags WHERE in_batch
+      |  AND doc NOT IN (SELECT doc FROM storehits)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      |  FROM bandh a JOIN bandh b
+      |    ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+      |  JOIN fresh f1 ON f1.doc = a.doc
+      |  JOIN fresh f2 ON f2.doc = b.doc
+      |  JOIN sig sa ON sa.doc = a.doc
+      |  JOIN sig sb ON sb.doc = b.doc
+      |  WHERE len(list_filter(generate_series(1, 16),
+      |      j -> sa.sig[j] = sb.sig[j]))::DOUBLE / 16.0 >= 0.3),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(doc, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc),
+      |comp AS (SELECT doc, min(r) AS component FROM reach GROUP BY doc)
+      |SELECT f.doc AS doc_id FROM fresh f
+      |LEFT JOIN comp ON comp.doc = f.doc
+      |WHERE comp.doc IS NULL OR comp.component = f.doc
+      |ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val normSql = Normalize.duckdbNormalizeSql(logQuerySql)
     // Shared by q_quality_filter / q_corpus_pipeline / the funnels: signal
@@ -2140,80 +2245,13 @@ object SparkEntry {
       // signatures from its own md5, re-runs the banded store join, the
       // within-batch candidate join, and the min-id component collapse
       // (recursive CTE) — the whole ingestion policy under one oracle.
-      "q_dedup_minhash_incr" ->
-        """WITH RECURSIVE sub AS (
-          |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
-          |store AS (SELECT doc_id, text FROM sub WHERE doc_id % 40 = 0),
-          |rest AS (SELECT doc_id, text FROM sub WHERE doc_id % 40 <> 0),
-          |batch AS (
-          |  SELECT doc_id, text FROM rest
-          |  UNION ALL
-          |  SELECT doc_id + 1000000,
-          |    array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ')
-          |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-          |        FROM store)
-          |  UNION ALL
-          |  SELECT doc_id + 2000000,
-          |    array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ')
-          |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-          |        FROM rest)),
-          |alldocs AS (
-          |  SELECT doc_id, text, true AS in_batch FROM batch
-          |  UNION ALL SELECT doc_id, text, false FROM store),
-          |tok AS (
-          |  SELECT doc_id AS doc, in_batch,
-          |    string_split_regex(trim(lower(text)), '\s+') AS toks
-          |  FROM alldocs),
-          |shingles AS (
-          |  SELECT DISTINCT doc, shingle FROM (
-          |    SELECT doc, unnest(
-          |      CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
-          |      ELSE list_transform(generate_series(1, len(toks) - 4),
-          |        i -> array_to_string(toks[i:i+4], ' ')) END) AS shingle
-          |    FROM tok) u),
-          |fams AS (
-          |  SELECT doc, i, min(md5(i::VARCHAR || ':' || shingle)) AS h
-          |  FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) f
-          |  GROUP BY doc, i),
-          |sig AS (SELECT doc, list(h ORDER BY i) AS sig FROM fams GROUP BY doc),
-          |bandh AS (
-          |  SELECT doc, i // 2 AS band, md5(string_agg(h, '|' ORDER BY i)) AS bh
-          |  FROM fams GROUP BY doc, i // 2),
-          |flags AS (SELECT doc_id AS doc, in_batch FROM alldocs),
-          |storehits AS (
-          |  SELECT DISTINCT ba.doc
-          |  FROM bandh ba JOIN flags fa ON fa.doc = ba.doc AND fa.in_batch
-          |  JOIN bandh bs ON ba.band = bs.band AND ba.bh = bs.bh
-          |  JOIN flags fs ON fs.doc = bs.doc AND NOT fs.in_batch
-          |  JOIN sig sa ON sa.doc = ba.doc
-          |  JOIN sig ss ON ss.doc = bs.doc
-          |  WHERE len(list_filter(generate_series(1, 16),
-          |      j -> sa.sig[j] = ss.sig[j]))::DOUBLE / 16.0 >= 0.3),
-          |fresh AS (
-          |  SELECT doc FROM flags WHERE in_batch
-          |  AND doc NOT IN (SELECT doc FROM storehits)),
-          |pairs AS (
-          |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-          |  FROM bandh a JOIN bandh b
-          |    ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
-          |  JOIN fresh f1 ON f1.doc = a.doc
-          |  JOIN fresh f2 ON f2.doc = b.doc
-          |  JOIN sig sa ON sa.doc = a.doc
-          |  JOIN sig sb ON sb.doc = b.doc
-          |  WHERE len(list_filter(generate_series(1, 16),
-          |      j -> sa.sig[j] = sb.sig[j]))::DOUBLE / 16.0 >= 0.3),
-          |edges AS (
-          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-          |  UNION SELECT doc_b, doc_a FROM pairs),
-          |reach(doc, r) AS (
-          |  SELECT src, src FROM edges
-          |  UNION
-          |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc),
-          |comp AS (SELECT doc, min(r) AS component FROM reach GROUP BY doc)
-          |SELECT f.doc AS doc_id FROM fresh f
-          |LEFT JOIN comp ON comp.doc = f.doc
-          |WHERE comp.doc IS NULL OR comp.component = f.doc
-          |ORDER BY doc_id""".stripMargin,
+      "q_dedup_minhash_incr" -> oracleForIncrMinhash,
+
+      // The xxhash64 family can't be reproduced in DuckDB, but its KEEP
+      // SET equals the md5 family's on this corpus (bimodal estimate
+      // distribution — see the query comment), so the md5 oracle checks
+      // the fast path's OUTPUT exactly.
+      "q_dedup_minhash_incr_fast" -> oracleForIncrMinhash,
 
       // Portable SimHash: DuckDB recomputes every nibble's bit votes from
       // its own md5, reassembles the 16-hex-digit signature, re-runs the

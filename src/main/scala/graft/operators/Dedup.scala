@@ -103,28 +103,31 @@ object Dedup {
 
   val LshMaxBucket = 64
 
-  /** Keep only bucket rows whose bucket holds minBucket..maxBucket members
-    * (default 2..maxBucket) — the guard every banded join below shares.
-    * Over-full buckets are where a bucket join goes quadratic, and at
-    * these thresholds they can only be near-exact duplicate floods that
-    * exact dedup should have removed first. minBucket=2 is the SELF-join
-    * floor (a singleton bucket produces no pairs); CROSS-table joins
-    * (batch vs store) must pass minBucket=1, because a singleton bucket
-    * on one side still pairs with the other side's members — any higher
-    * floor silently loses recall, which is why values above 2 are
-    * rejected outright. groupBy+join rather than a count-over-window: a
-    * window would sort every partition; the aggregate is map-side
-    * combinable, and on a store bucketed by `keys` both the aggregate
-    * and the join-back are Exchange-free. */
-  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int,
-                         minBucket: Int = 2): DataFrame = {
-    require(minBucket == 1 || minBucket == 2,
-      s"minBucket must be 1 (cross-table join) or 2 (self-join), got $minBucket")
-    val kept = banded.groupBy(keys.map(col): _*)
+  /** Drop bucket rows whose bucket exceeds maxBucket members — the guard
+    * every banded join below shares. Over-full buckets are where a bucket
+    * join goes quadratic, and at these thresholds they can only be
+    * near-exact duplicate floods that exact dedup should have removed
+    * first.
+    *
+    * Shape: the OVERFLOW list is what's enforced, not the keep list — at
+    * most N/maxBucket buckets can overflow, so `hot` is tiny and the
+    * enforcement is a broadcast anti-join that never reshuffles the
+    * banded side (the earlier inner-join-the-keep-list form dragged every
+    * banded row through two extra exchanges). Singleton buckets pass
+    * through: they produce no pairs in a self-join and must pair with the
+    * other side in a cross-table join, so no floor is needed or applied.
+    * The count aggregate is map-side combinable, and Exchange-free on a
+    * store already bucketed by `keys`. */
+  private def capBuckets(banded: DataFrame, keys: Seq[String],
+                         maxBucket: Int): DataFrame = {
+    val hot = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") >= minBucket && col("bucket_n") <= maxBucket)
+      .filter(col("bucket_n") > maxBucket)
       .select(keys.map(col): _*)
-    banded.join(kept, keys)
+    // No broadcast hint: hot is near-empty on sane corpora and AQE flips
+    // the anti-join to broadcast at runtime, but a pathological all-flood
+    // corpus can have N/maxBucket overflow buckets — too big to force.
+    banded.join(hot, keys, "left_anti")
   }
 
   /** Shared banded-candidate stage for BOTH hash families (the `bh` and
@@ -141,8 +144,9 @@ object Dedup {
                                       numHashes: Int,
                                       minEstJaccard: Double = 0.0,
                                       maxBucket: Int = LshMaxBucket): DataFrame = {
-    // maxBucket = Int.MaxValue disables the cap — reserved for the
-    // portable ORACLE ANCHOR, whose DuckDB twin mirrors the raw algebra.
+    // maxBucket = Int.MaxValue disables the cap — for the portable ORACLE
+    // ANCHOR (whose DuckDB twin mirrors the raw algebra) and for callers
+    // whose banded input was already capped upstream.
     val bucketed =
       if (maxBucket == Int.MaxValue) tracked(banded)
       else tracked(capBuckets(banded, Seq("band", "bh"), maxBucket))
@@ -547,50 +551,103 @@ object Dedup {
                              storeSigs: DataFrame, numHashes: Int = 16,
                              bands: Int = 8, shingleN: Int = 5,
                              minEstJaccard: Double = 0.3,
-                             storeBanded: Option[DataFrame] = None): DataFrame = {
+                             storeBanded: Option[DataFrame] = None): DataFrame =
+    newAgainstStoreCore(batch, idCol, textCol, storeSigs, numHashes, bands,
+      minEstJaccard, storeBanded,
+      docs => minhashSignaturesPortable(docs, idCol, textCol, numHashes, shingleN),
+      sig => bandedPortable(sig, numHashes, bands))
+
+  /** [[newAgainstStoreMinhash]] with the xxhash64 signature family — the
+    * SCALE DEFAULT for ingestion: in-row [[graft.plans.MinHashSig]]
+    * signatures (no shingle explode/groupBy) and 8-byte BIGINT band keys
+    * instead of k×32-char md5 strings in every shuffle. Store schema is
+    * `(doc, sig ARRAY<BIGINT>)`; a pre-banded store is `(doc, band, bh
+    * BIGINT)`. Policy and topology are IDENTICAL to the portable form —
+    * `DedupSpec` proves keep-set equality on a planted corpus, which is
+    * how this path inherits the md5 twin's oracle anchoring. */
+  def newAgainstStoreMinhashFast(batch: DataFrame, idCol: String, textCol: String,
+                                 storeSigs: DataFrame, numHashes: Int = 32,
+                                 bands: Int = 8, shingleN: Int = 5,
+                                 minEstJaccard: Double = 0.3,
+                                 storeBanded: Option[DataFrame] = None): DataFrame =
+    newAgainstStoreCore(batch, idCol, textCol, storeSigs, numHashes, bands,
+      minEstJaccard, storeBanded,
+      docs => minhashSignatures(docs, idCol, textCol, numHashes, shingleN),
+      sig => bandedXxhash(sig, numHashes, bands))
+
+  private def newAgainstStoreCore(batch: DataFrame, idCol: String,
+                                  textCol: String, storeSigs: DataFrame,
+                                  numHashes: Int, bands: Int,
+                                  minEstJaccard: Double,
+                                  storeBanded: Option[DataFrame],
+                                  signatures: DataFrame => DataFrame,
+                                  banding: DataFrame => DataFrame): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val batchSigs = tracked(minhashSignaturesPortable(
-      batch, idCol, textCol, numHashes, shingleN))
+    // Band keys shuffle through every stage below (two cap aggregates +
+    // join-backs, the store join, the within-batch self-join). The md5
+    // family's 32-char string keys made those shuffles the dominant cost
+    // (measured 2× on the incr bench) — fold any string bh to an 8-byte
+    // long up front. Bucket identity is preserved modulo 64-bit hash
+    // collisions, which the est-Jaccard filter absorbs; the pair-output
+    // ORACLE twins ([[minhashNearDupsPortable]]) never pass through here.
+    def longKeyed(banded: DataFrame): DataFrame =
+      if (banded.schema("bh").dataType == org.apache.spark.sql.types.StringType)
+        banded.withColumn("bh", xxhash64(col("bh")))
+      else banded
+    val batchSigs = tracked(signatures(batch))
     val store = tracked(storeSigs.select(col("doc"), col("sig")))
-    val bBatch = tracked(bandedPortable(batchSigs, numHashes, bands))
+    val bBatch = tracked(longKeyed(banding(batchSigs)))
     // storeBanded: the (doc, band, bh) table persisted AT INGEST TIME,
     // bucketed on (band, bh) (Sinks.bucketedTableOn — the full composite
     // join key, or Spark disables the bucketed scan) — the join then
     // plans with NO Exchange above the history scan (PlanAuditSpec);
     // without it the banding is recomputed from the signatures here
-    val bStore = storeBanded.getOrElse(bandedPortable(store, numHashes, bands))
+    // tracked: the cap below reads bStore twice (aggregate + join-back);
+    // without the persist the store banding (and signature scan) re-runs
+    val bStore = tracked(longKeyed(storeBanded.getOrElse(banding(store))))
     def est(a: Column, b: Column): Column =
       size(filter(zip_with(a, b, (x, y) => x === y), p => p))
         .cast("double") / lit(numHashes.toDouble)
     // Degenerate-bucket guard (the one scale-killer in this topology): a
     // hot (band, bh) bucket with B store docs and b batch docs enumerates
     // B·b candidates unbounded. Cap EACH side at LshMaxBucket before the
-    // join — minBucket=1 because this is a cross-table join: a singleton
-    // bucket on one side still pairs with the other side. On a store
-    // bucketed by (band, bh) the cap's aggregate and join-back are
-    // Exchange-free, so history still never reshuffles.
-    val bStoreCapped = capBuckets(bStore, Seq("band", "bh"), LshMaxBucket,
-      minBucket = 1)
-    val bBatchCapped = capBuckets(bBatch, Seq("band", "bh"), LshMaxBucket,
-      minBucket = 1)
-    // batch-vs-store: candidate (batch doc, store doc) per shared bucket
+    // join — enforcement is a broadcast anti-join against the tiny
+    // overflow list (capBuckets scaladoc), so the bucketed-store scan
+    // stays Exchange-free and history never reshuffles.
+    // tracked: the capped batch banding feeds BOTH the store join and the
+    // within-batch self-join below
+    val bStoreCapped = capBuckets(bStore, Seq("band", "bh"), LshMaxBucket)
+    val bBatchCapped = tracked(capBuckets(bBatch, Seq("band", "bh"), LshMaxBucket))
+    // batch-vs-store: candidate (batch doc, store doc) per shared bucket.
+    // No pair-level distinct before the estimate: a pair sharing k of the
+    // `bands` buckets is estimated k times (est is a cheap in-row zip over
+    // signatures already joined in), which costs less than a full
+    // (doc, sdoc) exchange; the ONE distinct that matters — rejected batch
+    // docs — happens after the filter on a doc-only column.
     val storeHits = bBatchCapped.select(col("band"), col("bh"), col("doc"))
       .join(bStoreCapped.select(col("band"), col("bh"), col("doc").as("sdoc")),
         Seq("band", "bh"))
-      .select("doc", "sdoc").distinct()
       .join(batchSigs.select(col("doc"), col("sig")), Seq("doc"))
       .join(store.select(col("doc").as("sdoc"), col("sig").as("ssig")),
         Seq("sdoc"))
       .filter(est(col("sig"), col("ssig")) >= minEstJaccard)
       .select("doc").distinct()
-    val fresh = batch.join(
-      storeHits.withColumnRenamed("doc", idCol), Seq(idCol), "left_anti")
-    // within-batch: banded self-join over the SURVIVORS only (shared
-    // capped candidate stage), then min-id component canonicalization
-    val bFresh = bBatch.join(
-      fresh.select(col(idCol).as("doc")), Seq("doc"), "left_semi")
-    val pairs = bandedCandidates(bFresh, batchSigs, numHashes, minEstJaccard)
+    // hits is small (≤ batch size) and feeds three consumers below
+    val hits = tracked(storeHits)
+    val fresh = tracked(batch.join(
+      hits.withColumnRenamed("doc", idCol), Seq(idCol), "left_anti"))
+    // within-batch pairs among SURVIVORS only (a batch doc whose only
+    // near-dup partner was store-rejected must survive — class doc).
+    // Computed as all-batch pairs from the ALREADY-capped banding, then
+    // two anti-joins against the small hit list — cheaper than semi-
+    // joining the banded rows against fresh (banded rows ≫ pairs), and
+    // equivalent: pair membership doesn't depend on fresh-ness.
+    val allPairs = bandedCandidates(bBatchCapped, batchSigs, numHashes,
+      minEstJaccard, maxBucket = Int.MaxValue) // already capped upstream
       .select("doc_a", "doc_b")
+    val pairs = allPairs
+      .join(hits.withColumnRenamed("doc", "doc_a"), Seq("doc_a"), "left_anti")
+      .join(hits.withColumnRenamed("doc", "doc_b"), Seq("doc_b"), "left_anti")
     keepCanonical(fresh, idCol, pairs)
   }
 
@@ -614,26 +671,67 @@ object Dedup {
   def ingestMinhash(spark: org.apache.spark.sql.SparkSession,
                     batch: DataFrame, idCol: String, textCol: String,
                     sigTable: String, numHashes: Int = 16, bands: Int = 8,
-                    shingleN: Int = 5,
-                    minEstJaccard: Double = 0.3): DataFrame = {
-    val storeSigs =
+                    shingleN: Int = 5, minEstJaccard: Double = 0.3,
+                    epochId: Option[Long] = None): DataFrame =
+    ingestCore(spark, sigTable, epochId,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType),
+      kept => minhashSignaturesPortable(kept, idCol, textCol, numHashes, shingleN),
+      store => newAgainstStoreMinhash(batch, idCol, textCol, store,
+        numHashes, bands, shingleN, minEstJaccard))
+
+  /** [[ingestMinhash]] with the xxhash64 family
+    * ([[newAgainstStoreMinhashFast]]): `(doc, sig ARRAY<BIGINT>, epoch)`
+    * store rows, BIGINT band keys in every shuffle — the scale default
+    * for streaming ingestion. */
+  def ingestMinhashFast(spark: org.apache.spark.sql.SparkSession,
+                        batch: DataFrame, idCol: String, textCol: String,
+                        sigTable: String, numHashes: Int = 32, bands: Int = 8,
+                        shingleN: Int = 5, minEstJaccard: Double = 0.3,
+                        epochId: Option[Long] = None): DataFrame =
+    ingestCore(spark, sigTable, epochId,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType),
+      kept => minhashSignatures(kept, idCol, textCol, numHashes, shingleN),
+      store => newAgainstStoreMinhashFast(batch, idCol, textCol, store,
+        numHashes, bands, shingleN, minEstJaccard))
+
+  /** Shared ingestion body. Replay idempotence (at-least-once foreachBatch):
+    * signatures are stored WITH the writing epoch, the store view used for
+    * rejection excludes the current epoch and later (`epoch < e`), and the
+    * append is skipped when the current epoch is already present. A
+    * replayed micro-batch therefore (a) cannot see its own prior partial
+    * append — no self-rejection — and (b) cannot double-append. Batch-mode
+    * callers (no epochId) keep the old contract: reject against the whole
+    * store, always append, epoch recorded as -1. */
+  private def ingestCore(spark: org.apache.spark.sql.SparkSession,
+                         sigTable: String, epochId: Option[Long],
+                         sigType: org.apache.spark.sql.types.ArrayType,
+                         signatures: DataFrame => DataFrame,
+                         dedup: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val raw =
       if (spark.catalog.tableExists(sigTable)) spark.table(sigTable)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("sig",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.StringType)))))
+        StructType(Seq(StructField("doc", LongType),
+          StructField("sig", sigType), StructField("epoch", LongType))))
+    // pre-epoch stores (no epoch column) read as epoch -1 — always visible
+    val store = if (raw.columns.contains("epoch")) raw
+                else raw.withColumn("epoch", lit(-1L))
+    val alreadyIngested = epochId.exists(e =>
+      store.filter(col("epoch") === e).limit(1).count() > 0)
+    val visible = epochId match {
+      case Some(e) => store.filter(col("epoch") < e)
+      case None => store
+    }
     // localCheckpoint (eager): cut lineage BEFORE the store append below
     // mutates sigTable — a lazy `kept` recomputed afterwards would see
     // its own signatures in the store and reject every survivor
-    val kept = newAgainstStoreMinhash(batch, idCol, textCol, storeSigs,
-      numHashes, bands, shingleN, minEstJaccard)
-      .localCheckpoint()
-    minhashSignaturesPortable(kept, idCol, textCol, numHashes, shingleN)
-      .write.mode("append").saveAsTable(sigTable)
+    val kept = dedup(visible.select(col("doc"), col("sig"))).localCheckpoint()
+    if (!alreadyIngested)
+      signatures(kept).withColumn("epoch", lit(epochId.getOrElse(-1L)))
+        .write.mode("append").saveAsTable(sigTable)
     kept
   }
 

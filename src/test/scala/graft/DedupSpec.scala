@@ -332,6 +332,32 @@ class DedupSpec extends SparkSpec {
     assert(kept2 == Set(21L, 22L, 24L), kept2.toString)
   }
 
+  test("incremental minhash: xxhash64 fast family keeps the same set as the portable md5 family") {
+    // Planted corpus with unambiguous near-dup structure (estimates sit
+    // far from the 0.3 threshold on both families): the keep set must be
+    // hash-family-invariant — this equality is how the fast scale path
+    // inherits the portable twin's oracle anchoring.
+    def sent(p: String, n: Int = 25) = (1 to n).map(i => s"$p$i").mkString(" ")
+    def dropLast(t: String) = t.split(" ").dropRight(1).mkString(" ")
+    val store = Seq((10L, sent("kept")), (11L, sent("held")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (21L, sent("fresh")),             // new → kept
+      (22L, dropLast(sent("kept"))),    // store near-dup → dropped
+      (23L, dropLast(sent("fresh"))),   // batch near-dup → collapses to 21
+      (24L, dropLast(sent("held"))),    // store near-dup → dropped
+      (25L, sent("other")))             // new → kept
+      .toDF("doc_id", "text")
+    val keptPortable = Dedup.newAgainstStoreMinhash(batch, "doc_id", "text",
+        Dedup.minhashSignaturesPortable(store, "doc_id", "text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptFast = Dedup.newAgainstStoreMinhashFast(batch, "doc_id", "text",
+        Dedup.minhashSignatures(store, "doc_id", "text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptPortable == Set(21L, 25L), keptPortable.toString)
+    assert(keptFast == keptPortable, s"fast=$keptFast portable=$keptPortable")
+  }
+
   test("incremental minhash: degenerate hot store buckets cap, bounded buckets still reject") {
     // 200 byte-identical store docs: every (band, bh) bucket they occupy
     // holds 200 members — far beyond LshMaxBucket (64). Without the cap

@@ -169,9 +169,9 @@ class StreamingSpec extends SparkSpec {
     val keptIds = scala.collection.mutable.Set.empty[Long]
     val input = MemoryStream[(Long, String)]
     val q = input.toDS().toDF("doc_id", "text").writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
         keptIds ++= Dedup.ingestMinhash(batch.sparkSession, batch,
-          "doc_id", "text", sigT).select("doc_id")
+          "doc_id", "text", sigT, epochId = Some(epoch)).select("doc_id")
           .collect().map(_.getLong(0))
         graft.operators.Caches.unpersistScope("dedup")
         ()
@@ -202,6 +202,35 @@ class StreamingSpec extends SparkSpec {
       q.stop()
       spark.sql(s"DROP TABLE IF EXISTS $sigT")
     }
+  }
+
+  test("ingestion replaying an epoch keeps the same set and appends no duplicate signatures") {
+    import graft.operators.Dedup
+    val sigT = "ingest_sigs_replay"
+    spark.sql(s"DROP TABLE IF EXISTS $sigT")
+    def sent(p: String) = (1 to 20).map(i => s"$p$i").mkString(" ")
+    def dropLast(t: String) = t.split(" ").dropRight(1).mkString(" ")
+    try {
+      val b0 = Seq((1L, sent("alpha")), (2L, sent("beta")),
+        (3L, dropLast(sent("alpha")))).toDF("doc_id", "text")
+      def runEpoch(df: org.apache.spark.sql.DataFrame, e: Long) =
+        Dedup.ingestMinhashFast(spark, df, "doc_id", "text", sigT,
+          epochId = Some(e)).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(runEpoch(b0, 0L) == Set(1L, 2L))
+      assert(spark.table(sigT).count() == 2L)
+      // at-least-once replay of the SAME epoch: the prior append must not
+      // self-reject the batch, and nothing may double-append
+      assert(runEpoch(b0, 0L) == Set(1L, 2L))
+      assert(spark.table(sigT).count() == 2L)
+      // a later epoch sees epoch-0 history: store near-dups rejected
+      val b1 = Seq((4L, dropLast(sent("beta"))), (5L, sent("gamma")))
+        .toDF("doc_id", "text")
+      assert(runEpoch(b1, 1L) == Set(5L))
+      assert(spark.table(sigT).count() == 3L)
+      // replaying epoch 1 is idempotent too
+      assert(runEpoch(b1, 1L) == Set(5L))
+      assert(spark.table(sigT).count() == 3L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $sigT")
   }
 
   test("windowed watermarked stats over a bounded stream") {
