@@ -26,13 +26,27 @@ object Bpe {
     * merges.txt`, `fixtures/bpe/merges.txt` relative to the working
     * directory, then the identical copy bundled as a classpath resource —
     * so any checkout (or the packaged jar alone) resolves without
-    * container-specific absolute paths. */
-  def defaultMergesPath: String =
-    (sys.env.get("GRAFT_BPE_MERGES") ++
-      sys.env.get("GRAFT_REPO").map(_ + "/fixtures/bpe/merges.txt") ++
-      Seq("fixtures/bpe/merges.txt"))
-      .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-      .getOrElse(ClasspathMerges)
+    * container-specific absolute paths.
+    *
+    * An EXPLICIT `GRAFT_BPE_MERGES` that points at a missing file FAILS
+    * instead of falling back: a typo'd override silently tokenizing with
+    * the bundled fixture would mis-count every document while looking
+    * configured. */
+  def defaultMergesPath: String = resolveMergesPath(sys.env)
+
+  private[graft] def resolveMergesPath(env: Map[String, String]): String =
+    env.get("GRAFT_BPE_MERGES") match {
+      case Some(p) =>
+        require(java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
+          s"GRAFT_BPE_MERGES is set to '$p' but no such file exists " +
+            "(refusing to fall back to the bundled fixture)")
+        p
+      case None =>
+        (env.get("GRAFT_REPO").map(_ + "/fixtures/bpe/merges.txt") ++
+          Seq("fixtures/bpe/merges.txt"))
+          .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          .getOrElse(ClasspathMerges)
+    }
 
   /** Load + validate a merges file (filesystem path or the
     * `classpath:` marker). Well-formedness (every non-single-code-point

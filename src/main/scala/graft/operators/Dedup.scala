@@ -760,11 +760,48 @@ object Dedup {
     * candidate volume ≈ Σ C(df,2) over in-band shingles — computable
     * cheaply in one aggregation ([[jaccardStageCounts]]) BEFORE running
     * the quadratic stage. */
+  /** Candidate-volume pre-flight: Σ df·(df−1)/2 over in-band shingles —
+    * EXACTLY the ordered pairs the inverted-index self-join will
+    * enumerate before any filter (the controlled probe's
+    * `enumerated_pairs` reports the same formula, so estimate and
+    * measurement agree by construction). One aggregation over the
+    * df histogram, no pair ever materializes: run it before committing a
+    * cluster to the quadratic stage, and resize `dfMax` if the answer is
+    * unaffordable. */
+  def candidateVolumeEstimate(docs: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int = 5, dfMax: Int = 20): Long =
+    candidateVolumeFromIndex(shingleTable(docs, idCol, textCol, shingleN), dfMax)
+
+  // sum LONGS and halve on the driver: Spark's `/` always yields double,
+  // and df*(df-1) is even so the halving is exact
+  private def candidateVolumeFromIndex(sh: DataFrame, dfMax: Int): Long =
+    sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfMax)
+      .agg(coalesce(sum(col("df") * (col("df") - 1)), lit(0L)).as("n"))
+      .head().getLong(0) / 2
+
+  /** Optional pre-flight enforcement for the quadratic operators below:
+    * when `maxCandidatePairs` is set, refuse to enumerate more than that
+    * many candidates — the failure names the measured volume so the
+    * caller can re-run with a tighter `dfMax` instead of discovering the
+    * blow-up as a dead cluster at hour nine. */
+  private def guardCandidateVolume(sh: DataFrame, dfMax: Int,
+                                   maxCandidatePairs: Option[Long]): Unit =
+    maxCandidatePairs.foreach { m =>
+      val est = candidateVolumeFromIndex(sh, dfMax)
+      if (est > m) throw new IllegalStateException(
+        s"candidate volume pre-flight: the df-banded index would enumerate " +
+          s"$est pairs, over the declared budget of $m — lower dfMax or " +
+          s"split the corpus")
+    }
+
   def jaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 5, dfMax: Int = 20,
-                      minJaccard: Double = 0.5): DataFrame = {
+                      minJaccard: Double = 0.5,
+                      maxCandidatePairs: Option[Long] = None): DataFrame = {
     // The inverted index feeds five plan branches — persist it once.
     val sh = tracked(shingleTable(docs, idCol, textCol, shingleN))
+    guardCandidateVolume(sh, dfMax, maxCandidatePairs)
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("set_size"))
     val discriminative = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -828,11 +865,9 @@ object Dedup {
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("set_size"))
     val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val banded = dfs.filter(col("df") >= 2 && col("df") <= dfMax)
-    // sum LONGS and halve on the driver: Spark's `/` always yields double,
-    // and df*(df-1) is even so the halving is exact
-    val enumerated = banded
-      .agg(coalesce(sum(col("df") * (col("df") - 1)), lit(0L)).as("n"))
-      .head().getLong(0) / 2
+    // the SAME formula the pre-flight guard runs — probe equality between
+    // estimate and measurement holds by construction
+    val enumerated = candidateVolumeFromIndex(sh, dfMax)
     val discriminative = sh.join(banded.select("shingle"), Seq("shingle"))
     val withSize = discriminative.join(sizes, Seq("doc"))
     val pairs = withSize
@@ -862,8 +897,10 @@ object Dedup {
     * grounds for pruning. */
   def containmentNearDups(docs: DataFrame, idCol: String, textCol: String,
                           shingleN: Int = 5, dfMax: Int = 20,
-                          minContainment: Double = 0.8): DataFrame = {
+                          minContainment: Double = 0.8,
+                          maxCandidatePairs: Option[Long] = None): DataFrame = {
     val sh = tracked(shingleTable(docs, idCol, textCol, shingleN))
+    guardCandidateVolume(sh, dfMax, maxCandidatePairs)
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("set_size"))
     val discriminative = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df"))

@@ -109,7 +109,8 @@ object PatternStore {
         numBuckets, sortCols = Seq("pattern_id"))
     } else {
       val loc = tableDir(spark, table)
-      replaySwapJournal(loc)
+      val fs = fsFor(spark, loc)
+      replaySwapJournal(fs, loc)
       spark.catalog.refreshTable(table)
       val touched = fresh
         .select(pmod(hash(col("pattern_id")), lit(numBuckets)).as("b"))
@@ -122,7 +123,7 @@ object PatternStore {
         spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
         spark.sql(s"DROP TABLE `$backup`")
       } else {
-        val liveByBucket = bucketFiles(loc)
+        val liveByBucket = bucketFiles(fs, loc)
         val oldFiles = liveByBucket.filter { case (b, _) => touched(b) }
           .values.flatten.toSeq
         val schema = spark.table(table).schema
@@ -134,10 +135,10 @@ object PatternStore {
         val merged = Patterns.mergeJoin(fresh, histTouched)
         graft.sources.Sinks.bucketedTable(merged, staging, "pattern_id",
           numBuckets, sortCols = Seq("pattern_id"))
-        val newByBucket = bucketFiles(tableDir(spark, staging))
+        val newByBucket = bucketFiles(fs, tableDir(spark, staging))
         require(newByBucket.keySet.subsetOf(touched),
           s"merged rows escaped the touched bucket set: ${newByBucket.keySet} vs $touched")
-        swapBucketFiles(loc, oldFiles, newByBucket.values.flatten.toSeq)
+        swapBucketFiles(fs, loc, oldFiles, newByBucket.values.flatten.toSeq)
         spark.sql(s"DROP TABLE `$staging`") // its files were moved into `loc`
         spark.catalog.refreshTable(table)
       }
@@ -145,22 +146,31 @@ object PatternStore {
     spark.table(table)
   }
 
-  private def tableDir(spark: SparkSession, table: String): java.nio.file.Path =
-    Paths.get(new java.net.URI(
-      spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString))
+  // ---- bucketed-store file plumbing -----------------------------------
+  // All listing/moves/journal IO goes through org.apache.hadoop.fs
+  // .FileSystem, resolved from the table location's own scheme — the
+  // store works unchanged on HDFS/S3A/file://; the local specs exercise
+  // the exact code path production takes (file:// is just another
+  // Hadoop FS).
+
+  private type HPath = org.apache.hadoop.fs.Path
+
+  private def tableDir(spark: SparkSession, table: String): HPath =
+    new HPath(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+
+  private def fsFor(spark: SparkSession,
+                    p: HPath): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Data files of a bucketed table's directory, grouped by the bucket id
     * encoded in the file name (`part-<task>-<uuid>_<bucket>.c000...`). */
-  private def bucketFiles(dir: java.nio.file.Path): Map[Int, Seq[java.nio.file.Path]] = {
-    import scala.jdk.CollectionConverters._
+  private def bucketFiles(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: HPath): Map[Int, Seq[HPath]] = {
     val BucketRe = "_(\\d+)\\.".r
-    val stream = Files.list(dir)
-    val parts =
-      try stream.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("part-")).toSeq
-      finally stream.close()
-    parts.groupBy(p => BucketRe.findFirstMatchIn(p.getFileName.toString) match {
+    val parts = fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+    parts.groupBy(p => BucketRe.findFirstMatchIn(p.getName) match {
       case Some(m) => m.group(1).toInt
       case None => sys.error(s"bucketed data file without bucket id: $p")
     })
@@ -168,36 +178,63 @@ object PatternStore {
 
   /** Journaled swap: record intent (ADD new file names, DEL old ones) in
     * `_swap_journal`, move the new files in, delete the old, drop the
-    * journal. [[replaySwapJournal]] makes any crash point recoverable. */
-  private def swapBucketFiles(loc: java.nio.file.Path,
-                              oldFiles: Seq[java.nio.file.Path],
-                              newFiles: Seq[java.nio.file.Path]): Unit = {
-    val journal = loc.resolve("_swap_journal")
+    * journal. The journal is published atomically (write to a temp name,
+    * then rename) so readers can never observe a torn journal.
+    * [[replaySwapJournal]] makes any crash point recoverable. */
+  private def swapBucketFiles(fs: org.apache.hadoop.fs.FileSystem, loc: HPath,
+                              oldFiles: Seq[HPath],
+                              newFiles: Seq[HPath]): Unit = {
+    val journal = new HPath(loc, "_swap_journal")
+    val tmp = new HPath(loc, "_swap_journal.tmp")
     val lines =
-      newFiles.map(f => s"ADD ${f.getFileName}") ++
-        oldFiles.map(f => s"DEL ${f.getFileName}")
-    Files.writeString(journal, lines.mkString("\n"))
-    newFiles.foreach(f => Files.move(f, loc.resolve(f.getFileName.toString)))
-    oldFiles.foreach(Files.delete)
-    Files.delete(journal)
+      newFiles.map(f => s"ADD ${f.getName}") ++
+        oldFiles.map(f => s"DEL ${f.getName}")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, journal), s"could not publish swap journal at $journal")
+    newFiles.foreach { f =>
+      require(fs.rename(f, new HPath(loc, f.getName)), s"move failed: $f")
+    }
+    oldFiles.foreach(f => fs.delete(f, false))
+    fs.delete(journal, false)
   }
 
   /** Recover from a crash mid-[[swapBucketFiles]]: if every ADD landed the
     * old files were safe to drop — roll forward (delete remaining DELs);
     * otherwise the copy phase died — roll back (remove partial ADDs; all
     * DELs are still present because deletion only starts after the last
-    * ADD). Idempotent; no-op when no journal exists. */
-  private def replaySwapJournal(loc: java.nio.file.Path): Unit = {
-    val journal = loc.resolve("_swap_journal")
-    if (!Files.exists(journal)) return
-    val entries = Files.readString(journal).linesIterator.toSeq
-      .collect { case s if s.nonEmpty =>
-        val Array(op, name) = s.split(" ", 2); (op, loc.resolve(name)) }
-    val adds = entries.collect { case ("ADD", p) => p }
-    val dels = entries.collect { case ("DEL", p) => p }
-    if (adds.forall(Files.exists(_))) dels.filter(Files.exists(_)).foreach(Files.delete)
-    else adds.filter(Files.exists(_)).foreach(Files.delete)
-    Files.delete(journal)
+    * ADD). A journal with ANY unparsable line (torn write on a filesystem
+    * without atomic rename) is treated as rollback too: the moves only
+    * start after the journal is fully published, so the live files are
+    * intact and deleting whatever parseable ADDs exist restores the
+    * pre-swap state — a corrupt journal must never brick the store.
+    * Idempotent; no-op when no journal exists. */
+  private def replaySwapJournal(fs: org.apache.hadoop.fs.FileSystem,
+                                loc: HPath): Unit = {
+    val tmp = new HPath(loc, "_swap_journal.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, false) // unpublished journal: no-op swap
+    val journal = new HPath(loc, "_swap_journal")
+    if (!fs.exists(journal)) return
+    val in = fs.open(journal)
+    val content =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val parsed = content.linesIterator.filter(_.nonEmpty).toSeq.map { s =>
+      s.split(" ", 2) match {
+        case Array(op @ ("ADD" | "DEL"), name) if name.nonEmpty =>
+          Some((op, new HPath(loc, name)))
+        case _ => None
+      }
+    }
+    val corrupt = parsed.exists(_.isEmpty)
+    val adds = parsed.flatten.collect { case ("ADD", p) => p }
+    val dels = parsed.flatten.collect { case ("DEL", p) => p }
+    if (!corrupt && adds.forall(fs.exists))
+      dels.filter(fs.exists).foreach(p => fs.delete(p, false))
+    else
+      adds.filter(fs.exists).foreach(p => fs.delete(p, false))
+    fs.delete(journal, false)
   }
 
   /** `--force-reset` (`querysight.py:292`, reset impl

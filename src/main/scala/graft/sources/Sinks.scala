@@ -61,13 +61,8 @@ object Sinks {
                   codec: String = "zstd"): Unit = {
     val resolved = codec match {
       case "zstd" =>
-        val cls = "org.apache.parquet.hadoop.codec.ZstandardCodec"
-        val conf = df.sparkSession.sparkContext.hadoopConfiguration
-        val registered = conf.get("io.compression.codecs", "")
-        if (!registered.contains(cls))
-          conf.set("io.compression.codecs",
-            if (registered.isEmpty) cls else s"$registered,$cls")
-        cls
+        TextSources.registerZstd(df.sparkSession)
+        "org.apache.parquet.hadoop.codec.ZstandardCodec"
       case other => other
     }
     numShards.fold(df)(df.repartition(_))

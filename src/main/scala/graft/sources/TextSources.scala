@@ -23,14 +23,33 @@ object TextSources {
 
   val CorruptCol = "_graft_corrupt"
 
+  /** Register the zstd Hadoop codec on this session's Hadoop conf so
+    * `.json.zstd` shards ([[Sinks.jsonlShards]]'s default) decompress on
+    * READ. Spark's text-source shortname table has no zstd entry; the
+    * codec class (parquet-hadoop's `ZstandardCodec`, backed by zstd-jni —
+    * both on every Spark classpath) must sit in `io.compression.codecs`,
+    * and a session that never WROTE a shard has no reason to have put it
+    * there. Idempotent; called by every text read below, and public for
+    * sessions that read shards through plain `spark.read`. */
+  def registerZstd(spark: SparkSession): Unit = {
+    val cls = "org.apache.parquet.hadoop.codec.ZstandardCodec"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val registered = conf.get("io.compression.codecs", "")
+    if (!registered.contains(cls))
+      conf.set("io.compression.codecs",
+        if (registered.isEmpty) cls else s"$registered,$cls")
+  }
+
   /** JSON-lines read: one JSON object per line, explicit schema, corrupt
     * lines captured raw in [[CorruptCol]]. */
-  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    registerZstd(spark)
     spark.read
       .schema(schema.add(CorruptCol, StringType))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
+  }
 
   /** CSV read with the same contract (multiline off: a row = a line, so
     * the input stays splittable by byte range). */

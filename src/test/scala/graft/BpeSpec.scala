@@ -96,4 +96,20 @@ class BpeSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Bpe.validate(Seq(("h", "e"), ("ll", "o"))))
   }
+
+  test("a set-but-missing GRAFT_BPE_MERGES fails loudly instead of falling back") {
+    val e = intercept[IllegalArgumentException](
+      Bpe.resolveMergesPath(Map("GRAFT_BPE_MERGES" -> "/no/such/merges.txt")))
+    assert(e.getMessage.contains("GRAFT_BPE_MERGES"))
+    // a set-and-present override wins over everything
+    val tmp = java.nio.file.Files.createTempFile("merges", ".txt")
+    try {
+      assert(Bpe.resolveMergesPath(
+        Map("GRAFT_BPE_MERGES" -> tmp.toString)) == tmp.toString)
+    } finally java.nio.file.Files.delete(tmp)
+    // unset: resolution falls through to repo fixture / classpath
+    val resolved = Bpe.resolveMergesPath(Map.empty)
+    assert(resolved == Bpe.ClasspathMerges ||
+      java.nio.file.Files.exists(java.nio.file.Paths.get(resolved)))
+  }
 }

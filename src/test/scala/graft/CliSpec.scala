@@ -246,6 +246,12 @@ class CliSpec extends SparkSpec {
     // shards are zstd JSONL by default, readable back with full fidelity
     val files = new java.io.File(out).listFiles.map(_.getName)
     assert(files.exists(_.endsWith(".json.zstd")), files.mkString(","))
+    // Simulate a FRESH reading session that never wrote a shard: strip
+    // the codec registration the write left on the shared Hadoop conf,
+    // then register through the public read-path helper. Before the
+    // helper existed this read only worked by write-session side effect.
+    spark.sparkContext.hadoopConfiguration.unset("io.compression.codecs")
+    graft.sources.TextSources.registerZstd(spark)
     val back = spark.read.json(out).select("doc_id").as[Long].collect().sorted.toSeq
     assert(back == Seq(1L, 4L))
     // --codec gzip stays accepted for consumers that require it

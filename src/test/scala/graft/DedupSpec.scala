@@ -308,6 +308,19 @@ class DedupSpec extends SparkSpec {
       "index_rows" -> 9L, "banded_index_rows" -> 5L,
       "enumerated_pairs" -> 4L, "ratio_kept_pairs" -> 4L,
       "distinct_pairs" -> 3L), counts.toString)
+    // the pre-flight estimate is the measured enumeration, by construction
+    assert(Dedup.candidateVolumeEstimate(docs, "doc_id", "text",
+      shingleN = 1, dfMax = 20) == counts("enumerated_pairs"))
+    // the optional guard trips BEFORE any pair materializes…
+    val e = intercept[IllegalStateException](
+      Dedup.jaccardNearDups(docs, "doc_id", "text", shingleN = 1, dfMax = 20,
+        minJaccard = 0.5, maxCandidatePairs = Some(3L)))
+    assert(e.getMessage.contains("4 pairs"))
+    // …and a sufficient budget passes through with identical results
+    assert(Dedup.jaccardNearDups(docs, "doc_id", "text", shingleN = 1,
+      dfMax = 20, minJaccard = 0.5, maxCandidatePairs = Some(4L)).count() ==
+      Dedup.jaccardNearDups(docs, "doc_id", "text", shingleN = 1,
+        dfMax = 20, minJaccard = 0.5).count())
   }
 
   test("incremental minhash: store near-dups rejected, batch components collapse, history untouched") {

@@ -208,6 +208,45 @@ class PlanAuditSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
+  test("corrupt swap journal rolls back instead of bricking the store") {
+    import java.sql.Timestamp
+    def pats(ids: Seq[String], freq: Long) = ids.map(id =>
+      (id, s"SELECT $id", freq, 100.0 * freq, Timestamp.valueOf("2024-01-01 00:00:00"),
+        Timestamp.valueOf("2024-06-01 00:00:00"), Seq("u1", s"u_$id"), 10L * freq,
+        20L * freq, 30L * freq))
+      .toDF("pattern_id", "sql_pattern", "frequency", "total_duration_ms",
+        "first_seen", "last_seen", "users", "memory_usage",
+        "total_read_rows", "total_read_bytes")
+      .withColumn("avg_duration_ms", col("total_duration_ms") / col("frequency"))
+    val t = "pat_hist_corrupt_journal"
+    Seq(t, s"${t}_staging", s"${t}_backup").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      val hist = pats(Seq("a", "b", "c", "d"), 2L)
+      graft.operators.PatternStore.enrichBucketed(spark, hist, t, numBuckets = 4)
+      val loc = java.nio.file.Paths.get(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)).location.toString))
+      val expected = spark.table(t).orderBy("pattern_id").collect().toSeq
+      // Simulate a torn journal write on a filesystem without atomic
+      // rename: one valid ADD line for a file that never landed, then a
+      // byte-truncated line. Before the fix this MatchError'd every later
+      // enrich; now it must roll back (drop the phantom ADD, keep live
+      // files) and the next enrich must succeed.
+      java.nio.file.Files.writeString(loc.resolve("_swap_journal"),
+        "ADD part-99999-deadbeef_0.c000.snappy.parquet\nDEL")
+      val delta = pats(Seq("a"), 3L)
+      graft.operators.PatternStore.enrichBucketed(spark, delta, t, numBuckets = 4)
+      assert(!java.nio.file.Files.exists(loc.resolve("_swap_journal")))
+      val got = spark.table(t).filter(col("pattern_id") === "a")
+        .select("frequency").head().getLong(0)
+      assert(got == 5L, s"merged frequency after recovery: $got")
+      // untouched patterns still intact
+      assert(spark.table(t).count() == expected.size.toLong)
+    } finally Seq(t, s"${t}_staging", s"${t}_backup").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("BPE token count and tokenizer surface are map-only: no exchange") {
     // parquet-backed so ConvertToLocalRelation can't pre-evaluate the
     // projection — the assertion must see the real scan pipeline
