@@ -7,10 +7,17 @@ import org.apache.spark.sql.{DataFrame, Row}
   * (`querysight.py:63-268` paged pattern tables + summary statistics,
   * `:679-748` per-level result display, `:750-813` recommendation panels,
   * `:207-268` per-pattern coverage detail consuming the J4 parent/child
-  * rollup) rendered as deterministic plain ASCII — same tables, sections,
-  * sort keys, pagination, and speed-bucket arithmetic, minus ANSI color
-  * (markup is terminal styling, not behavior; plain text keeps output
-  * golden-testable and pipe-safe).
+  * rollup) rendered as deterministic ASCII tables — same tables, sections,
+  * sort keys, pagination, and speed-bucket arithmetic.
+  *
+  * ANSI color is OPT-IN ([[Ansi.enabled]]: `GRAFT_COLOR=1`, or the
+  * `color` parameter) and mirrors the reference's rich styles
+  * (`querysight.py:91-102`: cyan pattern ids, duration buckets
+  * red >1s / yellow >100ms / green, blue users, magenta tables, green
+  * timestamps). Styling is layout-neutral by construction — widths are
+  * computed on escape-stripped text, so `stripAnsi(colored) == plain`,
+  * spec-asserted — and defaults OFF so golden tests and piped output
+  * never see an escape byte (rich does the same when not a tty).
   *
   * Scale discipline: everything rendered here is POST-aggregation, at
   * pattern / dbt-model cardinality — a bounded, dictionary-sized frame no
@@ -19,6 +26,30 @@ import org.apache.spark.sql.{DataFrame, Row}
   * log-cardinality data ever reaches the driver.
   */
 object Display {
+
+  /** Minimal SGR styling: codes match rich's named colors as the
+    * reference uses them. */
+  private[graft] object Ansi {
+    /** Color only when explicitly requested: `GRAFT_COLOR=1` (any value
+      * but `0`). No tty auto-detection — determinism beats convenience
+      * in a library whose output is golden-tested. */
+    def enabled: Boolean = sys.env.get("GRAFT_COLOR").exists(_ != "0")
+    val Esc = "\u001b["
+    private def sgr(code: String)(s: String): String = s"$Esc${code}m$s${Esc}0m"
+    val red: String => String = sgr("31")
+    val green: String => String = sgr("32")
+    val yellow: String => String = sgr("33")
+    val blue: String => String = sgr("34")
+    val magenta: String => String = sgr("35")
+    val cyan: String => String = sgr("36")
+    private val AnsiRe = "\u001b\\[[0-9;]*m".r
+    def strip(s: String): String = AnsiRe.replaceAllIn(s, "")
+    /** Visible width of a possibly-styled cell line. */
+    def visibleLength(s: String): Int = strip(s).length
+    /** Pad to visible width w (ANSI codes occupy no columns). */
+    def padVisible(s: String, w: Int): String =
+      s + " " * math.max(0, w - visibleLength(s))
+  }
 
   private def num(d: Double, dec: Int): String =
     String.format(Locale.US, s"%,.${dec}f", Double.box(d))
@@ -41,16 +72,18 @@ object Display {
       Seq.empty
     else r.getSeq[String](r.fieldIndex(field)).sorted
 
-  /** Fixed-grid table: `+-` borders, one header line, multi-line cells. */
+  /** Fixed-grid table: `+-` borders, one header line, multi-line cells.
+    * Widths come from ESCAPE-STRIPPED text, so styled and plain cells
+    * produce identical geometry. */
   private[graft] def table(title: Option[String], headers: Seq[String],
                            rows: Seq[Seq[String]]): String = {
     val widths = headers.indices.map { i =>
       (headers(i).length +:
-        rows.map(_(i).split('\n').map(_.length).maxOption.getOrElse(0))).max
+        rows.map(_(i).split('\n').map(Ansi.visibleLength).maxOption.getOrElse(0))).max
     }
     def sep = widths.map(w => "-" * (w + 2)).mkString("+", "+", "+")
     def line(cells: Seq[String]) =
-      cells.zip(widths).map { case (s, w) => " " + s.padTo(w, ' ') + " " }
+      cells.zip(widths).map { case (s, w) => " " + Ansi.padVisible(s, w) + " " }
         .mkString("|", "|", "|")
     def rowLines(cells: Seq[String]): Seq[String] = {
       val parts = cells.map(_.split('\n').toSeq)
@@ -69,16 +102,16 @@ object Display {
 
   /** Two-column properties table without a header row. */
   private def kvTable(rows: Seq[(String, String)]): String = {
-    val w1 = rows.map(_._1.split('\n').map(_.length).max).max
-    val w2 = rows.map(_._2.split('\n').map(_.length).maxOption.getOrElse(0)).max
+    val w1 = rows.map(_._1.split('\n').map(Ansi.visibleLength).max).max
+    val w2 = rows.map(_._2.split('\n').map(Ansi.visibleLength).maxOption.getOrElse(0)).max
     def sep = s"+${"-" * (w1 + 2)}+${"-" * (w2 + 2)}+"
     val sb = new StringBuilder
     sb.append(sep).append('\n')
     rows.foreach { case (k, v) =>
       val ks = k.split('\n'); val vs = v.split('\n')
       (0 until math.max(ks.length, vs.length)).foreach { i =>
-        sb.append("| ").append(ks.lift(i).getOrElse("").padTo(w1, ' '))
-          .append(" | ").append(vs.lift(i).getOrElse("").padTo(w2, ' '))
+        sb.append("| ").append(Ansi.padVisible(ks.lift(i).getOrElse(""), w1))
+          .append(" | ").append(Ansi.padVisible(vs.lift(i).getOrElse(""), w2))
           .append(" |\n")
       }
       sb.append(sep).append('\n')
@@ -88,11 +121,12 @@ object Display {
 
   private def panel(title: String, body: String): String = {
     val lines = body.split('\n').toSeq
-    val w = (title.length +: lines.map(_.length)).max
+    val w = (Ansi.visibleLength(title) +: lines.map(Ansi.visibleLength)).max
     val sb = new StringBuilder
-    sb.append("+- ").append(title).append(" ").append("-" * (w - title.length))
-      .append("-+\n")
-    lines.foreach(l => sb.append("| ").append(l.padTo(w, ' ')).append(" |\n"))
+    sb.append("+- ").append(title).append(" ")
+      .append("-" * (w - Ansi.visibleLength(title))).append("-+\n")
+    lines.foreach(l =>
+      sb.append("| ").append(Ansi.padVisible(l, w)).append(" |\n"))
     sb.append("+").append("-" * (w + 2)).append("+\n")
     sb.toString
   }
@@ -117,11 +151,26 @@ object Display {
   }
 
   /** `display_query_patterns` (`querysight.py:63-165`): paged pattern
-    * tables, total count, and the summary-statistics panel. */
+    * tables, total count, and the summary-statistics panel. `color`
+    * reproduces the reference's rich styles (`querysight.py:91-116`):
+    * cyan pattern id, duration bucketed red/yellow/green at 1 s / 100 ms,
+    * blue users, magenta tables, green timestamps. */
   def queryPatterns(patterns: DataFrame, sortBy: String = "duration",
-                    pageSize: Int = 20): String = {
+                    pageSize: Int = 20,
+                    color: Boolean = Ansi.enabled): String = {
+    def id: String => String = if (color) Ansi.cyan else identity
+    def usr: String => String = if (color) Ansi.blue else identity
+    def tbl: String => String = if (color) Ansi.magenta else identity
+    def ts: String => String = if (color) Ansi.green else identity
+    def dur(ms: Double)(s: String): String =
+      if (!color) s
+      else if (ms > 1000) Ansi.red(s)
+      else if (ms > 100) Ansi.yellow(s)
+      else Ansi.green(s)
     val rows = sortPatterns(patterns.collect().toSeq, sortBy)
-    if (rows.isEmpty) return "No query patterns found\n"
+    if (rows.isEmpty)
+      return (if (color) Ansi.yellow("No query patterns found")
+              else "No query patterns found") + "\n"
     val totalPages = (rows.size + pageSize - 1) / pageSize
     val sb = new StringBuilder
     rows.grouped(pageSize).zipWithIndex.foreach { case (page, i) =>
@@ -132,15 +181,16 @@ object Display {
         }
         val users = strSeq(p, "users")
         val tables = strSeq(p, "tables_accessed")
+        val avgMs = p.getAs[Double]("avg_duration_ms")
         Seq(
-          p.getAs[String]("pattern_id"),
+          id(p.getAs[String]("pattern_id")),
           p.getAs[Long]("frequency").toString,
-          num(p.getAs[Double]("avg_duration_ms"), 2) + " ms",
+          dur(avgMs)(num(avgMs, 2) + " ms"),
           num(memMb, 2),
-          if (users.nonEmpty) users.mkString("\n") else "N/A",
-          if (tables.nonEmpty) tables.mkString("\n") else "N/A",
-          fmtTs(p, "first_seen"),
-          fmtTs(p, "last_seen"))
+          if (users.nonEmpty) users.map(usr).mkString("\n") else "N/A",
+          if (tables.nonEmpty) tables.map(tbl).mkString("\n") else "N/A",
+          ts(fmtTs(p, "first_seen")),
+          ts(fmtTs(p, "last_seen")))
       }
       sb.append(table(
         Some(s"Query Patterns (Page ${i + 1}/$totalPages)"),
@@ -280,17 +330,31 @@ object Display {
   }
 
   /** `display_recommendations` (`querysight.py:750-813`): one panel per
-    * recommendation, ordered (pattern_id, rec_type) for determinism. */
-  def recommendations(recs: DataFrame): String = {
+    * recommendation, ordered (pattern_id, rec_type) for determinism.
+    * `color` mirrors the reference's impact styling (HIGH red /
+    * MEDIUM yellow / LOW green; the emoji stay out — they are not
+    * column-width-safe in every terminal). */
+  def recommendations(recs: DataFrame,
+                      color: Boolean = Ansi.enabled): String = {
     import org.apache.spark.sql.functions.col
+    def impactStyled(lvl: String): String =
+      if (!color) lvl
+      else lvl.toUpperCase(Locale.US) match {
+        case "HIGH" => Ansi.red(lvl)
+        case "MEDIUM" => Ansi.yellow(lvl)
+        case "LOW" => Ansi.green(lvl)
+        case _ => lvl
+      }
     val rows = recs.orderBy(col("pattern_id"), col("rec_type")).collect().toSeq
-    if (rows.isEmpty) return "No optimization recommendations generated\n"
+    if (rows.isEmpty)
+      return (if (color) Ansi.yellow("No optimization recommendations generated")
+              else "No optimization recommendations generated") + "\n"
     val sb = new StringBuilder
     sb.append("AI Optimization Recommendations\n\n")
     rows.zipWithIndex.foreach { case (r, i) =>
       sb.append(panel(s"Recommendation ${i + 1}",
         s"Type: ${r.getAs[String]("rec_type")}\n" +
-          s"Impact: ${r.getAs[String]("impact_level")}\n" +
+          s"Impact: ${impactStyled(r.getAs[String]("impact_level"))}\n" +
           s"Pattern: ${r.getAs[String]("pattern_id")}\n" +
           s"Description:\n${r.getAs[String]("description")}"))
       sb.append('\n')
