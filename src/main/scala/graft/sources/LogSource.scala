@@ -47,6 +47,9 @@ final case class JdbcLogSource(
     partition: Option[(String, Long, Long, Int)] = None,
     options: Map[String, String] = Map.empty) extends LogSource {
   def load(spark: SparkSession): DataFrame = {
+    // ClickHouse urls get the graft dialect (type algebra + quoting)
+    // without a manual registration step
+    if (ClickHouseDialect.canHandle(url)) ClickHouseDialect.register()
     val base = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
