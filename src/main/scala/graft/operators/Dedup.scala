@@ -170,7 +170,7 @@ object Dedup {
     * Estimated Jaccard = fraction of equal signature components.
     *
     * Shuffle discipline at scale: the banded self-join and the candidate
-    * `.distinct()` carry ONLY (band_hash, doc ids) — 24 bytes/row. The
+    * `.distinct()` carry ONLY (band, bh, doc ids) — 24 bytes/row. The
     * 32-long signatures (~512 B each) rejoin AFTER pair-dedup, touching
     * each surviving pair once. The earlier form that dragged both
     * signatures through the distinct exchange measured ~24× cost at 10×
@@ -533,7 +533,7 @@ object Dedup {
     * shuffles history at all — the same discipline as
     * [[newAgainstStore]]'s fingerprint store, generalized to near-dup
     * identity. BOTH sides of the store join are capped at `LshMaxBucket`
-    * (minBucket=1 — cross-table, so singletons still pair), and the
+    * (overflow-list anti-join, so singletons still pair), and the
     * within-batch self-join runs through the shared capped
     * [[bandedCandidates]] stage: a degenerate hot bucket bounds at
     * LshMaxBucket² candidates instead of B·b. The recall trade is the
