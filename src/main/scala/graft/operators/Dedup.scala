@@ -118,8 +118,8 @@ object Dedup {
     * other side in a cross-table join, so no floor is needed or applied.
     * The count aggregate is map-side combinable, and Exchange-free on a
     * store already bucketed by `keys`. */
-  private def capBuckets(banded: DataFrame, keys: Seq[String],
-                         maxBucket: Int): DataFrame = {
+  private[graft] def capBuckets(banded: DataFrame, keys: Seq[String],
+                                maxBucket: Int): DataFrame = {
     val hot = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)

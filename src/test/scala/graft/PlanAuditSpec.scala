@@ -208,6 +208,39 @@ class PlanAuditSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
+  test("fast-family BIGINT store: cap + candidate join plan no Exchange above the history scan") {
+    import graft.operators.Dedup
+    val t = "sig_store_banded_fast_audit"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    try {
+      val store = (1 to 30).map(i =>
+        (i.toLong, (1 to 20).map(j => s"w${i}_$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      val sigs = Dedup.minhashSignatures(store, "doc_id", "text", 32, 5)
+      graft.sources.Sinks.bucketedTableOn(
+        Dedup.bandedXxhash(sigs, 32, 8), t, Seq("band", "bh"), 4)
+      val batch = Seq((100L, (1 to 20).map(j => s"w5_$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      val bBatch = Dedup.bandedXxhash(
+        Dedup.minhashSignatures(batch, "doc_id", "text", 32, 5), 32, 8)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the INGESTION shape: overflow-cap the bucketed history, then the
+      // cross candidate join — the cap's aggregate and anti-join must ride
+      // the bucket layout, so the history branch plans no Exchange at all
+      val capped = Dedup.capBuckets(spark.table(t), Seq("band", "bh"),
+        Dedup.LshMaxBucket)
+      val cand = bBatch.join(capped, Seq("band", "bh"))
+      val p = plan(cand)
+      assert(p.contains("SelectedBucketsCount"), p)
+      val exchangeLines = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+      assert(exchangeLines.nonEmpty && exchangeLines.forall(_.contains(":")), p)
+      assert(cand.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("corrupt swap journal rolls back instead of bricking the store") {
     import java.sql.Timestamp
     def pats(ids: Seq[String], freq: Long) = ids.map(id =>
