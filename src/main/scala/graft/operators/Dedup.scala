@@ -590,8 +590,18 @@ object Dedup {
     // long up front. Bucket identity is preserved modulo 64-bit hash
     // collisions, which the est-Jaccard filter absorbs; the pair-output
     // ORACLE twins ([[minhashNearDupsPortable]]) never pass through here.
+    //
+    // EXCEPTION: a caller-persisted `storeBanded` with STRING keys keeps
+    // them, on BOTH sides — folding would derive a new join column and
+    // throw away the store's bucket co-location, the whole point of
+    // persisting pre-banded history. (To get long keys AND co-location,
+    // persist the store already folded — `xxhash64(bh)` — or use the fast
+    // family, whose keys are born BIGINT.)
+    val useLongKeys = storeBanded.forall(
+      _.schema("bh").dataType != org.apache.spark.sql.types.StringType)
     def longKeyed(banded: DataFrame): DataFrame =
-      if (banded.schema("bh").dataType == org.apache.spark.sql.types.StringType)
+      if (useLongKeys &&
+          banded.schema("bh").dataType == org.apache.spark.sql.types.StringType)
         banded.withColumn("bh", xxhash64(col("bh")))
       else banded
     val batchSigs = tracked(signatures(batch))

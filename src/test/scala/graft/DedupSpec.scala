@@ -343,6 +343,13 @@ class DedupSpec extends SparkSpec {
         storeSigs.limit(0))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept2 == Set(21L, 22L, 24L), kept2.toString)
+    // a caller-persisted pre-banded STRING-key store keeps its keys (no
+    // long-folding that would break bucket co-location) and produces the
+    // identical keep set
+    val kept3 = Dedup.newAgainstStoreMinhash(batch, "doc_id", "text",
+        storeSigs, storeBanded = Some(Dedup.bandedPortable(storeSigs, 16, 8)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept3 == kept, kept3.toString)
   }
 
   test("incremental minhash: xxhash64 fast family keeps the same set as the portable md5 family") {
