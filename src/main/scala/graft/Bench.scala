@@ -659,13 +659,18 @@ object Bench {
     // Compact (<1 KB) summary as the LAST stdout line: the driver's tail
     // window is ~2 KB and the full BENCH_JSON line exceeds it (r4-r7
     // artifacts carried parsed:null). Everything adjudication needs at a
-    // glance: total over succeeded queries, how many succeeded/failed,
-    // contention + inversion counts, ANN recall.
+    // glance. Scope discipline: total/n_queries/n_failed/contaminated_n
+    // all describe the ENGINE section (one consistent denominator);
+    // failures anywhere else (streaming, scale phases) surface separately
+    // as n_failed_other so a crashed phase can't be misread as a crashed
+    // engine query — or hide.
     val recallJson = lastRecall
       .map { case (srp, ivf) => s""","recall_srp":$srp,"recall_ivf":$ivf""" }
       .getOrElse("")
+    val nFailedOther = nFailedTotal - engine.nFailed
     println(s"""BENCH_SUMMARY: {"total":${r2(total)},"n_queries":${engine.nOk},""" +
-      s""""n_failed":$nFailedTotal,"contaminated_n":${engine.nContaminated},""" +
+      s""""n_failed":${engine.nFailed},"n_failed_other":$nFailedOther,""" +
+      s""""contaminated_n":${engine.nContaminated},""" +
       s""""inversions_n":$nInversions$recallJson,"sf":"$sfDir"}""")
     spark.stop()
   }

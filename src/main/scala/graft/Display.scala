@@ -30,10 +30,13 @@ object Display {
   /** Minimal SGR styling: codes match rich's named colors as the
     * reference uses them. */
   private[graft] object Ansi {
-    /** Color only when explicitly requested: `GRAFT_COLOR=1` (any value
-      * but `0`). No tty auto-detection — determinism beats convenience
-      * in a library whose output is golden-tested. */
-    def enabled: Boolean = sys.env.get("GRAFT_COLOR").exists(_ != "0")
+    /** Color only when explicitly requested: `GRAFT_COLOR=1` (any
+      * non-empty value but `0`; an EMPTY value is the conventional
+      * "cleared" state and stays off). No tty auto-detection —
+      * determinism beats convenience in a library whose output is
+      * golden-tested. */
+    def enabled: Boolean =
+      sys.env.get("GRAFT_COLOR").exists(v => v.nonEmpty && v != "0")
     val Esc = "\u001b["
     private def sgr(code: String)(s: String): String = s"$Esc${code}m$s${Esc}0m"
     val red: String => String = sgr("31")

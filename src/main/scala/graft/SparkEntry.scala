@@ -92,6 +92,30 @@ object SparkEntry {
     d.unionByName(planted)
   }
 
+  /** The incremental-minhash corpus: (store = every 40th doc, batch =
+    * the other sampled docs ∪ near-copies of store ∪ near-copies of the
+    * batch's own docs) — shared by the md5 and xxhash64 ingestion
+    * queries, and by `FixtureSchemaSpec`'s bucket-histogram guard (the
+    * Spark path caps LSH buckets at `Dedup.LshMaxBucket` while the
+    * DuckDB oracle mirrors the UNCAPPED algebra, so oracle parity
+    * requires this corpus to stay flood-free — the guard turns a future
+    * fixture regeneration that violates that into a named test failure
+    * instead of a mysterious oracle mismatch). */
+  private[graft] def incrMinhashCorpus(s: SparkSession,
+                                       dir: String): (DataFrame, DataFrame) = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 20 === 0)
+    val store = d.filter(col("doc_id") % 40 === 0)
+    val nearCopy = (src: DataFrame, shift: Long) =>
+      src.select((col("doc_id") + shift).as("doc_id"),
+        array_join(slice(Text.tokens(col("text")), lit(1),
+          greatest(size(Text.tokens(col("text"))) - 1, lit(1))), " ").as("text"))
+    val batch = d.filter(col("doc_id") % 40 =!= 0)
+      .unionByName(nearCopy(store, 1000000L))
+      .unionByName(nearCopy(d.filter(col("doc_id") % 40 =!= 0), 2000000L))
+    (store, batch)
+  }
+
   /** The same identity expression on the DuckDB side. */
   private val logQuerySql = "event_type || ' ' || props"
   private val patternIdSql: String = Normalize.duckdbFingerprintSql(logQuerySql)
@@ -756,16 +780,7 @@ object SparkEntry {
     // never re-hashed. Same 5% slice + md5 families as the portable twin
     // so the whole policy sits under the oracle.
     "q_dedup_minhash_incr" -> ((s, dir) => {
-      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        .filter(col("doc_id") % 20 === 0)
-      val store = d.filter(col("doc_id") % 40 === 0)
-      val nearCopy = (src: DataFrame, shift: Long) =>
-        src.select((col("doc_id") + shift).as("doc_id"),
-          array_join(slice(Text.tokens(col("text")), lit(1),
-            greatest(size(Text.tokens(col("text"))) - 1, lit(1))), " ").as("text"))
-      val batch = d.filter(col("doc_id") % 40 =!= 0)
-        .unionByName(nearCopy(store, 1000000L))
-        .unionByName(nearCopy(d.filter(col("doc_id") % 40 =!= 0), 2000000L))
+      val (store, batch) = incrMinhashCorpus(s, dir)
       val storeSigs = Dedup.minhashSignaturesPortable(store, "doc_id", "text",
         numHashes = 16, shingleN = 5)
       Dedup.newAgainstStoreMinhash(batch, "doc_id", "text", storeSigs,
@@ -780,16 +795,7 @@ object SparkEntry {
     // 0.3 sits in the empty middle of that bimodal gap (DedupSpec proves
     // family equality on a planted corpus as well).
     "q_dedup_minhash_incr_fast" -> ((s, dir) => {
-      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        .filter(col("doc_id") % 20 === 0)
-      val store = d.filter(col("doc_id") % 40 === 0)
-      val nearCopy = (src: DataFrame, shift: Long) =>
-        src.select((col("doc_id") + shift).as("doc_id"),
-          array_join(slice(Text.tokens(col("text")), lit(1),
-            greatest(size(Text.tokens(col("text"))) - 1, lit(1))), " ").as("text"))
-      val batch = d.filter(col("doc_id") % 40 =!= 0)
-        .unionByName(nearCopy(store, 1000000L))
-        .unionByName(nearCopy(d.filter(col("doc_id") % 40 =!= 0), 2000000L))
+      val (store, batch) = incrMinhashCorpus(s, dir)
       val storeSigs = Dedup.minhashSignatures(store, "doc_id", "text",
         numHashes = 32, shingleN = 5)
       Dedup.newAgainstStoreMinhashFast(batch, "doc_id", "text", storeSigs,

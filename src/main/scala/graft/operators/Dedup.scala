@@ -726,10 +726,17 @@ object Dedup {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("doc", LongType),
           StructField("sig", sigType), StructField("epoch", LongType))))
-    // pre-epoch stores (no epoch column) read as epoch -1 — always visible
-    val store = if (raw.columns.contains("epoch")) raw
-                else raw.withColumn("epoch", lit(-1L))
-    val alreadyIngested = epochId.exists(e =>
+    // LEGACY stores (created before the epoch column existed) read as
+    // epoch -1 — always visible — and are appended to WITHOUT the epoch
+    // column (appending a 3-column frame into a 2-column table is an
+    // AnalysisException, not schema evolution). Replay idempotence
+    // therefore only holds for epoch-capable stores; a legacy store keeps
+    // the old at-least-once behavior until rewritten. New/empty stores
+    // are always created epoch-capable.
+    val legacy = spark.catalog.tableExists(sigTable) &&
+      !raw.columns.contains("epoch")
+    val store = if (legacy) raw.withColumn("epoch", lit(-1L)) else raw
+    val alreadyIngested = !legacy && epochId.exists(e =>
       store.filter(col("epoch") === e).limit(1).count() > 0)
     val visible = epochId match {
       case Some(e) => store.filter(col("epoch") < e)
@@ -739,9 +746,12 @@ object Dedup {
     // mutates sigTable — a lazy `kept` recomputed afterwards would see
     // its own signatures in the store and reject every survivor
     val kept = dedup(visible.select(col("doc"), col("sig"))).localCheckpoint()
-    if (!alreadyIngested)
-      signatures(kept).withColumn("epoch", lit(epochId.getOrElse(-1L)))
-        .write.mode("append").saveAsTable(sigTable)
+    if (!alreadyIngested) {
+      val sigRows = signatures(kept)
+      val out = if (legacy) sigRows
+                else sigRows.withColumn("epoch", lit(epochId.getOrElse(-1L)))
+      out.write.mode("append").saveAsTable(sigTable)
+    }
     kept
   }
 

@@ -53,18 +53,29 @@ object ClickHouseDialect extends JdbcDialect {
   private val DateTimeRe = "DateTime(?:\\('[^']*'\\))?".r
   private val EnumRe = "Enum(?:8|16)\\(.*\\)".r
 
+  /** Catalyst decimals cap at precision 38 AND require scale ≤ precision.
+    * ClickHouse's Decimal256 legally reaches precision 76 / scale 76, so
+    * a type whose scale survives the 38 cap but exceeds it (e.g.
+    * `Decimal(76, 40)`) cannot be represented — return None and let
+    * Spark's JDBC-code fallback handle it instead of throwing mid schema
+    * resolution. */
+  private def boundedDecimal(p: Int, s: Int): Option[DataType] = {
+    val precision = math.min(p, 38)
+    if (s > precision) None else Some(DecimalType(precision, s))
+  }
+
   /** Pure ClickHouse-type-string → Catalyst mapping (None = unknown,
     * Spark falls back to its JDBC-code-based default). */
   private[sources] def toCatalyst(raw: String): Option[DataType] =
     raw.trim match {
       case Wrapped(inner)     => toCatalyst(inner)
       case ArrayRe(inner)     => toCatalyst(inner).map(ArrayType(_))
-      case DecimalRe(p, s)    => Some(DecimalType(math.min(p.toInt, 38), s.toInt))
+      case DecimalRe(p, s)    => boundedDecimal(p.toInt, s.toInt)
       case DecimalShortRe(bits, s) =>
         val precision = bits match {
           case "32" => 9; case "64" => 18; case _ => 38
         }
-        Some(DecimalType(precision, s.toInt))
+        boundedDecimal(precision, s.toInt)
       case FixedStringRe(_)   => Some(StringType)
       case DateTime64Re(_)    => Some(TimestampType)
       case DateTimeRe()       => Some(TimestampType)
@@ -87,7 +98,16 @@ object ClickHouseDialect extends JdbcDialect {
                                md: MetadataBuilder): Option[DataType] =
     toCatalyst(typeName)
 
-  /** Spark → ClickHouse DDL types for `createTable`/write paths. */
+  /** Spark → ClickHouse DDL types for `createTable`/write paths.
+    *
+    * LIMITATION: `JdbcDialect.getJDBCType` receives only the DataType,
+    * not the field's nullability, and ClickHouse columns are
+    * non-nullable unless declared `Nullable(T)` — so a table CREATED
+    * through this write path rejects NULL cells at insert time. Frames
+    * with nullable columns that actually carry nulls need a pre-created
+    * table with explicit `Nullable(...)` columns (the read path handles
+    * those fine); this is a Spark dialect-API boundary, not a mapping
+    * choice. */
   override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
     case StringType    => Some(JdbcType("String", Types.VARCHAR))
     case BooleanType   => Some(JdbcType("Bool", Types.BOOLEAN))

@@ -56,6 +56,11 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     assert(cat("Decimal32(2)").contains(DecimalType(9, 2)))
     assert(cat("Decimal64(4)").contains(DecimalType(18, 4)))
     assert(cat("Decimal128(6)").contains(DecimalType(38, 6)))
+    // scale that outlives the 38-precision cap cannot be represented —
+    // must fall back (None), never throw mid schema resolution
+    assert(cat("Decimal(76, 40)").isEmpty)
+    assert(cat("Decimal256(40)").isEmpty)
+    assert(cat("Decimal256(76)").isEmpty)
   }
 
   test("wrappers unwrap recursively; arrays nest") {

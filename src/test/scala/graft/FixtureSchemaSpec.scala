@@ -30,6 +30,28 @@ class FixtureSchemaSpec extends SparkSpec {
     }
   }
 
+  test("incr-minhash corpus stays flood-free: every LSH bucket under LshMaxBucket") {
+    // The ingestion queries cap (band, bh) buckets at LshMaxBucket while
+    // their DuckDB oracle mirrors the uncapped algebra — parity therefore
+    // assumes the fixture corpus never floods a bucket. Assert it by
+    // name at every shipped SF so a regeneration that plants >64
+    // near-identical docs fails HERE, not as an opaque oracle mismatch.
+    import org.apache.spark.sql.functions._
+    sfDirs.filter(d => new java.io.File(d, "documents.parquet").exists())
+      .foreach { dir =>
+        val (store, batch) = SparkEntry.incrMinhashCorpus(spark, dir)
+        val sigs = graft.operators.Dedup.minhashSignaturesPortable(
+          store.unionByName(batch), "doc_id", "text", 16, 5)
+        val maxBucket = graft.operators.Dedup.bandedPortable(sigs, 16, 8)
+          .groupBy("band", "bh").count()
+          .agg(max("count")).head().getLong(0)
+        assert(maxBucket <= graft.operators.Dedup.LshMaxBucket,
+          s"$dir: hottest LSH bucket holds $maxBucket docs — over the " +
+            s"${graft.operators.Dedup.LshMaxBucket} cap; the capped Spark " +
+            "path and the uncapped oracle would diverge")
+      }
+  }
+
   test("normalizeEventTs handles all three historical ts physical types") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

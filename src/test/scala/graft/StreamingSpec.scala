@@ -233,6 +233,34 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $sigT")
   }
 
+  test("ingestion appends to a pre-epoch two-column store without crashing") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val sigT = "ingest_sigs_legacy"
+    spark.sql(s"DROP TABLE IF EXISTS $sigT")
+    def sent(p: String) = (1 to 20).map(i => s"$p$i").mkString(" ")
+    try {
+      // a store written by the pre-epoch release: (doc, sig) only
+      Dedup.minhashSignaturesPortable(
+          Seq((1L, sent("alpha"))).toDF("doc_id", "text"), "doc_id", "text")
+        .write.saveAsTable(sigT)
+      val batch = Seq((2L, sent("beta"))).toDF("doc_id", "text")
+      // epoch-aware call against the legacy table: must dedup AND append
+      // (2 columns, no epoch) instead of dying on a schema mismatch
+      val kept = Dedup.ingestMinhash(spark, batch, "doc_id", "text", sigT,
+        epochId = Some(7L)).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L))
+      assert(spark.table(sigT).count() == 2L)
+      assert(!spark.table(sigT).columns.contains("epoch"))
+      // near-dup of the legacy store row is still rejected
+      val rejected = Dedup.ingestMinhash(spark, Seq(
+          (3L, sent("alpha").split(" ").dropRight(1).mkString(" ")))
+          .toDF("doc_id", "text"), "doc_id", "text", sigT, epochId = Some(8L))
+        .count()
+      assert(rejected == 0L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $sigT")
+  }
+
   test("windowed watermarked stats over a bounded stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[LogEvent]
