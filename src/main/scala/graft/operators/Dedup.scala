@@ -748,9 +748,15 @@ object Dedup {
     val kept = dedup(visible.select(col("doc"), col("sig"))).localCheckpoint()
     if (!alreadyIngested) {
       val sigRows = signatures(kept)
-      val out = if (legacy) sigRows
-                else sigRows.withColumn("epoch", lit(epochId.getOrElse(-1L)))
-      out.write.mode("append").saveAsTable(sigTable)
+      if (legacy) sigRows.write.mode("append").saveAsTable(sigTable)
+      else
+        // Partitioned by epoch: the replay-guard existence probe and the
+        // `epoch < e` visibility filter become partition-pruned (metadata
+        // at probe time, file-list at read time) instead of full store
+        // scans per micro-batch; partition count is bounded by the number
+        // of micro-batches ever ingested.
+        sigRows.withColumn("epoch", lit(epochId.getOrElse(-1L)))
+          .write.mode("append").partitionBy("epoch").saveAsTable(sigTable)
     }
     kept
   }
