@@ -521,7 +521,8 @@ object Bench {
     def scalePhase(replicas: Int, mode: String, names: Seq[String],
                    phaseIters: Int, withRecall: Boolean,
                    fixedJoin: Boolean = false,
-                   jaccardStages: Boolean = false): String = {
+                   jaccardStages: Boolean = false,
+                   prebuildIncrStore: Boolean = false): String = {
       // PHASE ISOLATION (r6): each scale phase gets a fresh SparkSession.
       // Sharing one session across the whole run let the engine phase's
       // ~330 executions degrade the sf1 tail — calibration (pure-CPU
@@ -555,13 +556,44 @@ object Bench {
         spark.read.parquet(s"$scaledDir/$t.parquet").count()
       }
       val warmSec = (System.nanoTime() - tWarm0) / 1e9
+      // Pre-build the incremental-ingestion store OUTSIDE the timed
+      // window: history signatures computed once, the banded table
+      // bucketed on the composite (band, bh) key so the timed store join
+      // plans no Exchange above the history scan (PlanAuditSpec). The
+      // conf gate makes q_dedup_minhash_incr_fast read the tables; it is
+      // unset (and the tables dropped) before the phase returns, so no
+      // other phase — and no later Verify in this working directory —
+      // can silently measure the pre-built path.
+      val storeBuildJson =
+        if (!prebuildIncrStore) ""
+        else {
+          val t0 = System.nanoTime()
+          val (storeD, _) = SparkEntry.incrMinhashCorpus(spark, scaledDir)
+          graft.operators.Dedup.minhashSignatures(storeD, "doc_id", "text",
+              numHashes = 32, shingleN = 5)
+            .write.mode("overwrite").format("parquet")
+            .saveAsTable("graft_incr_sigs")
+          graft.sources.Sinks.bucketedTableOn(
+            graft.operators.Dedup.bandedXxhash(
+              spark.table("graft_incr_sigs"), 32, 8),
+            "graft_incr_banded", Seq("band", "bh"), cpus.toInt)
+          spark.conf.set("graft.bench.incrStore", "1")
+          s""","incr_store_build_sec":${r2((System.nanoTime() - t0) / 1e9)}"""
+        }
       val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       if (fixedJoin) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val timedAndCal =
         try timeQueries(spark, scaledDir, names, phaseIters, gcBetween = true,
           warmup = true)
-        finally if (fixedJoin)
-          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+        finally {
+          if (fixedJoin)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+          if (prebuildIncrStore) {
+            spark.conf.unset("graft.bench.incrStore")
+            spark.sql("DROP TABLE IF EXISTS graft_incr_sigs")
+            spark.sql("DROP TABLE IF EXISTS graft_incr_banded")
+          }
+        }
       // Failed queries are excluded here too: r7's "q_session_stats
       // inversion" was a crash latency at one scale beating real work at
       // the other — crash times must never enter the inversion report.
@@ -598,7 +630,7 @@ object Bench {
           s""","recall_at10":{"q_ann_srp":$srp,"q_ann_ivf":$ivf},"recall_curve":$curve"""
         }
       val strategyJson = if (fixedJoin) ""","join_strategy":"fixed"""" else ""
-      s"""{"dir":"$scaledDir","replicas":$replicas,"mode":"$mode"$strategyJson,"build_sec":${r2(buildSec)},"warm_sec":${r2(warmSec)},"iters":$phaseIters,$section$stagesJson$recallJson}"""
+      s"""{"dir":"$scaledDir","replicas":$replicas,"mode":"$mode"$strategyJson,"build_sec":${r2(buildSec)}$storeBuildJson,"warm_sec":${r2(warmSec)},"iters":$phaseIters,$section$stagesJson$recallJson}"""
     }
 
     def enabled(envKey: String): Boolean = !sys.env.get(envKey).contains("0")
@@ -634,11 +666,24 @@ object Bench {
     val probeJson =
       if (!enabled("SPARK_GRAFT_PROBE") || only.isDefined || sf1Only.isDefined) ""
       else {
-        val names = Seq("q_dedup_jaccard", "q_dedup_minhash", "q_dedup_containment")
+        // q_dedup_minhash_incr_fast joins the probe (NOT the natural
+        // sf1/sf20 phases) for the same census reason jaccard does: under
+        // natural replication every replica of a batch doc is a near-dup
+        // of its siblings, so within-batch candidate volume grows
+        // quadratically with replica count — a fixture artifact, not
+        // operator superlinearity. Controlled mode holds true pair volume
+        // at O(replicas), and the phase pre-builds the signature store
+        // (bucketed, pre-banded) outside the timed window, so the r10→r20
+        // ratio measures exactly the 100 TB claim: ingestion cost scales
+        // with the batch, not with history.
+        val names = Seq("q_dedup_jaccard", "q_dedup_minhash",
+          "q_dedup_containment", "q_dedup_minhash_incr_fast")
         val r10 = scalePhase(10, "controlled", names, math.min(iters, 2),
-          withRecall = false, fixedJoin = true, jaccardStages = true)
+          withRecall = false, fixedJoin = true, jaccardStages = true,
+          prebuildIncrStore = true)
         val r20 = scalePhase(20, "controlled", names, math.min(iters, 2),
-          withRecall = false, fixedJoin = true, jaccardStages = true)
+          withRecall = false, fixedJoin = true, jaccardStages = true,
+          prebuildIncrStore = true)
         s""","probe_controlled":{"r10":$r10,"r20":$r20}"""
       }
 
