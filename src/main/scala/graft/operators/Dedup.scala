@@ -806,12 +806,17 @@ object Dedup {
 
   /** Shared ingestion body. Replay idempotence (at-least-once foreachBatch):
     * signatures are stored WITH the writing epoch, the store view used for
-    * rejection excludes the current epoch and later (`epoch < e`), and the
-    * append is skipped when the current epoch is already present. A
-    * replayed micro-batch therefore (a) cannot see its own prior partial
-    * append — no self-rejection — and (b) cannot double-append. Batch-mode
-    * callers (no epochId) keep the old contract: reject against the whole
-    * store, always append, epoch recorded as -1. */
+    * rejection excludes the current epoch and later (`epoch < e`), and a
+    * replayed epoch OVERWRITES its own partition (dynamic partition
+    * overwrite) rather than appending or skipping. A replayed micro-batch
+    * therefore (a) cannot see its own prior partial append — no
+    * self-rejection; (b) cannot double-append; and (c) REPAIRS a prior
+    * attempt that crashed after a partial commit (possible on object
+    * stores / non-atomic committers where some task output becomes
+    * visible): the keep set is a deterministic function of strictly-earlier
+    * history, so the rewrite is byte-stable. Batch-mode callers (no
+    * epochId) keep the old contract: reject against the whole store,
+    * always append, epoch recorded as -1. */
   private def ingestCore(spark: org.apache.spark.sql.SparkSession,
                          sigTable: String, epochId: Option[Long],
                          sigType: org.apache.spark.sql.types.ArrayType,
@@ -834,29 +839,86 @@ object Dedup {
     val legacy = spark.catalog.tableExists(sigTable) &&
       !raw.columns.contains("epoch")
     val store = if (legacy) raw.withColumn("epoch", lit(-1L)) else raw
-    val alreadyIngested = !legacy && epochId.exists(e =>
-      store.filter(col("epoch") === e).limit(1).count() > 0)
+    val exists = spark.catalog.tableExists(sigTable)
     val visible = epochId match {
       case Some(e) => store.filter(col("epoch") < e)
       case None => store
     }
-    // localCheckpoint (eager): cut lineage BEFORE the store append below
+    // localCheckpoint (eager): cut lineage BEFORE the store write below
     // mutates sigTable — a lazy `kept` recomputed afterwards would see
     // its own signatures in the store and reject every survivor
     val kept = dedup(visible.select(col("doc"), col("sig"))).localCheckpoint()
-    if (!alreadyIngested) {
-      val sigRows = signatures(kept)
-      if (legacy) sigRows.write.mode("append").saveAsTable(sigTable)
-      else
-        // Partitioned by epoch: the replay-guard existence probe and the
-        // `epoch < e` visibility filter become partition-pruned (metadata
-        // at probe time, file-list at read time) instead of full store
-        // scans per micro-batch; partition count is bounded by the number
-        // of micro-batches ever ingested.
-        sigRows.withColumn("epoch", lit(epochId.getOrElse(-1L)))
-          .write.mode("append").partitionBy("epoch").saveAsTable(sigTable)
+    val sigRows = signatures(kept)
+    if (legacy) sigRows.write.mode("append").saveAsTable(sigTable)
+    else {
+      // Partitioned by epoch: the `epoch < e` visibility filter is
+      // partition-pruned instead of a full store scan per micro-batch;
+      // partition count is bounded by the number of micro-batches since
+      // the last [[compactSignatureStore]].
+      val stamped = sigRows.withColumn("epoch", lit(epochId.getOrElse(-1L)))
+      if (!exists)
+        stamped.write.partitionBy("epoch").saveAsTable(sigTable)
+      else epochId match {
+        case Some(_) =>
+          // Dynamic partition overwrite of exactly this epoch: replay
+          // rewrites (never duplicates) its own partition, and a partial
+          // prior commit is replaced wholesale instead of being trusted
+          // as complete.
+          val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try stamped.write.mode("overwrite").insertInto(sigTable)
+          finally prev.fold(
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+        case None =>
+          stamped.write.mode("append").partitionBy("epoch").saveAsTable(sigTable)
+      }
     }
     kept
+  }
+
+  /** Compact an epoch-partitioned signature store: fold every epoch
+    * STRICTLY BELOW `upToEpoch` (including any prior compacted mass at
+    * epoch -1) into the single always-visible epoch -1 partition, so a
+    * long-running stream's partition count stays bounded by
+    * micro-batches-since-last-compaction instead of growing one
+    * partition per micro-batch forever — the signature store's analogue
+    * of the reference's TTL-bounded SQLite cache (utils/cache.py).
+    *
+    * Contract: epoch -1 is visible to EVERY epoch's rejection view
+    * (`epoch < e`, e ≥ 0), so rejection semantics are unchanged for all
+    * future epochs. Replay idempotence is preserved for epochs ≥
+    * `upToEpoch` only — compacted epochs can no longer be replayed
+    * without self-rejection, so pass the stream's committed watermark
+    * (every epoch the checkpoint can still re-deliver stays above it).
+    *
+    * Crash safety: the compacted rows are written (dynamic partition
+    * overwrite of epoch -1) BEFORE the source epochs are dropped. A crash
+    * between the two steps leaves duplicate signatures visible in both
+    * -1 and their original epochs — harmless for rejection (duplicate
+    * store rows produce duplicate candidates, absorbed by the policy's
+    * distinct), and healed by re-running compaction. */
+  def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
+                            sigTable: String, upToEpoch: Long): Unit = {
+    require(upToEpoch >= 0, "upToEpoch must be >= 0")
+    require(spark.table(sigTable).columns.contains("epoch"),
+      s"$sigTable is a pre-epoch legacy store; nothing to compact")
+    val epochs = spark.table(sigTable).select("epoch").distinct()
+      .collect().map(_.getLong(0)).filter(e => e >= 0 && e < upToEpoch)
+    if (epochs.isEmpty) return
+    // materialize BEFORE overwriting the partition the read depends on
+    val compacted = spark.table(sigTable)
+      .filter(col("epoch") < upToEpoch)
+      .select(col("doc"), col("sig")).withColumn("epoch", lit(-1L))
+      .localCheckpoint()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try compacted.write.mode("overwrite").insertInto(sigTable)
+    finally prev.fold(
+      spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    epochs.foreach(e =>
+      spark.sql(s"ALTER TABLE $sigTable DROP IF EXISTS PARTITION (epoch=$e)"))
   }
 
   /** The dedup KEEP-list: every doc not in any near-dup pair, plus the

@@ -233,6 +233,66 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $sigT")
   }
 
+  test("replay overwrites a partially committed epoch instead of trusting it") {
+    import graft.operators.Dedup
+    val sigT = "ingest_sigs_partial"
+    spark.sql(s"DROP TABLE IF EXISTS $sigT")
+    def sent(p: String) = (1 to 20).map(i => s"$p$i").mkString(" ")
+    try {
+      def runEpoch(df: org.apache.spark.sql.DataFrame, e: Long) =
+        Dedup.ingestMinhashFast(spark, df, "doc_id", "text", sigT,
+          epochId = Some(e)).select("doc_id").collect().map(_.getLong(0)).toSet
+      // simulate a prior attempt that crashed after committing only doc
+      // 1's signature for epoch 0 (non-atomic committer partial output)
+      runEpoch(Seq((1L, sent("alpha"))).toDF("doc_id", "text"), 0L)
+      assert(spark.table(sigT).count() == 1L)
+      // the replay delivers the FULL epoch-0 batch: the epoch partition
+      // must be rewritten whole — doc 2's signature recovered, doc 1's
+      // not duplicated (the old skip-if-present guard lost doc 2 forever)
+      val replayed = runEpoch(
+        Seq((1L, sent("alpha")), (2L, sent("beta"))).toDF("doc_id", "text"), 0L)
+      assert(replayed == Set(1L, 2L))
+      assert(spark.table(sigT).count() == 2L)
+      assert(spark.table(sigT)
+        .filter(org.apache.spark.sql.functions.col("epoch") === 0L)
+        .count() == 2L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $sigT")
+  }
+
+  test("compaction bounds store partitions and preserves rejection and replay above the watermark") {
+    import graft.operators.Dedup
+    val sigT = "ingest_sigs_compact"
+    spark.sql(s"DROP TABLE IF EXISTS $sigT")
+    def sent(p: String) = (1 to 20).map(i => s"$p$i").mkString(" ")
+    def dropLast(t: String) = t.split(" ").dropRight(1).mkString(" ")
+    try {
+      def batch(e: Long) = Seq((e, sent(s"w$e"))).toDF("doc_id", "text")
+      def runEpoch(df: org.apache.spark.sql.DataFrame, e: Long) =
+        Dedup.ingestMinhashFast(spark, df, "doc_id", "text", sigT,
+          epochId = Some(e)).select("doc_id").collect().map(_.getLong(0)).toSet
+      // ten micro-batches → ten epoch partitions
+      (0L to 9L).foreach(e => assert(runEpoch(batch(e), e) == Set(e)))
+      assert(spark.table(sigT).select("epoch").distinct().count() == 10L)
+      assert(spark.table(sigT).count() == 10L)
+      // compact everything the checkpoint can no longer re-deliver
+      Dedup.compactSignatureStore(spark, sigT, 8L)
+      val eps = spark.table(sigT).select("epoch").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(eps == Set(-1L, 8L, 9L), eps.toString)
+      assert(spark.table(sigT).count() == 10L)
+      // rejection against compacted history is unchanged: a near-dup of
+      // epoch-3's doc (now in the -1 partition) is still dropped
+      assert(runEpoch(Seq((100L, dropLast(sent("w3"))))
+        .toDF("doc_id", "text"), 10L).isEmpty)
+      // replaying an epoch at/above the watermark stays idempotent
+      assert(runEpoch(batch(9L), 9L) == Set(9L))
+      assert(spark.table(sigT).count() == 10L)
+      // compaction is re-runnable (heals a crash between write and drop)
+      Dedup.compactSignatureStore(spark, sigT, 8L)
+      assert(spark.table(sigT).count() == 10L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $sigT")
+  }
+
   test("ingestion appends to a pre-epoch two-column store without crashing") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.col
