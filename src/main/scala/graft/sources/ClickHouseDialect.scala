@@ -54,15 +54,14 @@ object ClickHouseDialect extends JdbcDialect {
   private val EnumRe = "Enum(?:8|16)\\(.*\\)".r
 
   /** Catalyst decimals cap at precision 38 AND require scale ≤ precision.
-    * ClickHouse's Decimal256 legally reaches precision 76 / scale 76, so
-    * a type whose scale survives the 38 cap but exceeds it (e.g.
-    * `Decimal(76, 40)`) cannot be represented — return None and let
-    * Spark's JDBC-code fallback handle it instead of throwing mid schema
-    * resolution. */
-  private def boundedDecimal(p: Int, s: Int): Option[DataType] = {
-    val precision = math.min(p, 38)
-    if (s > precision) None else Some(DecimalType(precision, s))
-  }
+    * ClickHouse's Decimal256 legally reaches precision 76 / scale 76 — a
+    * declared precision above 38 CANNOT be represented, and clamping it
+    * (the earlier behavior) would silently null every value wider than 38
+    * digits at read time under non-ANSI mode. Unrepresentable means None:
+    * Spark's JDBC-code fallback (or an explicit user cast) handles it,
+    * and nothing throws mid schema resolution. */
+  private def boundedDecimal(p: Int, s: Int): Option[DataType] =
+    if (p > 38 || s > p) None else Some(DecimalType(p, s))
 
   /** Pure ClickHouse-type-string → Catalyst mapping (None = unknown,
     * Spark falls back to its JDBC-code-based default). */
@@ -72,8 +71,11 @@ object ClickHouseDialect extends JdbcDialect {
       case ArrayRe(inner)     => toCatalyst(inner).map(ArrayType(_))
       case DecimalRe(p, s)    => boundedDecimal(p.toInt, s.toInt)
       case DecimalShortRe(bits, s) =>
+        // Decimal256's declared precision is 76, NOT a clamped 38 — the
+        // earlier wildcard (`case _ => 38`) silently folded it onto
+        // Decimal128 and the property suite caught the lossy mapping.
         val precision = bits match {
-          case "32" => 9; case "64" => 18; case _ => 38
+          case "32" => 9; case "64" => 18; case "128" => 38; case _ => 76
         }
         boundedDecimal(precision, s.toInt)
       case FixedStringRe(_)   => Some(StringType)
@@ -88,7 +90,11 @@ object ClickHouseDialect extends JdbcDialect {
       case "Int32" | "UInt16" => Some(IntegerType)
       case "Int64" | "UInt32" => Some(LongType)
       case "UInt64"           => Some(DecimalType(20, 0))
-      case "Int128" | "UInt128" | "Int256" | "UInt256" => Some(DecimalType(38, 0))
+      // 128/256-bit integers exceed Decimal(38,0)'s domain (2^127 is 39
+      // digits) — the same silent-null-on-overflow hazard as a clamped
+      // wide decimal, so they fall back rather than map lossily
+      // (ClickHouseDialectSpec's domain-coverage property enforces this).
+      case "Int128" | "UInt128" | "Int256" | "UInt256" => None
       case "Float32"          => Some(FloatType)
       case "Float64"          => Some(DoubleType)
       case _                  => None
