@@ -685,6 +685,57 @@ object SparkEntry {
           (col("revenue_micros").cast("double") / 1000000.0).as("revenue"))
     }),
 
+    // TPC-H Q18 shape: top-k customers over a grouped large-order filter —
+    // the grouped side aggregates the fact table FIRST (map-side combinable,
+    // one shuffle on l_orderkey), and only the ~dozens of surviving order
+    // keys join orders/customer (AQE broadcasts them), so the wide tables
+    // never shuffle against each other.
+    "q_tpch_q18" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      Paging.topK(
+        Tables.orders(s, dir)
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey")),
+        Seq(cents(col("o_totalprice")).desc, col("o_orderdate"), col("o_orderkey")),
+        100)
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("sum_qty").cast("long").as("total_qty"))
+    }),
+
+    // TPC-H Q21 shape: multi semi/anti SELF-join on the fact table — the
+    // "waiting supplier" pattern (this fixture's lateness proxy is
+    // l_returnflag = 'R'; it carries no receipt/commit dates). Both the
+    // exists and not-exists branches are ids-only projections of lineitem
+    // joined on l_orderkey; supplier and the nation filter are broadcast
+    // dims (plan-audited in PlanAuditSpec).
+    "q_tpch_q21" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+      val late = l.filter(col("l_returnflag") === "R")
+      val l1 = late.join(
+        Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val waiting = l1
+        .join(l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")),
+          col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        .join(late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3")),
+          col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+          "left_anti")
+      Paging.topK(
+        waiting
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.nation(s, dir).filter(col("n_name") === "NATION_3"),
+            col("s_nationkey") === col("n_nationkey"), "left_semi")
+          .groupBy(col("s_name")).agg(count(lit(1)).as("numwait")),
+        Seq(col("numwait").desc, col("s_name")), 10)
+    }),
+
     // ------------------- beyond-reference: dedup -------------------------
 
     "q_dedup_exact" -> ((s, dir) =>
@@ -2205,6 +2256,31 @@ object SparkEntry {
            |ORDER BY CAST(sum(${micros6Sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT)
            |  DESC, l_orderkey
            |LIMIT 10""".stripMargin,
+
+      "q_tpch_q18" ->
+        """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+          |  CAST(sum_qty AS BIGINT) AS total_qty
+          |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+          |      GROUP BY 1 HAVING sum(l_quantity) > 300) b
+          |JOIN orders ON o_orderkey = b.l_orderkey
+          |JOIN customer ON c_custkey = o_custkey
+          |ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+          |  o_orderdate, o_orderkey
+          |LIMIT 100""".stripMargin,
+
+      "q_tpch_q21" ->
+        """SELECT s_name, count(*) AS numwait
+          |FROM lineitem l1
+          |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+          |JOIN supplier ON s_suppkey = l1.l_suppkey
+          |JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+          |WHERE l1.l_returnflag = 'R'
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          |      AND l3.l_returnflag = 'R')
+          |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
 
       "q_dedup_exact" ->
         """SELECT md5(text) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS canonical_id,

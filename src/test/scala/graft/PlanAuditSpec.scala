@@ -65,6 +65,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("tpch q18/q21: top-k plans, broadcast dims, non-equi self-joins stay hash joins") {
+    val dir = "/root/testdata/sf0.001"
+    // audit the FINAL adaptive plan (post-execution): broadcast decisions
+    // for the grouped-subquery sides are runtime-size calls AQE makes, not
+    // static estimates
+    def finalPlan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val p18 = finalPlan("q_tpch_q18")
+    // top-k never globally sorts, the tiny large-order key set and the
+    // customer dim broadcast, and nothing degenerates to a product
+    assert(p18.contains("TakeOrderedAndProject"), p18)
+    assert(p18.contains("BroadcastHashJoin"), p18)
+    assert(!p18.contains("CartesianProduct") &&
+      !p18.contains("BroadcastNestedLoopJoin"), p18)
+    // partial aggregation on the lineitem group-by (map-side combine)
+    assert(p18.contains("partial_sum"), p18)
+    val p21 = finalPlan("q_tpch_q21")
+    // the exists/not-exists branches keep their equi-key (l_orderkey) as
+    // the join key with the <> supplier condition riding along — semi and
+    // anti HASH joins, never a loop join over the fact table
+    assert(p21.contains("LeftSemi"), p21)
+    assert(p21.contains("LeftAnti"), p21)
+    assert(p21.contains("TakeOrderedAndProject"), p21)
+    assert(p21.contains("BroadcastHashJoin"), p21)
+    assert(!p21.contains("CartesianProduct") &&
+      !p21.contains("BroadcastNestedLoopJoin"), p21)
+  }
+
   test("bucketed pattern enrich: history side joins with no Exchange, merge-equal results") {
     import java.sql.Timestamp
     def pats(ids: Seq[String], freq: Long) = ids.map(id =>
