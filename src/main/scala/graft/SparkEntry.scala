@@ -951,10 +951,18 @@ object SparkEntry {
           greatest(size(Text.tokens(col("text"))) - 1, lit(1))), " ").as("text"),
         col("lang"))
       val corpus = d.unionByName(planted)
+      // Budget wired as in production: the pre-flight estimator (same
+      // shingleN/dfMax as the pair builder) refuses the quadratic stage
+      // up front if the corpus floods; at this fixture's volume it
+      // passes and costs one df-histogram aggregate.
       graft.operators.CorpusReport.funnelWithNearDup(corpus, "doc_id", "text",
         "lang", uniq => graft.operators.Dedup.jaccardNearDups(uniq, "doc_id",
           "text", shingleN = 5, dfMax = 20, minJaccard = 0.5)
-          .select("doc_a", "doc_b"))
+          .select("doc_a", "doc_b"),
+        maxCandidatePairs = Some(50000000L),
+        candidateVolume = Some(uniq => graft.operators.Dedup
+          .candidateVolumeEstimate(uniq, "doc_id", "text",
+            shingleN = 5, dfMax = 20)))
         .orderBy(col("stage_idx"))
     }),
 

@@ -77,9 +77,20 @@ object CorpusReport {
     * stages. The composed [[funnel]]+[[exactUnique]] route evaluates the
     * gate once per stage branch and the window three times — 4 corpus
     * passes this form collapses to 1 gate + 1 window + the pair build. */
+  /** `maxCandidatePairs`: pre-flight budget for the near-dup stage — the
+    * heaviest stage of a real funnel run. When set, `candidateVolume`
+    * (default: [[Dedup.candidateVolumeEstimate]] with the jaccard
+    * defaults — pass the estimator matching your `pairsOf` parameters)
+    * runs over the stage-2 survivors BEFORE any candidate pair
+    * materializes; a volume over budget refuses the run by name instead
+    * of surfacing as a dead cluster hours into the quadratic stage. The
+    * check is a driver-blocking aggregate at call time, one cheap
+    * df-histogram pass over the already-cached survivors. */
   def funnelWithNearDup(docs: DataFrame, idCol: String, textCol: String,
                         langCol: String,
-                        pairsOf: DataFrame => DataFrame): DataFrame = {
+                        pairsOf: DataFrame => DataFrame,
+                        maxCandidatePairs: Option[Long] = None,
+                        candidateVolume: Option[DataFrame => Long] = None): DataFrame = {
     val base = docs.select(col(idCol), col(textCol).as("text"))
     val kept = Caches.tracked(base.join(
       QualityFilter(docs, idCol, textCol, langCol)
@@ -90,6 +101,15 @@ object CorpusReport {
       .orderBy(col(idCol))
     val uniq = Caches.tracked(kept.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn"), "corpus")
+    maxCandidatePairs.foreach { m =>
+      val estimator = candidateVolume.getOrElse(
+        (d: DataFrame) => Dedup.candidateVolumeEstimate(d, idCol, "text"))
+      val est = estimator(uniq)
+      if (est > m) throw new IllegalStateException(
+        s"funnel pre-flight: the near-dup stage would enumerate $est " +
+          s"candidate pairs over the declared budget of $m — raise the " +
+          "budget, lower dfMax, or split the corpus")
+    }
     val keep = graft.operators.Dedup.keepCanonical(
       uniq.select(col(idCol)), idCol, pairsOf(uniq))
     def stage(df: DataFrame, idx: Int, name: String): DataFrame =
