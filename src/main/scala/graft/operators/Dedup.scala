@@ -627,6 +627,15 @@ object Dedup {
     // persisting pre-banded history. (To get long keys AND co-location,
     // persist the store already folded — `xxhash64(bh)` — or use the fast
     // family, whose keys are born BIGINT.)
+    //
+    // CONTRACT: the fold is sound ONLY for keep-set outputs — a 64-bit
+    // band-key collision creates spurious bucket co-residency that the
+    // est-Jaccard filter absorbs for keeps but would surface in a pair
+    // output. Enforced structurally: this core is private and returns
+    // keepCanonical(...) (a keep set) on every path; the pair-emitting
+    // oracle twins ([[minhashNearDupsPortable]] etc.) build their own
+    // banding and can never reach this fold. Any future pair-shaped
+    // return from this core must bypass longKeyed.
     val useLongKeys = storeBanded.forall(
       _.schema("bh").dataType != org.apache.spark.sql.types.StringType)
     def longKeyed(banded: DataFrame): DataFrame =

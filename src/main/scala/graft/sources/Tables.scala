@@ -51,6 +51,16 @@ object Tables {
       case org.apache.spark.sql.types.LongType => // nanosAsLong: raw INT64 nanos
         df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // The NTZ→TIMESTAMP cast reinterprets the wall-clock value in the
+        // SESSION zone: value-identical only under UTC. Every repo entry
+        // point sets UTC, but this is public library surface — fail by
+        // name on a misconfigured session instead of silently shifting
+        // every event timestamp by the zone offset.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"normalizeEventTs: session timeZone is '$tz' but the NTZ→TIMESTAMP " +
+            "cast is value-identical only under UTC — set " +
+            "spark.sql.session.timeZone=UTC (all graft entry points do)")
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case org.apache.spark.sql.types.TimestampType => df
       case other => throw new IllegalStateException(

@@ -52,6 +52,40 @@ class FixtureSchemaSpec extends SparkSpec {
       }
   }
 
+  test("incr-minhash corpus has no pair in the est-Jaccard dead band under either family") {
+    // q_dedup_minhash_incr_fast (xxhash64, 32 hashes) reuses the md5
+    // 16-hash twin's oracle on the premise that keep sets are
+    // hash-family-invariant for this corpus: near-copies estimate ≈0.9+,
+    // unrelated banded collisions ≈0, and the 0.3 policy threshold sits
+    // in the empty middle. That premise dies silently if a fixture
+    // regeneration plants borderline pairs (short docs near est 0.3) —
+    // surfacing as an opaque oracle mismatch or, worse, masking a
+    // fast-path bug that coincidentally matches. Assert the dead band
+    // [0.2, 0.4] is EMPTY for every banded candidate pair under BOTH
+    // families, at every shipped SF, so the drift fails here by name.
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    try sfDirs.filter(d => new java.io.File(d, "documents.parquet").exists())
+      .foreach { dir =>
+        val (store, batch) = SparkEntry.incrMinhashCorpus(spark, dir)
+        val corpus = store.unionByName(batch)
+        def deadBand(cand: org.apache.spark.sql.DataFrame): Long =
+          cand.filter(col("est_jaccard") >= 0.2 && col("est_jaccard") <= 0.4)
+            .count()
+        val sigsP = Dedup.minhashSignaturesPortable(corpus, "doc_id", "text", 16, 5)
+        val nP = deadBand(Dedup.bandedCandidates(
+          Dedup.bandedPortable(sigsP, 16, 8), sigsP, 16, 0.0, Int.MaxValue))
+        assert(nP == 0,
+          s"$dir: $nP md5-family candidate pairs estimate inside [0.2,0.4]")
+        val sigsF = Dedup.minhashSignatures(corpus, "doc_id", "text", 32, 5)
+        val nF = deadBand(Dedup.bandedCandidates(
+          Dedup.bandedXxhash(sigsF, 32, 8), sigsF, 32, 0.0, Int.MaxValue))
+        assert(nF == 0,
+          s"$dir: $nF xxhash64-family candidate pairs estimate inside [0.2,0.4]")
+      }
+    finally graft.operators.Dedup.unpersistIntermediates()
+  }
+
   test("normalizeEventTs handles all three historical ts physical types") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -70,6 +104,11 @@ class FixtureSchemaSpec extends SparkSpec {
     val ltz = Seq(1500000000000L).toDF("ms")
       .select(timestamp_micros(col("ms") * 1000).as("ts"))
     assert(Tables.normalizeEventTs(ltz).schema("ts").dataType == TimestampType)
+    // the NTZ cast is value-identical only under UTC — a misconfigured
+    // session must fail by name, not shift every event timestamp
+    spark.conf.set("spark.sql.session.timeZone", "Europe/Berlin")
+    try intercept[IllegalArgumentException] { Tables.normalizeEventTs(ntz) }
+    finally spark.conf.set("spark.sql.session.timeZone", "UTC")
     // Anything else is a loud failure, not a silent mis-read
     intercept[IllegalStateException] {
       Tables.normalizeEventTs(Seq("x").toDF("ts"))
