@@ -963,9 +963,16 @@ object Dedup {
     * df histogram, no pair ever materializes: run it before committing a
     * cluster to the quadratic stage, and resize `dfMax` if the answer is
     * unaffordable. */
+  /** The shingle table is persisted through the shared registry (scope
+    * "dedup", released by [[unpersistIntermediates]]): a caller that runs
+    * the pre-flight and then the pair operator over the SAME docs frame
+    * (the funnel's shape) pays the tokenize/explode pass ONCE — Spark's
+    * cache manager substitutes the materialized index into the pair
+    * operator's identical-plan `tracked(shingleTable(...))` call. */
   def candidateVolumeEstimate(docs: DataFrame, idCol: String, textCol: String,
                               shingleN: Int = 5, dfMax: Int = 20): Long =
-    candidateVolumeFromIndex(shingleTable(docs, idCol, textCol, shingleN), dfMax)
+    candidateVolumeFromIndex(
+      tracked(shingleTable(docs, idCol, textCol, shingleN)), dfMax)
 
   // sum LONGS and halve on the driver: Spark's `/` always yields double,
   // and df*(df-1) is even so the halving is exact
