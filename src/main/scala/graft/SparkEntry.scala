@@ -103,8 +103,14 @@ object SparkEntry {
     * instead of a mysterious oracle mismatch). */
   private[graft] def incrMinhashCorpus(s: SparkSession,
                                        dir: String): (DataFrame, DataFrame) = {
+    // coalesce(8): the 5% slice is a few hundred docs, but it inherits the
+    // full fixture-spread partitioning (32) and the batch union TRIPLES it
+    // (96 partitions) — every downstream map stage then schedules ~100
+    // near-empty tasks. Narrow (no-shuffle) coalesce keeps task counts
+    // proportional to the corpus this helper actually yields; a real
+    // ingestion batch arrives with its own sane layout and never sees this.
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      .filter(col("doc_id") % 20 === 0)
+      .filter(col("doc_id") % 20 === 0).coalesce(8)
     val store = d.filter(col("doc_id") % 40 === 0)
     val nearCopy = (src: DataFrame, shift: Long) =>
       src.select((col("doc_id") + shift).as("doc_id"),
