@@ -454,6 +454,8 @@ object Bench {
         s""","streaming":{${sj.json}}"""
       }
 
+    def enabled(envKey: String): Boolean = !sys.env.get(envKey).contains("0")
+
     // Per-stage wall-time breakdown of the incremental near-dup ingestion
     // pair (Dedup.ingestStageTimes) — the profiling evidence behind the
     // md5-vs-xxhash64 family gap: which stage dominates, and whether it is
@@ -461,9 +463,8 @@ object Bench {
     // within-batch candidates, component collapse). Runs once, untimed
     // relative to the engine section. Disable with
     // SPARK_GRAFT_INGEST_STAGES=0.
-    def enabledEnv(envKey: String): Boolean = !sys.env.get(envKey).contains("0")
     val ingestStagesJson =
-      if (!enabledEnv("SPARK_GRAFT_INGEST_STAGES") ||
+      if (!enabled("SPARK_GRAFT_INGEST_STAGES") ||
           only.exists(o => !o.exists(_.startsWith("q_dedup_minhash_incr")))) ""
       else {
         def fmt(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
@@ -632,8 +633,6 @@ object Bench {
       val strategyJson = if (fixedJoin) ""","join_strategy":"fixed"""" else ""
       s"""{"dir":"$scaledDir","replicas":$replicas,"mode":"$mode"$strategyJson,"build_sec":${r2(buildSec)}$storeBuildJson,"warm_sec":${r2(warmSec)},"iters":$phaseIters,$section$stagesJson$recallJson}"""
     }
-
-    def enabled(envKey: String): Boolean = !sys.env.get(envKey).contains("0")
 
     // SPARK_GRAFT_SF1_ONLY=q_a,q_b: iterate on a subset of the sf1 phase
     // (forces the phase on even when SPARK_GRAFT_ONLY trimmed the engine

@@ -79,18 +79,27 @@ object CorpusReport {
     * passes this form collapses to 1 gate + 1 window + the pair build. */
   /** `maxCandidatePairs`: pre-flight budget for the near-dup stage — the
     * heaviest stage of a real funnel run. When set, `candidateVolume`
-    * (default: [[Dedup.candidateVolumeEstimate]] with the jaccard
-    * defaults — pass the estimator matching your `pairsOf` parameters)
-    * runs over the stage-2 survivors BEFORE any candidate pair
-    * materializes; a volume over budget refuses the run by name instead
-    * of surfacing as a dead cluster hours into the quadratic stage. The
-    * check is a driver-blocking aggregate at call time, one cheap
-    * df-histogram pass over the already-cached survivors. */
+    * (REQUIRED alongside it, e.g. [[Dedup.candidateVolumeEstimate]] with
+    * the same shingleN/dfMax as your `pairsOf`) runs over the stage-2
+    * survivors BEFORE any candidate pair materializes; a volume over
+    * budget refuses the run by name instead of surfacing as a dead
+    * cluster hours into the quadratic stage. The estimator is mandatory
+    * rather than defaulted because `pairsOf` is opaque — a default with
+    * its own dfMax could silently approve a run whose real parameters
+    * enumerate far more pairs, the exact trap the budget exists to
+    * prevent. The check is a driver-blocking aggregate at call time; its
+    * shingle table persists in the "dedup" cache scope (shared with the
+    * pair operator's identical plan), so a trip-path caller releases
+    * BOTH scopes: `Caches.unpersistScope("corpus")` and
+    * [[Dedup.unpersistIntermediates]]. */
   def funnelWithNearDup(docs: DataFrame, idCol: String, textCol: String,
                         langCol: String,
                         pairsOf: DataFrame => DataFrame,
                         maxCandidatePairs: Option[Long] = None,
                         candidateVolume: Option[DataFrame => Long] = None): DataFrame = {
+    require(maxCandidatePairs.isEmpty || candidateVolume.isDefined,
+      "maxCandidatePairs needs a candidateVolume estimator built with the " +
+        "same parameters as pairsOf (e.g. Dedup.candidateVolumeEstimate)")
     val base = docs.select(col(idCol), col(textCol).as("text"))
     val kept = Caches.tracked(base.join(
       QualityFilter(docs, idCol, textCol, langCol)
@@ -102,9 +111,7 @@ object CorpusReport {
     val uniq = Caches.tracked(kept.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn"), "corpus")
     maxCandidatePairs.foreach { m =>
-      val estimator = candidateVolume.getOrElse(
-        (d: DataFrame) => Dedup.candidateVolumeEstimate(d, idCol, "text"))
-      val est = estimator(uniq)
+      val est = candidateVolume.get.apply(uniq)
       if (est > m) throw new IllegalStateException(
         s"funnel pre-flight: the near-dup stage would enumerate $est " +
           s"candidate pairs over the declared budget of $m — raise the " +

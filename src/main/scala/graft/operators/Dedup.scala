@@ -395,6 +395,7 @@ object Dedup {
   def components(pairs: DataFrame, maxIters: Int = 20,
                  probeEvery: Int = 2): DataFrame = {
     require(maxIters >= 1, "components needs at least one round")
+    require(probeEvery >= 1, "probeEvery must be >= 1")
     // Both directions PLUS a self-loop per endpoint, all from ONE pass
     // over the pair stream (explode, not self-union: the pair-generation
     // subtree is typically an expensive LSH plan, and a union of selects
@@ -906,7 +907,10 @@ object Dedup {
     * between the two steps leaves duplicate signatures visible in both
     * -1 and their original epochs — harmless for rejection (duplicate
     * store rows produce duplicate candidates, absorbed by the policy's
-    * distinct), and healed by re-running compaction. */
+    * distinct), and healed by re-running compaction: the compacted frame
+    * dedups on `doc` (unique among survivors — a kept doc's signature is
+    * written exactly once across all epochs), so re-folding epochs whose
+    * rows already reached -1 cannot bake duplicates into the store. */
   def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
                             sigTable: String, upToEpoch: Long): Unit = {
     require(upToEpoch >= 0, "upToEpoch must be >= 0")
@@ -918,7 +922,8 @@ object Dedup {
     // materialize BEFORE overwriting the partition the read depends on
     val compacted = spark.table(sigTable)
       .filter(col("epoch") < upToEpoch)
-      .select(col("doc"), col("sig")).withColumn("epoch", lit(-1L))
+      .select(col("doc"), col("sig")).dropDuplicates("doc")
+      .withColumn("epoch", lit(-1L))
       .localCheckpoint()
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -58,8 +58,12 @@ object ClickHouseDialect extends JdbcDialect {
     * declared precision above 38 CANNOT be represented, and clamping it
     * (the earlier behavior) would silently null every value wider than 38
     * digits at read time under non-ANSI mode. Unrepresentable means None:
-    * Spark's JDBC-code fallback (or an explicit user cast) handles it,
-    * and nothing throws mid schema resolution. */
+    * this dialect refuses to ASSERT a lossy mapping. What happens next
+    * depends on the JDBC code the driver reports — Spark's own default
+    * clamps NUMERIC/DECIMAL via `DecimalType.bounded` (so the residual
+    * read may still be lossy, but that is Spark's documented fallback,
+    * not a mapping this dialect vouched for) and nothing throws mid
+    * schema resolution. */
   private def boundedDecimal(p: Int, s: Int): Option[DataType] =
     if (p > 38 || s > p) None else Some(DecimalType(p, s))
 
@@ -92,8 +96,9 @@ object ClickHouseDialect extends JdbcDialect {
       case "UInt64"           => Some(DecimalType(20, 0))
       // 128/256-bit integers exceed Decimal(38,0)'s domain (2^127 is 39
       // digits) — the same silent-null-on-overflow hazard as a clamped
-      // wide decimal, so they fall back rather than map lossily
-      // (ClickHouseDialectSpec's domain-coverage property enforces this).
+      // wide decimal, so this dialect declines to assert a lossy mapping
+      // (ClickHouseDialectSpec's domain-coverage property enforces this;
+      // boundedDecimal's scaladoc covers what the fallback then does).
       case "Int128" | "UInt128" | "Int256" | "UInt256" => None
       case "Float32"          => Some(FloatType)
       case "Float64"          => Some(DoubleType)

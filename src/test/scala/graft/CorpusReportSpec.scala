@@ -20,6 +20,15 @@ class CorpusReportSpec extends SparkSpec {
     Dedup.jaccardNearDups(uniq, "doc_id", "text",
       shingleN = 5, dfMax = 20, minJaccard = 0.5).select("doc_a", "doc_b")
 
+  private val estimator = Some((uniq: org.apache.spark.sql.DataFrame) =>
+    Dedup.candidateVolumeEstimate(uniq, "doc_id", "text",
+      shingleN = 5, dfMax = 20))
+
+  private def releaseAll(): Unit = {
+    Caches.unpersistScope("corpus")
+    Dedup.unpersistIntermediates()
+  }
+
   test("pre-flight budget refuses a planted flood corpus before any pair materializes") {
     try {
       // 12 mutual near-dups: every shared shingle has df=12 (in the
@@ -27,28 +36,36 @@ class CorpusReportSpec extends SparkSpec {
       // pairs — far over a budget of 10
       val e = intercept[IllegalStateException] {
         CorpusReport.funnelWithNearDup(flood(12), "doc_id", "text", "lang",
-          pairs, maxCandidatePairs = Some(10L))
+          pairs, maxCandidatePairs = Some(10L), candidateVolume = estimator)
       }
       assert(e.getMessage.contains("budget"), e.getMessage)
       // the refusal names the measured volume = the exact Σ df·(df−1)/2
       // the guard computed, so the caller can size a retry
       val est = Dedup.candidateVolumeEstimate(
-        CorpusReport.exactUnique(flood(12), "doc_id", "text", "lang")
-          .withColumnRenamed("text", "text"), "doc_id", "text")
+        CorpusReport.exactUnique(flood(12), "doc_id", "text", "lang"),
+        "doc_id", "text")
       assert(e.getMessage.contains(est.toString), s"$est vs ${e.getMessage}")
-    } finally Caches.unpersistScope("corpus")
+    } finally releaseAll()
+  }
+
+  test("a budget without an estimator is a named argument error, not a silent default") {
+    intercept[IllegalArgumentException] {
+      CorpusReport.funnelWithNearDup(flood(3), "doc_id", "text", "lang",
+        pairs, maxCandidatePairs = Some(10L))
+    }
   }
 
   test("a generous budget passes through and the funnel reports all four stages") {
     try {
       val rows = CorpusReport.funnelWithNearDup(flood(6), "doc_id", "text",
-          "lang", pairs, maxCandidatePairs = Some(1000000L))
+          "lang", pairs, maxCandidatePairs = Some(1000000L),
+          candidateVolume = estimator)
         .orderBy("stage_idx").collect()
       assert(rows.length == 4)
       assert(rows.map(_.getString(1)).toSeq ==
         Seq("ingest", "quality_kept", "exact_unique", "neardup_kept"))
       // the flood collapses to its canonical doc at the near-dup stage
       assert(rows(3).getLong(2) == 1L, rows.mkString(";"))
-    } finally Caches.unpersistScope("corpus")
+    } finally releaseAll()
   }
 }

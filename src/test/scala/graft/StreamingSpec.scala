@@ -287,9 +287,27 @@ class StreamingSpec extends SparkSpec {
       // replaying an epoch at/above the watermark stays idempotent
       assert(runEpoch(batch(9L), 9L) == Set(9L))
       assert(spark.table(sigT).count() == 10L)
-      // compaction is re-runnable (heals a crash between write and drop)
+      // compaction is re-runnable after success (epochs already folded)
       Dedup.compactSignatureStore(spark, sigT, 8L)
       assert(spark.table(sigT).count() == 10L)
+      // CRASH-HEAL path: simulate a prior compaction that wrote the -1
+      // partition but died before dropping a source epoch — doc 3's
+      // signature visible in BOTH -1 and a resurrected epoch 3. Re-running
+      // must fold without baking the duplicate into -1.
+      val fns = org.apache.spark.sql.functions
+      // resurrect epoch 3 FIRST (reading -1's single doc-3 row), then
+      // duplicate inside -1 — each append reads the pre-mutation row once
+      spark.table(sigT).filter(fns.col("epoch") === -1L && fns.col("doc") === 3L)
+        .select(fns.col("doc"), fns.col("sig"))
+        .withColumn("epoch", fns.lit(3L))
+        .write.mode("append").insertInto(sigT)
+      spark.table(sigT).filter(fns.col("epoch") === -1L && fns.col("doc") === 3L)
+        .write.mode("append").insertInto(sigT)
+      assert(spark.table(sigT).count() == 12L) // dup in -1 AND a stale epoch
+      Dedup.compactSignatureStore(spark, sigT, 8L)
+      assert(spark.table(sigT).count() == 10L, "heal left duplicates")
+      assert(spark.table(sigT).select("epoch").distinct()
+        .collect().map(_.getLong(0)).toSet == Set(-1L, 8L, 9L))
     } finally spark.sql(s"DROP TABLE IF EXISTS $sigT")
   }
 
