@@ -869,17 +869,30 @@ object Dedup {
       if (!exists)
         stamped.write.partitionBy("epoch").saveAsTable(sigTable)
       else epochId match {
-        case Some(_) =>
-          // Dynamic partition overwrite of exactly this epoch: replay
-          // rewrites (never duplicates) its own partition, and a partial
-          // prior commit is replaced wholesale instead of being trusted
-          // as complete.
-          val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          try stamped.write.mode("overwrite").insertInto(sigTable)
-          finally prev.fold(
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+        case Some(e) =>
+          val partitioned = spark.catalog.listColumns(sigTable)
+            .collect().exists(_.isPartition)
+          if (partitioned) {
+            // Dynamic partition overwrite of exactly this epoch: replay
+            // rewrites (never duplicates) its own partition, and a partial
+            // prior commit is replaced wholesale instead of being trusted
+            // as complete.
+            val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try stamped.write.mode("overwrite").insertInto(sigTable)
+            finally prev.fold(
+              spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+              spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+          } else {
+            // Epoch-capable but NOT epoch-partitioned (externally created
+            // table): a dynamic overwrite here would replace the WHOLE
+            // table, so replay falls back to the append-if-absent guard —
+            // idempotent against double-append, though a partial prior
+            // commit is then trusted as complete (the partitioned layout
+            // ingestCore itself creates has the stronger repair property).
+            val present = store.filter(col("epoch") === e).limit(1).count() > 0
+            if (!present) stamped.write.mode("append").saveAsTable(sigTable)
+          }
         case None =>
           stamped.write.mode("append").partitionBy("epoch").saveAsTable(sigTable)
       }

@@ -311,6 +311,35 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $sigT")
   }
 
+  test("an externally created unpartitioned epoch store is never wholesale-overwritten") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.{col, lit}
+    val sigT = "ingest_sigs_flat"
+    spark.sql(s"DROP TABLE IF EXISTS $sigT")
+    def sent(p: String) = (1 to 20).map(i => s"$p$i").mkString(" ")
+    try {
+      // 3-column epoch-capable store created WITHOUT partitionBy — the
+      // layout an external tool might materialize
+      Dedup.minhashSignatures(
+          Seq((1L, sent("alpha"))).toDF("doc_id", "text"), "doc_id", "text")
+        .withColumn("epoch", lit(0L))
+        .write.saveAsTable(sigT)
+      def runEpoch(df: org.apache.spark.sql.DataFrame, e: Long) =
+        Dedup.ingestMinhashFast(spark, df, "doc_id", "text", sigT,
+          epochId = Some(e)).select("doc_id").collect().map(_.getLong(0)).toSet
+      // a dynamic overwrite on an unpartitioned table would have replaced
+      // the WHOLE table here; the fallback must append instead
+      assert(runEpoch(Seq((2L, sent("beta"))).toDF("doc_id", "text"), 1L)
+        == Set(2L))
+      assert(spark.table(sigT).count() == 2L)
+      assert(spark.table(sigT).filter(col("epoch") === 0L).count() == 1L)
+      // replay of the same epoch: append-if-absent, no duplicate rows
+      assert(runEpoch(Seq((2L, sent("beta"))).toDF("doc_id", "text"), 1L)
+        == Set(2L))
+      assert(spark.table(sigT).count() == 2L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $sigT")
+  }
+
   test("ingestion appends to a pre-epoch two-column store without crashing") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.col
