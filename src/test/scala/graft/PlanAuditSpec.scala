@@ -96,6 +96,39 @@ class PlanAuditSpec extends SparkSpec {
       !p21.contains("BroadcastNestedLoopJoin"), p21)
   }
 
+  test("prebuilt ingestion store seam: the full query plans a bucketed history scan") {
+    // the exact configuration Bench's controlled probe sets up: signature
+    // + pre-banded tables in the catalog, conf gate on, broadcast off (the
+    // sort-merge shape a real large-batch ingest plans) — the bucketed
+    // store scan must survive planning (Spark silently disables bucketed
+    // scans when join keys mismatch the bucket columns, which would
+    // reintroduce the history shuffle the seam exists to avoid)
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val (storeD, _) = SparkEntry.incrMinhashCorpus(spark, dir)
+    spark.sql("DROP TABLE IF EXISTS graft_incr_sigs")
+    spark.sql("DROP TABLE IF EXISTS graft_incr_banded")
+    try {
+      Dedup.minhashSignatures(storeD, "doc_id", "text", 32, 5)
+        .write.mode("overwrite").format("parquet").saveAsTable("graft_incr_sigs")
+      graft.sources.Sinks.bucketedTableOn(
+        Dedup.bandedXxhash(spark.table("graft_incr_sigs"), 32, 8),
+        "graft_incr_banded", Seq("band", "bh"), 4)
+      spark.conf.set("graft.bench.incrStore", "1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(SparkEntry.queries("q_dedup_minhash_incr_fast")(spark, dir))
+      assert(p.contains("SelectedBucketsCount"), p)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.unset("graft.bench.incrStore")
+      spark.sql("DROP TABLE IF EXISTS graft_incr_sigs")
+      spark.sql("DROP TABLE IF EXISTS graft_incr_banded")
+      graft.operators.Caches.unpersistAll()
+    }
+  }
+
   test("bucketed pattern enrich: history side joins with no Exchange, merge-equal results") {
     import java.sql.Timestamp
     def pats(ids: Seq[String], freq: Long) = ids.map(id =>
