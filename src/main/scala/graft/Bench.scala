@@ -518,6 +518,12 @@ object Bench {
     // for the reader to discover.
     val phaseMins = scala.collection.mutable.Map.empty[String, Map[String, Double]]
     var lastRecall: Option[(Double, Double)] = None
+    // the sf1 phase's recall/cost curve, re-emitted top-level as
+    // `recall_curve_sf1`: the curve's ground truth is brute-force cosine
+    // over the SCALED (x10) corpus itself — i.e. the planes/probes
+    // defaults are justified at the sf1 scale point, not the sf0.1
+    // engine fixture
+    var lastCurve: Option[String] = None
 
     def scalePhase(replicas: Int, mode: String, names: Seq[String],
                    phaseIters: Int, withRecall: Boolean,
@@ -628,6 +634,7 @@ object Bench {
         else {
           val (srp, ivf, curve) = annRecall(spark, scaledDir)
           lastRecall = Some((srp, ivf))
+          lastCurve = Some(curve)
           s""","recall_at10":{"q_ann_srp":$srp,"q_ann_ivf":$ivf},"recall_curve":$curve"""
         }
       val strategyJson = if (fixedJoin) ""","join_strategy":"fixed"""" else ""
@@ -710,8 +717,10 @@ object Bench {
       }
     }
 
+    val curveJson = lastCurve
+      .map(c => s""","recall_curve_sf1":$c""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,$engineSection,"sf":"$sfDir"$ingestStagesJson$streamingJson$sf1Json$sf20Json$probeJson$scaleInversions}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,$engineSection,"sf":"$sfDir"$ingestStagesJson$streamingJson$sf1Json$sf20Json$probeJson$scaleInversions$curveJson}"""
     // Marker-prefixed line FIRST: the driver's artifact parser reads the
     // structured payload from `BENCH_JSON: {...}` without depending on
     // stdout tail ordering (r4/r5 artifacts carried parsed:null because

@@ -51,6 +51,22 @@ object SparkEntry {
   private def micros6(c: Column): Column = round(c * 1000000L).cast("long")
   private def micros6Sql(x: String): String = s"CAST(round(($x) * 1000000) AS BIGINT)"
 
+  /** TPC-H Q17's text, shared VERBATIM by the Spark query and the DuckDB
+    * oracle (only the table names differ) — the correlated scalar
+    * subquery is the shape under test (see q_tpch_q17). Predicate
+    * arithmetic is bit-stable in both engines: quantities are integral
+    * doubles (sums exact under IEEE addition in any order), avg is one
+    * double division, and the 0.2 decimal literal promotes to the same
+    * double on both sides. */
+  private def tpchQ17Sql(lineitem: String, part: String): String =
+    s"""SELECT CAST(sum(${centsSql("l_extendedprice")}) AS DOUBLE) / 700.0
+       |  AS avg_yearly
+       |FROM $lineitem JOIN $part ON p_partkey = l_partkey
+       |WHERE p_brand = 'Brand#12'
+       |  AND l_quantity < (
+       |    SELECT 0.2 * avg(l2.l_quantity) FROM $lineitem l2
+       |    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
   private def ms(c: Column): Column = unix_millis(c)
 
   /** The events table viewed as the reference's query-log domain
@@ -710,6 +726,19 @@ object SparkEntry {
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
           col("o_orderdate"), col("o_totalprice"),
           col("sum_qty").cast("long").as("total_qty"))
+    }),
+
+    // TPC-H Q17 shape: correlated scalar subquery — deliberately WRITTEN
+    // as the correlated form (via spark.sql over the same loaders) so
+    // Catalyst's decorrelation is the thing under test:
+    // RewriteCorrelatedScalarSubquery must turn the per-row subplan into
+    // ONE per-part aggregate LEFT-joined back on the correlation key —
+    // never a re-executed subplan per probe row. PlanAuditSpec pins the
+    // aggregate/join counts and the absence of loop joins.
+    "q_tpch_q17" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("q17_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("q17_part")
+      s.sql(tpchQ17Sql("q17_lineitem", "q17_part"))
     }),
 
     // TPC-H Q21 shape: multi semi/anti SELF-join on the fact table — the
@@ -2281,6 +2310,11 @@ object SparkEntry {
           |ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
           |  o_orderdate, o_orderkey
           |LIMIT 100""".stripMargin,
+
+      // Q17: the oracle runs the IDENTICAL correlated text (shared
+      // builder), so the hash match proves Spark's decorrelated plan
+      // computes exactly the correlated semantics.
+      "q_tpch_q17" -> tpchQ17Sql("lineitem", "part"),
 
       "q_tpch_q21" ->
         """SELECT s_name, count(*) AS numwait

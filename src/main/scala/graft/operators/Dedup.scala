@@ -445,9 +445,20 @@ object Dedup {
     // recompute the missing ones through predecessors the probe already
     // unpersisted, turning the lineage cut into a lineage re-run
     // (measured: 1.8 s regression on the components bench query).
+    // A localCheckpointed frame's blocks live OUTSIDE the CacheManager, so
+    // Dataset.unpersist on it is a no-op (it only uncaches CacheManager
+    // entries) — the blocks would wait for the ContextCleaner after GC.
+    // Free them promptly by unpersisting the checkpointed RDD itself,
+    // reachable through the LogicalRDD the checkpoint rewrote the plan to.
+    def freeCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(false)
+        case _ => ()
+      }
     def probe(): Boolean = {
       val c = labels.filter(col("component") =!= col("old")).count() == 0
-      pendingUnpersist.foreach(_.unpersist(false))
+      pendingUnpersist.foreach(freeCheckpoint)
       pendingUnpersist = Nil
       c
     }
@@ -606,13 +617,24 @@ object Dedup {
       docs => minhashSignatures(docs, idCol, textCol, numHashes, shingleN),
       sig => bandedXxhash(sig, numHashes, bands))
 
-  private def newAgainstStoreCore(batch: DataFrame, idCol: String,
+  /** Output shape a [[newAgainstStoreCore]] caller declares. The core
+    * emits keep sets today; [[IngestPairs]] is reserved so a future
+    * pair-shaped extension is forced to confront the band-key fold
+    * contract AT CONSTRUCTION (the require below fails by name) instead
+    * of shipping a path whose 64-bit key collisions surface as spurious
+    * pairs under the oracle. */
+  private[graft] sealed trait IngestOutput
+  private[graft] case object IngestKeepSet extends IngestOutput
+  private[graft] case object IngestPairs extends IngestOutput
+
+  private[graft] def newAgainstStoreCore(batch: DataFrame, idCol: String,
                                   textCol: String, storeSigs: DataFrame,
                                   numHashes: Int, bands: Int,
                                   minEstJaccard: Double,
                                   storeBanded: Option[DataFrame],
                                   signatures: DataFrame => DataFrame,
-                                  banding: DataFrame => DataFrame): DataFrame = {
+                                  banding: DataFrame => DataFrame,
+                                  output: IngestOutput = IngestKeepSet): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // Band keys shuffle through every stage below (two cap aggregates +
     // join-backs, the store join, the within-batch self-join). The md5
@@ -629,16 +651,22 @@ object Dedup {
     // persist the store already folded — `xxhash64(bh)` — or use the fast
     // family, whose keys are born BIGINT.)
     //
-    // CONTRACT: the fold is sound ONLY for keep-set outputs — a 64-bit
-    // band-key collision creates spurious bucket co-residency that the
-    // est-Jaccard filter absorbs for keeps but would surface in a pair
-    // output. Enforced structurally: this core is private and returns
-    // keepCanonical(...) (a keep set) on every path; the pair-emitting
-    // oracle twins ([[minhashNearDupsPortable]] etc.) build their own
-    // banding and can never reach this fold. Any future pair-shaped
-    // return from this core must bypass longKeyed.
+    // CONTRACT (enforced at construction, not by comment): the fold is
+    // sound ONLY for keep-set outputs — a 64-bit band-key collision
+    // creates spurious bucket co-residency that the est-Jaccard filter
+    // absorbs for keeps but would surface in a pair output. The
+    // pair-emitting oracle twins ([[minhashNearDupsPortable]] etc.) build
+    // their own banding and never reach this fold; a future pair-shaped
+    // caller of THIS core fails here by name (DedupSpec has the negative
+    // test) instead of as an opaque oracle mismatch.
     val useLongKeys = storeBanded.forall(
       _.schema("bh").dataType != org.apache.spark.sql.types.StringType)
+    require(output == IngestKeepSet || !useLongKeys,
+      "newAgainstStoreCore: the 64-bit band-key fold is keep-set-only — " +
+        "a band-key collision would surface as a spurious pair in a " +
+        "pair-shaped output. Keep native band keys (pass a string-keyed " +
+        "storeBanded) or use the pair operators (minhashNearDups / " +
+        "minhashNearDupsPortable) instead")
     def longKeyed(banded: DataFrame): DataFrame =
       if (useLongKeys &&
           banded.schema("bh").dataType == org.apache.spark.sql.types.StringType)
@@ -698,7 +726,12 @@ object Dedup {
     val pairs = allPairs
       .join(hits.withColumnRenamed("doc", "doc_a"), Seq("doc_a"), "left_anti")
       .join(hits.withColumnRenamed("doc", "doc_b"), Seq("doc_b"), "left_anti")
-    keepCanonical(fresh, idCol, pairs)
+    output match {
+      case IngestKeepSet => keepCanonical(fresh, idCol, pairs)
+      case IngestPairs => throw new UnsupportedOperationException(
+        "newAgainstStoreCore: pair output is reserved — implement it " +
+          "against native (unfolded) band keys before wiring a caller")
+    }
   }
 
   /** Per-stage wall-time instrumentation for the incremental near-dup
@@ -870,16 +903,28 @@ object Dedup {
         stamped.write.partitionBy("epoch").saveAsTable(sigTable)
       else epochId match {
         case Some(e) =>
+          // The overwrite path is safe ONLY on the layout ingestCore
+          // itself creates: epoch as the SOLE partition column. "Some
+          // column is a partition column" was too weak — an externally
+          // created table partitioned on doc (or on (doc, epoch)) would
+          // take this path and overwrite partitions keyed on the wrong
+          // column. Anything else falls back to the append-if-absent
+          // guard below.
           val partitioned = spark.catalog.listColumns(sigTable)
-            .collect().exists(_.isPartition)
+            .collect().filter(_.isPartition).map(_.name).toSeq == Seq("epoch")
           if (partitioned) {
             // Dynamic partition overwrite of exactly this epoch: replay
             // rewrites (never duplicates) its own partition, and a partial
             // prior commit is replaced wholesale instead of being trusted
-            // as complete.
+            // as complete. insertInto maps columns BY POSITION — select
+            // into the table's declared order first, so an externally
+            // created (sig, doc) PARTITIONED BY (epoch) table can't get
+            // its columns swapped silently.
+            val ordered = stamped.select(
+              spark.table(sigTable).columns.map(col(_)): _*)
             val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try stamped.write.mode("overwrite").insertInto(sigTable)
+            try ordered.write.mode("overwrite").insertInto(sigTable)
             finally prev.fold(
               spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
               spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
@@ -908,12 +953,23 @@ object Dedup {
     * partition per micro-batch forever — the signature store's analogue
     * of the reference's TTL-bounded SQLite cache (utils/cache.py).
     *
-    * Contract: epoch -1 is visible to EVERY epoch's rejection view
-    * (`epoch < e`, e ≥ 0), so rejection semantics are unchanged for all
-    * future epochs. Replay idempotence is preserved for epochs ≥
-    * `upToEpoch` only — compacted epochs can no longer be replayed
-    * without self-rejection, so pass the stream's committed watermark
-    * (every epoch the checkpoint can still re-deliver stays above it).
+    * WATERMARK CONTRACT: `upToEpoch` must be ≤ the stream's committed
+    * watermark — i.e. strictly below any epoch the checkpoint can still
+    * re-deliver AND below any epoch currently being written. Under that
+    * contract compaction may interleave with live ingestion freely:
+    *  - epoch -1 is visible to EVERY epoch's rejection view (`epoch < e`,
+    *    e ≥ 0), so an in-flight epoch N ≥ upToEpoch sees exactly the same
+    *    visible signature SET before, during, and after compaction (rows
+    *    move from partitions [0, upToEpoch) into -1; none appear or
+    *    vanish) — keep sets are unchanged;
+    *  - epoch N's own partition is untouched (only epochs < upToEpoch are
+    *    folded and dropped), so a later replay of N still overwrites a
+    *    partition holding exactly N's rows — replay idempotence is
+    *    preserved. `StreamingSpec` proves both under an interleaved
+    *    ingest/compact/replay schedule.
+    * Compacting THROUGH a replayable epoch breaks replay only: the
+    * replayed epoch would see its own folded signatures in -1 and
+    * self-reject. Rejection semantics for fresh epochs survive even that.
     *
     * Crash safety: the compacted rows are written (dynamic partition
     * overwrite of epoch -1) BEFORE the source epochs are dropped. A crash
@@ -929,14 +985,30 @@ object Dedup {
     require(upToEpoch >= 0, "upToEpoch must be >= 0")
     require(spark.table(sigTable).columns.contains("epoch"),
       s"$sigTable is a pre-epoch legacy store; nothing to compact")
+    // An epoch COLUMN alone is not enough: on an unpartitioned (or
+    // differently-partitioned) epoch-capable store the dynamic "overwrite"
+    // below would replace the WHOLE table with only the pre-upToEpoch
+    // rows — destroying every epoch >= upToEpoch before the partition
+    // DROP even gets to throw. Require the exact layout ingestCore itself
+    // creates (epoch as the sole partition column), mirroring the replay
+    // gate's check, and fail by name otherwise.
+    val partCols = spark.catalog.listColumns(sigTable).collect()
+      .filter(_.isPartition).map(_.name).toSeq
+    require(partCols == Seq("epoch"),
+      s"compactSignatureStore: $sigTable must be partitioned by epoch " +
+        s"(sole partition column); found [${partCols.mkString(", ")}] — " +
+        "a dynamic overwrite on this layout would replace the whole table")
     val epochs = spark.table(sigTable).select("epoch").distinct()
       .collect().map(_.getLong(0)).filter(e => e >= 0 && e < upToEpoch)
     if (epochs.isEmpty) return
-    // materialize BEFORE overwriting the partition the read depends on
+    // materialize BEFORE overwriting the partition the read depends on;
+    // select into the table's declared column order (insertInto is
+    // positional) so an externally created (sig, doc) layout can't swap
     val compacted = spark.table(sigTable)
       .filter(col("epoch") < upToEpoch)
       .select(col("doc"), col("sig")).dropDuplicates("doc")
       .withColumn("epoch", lit(-1L))
+      .select(spark.table(sigTable).columns.map(col(_)): _*)
       .localCheckpoint()
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -990,15 +1062,26 @@ object Dedup {
   def candidateVolumeEstimate(docs: DataFrame, idCol: String, textCol: String,
                               shingleN: Int = 5, dfMax: Int = 20): Long =
     candidateVolumeFromIndex(
-      tracked(shingleTable(docs, idCol, textCol, shingleN)), dfMax)
+      tracked(shingleTable(docs, idCol, textCol, shingleN)), dfMax,
+      persistHistogram = true)
 
   // sum LONGS and halve on the driver: Spark's `/` always yields double,
-  // and df*(df-1) is even so the halving is exact
-  private def candidateVolumeFromIndex(sh: DataFrame, dfMax: Int): Long =
-    sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= dfMax)
+  // and df*(df-1) is even so the halving is exact.
+  // persistHistogram: a pre-flight caller that will run the pair operator
+  // over the SAME docs frame persists the df histogram too (scope
+  // "dedup"), so the pair operator's identical groupBy(shingle) subplan
+  // is cache-substituted instead of re-aggregating the whole index —
+  // the estimate's two passes (index + histogram) then both amortize
+  // into the pair run. Off for one-shot accounting callers
+  // ([[jaccardStageCounts]]) where a persist would only cost memory.
+  private def candidateVolumeFromIndex(sh: DataFrame, dfMax: Int,
+                                       persistHistogram: Boolean = false): Long = {
+    val hist0 = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val hist = if (persistHistogram) tracked(hist0) else hist0
+    hist.filter(col("df") >= 2 && col("df") <= dfMax)
       .agg(coalesce(sum(col("df") * (col("df") - 1)), lit(0L)).as("n"))
       .head().getLong(0) / 2
+  }
 
   /** Optional pre-flight enforcement for the quadratic operators below:
     * when `maxCandidatePairs` is set, refuse to enumerate more than that
@@ -1008,7 +1091,9 @@ object Dedup {
   private def guardCandidateVolume(sh: DataFrame, dfMax: Int,
                                    maxCandidatePairs: Option[Long]): Unit =
     maxCandidatePairs.foreach { m =>
-      val est = candidateVolumeFromIndex(sh, dfMax)
+      // persist the histogram: the guarded pair operator re-aggregates
+      // the same df histogram right after this check
+      val est = candidateVolumeFromIndex(sh, dfMax, persistHistogram = true)
       if (est > m) throw new IllegalStateException(
         s"candidate volume pre-flight: the df-banded index would enumerate " +
           s"$est pairs, over the declared budget of $m — lower dfMax or " +

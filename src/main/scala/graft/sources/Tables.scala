@@ -57,7 +57,17 @@ object Tables {
         // name on a misconfigured session instead of silently shifting
         // every event timestamp by the zone offset.
         val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-        require(tz == "UTC",
+        // Accept every spelling of UTC ("Etc/UTC", "GMT", "+00:00", "Z",
+        // ...) by normalizing through ZoneId and comparing the actual
+        // rules — string equality rejected value-identical configs.
+        val isUtc =
+          try {
+            val rules =
+              java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS).getRules
+            rules.isFixedOffset &&
+              rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+          } catch { case _: java.time.DateTimeException => false }
+        require(isUtc,
           s"normalizeEventTs: session timeZone is '$tz' but the NTZ→TIMESTAMP " +
             "cast is value-identical only under UTC — set " +
             "spark.sql.session.timeZone=UTC (all graft entry points do)")

@@ -378,6 +378,38 @@ class DedupSpec extends SparkSpec {
     assert(keptFast == keptPortable, s"fast=$keptFast portable=$keptPortable")
   }
 
+  test("ingestion core refuses a pair-shaped output over folded band keys at construction") {
+    // The 64-bit band-key fold is keep-set-only: a key collision creates
+    // spurious bucket co-residency the est-Jaccard filter absorbs for
+    // keeps but would emit as a phantom pair. The contract is enforced by
+    // a require on the shared core — a future pair-shaped caller fails
+    // here by name, not as an opaque oracle mismatch rounds later.
+    def sent(p: String) = (1 to 25).map(i => s"$p$i").mkString(" ")
+    val store = Seq((10L, sent("kept"))).toDF("doc_id", "text")
+    val batch = Seq((21L, sent("fresh"))).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.newAgainstStoreCore(batch, "doc_id", "text",
+        Dedup.minhashSignaturesPortable(store, "doc_id", "text"),
+        numHashes = 16, bands = 8, minEstJaccard = 0.3, storeBanded = None,
+        signatures = d => Dedup.minhashSignaturesPortable(d, "doc_id", "text"),
+        banding = s => Dedup.bandedPortable(s, 16, 8),
+        output = Dedup.IngestPairs)
+    }
+    assert(e.getMessage.contains("keep-set-only"), e.getMessage)
+    // with native (string) band keys preserved, the pair shape is merely
+    // unimplemented — it must still fail by name, not emit folded pairs
+    val sigs = Dedup.minhashSignaturesPortable(store, "doc_id", "text")
+    val e2 = intercept[UnsupportedOperationException] {
+      Dedup.newAgainstStoreCore(batch, "doc_id", "text", sigs,
+        numHashes = 16, bands = 8, minEstJaccard = 0.3,
+        storeBanded = Some(Dedup.bandedPortable(sigs, 16, 8)),
+        signatures = d => Dedup.minhashSignaturesPortable(d, "doc_id", "text"),
+        banding = s => Dedup.bandedPortable(s, 16, 8),
+        output = Dedup.IngestPairs)
+    }
+    assert(e2.getMessage.contains("pair output is reserved"), e2.getMessage)
+  }
+
   test("incremental minhash: degenerate hot store buckets cap, bounded buckets still reject") {
     // 200 byte-identical store docs: every (band, bh) bucket they occupy
     // holds 200 members — far beyond LshMaxBucket (64). Without the cap

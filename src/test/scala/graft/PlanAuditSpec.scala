@@ -96,6 +96,29 @@ class PlanAuditSpec extends SparkSpec {
       !p21.contains("BroadcastNestedLoopJoin"), p21)
   }
 
+  test("tpch q17: correlated scalar subquery decorrelates to one aggregate joined back") {
+    val dir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q_tpch_q17")(spark, dir)
+    df.collect()
+    // AdaptiveSparkPlan's rendering carries BOTH the final and the
+    // initial plan — count operators in the final section only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the correlated avg-per-part must decorrelate to ONE grouped
+    // aggregate (partial+final on l_partkey) LEFT-joined back on the
+    // correlation key — never a nested-loop re-execution per probe row
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_avg"), p)
+    // exactly two equi-joins: the part dim join and the aggregate
+    // join-back; a per-row subplan would surface as extra join/scan pairs
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(p).length
+    assert(joins == 2, s"expected 2 joins, got $joins\n$p")
+    // the per-part aggregate appears once (one partial), not per-row
+    assert("partial_avg".r.findAllIn(p).length == 1, p)
+  }
+
   test("prebuilt ingestion store seam: the full query plans a bucketed history scan") {
     // the exact configuration Bench's controlled probe sets up: signature
     // + pre-banded tables in the catalog, conf gate on, broadcast off (the
@@ -367,6 +390,38 @@ class PlanAuditSpec extends SparkSpec {
     // single-row build — no corpus repartition
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("hashpartitioning(doc_id"), p)
+  }
+
+  test("funnel pre-flight's shingle table is cache-substituted into the pair operator's plan") {
+    // funnelWithNearDup runs the candidate-volume estimator (which
+    // persists the shingle table, scope "dedup") BEFORE building the pair
+    // operator over the SAME survivors frame. The claim that the pair
+    // operator reuses that materialization — instead of silently
+    // re-tokenizing the corpus via an analyzed-plan mismatch — must be a
+    // plan fact, not an assumption: capture the pair operator's executed
+    // plan at build time and require the in-memory scan.
+    import graft.operators.{Caches, CorpusReport, Dedup}
+    var pairPlan: String = null
+    try {
+      val report = CorpusReport.funnelWithNearDup(docs, "doc_id", "text",
+        "lang",
+        pairsOf = uniq => {
+          val pairs = Dedup.jaccardNearDups(uniq, "doc_id", "text",
+            shingleN = 5, dfMax = 20, minJaccard = 0.5)
+            .select("doc_a", "doc_b")
+          pairPlan = pairs.queryExecution.executedPlan.toString
+          pairs
+        },
+        maxCandidatePairs = Some(1000000L),
+        candidateVolume = Some(uniq => Dedup.candidateVolumeEstimate(
+          uniq, "doc_id", "text", shingleN = 5, dfMax = 20)))
+      assert(report.count() == 4L) // all four stages reported
+      assert(pairPlan != null && pairPlan.contains("InMemoryTableScan"),
+        pairPlan)
+    } finally {
+      Caches.unpersistScope("corpus")
+      Dedup.unpersistIntermediates()
+    }
   }
 
   test("containment candidates come from equi-joins, never a product join") {

@@ -340,6 +340,76 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $sigT")
   }
 
+  test("compaction refuses an unpartitioned epoch-capable store by name") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.lit
+    val sigT = "ingest_sigs_flat_compact"
+    spark.sql(s"DROP TABLE IF EXISTS $sigT")
+    def sent(p: String) = (1 to 20).map(i => s"$p$i").mkString(" ")
+    try {
+      // epoch COLUMN present but no partitioning: a dynamic overwrite
+      // would replace the whole table with only the pre-watermark rows,
+      // silently destroying every epoch >= upToEpoch
+      Dedup.minhashSignatures(
+          Seq((1L, sent("alpha")), (2L, sent("beta"))).toDF("doc_id", "text"),
+          "doc_id", "text")
+        .withColumn("epoch", lit(0L))
+        .write.saveAsTable(sigT)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.compactSignatureStore(spark, sigT, 1L)
+      }
+      assert(e.getMessage.contains("partitioned by epoch"), e.getMessage)
+      // and nothing was written: both rows still present
+      assert(spark.table(sigT).count() == 2L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $sigT")
+  }
+
+  test("compaction interleaved with live ingestion preserves keep sets and replay idempotence") {
+    import graft.operators.Dedup
+    val sigT = "ingest_sigs_interleave"
+    val ctlT = "ingest_sigs_interleave_ctl"
+    spark.sql(s"DROP TABLE IF EXISTS $sigT")
+    spark.sql(s"DROP TABLE IF EXISTS $ctlT")
+    def sent(p: String) = (1 to 20).map(i => s"$p$i").mkString(" ")
+    def dropLast(t: String) = t.split(" ").dropRight(1).mkString(" ")
+    try {
+      // each epoch carries one fresh doc and one near-dup of the PREVIOUS
+      // epoch's fresh doc, so every rejection exercises history visibility
+      def batch(e: Long) = Seq(
+        (10 * e, sent(s"w$e")),
+        (10 * e + 1, dropLast(sent(s"w${e - 1}")))).toDF("doc_id", "text")
+      def runEpoch(t: String)(df: org.apache.spark.sql.DataFrame, e: Long) =
+        Dedup.ingestMinhashFast(spark, df, "doc_id", "text", t,
+          epochId = Some(e)).select("doc_id").collect().map(_.getLong(0)).toSet
+      // epochs 0..4 land identically on the compacted store and the
+      // never-compacted control
+      (0L to 4L).foreach { e =>
+        val k = runEpoch(sigT)(batch(e), e)
+        assert(k == runEpoch(ctlT)(batch(e), e))
+        assert(k == (if (e == 0) Set(0L, 1L) else Set(10 * e)))
+      }
+      // watermark contract: epoch 5 is in flight, so compact through 5
+      // (folds 0..4 only; 5's partition never exists yet, and would be
+      // untouched if it did)
+      Dedup.compactSignatureStore(spark, sigT, 5L)
+      val k5 = runEpoch(sigT)(batch(5L), 5L)
+      assert(k5 == runEpoch(ctlT)(batch(5L), 5L))
+      assert(k5 == Set(50L)) // 51 rejected against the folded epoch-4 doc
+      // re-compact while 5 is replayable, then replay 5: identical keep
+      // set, no duplicate signatures
+      Dedup.compactSignatureStore(spark, sigT, 5L)
+      assert(runEpoch(sigT)(batch(5L), 5L) == k5)
+      assert(spark.table(sigT).count() == spark.table(ctlT).count())
+      assert(spark.table(sigT).select("epoch").distinct()
+        .collect().map(_.getLong(0)).toSet == Set(-1L, 5L))
+      // the next live epoch sees the same visible history on both stores
+      assert(runEpoch(sigT)(batch(6L), 6L) == runEpoch(ctlT)(batch(6L), 6L))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $sigT")
+      spark.sql(s"DROP TABLE IF EXISTS $ctlT")
+    }
+  }
+
   test("ingestion appends to a pre-epoch two-column store without crashing") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.col
