@@ -100,9 +100,16 @@ object CorpusReport {
     require(maxCandidatePairs.isEmpty || candidateVolume.isDefined,
       "maxCandidatePairs needs a candidateVolume estimator built with the " +
         "same parameters as pairsOf (e.g. Dedup.candidateVolumeEstimate)")
-    val base = docs.select(col(idCol), col(textCol).as("text"))
+    // Cache the input projection FIRST: the caller's `docs` is often an
+    // expensive derived corpus (the bench's planted near-copies tokenize
+    // every document to build themselves), and without this it is fully
+    // re-evaluated three times — the quality gate's pass, the kept join's
+    // base side, and the stage-0 aggregate. One pass, read thrice.
+    val src = Caches.tracked(
+      docs.select(col(idCol), col(textCol), col(langCol)), "corpus")
+    val base = src.select(col(idCol), col(textCol).as("text"))
     val kept = Caches.tracked(base.join(
-      QualityFilter(docs, idCol, textCol, langCol)
+      QualityFilter(src, idCol, textCol, langCol)
         .filter(col("keep")).select(idCol),
       Seq(idCol), "left_semi"), "corpus")
     val w = Window
