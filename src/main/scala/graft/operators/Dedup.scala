@@ -1123,7 +1123,11 @@ object Dedup {
     // boundary pair at J == threshold). Joining sizes at pair granularity
     // instead would shuffle the quadratic side twice — measured +40% on
     // the replica fixture.
-    val withSize = discriminative.join(sizes, Seq("doc"))
+    // tracked: BOTH sides of the candidate self-join are this same frame
+    // under different aliases — aliasing defeats ReuseExchange, so
+    // without the persist the df-band + size annotation of the whole
+    // index is computed twice, once per side.
+    val withSize = tracked(discriminative.join(sizes, Seq("doc")))
     val cand = withSize
       .select(col("shingle"), col("doc").as("doc_a"), col("set_size").as("size_a"))
       .join(withSize.select(col("shingle"), col("doc").as("doc_b"),
@@ -1212,7 +1216,9 @@ object Dedup {
         .filter(col("df") >= 2 && col("df") <= dfMax)
         .select("shingle"),
       Seq("shingle"))
-    val withSize = discriminative.join(sizes, Seq("doc"))
+    // tracked for the same both-sides-of-the-self-join reason as
+    // [[jaccardNearDups]]
+    val withSize = tracked(discriminative.join(sizes, Seq("doc")))
     val cand = withSize
       .select(col("shingle"), col("doc").as("doc_a"), col("set_size").as("size_a"))
       .join(withSize.select(col("shingle"), col("doc").as("doc_b"),
