@@ -538,6 +538,23 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // Bloom two-phase twin of q_dedup_incremental: a sketch of the
+    // store's fingerprints pre-filters the batch in-row, definite-new
+    // rows skip the store join, maybes confirm exactly — identical
+    // result set (Bloom has no false negatives), so the SAME oracle
+    // checks both. The 100 TB ingestion shape: on a mostly-fresh batch
+    // the history join's probe side shrinks to ~dups + fpp·batch.
+    "q_dedup_incr_bloom" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val store = d.filter(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("fingerprint"))
+      val batch = d.unionByName(
+        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.newAgainstStoreBloom(batch, "doc_id", "text", store,
+        expectedItems = 131072L, fpp = 0.01)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // Corpus-wide vocabulary: top-100 tokens by frequency (count desc,
     // token asc — a total order, so the cut is deterministic).
     "q_vocabulary" -> ((s, dir) =>
@@ -2136,6 +2153,25 @@ object SparkEntry {
            |ORDER BY event_type ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin,
 
       "q_dedup_incremental" ->
+        """WITH store AS (
+          |  SELECT DISTINCT md5(text) AS fingerprint FROM documents
+          |  WHERE doc_id % 2 = 0),
+          |batch AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text FROM documents),
+          |fresh AS (
+          |  SELECT b.doc_id, md5(b.text) AS fp FROM batch b
+          |  LEFT JOIN store s ON md5(b.text) = s.fingerprint
+          |  WHERE s.fingerprint IS NULL)
+          |SELECT doc_id FROM (
+          |  SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          |  FROM fresh) t
+          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+      // the Bloom pre-filter is a pure optimization (no false negatives,
+      // maybes confirmed exactly) — the oracle is the SAME dedup algebra
+      "q_dedup_incr_bloom" ->
         """WITH store AS (
           |  SELECT DISTINCT md5(text) AS fingerprint FROM documents
           |  WHERE doc_id % 2 = 0),

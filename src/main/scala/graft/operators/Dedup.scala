@@ -557,6 +557,57 @@ object Dedup {
       .filter(col("rn") === 1).drop("rn", "fingerprint")
   }
 
+  /** [[newAgainstStore]] with a Bloom pre-filter — the 100 TB shape of
+    * exact-dedup ingestion. A Bloom sketch of the store's fingerprints
+    * (built distributively by Spark's `BloomFilterAggregate`, collected
+    * once) pre-filters the batch IN-ROW: rows whose fingerprint the
+    * sketch has definitely never seen skip the store join entirely; only
+    * the "maybe" rows — true duplicates plus an `fpp` fraction of false
+    * positives — pay the anti-join against history. Bloom filters have
+    * no false negatives and every maybe is confirmed exactly, so the
+    * result row set is IDENTICAL to [[newAgainstStore]] (spec-proven;
+    * the query shares its oracle).
+    *
+    * Scale sizing: the sketch costs ~1.44·log2(1/fpp) bits per store row
+    * (`BloomFilter.optimalNumOfBits`) — at 10^9 fingerprints and 1% fpp
+    * that is ~1.4 GB, near the practical ceiling for a task-binary
+    * constant; beyond that raise `fpp` (every maybe is re-checked
+    * exactly, so correctness never depends on it) or shard the store and
+    * ingest per shard. The win: on a mostly-fresh batch (the common
+    * rolling-crawl case) the store join's probe side shrinks from
+    * |batch| to ~|dups| + fpp·|batch|, and with a fingerprint-bucketed
+    * store the surviving join stays Exchange-free on history — the
+    * sketch replaces a full batch shuffle with a map-only filter. */
+  def newAgainstStoreBloom(batch: DataFrame, idCol: String, textCol: String,
+                           store: DataFrame, expectedItems: Long,
+                           fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      "newAgainstStoreBloom needs expectedItems > 0 and fpp in (0, 1)")
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    // one distributed pass over history; the single sketch row collects
+    // to the driver (null when the store is empty → nothing to filter)
+    val sketch = store
+      .agg(graft.plans.Bloom.bloomAgg(xxhash64(col("fingerprint")),
+        expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val fp = batch.withColumn("fingerprint", md5(col(textCol)))
+    val fresh =
+      if (sketch == null) fp
+      else {
+        val maybe = graft.plans.Bloom.mightContain(sketch,
+          xxhash64(col("fingerprint")))
+        // definite-new rows bypass the join; maybes confirm exactly
+        fp.filter(!maybe).unionByName(
+          fp.filter(maybe).join(store.select("fingerprint"),
+            Seq("fingerprint"), "left_anti"))
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fingerprint")).orderBy(col(idCol))
+    fresh.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn", "fingerprint")
+  }
+
   /** Incremental NEAR-dup ingestion: rows of `batch` that are near-dup-new
     * BOTH against a signature store (the kept corpus's precomputed MinHash
     * signatures — (doc, sig) as [[minhashSignaturesPortable]] emits) AND

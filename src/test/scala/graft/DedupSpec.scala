@@ -378,6 +378,34 @@ class DedupSpec extends SparkSpec {
     assert(keptFast == keptPortable, s"fast=$keptFast portable=$keptPortable")
   }
 
+  test("bloom-prefiltered incremental dedup equals the plain store anti-join") {
+    // the sketch must change the plan, never the answer: no false
+    // negatives, maybes confirmed exactly — result sets identical
+    val docs = (1L to 60L).map(i => (i, s"document body ${i % 20} tail"))
+      .toDF("doc_id", "text")
+    val store = docs.filter($"doc_id" % 2 === 0)
+      .select(org.apache.spark.sql.functions.md5($"text").as("fingerprint"))
+    val batch = docs.unionByName(
+      docs.select(($"doc_id" + 1000L).as("doc_id"), $"text"))
+    val plain = Dedup.newAgainstStore(batch, "doc_id", "text", store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // tiny sketch (high collision pressure) still exact; generous sketch too
+    for (items <- Seq(8L, 4096L)) {
+      val bloom = Dedup.newAgainstStoreBloom(batch, "doc_id", "text", store,
+        expectedItems = items, fpp = 0.05)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(bloom == plain, s"items=$items: $bloom vs $plain")
+    }
+    // empty store: null sketch short-circuits, within-batch policy intact
+    val emptyStore = store.limit(0)
+    val bloomEmpty = Dedup.newAgainstStoreBloom(batch, "doc_id", "text",
+      emptyStore, expectedItems = 64L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val plainEmpty = Dedup.newAgainstStore(batch, "doc_id", "text", emptyStore)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloomEmpty == plainEmpty)
+  }
+
   test("ingestion core refuses a pair-shaped output over folded band keys at construction") {
     // The 64-bit band-key fold is keep-set-only: a key collision creates
     // spurious bucket co-residency the est-Jaccard filter absorbs for
