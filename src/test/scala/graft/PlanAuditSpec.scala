@@ -424,6 +424,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("jaccard candidate self-join reads the annotated index from cache on both sides") {
+    // both sides of the candidate self-join alias the same df-banded
+    // size-annotated index, and the aliasing defeats ReuseExchange — the
+    // persist is what keeps the annotation from computing twice. Pin it:
+    // the plan must read InMemoryTableScan on both join sides.
+    val p = plan(graft.operators.Dedup.jaccardNearDups(docs, "doc_id", "text"))
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2, p)
+    graft.operators.Caches.unpersistAll()
+  }
+
   test("containment candidates come from equi-joins, never a product join") {
     val p = plan(graft.operators.Dedup.containmentNearDups(docs, "doc_id", "text"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
