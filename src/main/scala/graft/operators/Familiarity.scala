@@ -14,12 +14,19 @@ import org.apache.spark.sql.functions._
   * oracle recomputes it bit-equal), unlike log-probability scores whose
   * transcendental math differs across engines.
   *
-  * Scale shape: the token stream shuffles twice on `token` (vocabulary
-  * count, then the frequency join — co-partitioned, so AQE/ReuseExchange
-  * collapses the second scan) and once on the doc id for the per-doc
-  * rollup; every aggregate is map-side combinable. No broadcast of the
-  * vocabulary: at web scale the long tail makes the vocab itself large,
-  * so the join stays a shuffled equi-join by design.
+  * Scale shape: the token stream is evaluated on BOTH branches
+  * (vocabulary count + frequency join) — deliberately. Exchange reuse
+  * does NOT collapse the second scan (self-referenced subtrees get
+  * re-aliased attribute ids at analysis; measured: zero Reused* nodes in
+  * the final adaptive plan), but the repeated work is a map-only
+  * codegen'd tokenize whose vocab branch shuffles only map-combined
+  * per-token partials; the alternative — pre-aggregating to persisted
+  * (doc, token, count) rows and joining those — pays a whole extra
+  * exchange and measured 48% SLOWER with 2.4× the shuffle bytes at
+  * sf0.1 (unlike [[Tfidf]], whose duplicated branch repeats a full
+  * pre-shuffle aggregate and does win from the persist). No broadcast of
+  * the vocabulary: at web scale the long tail makes the vocab itself
+  * large, so the join stays a shuffled equi-join by design.
   */
 object Familiarity {
 

@@ -36,7 +36,13 @@ object Tfidf {
                k: Int = 5): DataFrame = {
     val pairs = docs.select(col(idCol).as("doc"),
       explode(Text.tokens(lower(col(textCol)))).as("term"))
-    val tf = pairs.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    // persisted: tf feeds BOTH the df aggregation and the join side, and
+    // self-referenced subtrees get re-aliased attribute ids at analysis —
+    // which defeats exchange reuse (measured: zero Reused* nodes in the
+    // final adaptive plan; the tokenize+explode+partial-agg ran twice)
+    val tf = Caches.tracked(
+      pairs.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf")),
+      "tfidf")
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc"))
       .orderBy(col("score").desc, col("term"))
