@@ -434,6 +434,16 @@ class PlanAuditSpec extends SparkSpec {
     graft.operators.Caches.unpersistAll()
   }
 
+  test("tfidf reads its (doc,term,tf) frame from cache on both branches") {
+    // tf feeds the df aggregation AND the join side; self-references get
+    // re-aliased attribute ids at analysis, which defeats exchange reuse
+    // (the tokenize+explode+partial agg ran twice before the persist).
+    // Pin the fix: both consumers must read the in-memory scan.
+    val p = plan(graft.operators.Tfidf.topTerms(docs, "doc_id", "text"))
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2, p)
+    graft.operators.Caches.unpersistAll()
+  }
+
   test("containment candidates come from equi-joins, never a product join") {
     val p = plan(graft.operators.Dedup.containmentNearDups(docs, "doc_id", "text"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
