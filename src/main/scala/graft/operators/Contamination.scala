@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * Shape at scale: the benchmark side is tiny relative to the corpus, so
   * its distinct shingles broadcast; the corpus side streams through one
-  * explode + broadcast-hash join + per-doc hash-agg. The corpus is never
-  * shuffled by shingle and nothing is pairwise — cost is O(corpus tokens)
-  * plus the broadcast.
+  * explode + broadcast-hash join + per-doc hash-agg. Per-document shingle
+  * dedup happens IN-ROW (`array_distinct` before the explode — an earlier
+  * `.distinct()` formulation shuffled every corpus n-gram string for it:
+  * 199 MB at the ×10 scale point, ~0 after), so the corpus is never
+  * shuffled by shingle and nothing is pairwise — the only exchange left
+  * carries the matched (contaminated) rows into the per-doc agg. Cost is
+  * O(corpus tokens) plus the broadcast.
   */
 object Contamination {
 
@@ -25,10 +29,15 @@ object Contamination {
     */
   def overlap(corpus: DataFrame, bench: DataFrame,
               idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    // per-doc distinct in-row; shingle arrays at their own projection
+    // boundary (lambda-CSE trap — see Text.shinglesFromTokens scaladoc)
     def shingled(df: DataFrame, outId: String): DataFrame =
       df.select(col(idCol).as(outId), Text.tokens(lower(col(textCol))).as("toks"))
-        .select(col(outId), explode(Text.shinglesFromTokens(col("toks"), n)).as("g"))
-        .distinct()
+        .select(col(outId), Text.shinglesFromTokens(col("toks"), n).as("gs"))
+        .select(col(outId), explode(array_distinct(col("gs"))).as("g"))
+    // no cross-doc distinct on either side: in-row dedup already makes
+    // every (id, g) pair unique (each id lives in one input row), and the
+    // per-bench-doc hit count NEEDS one row per (g, bench_id) anyway
     val benchSh = shingled(bench, "bench_id")
     val corpusSh = shingled(corpus, "doc")
     corpusSh.join(broadcast(benchSh), Seq("g"))

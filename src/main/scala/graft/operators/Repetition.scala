@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * dedup proper.
   *
   * Shape at scale: MAP-ONLY. Every metric here is a function of a single
-  * document, so nothing ever leaves the row: distinct-counts come from
-  * `array_distinct` arithmetic and the per-doc argmax bigram from the
-  * single-pass native [[graft.plans.TopGram]] expression. The previous
-  * formulation ([[ngramRepetitionShuffled]], kept as the spec twin)
+  * document, so nothing ever leaves the row: all four statistics come from
+  * ONE pass of the native [[graft.plans.RepetitionStats]] expression over
+  * the token array (the composed shingle-array + `array_distinct` +
+  * [[graft.plans.TopGram]] form survives as [[ngramRepetitionComposed]],
+  * its property-test twin). The original corpus-wide formulation
+  * ([[ngramRepetitionShuffled]], also kept as a spec twin)
   * exploded every uni/bi/trigram occurrence into `(doc, n, gram)` rows and
   * hash-aggregated across the cluster — mostly-distinct grams defeat
   * map-side combine, so the full token stream (×3 gram orders, string
@@ -42,8 +44,35 @@ object Repetition {
   def ngramRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // Token array gets its own projection boundary: Catalyst does not CSE
     // across lambda boundaries, so inlining the split would re-run it per
-    // shingle (see Text.shinglesFromTokens scaladoc). The shingle arrays
-    // get the same treatment one level up.
+    // consumer (see Text.shinglesFromTokens scaladoc). All four statistics
+    // come from ONE pass of the native expression — no shingle arrays, no
+    // array_distinct rescans (the composed twin below paid both).
+    val base = docs.select(
+      col(idCol).as("doc"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      Text.tokens(lower(col(textCol))).as("toks"))
+    base
+      .select(col("doc"), col("n_chars"),
+        graft.plans.RepetitionStats.repetitionStats(col("toks")).as("rs"))
+      .select(col("doc").as(idCol),
+        col("rs.n_tokens").as("n_tokens"),
+        col("rs.n_distinct_tokens").as("n_distinct_tokens"),
+        col("rs.top_bigram").as("top_bigram"),
+        col("rs.top_bigram_count").as("top_bigram_count"),
+        when(col("n_chars") === 0, lit(null).cast("double"))
+          .otherwise((col("rs.top_bigram_count") * length(col("rs.top_bigram")))
+            .cast("double") / col("n_chars").cast("double"))
+          .as("top_bigram_char_frac"),
+        col("rs.dup_trigram_frac").as("dup_trigram_frac"))
+  }
+
+  /** Composed in-row twin: identical semantics built from shingle arrays +
+    * `array_distinct` + [[graft.plans.TopGram]] — what the single-pass
+    * native expression replaced (it byte-copied every bi/trigram via
+    * `array_join` and hash-scanned the arrays twice). Kept for the
+    * property suite asserting native ≡ composed on generated corpora. */
+  private[graft] def ngramRepetitionComposed(docs: DataFrame, idCol: String,
+                                             textCol: String): DataFrame = {
     val base = docs.select(
       col(idCol).as("doc"),
       length(col(textCol)).cast("long").as("n_chars"),
@@ -62,8 +91,10 @@ object Repetition {
         col("n_tokens"), col("n_distinct_tokens"),
         col("tb.gram").as("top_bigram"),
         col("tb.cnt").as("top_bigram_count"),
-        (col("tb.cnt") * length(col("tb.gram"))).cast("double")
-          ./(col("n_chars").cast("double")).as("top_bigram_char_frac"),
+        when(col("n_chars") === 0, lit(null).cast("double"))
+          .otherwise((col("tb.cnt") * length(col("tb.gram"))).cast("double")
+            / col("n_chars").cast("double"))
+          .as("top_bigram_char_frac"),
         col("dup_trigram_frac"))
   }
 
@@ -107,8 +138,10 @@ object Repetition {
       .select(col("doc").as(idCol),
         col("n_tokens"), col("n_distinct_tokens"),
         col("top_bigram"), col("top_bigram_count"),
-        (col("top_bigram_count") * length(col("top_bigram"))).cast("double")
-          ./(col("n_chars").cast("double")).as("top_bigram_char_frac"),
+        when(col("n_chars") === 0, lit(null).cast("double"))
+          .otherwise((col("top_bigram_count") * length(col("top_bigram")))
+            .cast("double") / col("n_chars").cast("double"))
+          .as("top_bigram_char_frac"),
         col("dup_trigram_frac"))
   }
 }

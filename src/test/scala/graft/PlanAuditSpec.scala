@@ -34,6 +34,13 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(Contamination.overlap(docs, bench, "doc_id", "text", n = 3))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the corpus is never shuffled by shingle: per-doc dedup is in-row
+    // (array_distinct), so every hash exchange sits ABOVE the broadcast
+    // join (the multi-count_distinct Expand dedup + the per-doc agg, both
+    // over matched rows only) and none below it — a .distinct() below
+    // once cost 199 MB of n-gram strings at the x10 scale point
+    val belowJoin = p.substring(p.indexOf("BroadcastHashJoin"))
+    assert(!belowJoin.contains("Exchange hashpartitioning"), p)
   }
 
   test("repetition metrics are map-only: no exchange in the plan") {

@@ -112,6 +112,22 @@ class TextHygieneSpec extends SparkSpec {
       rows(Repetition.ngramRepetitionShuffled(docs, "doc_id", "text")))
   }
 
+  test("single-pass native repetition == the composed shingle-array form") {
+    // edge mix the generated corpora sweep: empty, whitespace-only,
+    // single-token, unicode, ties at max count, docs below the gram order
+    val edge = Seq((100L, ""), (101L, "   "), (102L, "solo"),
+      (103L, "héllo 日本語 héllo 日本語"), (104L, "a b a b"), (105L, "x y"))
+    val rnd = new scala.util.Random(91)
+    val vocab = Vector("alpha", "Bb", "ccc", "日本", "émigré", "x1", "the")
+    val docs = (edge ++ (1L to 40L).map { i =>
+      (i, Seq.fill(rnd.nextInt(28))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(rows(Repetition.ngramRepetition(docs, "doc_id", "text")) ==
+      rows(Repetition.ngramRepetitionComposed(docs, "doc_id", "text")))
+  }
+
   test("scrub is idempotent: redacted text has nothing left to redact") {
     val lines = Seq(
       "mail a@b.co and c.d+x@e-f.org via https://h.example/p?q=1 from 1.2.3.4",
