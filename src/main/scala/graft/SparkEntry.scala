@@ -27,7 +27,12 @@ import org.apache.spark.sql.functions._
   *  - `round()` is avoided except where the compared quantity is far from
   *    any rounding boundary (cosine similarities);
   *  - set-valued results are emitted as sorted comma-joined strings;
-  *  - every result carries a deterministic total ORDER BY.
+  *  - every result carries a deterministic total ORDER BY — EXCEPT the
+  *    row-cardinality string transforms (q_pii_scrub, q_span_scrub,
+  *    q_token_ids, q_unicode_norm), whose trailing sort was a display
+  *    convention, not semantics: it globally shuffled the full payload a
+  *    second time (89 MB at the ×10 point for q_pii_scrub alone) and the
+  *    correctness compare sorts both sides itself (`ORDER BY ALL`).
   */
 object SparkEntry {
 
@@ -857,8 +862,7 @@ object SparkEntry {
     "q_span_scrub" -> ((s, dir) =>
       Dedup.removeDuplicatedSpans(containmentCorpus(s, dir), "doc_id",
         "text", w = 8, maxDf = 64)
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy(col("doc_id"))),
+        .withColumnRenamed("doc", "doc_id")),
 
     // MinHash with PORTABLE md5-string hash families — the full
     // signature→band→bucket→estimate algebra under the oracle (the
@@ -1164,8 +1168,7 @@ object SparkEntry {
           graft.plans.NfcNormalize.nfc(col("raw")).as("norm"))
         .select(col("doc_id"), col("len_raw"),
           length(col("norm")).cast("long").as("len_norm"),
-          md5(col("norm")).as("norm_md5"))
-        .orderBy(col("doc_id"))),
+          md5(col("norm")).as("norm_md5"))),
 
     // Count-min sketch heavy hitters: the fixed-size sketch path for
     // unbounded key cardinality, with the CMS guarantee visible in the
@@ -1335,7 +1338,6 @@ object SparkEntry {
           col("col").as("token"),
           graft.functions.Bpe.tokenId(col("col"), merges).cast("long")
             .as("token_id"))
-        .orderBy(col("doc_id"), col("pos"))
     }),
 
     // Corpus-relative length outlier filter: keep docs inside the
@@ -1397,7 +1399,6 @@ object SparkEntry {
           Scrub.scrub(col("line")).as("scrubbed"),
           Scrub.countMatches(col("line"), Scrub.EmailRe).as("n_emails"),
           Scrub.countMatches(col("line"), Scrub.UrlRe).as("n_urls"))
-        .orderBy(col("event_id"))
     }),
 
     // Benchmark decontamination: training corpus = per-doc modified copies
