@@ -72,6 +72,31 @@ object SparkEntry {
        |    SELECT 0.2 * avg(l2.l_quantity) FROM $lineitem l2
        |    WHERE l2.l_partkey = p_partkey)""".stripMargin
 
+  /** TPC-H Q20's SHAPE, shared VERBATIM by the Spark query and the DuckDB
+    * oracle (only table names differ): an IN-subquery whose body GROUPs
+    * and then compares against a CORRELATED aggregate subquery in HAVING —
+    * the third decorrelation pattern the audit set needs (Q17 = correlated
+    * scalar in WHERE; Q18 = IN over a grouped HAVING; this adds the
+    * correlated-agg-under-grouping form that must decorrelate to
+    * aggregate-then-join INSIDE a semi-join branch). The fixtures carry no
+    * partsupp, so Q20's "available inventory" relation is adapted to the
+    * supplier-part shipped totals derivable from lineitem — the plan shape
+    * under test is unchanged. Arithmetic is bit-stable cross-engine for
+    * the Q17 reasons: integral-double quantities ⇒ exact sums, one shared
+    * 0.1 double literal, one multiply. */
+  private def tpchQ20Sql(lineitem: String, part: String, supplier: String): String =
+    s"""SELECT s_suppkey, s_name
+       |FROM $supplier
+       |WHERE s_suppkey IN (
+       |  SELECT l1.l_suppkey FROM $lineitem l1
+       |  WHERE l1.l_partkey IN (
+       |    SELECT p_partkey FROM $part WHERE p_name LIKE 'small%')
+       |  GROUP BY l1.l_suppkey, l1.l_partkey
+       |  HAVING sum(l1.l_quantity) > (
+       |    SELECT 0.1 * sum(l2.l_quantity) FROM $lineitem l2
+       |    WHERE l2.l_partkey = l1.l_partkey))
+       |ORDER BY s_suppkey""".stripMargin
+
   private def ms(c: Column): Column = unix_millis(c)
 
   /** The events table viewed as the reference's query-log domain
@@ -761,6 +786,20 @@ object SparkEntry {
       Tables.lineitem(s, dir).createOrReplaceTempView("q17_lineitem")
       Tables.part(s, dir).createOrReplaceTempView("q17_part")
       s.sql(tpchQ17Sql("q17_lineitem", "q17_part"))
+    }),
+
+    // TPC-H Q20 shape: correlated aggregate subquery in HAVING inside an
+    // IN — written as the correlated form so the decorrelation is the
+    // thing under test: Catalyst must rewrite the HAVING's per-group
+    // subplan into ONE per-part aggregate joined back on l_partkey inside
+    // the semi-join branch, with both INs as semi joins — never a
+    // re-executed subplan or a loop join. Plan pinned in PlanAuditSpec;
+    // the oracle runs the IDENTICAL text (tpchQ20Sql scaladoc).
+    "q_tpch_q20" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("q20_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("q20_part")
+      Tables.supplier(s, dir).createOrReplaceTempView("q20_supplier")
+      s.sql(tpchQ20Sql("q20_lineitem", "q20_part", "q20_supplier"))
     }),
 
     // TPC-H Q21 shape: multi semi/anti SELF-join on the fact table — the
@@ -2352,6 +2391,11 @@ object SparkEntry {
       // builder), so the hash match proves Spark's decorrelated plan
       // computes exactly the correlated semantics.
       "q_tpch_q17" -> tpchQ17Sql("lineitem", "part"),
+
+      // Q20 shape: identical correlated text (tpchQ20Sql scaladoc) — the
+      // hash match proves the decorrelated plan computes the correlated
+      // HAVING semantics.
+      "q_tpch_q20" -> tpchQ20Sql("lineitem", "part", "supplier"),
 
       "q_tpch_q21" ->
         """SELECT s_name, count(*) AS numwait

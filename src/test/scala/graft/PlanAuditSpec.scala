@@ -126,6 +126,34 @@ class PlanAuditSpec extends SparkSpec {
     assert("partial_avg".r.findAllIn(p).length == 1, p)
   }
 
+  test("tpch q20: correlated HAVING aggregate decorrelates inside the semi-join branch") {
+    val dir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q_tpch_q20")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the correlated 0.1*sum-per-part must decorrelate to ONE per-part
+    // aggregate joined back on l_partkey; both INs plan as semi joins;
+    // nothing re-executes per group and nothing is a loop join
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    // two partial_sum aggregates total: the grouped HAVING body's sum and
+    // the decorrelated per-part sum — a per-group subplan would multiply
+    // the latter
+    assert("partial_sum".r.findAllIn(p).length == 2, p)
+    // joins: supplier semi-join, the HAVING-comparison join-back on
+    // l_partkey, and TWO part semi-joins — Catalyst pushes the part
+    // filter into the decorrelated per-part aggregate branch as well
+    // (constraint propagation), so the correlated sum only aggregates
+    // parts that can survive; the pushed copy must REUSE the part
+    // broadcast, not rebuild it
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(p).length
+    assert(joins == 4, s"expected 4 joins, got $joins\n$p")
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("prebuilt ingestion store seam: the full query plans a bucketed history scan") {
     // the exact configuration Bench's controlled probe sets up: signature
     // + pre-banded tables in the catalog, conf gate on, broadcast off (the
