@@ -1169,6 +1169,16 @@ object SparkEntry {
         .withColumnRenamed("doc", "doc_id")
         .orderBy(col("doc_id"), col("rnk"))),
 
+    // BM25 tf-saturation with the linear idf: every score input is an
+    // exact integer (tf, df, dl) or one fixed IEEE op chain the oracle
+    // mirrors textually (constant subterms fold to the same doubles in
+    // Scala and DuckDB) — bit-portable ranks, no transcendentals.
+    "q_bm25_topk" -> ((s, dir) =>
+      graft.operators.Tfidf.topTermsBm25(Tables.documents(s, dir), "doc_id",
+        "text", k = 5)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"), col("rnk"))),
+
     // Feature-hashed bag of words (hashing trick): text → fixed-dim signed
     // BIGINT vector, no vocabulary pass, map-only, exact in any engine.
     "q_feature_hash" -> ((s, dir) =>
@@ -3566,6 +3576,39 @@ object SparkEntry {
           |      ORDER BY CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) DESC,
           |        t.term) AS rnk
           |  FROM tf t JOIN dfx d USING (term))
+          |WHERE rnk <= 5
+          |ORDER BY doc_id, rnk""".stripMargin,
+
+      // BM25 saturation: the score expression mirrors the Spark chain
+      // TEXTUALLY — (1.2+1.0) and (1.0-0.75) fold to the same doubles in
+      // both engines, dl/avgdl is the only data-dependent division chain,
+      // all in the same order — so ranks are bit-identical
+      "q_bm25_topk" ->
+        """WITH pairs AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+          |    AS term
+          |  FROM documents),
+          |tf AS (
+          |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          |  FROM pairs GROUP BY 1, 2),
+          |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          |dlx AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+          |avgx AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          |  AS avgdl FROM dlx)
+          |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df, dl, score
+          |FROM (
+          |  SELECT t.doc_id, t.term, t.tf, d.df, l.dl,
+          |    ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+          |      (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
+          |        0.75 * (CAST(l.dl AS DOUBLE) / a.avgdl))))
+          |      / CAST(d.df AS DOUBLE) AS score,
+          |    row_number() OVER (PARTITION BY t.doc_id ORDER BY
+          |      ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+          |        (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
+          |          0.75 * (CAST(l.dl AS DOUBLE) / a.avgdl))))
+          |        / CAST(d.df AS DOUBLE) DESC, t.term) AS rnk
+          |  FROM tf t JOIN dfx d USING (term) JOIN dlx l USING (doc_id)
+          |    CROSS JOIN avgx a)
           |WHERE rnk <= 5
           |ORDER BY doc_id, rnk""".stripMargin,
 

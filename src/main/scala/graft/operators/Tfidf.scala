@@ -53,4 +53,50 @@ object Tfidf {
       .select(col("doc"), col("rnk"), col("term"), col("tf"), col("df"),
         col("score"))
   }
+
+  /** Top `k` terms per document under BM25's tf-SATURATION curve with the
+    * linear idf: `score = satTf / df` where
+    * `satTf = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` — the Okapi
+    * length-normalized saturation retrieval stacks use, with the log idf
+    * replaced by the same linear `1/df` as [[topTerms]] and for the same
+    * reason (ln's last ulp varies by libm; every term here is either an
+    * exact integer — tf, df, dl — or one fixed chain of correctly rounded
+    * IEEE ops the oracle mirrors textually, so scores are bit-identical
+    * cross-engine). Unlike raw tf/df, repeats saturate (a term's 10th
+    * occurrence adds almost nothing) and long documents stop dominating —
+    * the standard relevance shape for corpus curation and query-doc
+    * matching.
+    *
+    * Scale shape = [[topTerms]] plus one doc-length aggregate off the
+    * SAME persisted tf frame (no second corpus pass) and a broadcast
+    * 1-row avgdl. Output: (doc, rnk, term, tf, df, dl, score). */
+  def topTermsBm25(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val pairs = docs.select(col(idCol).as("doc"),
+      explode(Text.tokens(lower(col(textCol)))).as("term"))
+    // one persisted tf frame feeds df, dl AND the score join (same
+    // re-aliased-attribute-id reuse trap as topTerms — see above)
+    val tf = Caches.tracked(
+      pairs.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf")),
+      "tfidf")
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+    // integral sums ⇒ exact; ONE division for avgdl, broadcast back
+    val avgdl = dl.agg((sum(col("dl")).cast("double")
+      / count(lit(1)).cast("double")).as("avgdl"))
+    // constant subterms (k1+1, 1−b) fold HERE, in Scala doubles, so the
+    // oracle's textual folds of the same literals land on the same bits
+    val satTf = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) +
+          lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    val w = Window.partitionBy(col("doc"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df_, Seq("term")).join(dl, Seq("doc")).crossJoin(broadcast(avgdl))
+      .withColumn("score", satTf / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc"), col("rnk"), col("term"), col("tf"), col("df"),
+        col("dl"), col("score"))
+  }
 }

@@ -25,6 +25,38 @@ class TfidfFeatureSpec extends SparkSpec {
     assert(res((3L, 2L)) == (("durian", 1L, 1L, 1.0)))
   }
 
+  test("bm25 top terms: hand-computed saturation, length normalization, tie-break") {
+    val docs = Seq(
+      1L -> "apple apple banana",
+      2L -> "banana cherry",
+      3L -> "cherry cherry cherry durian").toDF("doc_id", "text")
+    val res = Tfidf.topTermsBm25(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    // dl: 3, 2, 4; avgdl = 3.0; satTf(tf, dl) with k1=1.2, b=0.75:
+    //   tf*2.2 / (tf + 1.2*(0.25 + 0.75*dl/avgdl))
+    def sat(tf: Long, dl: Long): Double =
+      (tf.toDouble * (1.2 + 1.0)) /
+        (tf.toDouble + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.toDouble / 3.0)))
+    assert(res((1L, 1L)) == (("apple", 2L, 1L, 3L, sat(2, 3) / 1.0)))
+    assert(res((1L, 2L)) == (("banana", 1L, 2L, 3L, sat(1, 3) / 2.0)))
+    // doc 2: banana/cherry tie (same tf, df, dl) → term order breaks it
+    assert(res((2L, 1L)) == (("banana", 1L, 2L, 2L, sat(1, 2) / 2.0)))
+    assert(res((2L, 2L)) == (("cherry", 1L, 2L, 2L, sat(1, 2) / 2.0)))
+    // doc 3 is where bm25 diverges from tf/df: under tf/df cherry
+    // (tf=3, df=2 → 1.5) beats durian (1.0); saturation caps cherry's
+    // repeats at sat(3,4)/2 ≈ 0.733 and the rarer durian wins at 0.88
+    assert(res((3L, 1L)) == (("durian", 1L, 1L, 4L, sat(1, 4) / 1.0)))
+    assert(res((3L, 2L)) == (("cherry", 3L, 2L, 4L, sat(3, 4) / 2.0)))
+    // saturation: tf=3 in doc 3 scores LESS than 3x its tf=1 sibling's
+    // pre-idf mass, and a shorter doc outranks a longer one at equal tf
+    assert(sat(3, 4) < 3 * sat(1, 4))
+    assert(sat(1, 2) > sat(1, 4))
+    graft.operators.Caches.unpersistAll()
+  }
+
   test("feature hash: shape, parity conservation, determinism, layout-invariance") {
     val docs = Seq(
       1L -> "one two three four five six",
