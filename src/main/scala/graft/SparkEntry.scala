@@ -994,6 +994,31 @@ object SparkEntry {
         Text.langId(col("text")).as("predicted_lang"))
         .orderBy(col("doc_id"))),
 
+    // Unicode-script composition: one native codepoint pass per doc
+    // (plans/ScriptMix — explicit BMP range table, not \p{Script}), the
+    // mixed-script signal that catches script-confusion spam and mojibake
+    // before lexicon language-ID. Dominant script = a CASE chain in
+    // name-ascending order, textually identical in both engines; map-only.
+    "q_script_mix" -> ((s, dir) => {
+      val letters = Seq("arabic", "cjk", "cyrillic", "greek", "hangul", "latin")
+      val mx = greatest(letters.map(n => col(s"sm.$n")): _*)
+      val dom = letters.foldLeft(when(mx === 0, lit("none"))) {
+        (acc, n) => acc.when(col(s"sm.$n") === mx, lit(n))
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          graft.plans.ScriptMix.scriptMix(col("text")).as("sm"))
+        .select(Seq(col("doc_id"), col("n_chars")) ++
+          graft.plans.ScriptMix.Fields.map(f => col(s"sm.$f").as(f)) ++ Seq(
+          dom.as("dominant_script"),
+          when(col("n_chars") === 0, lit(null).cast("double"))
+            .otherwise(col("sm.latin").cast("double")
+              / col("n_chars").cast("double")).as("latin_frac"),
+          when(col("n_chars") === 0, lit(null).cast("double"))
+            .otherwise(col("sm.other").cast("double")
+              / col("n_chars").cast("double")).as("other_frac")): _*)
+    }),
+
     // Composed C4/Gopher-style quality gate: five per-row signals →
     // auditable keep/drop with per-rule reasons. Map-only (no shuffle).
     // Reasons are emitted comma-joined (fixed construction order both
@@ -2555,6 +2580,52 @@ object SparkEntry {
         s"""SELECT doc_id, lang AS declared_lang,
            |  ${Text.duckdbLangIdSql("text")} AS predicted_lang
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // Script mix: the SAME explicit BMP range table as plans/ScriptMix,
+      // counted as length minus length-after-removal per class (RE2
+      // \x{...} ranges); other = total minus the eight named classes;
+      // dominant = the identical name-ascending CASE chain.
+      "q_script_mix" -> {
+        def cnt(cls: String) =
+          s"(length(text) - length(regexp_replace(text, '[$cls]', '', 'g')))"
+        val latin = cnt("A-Za-z\\x{00C0}-\\x{024F}")
+        val cjk = cnt("\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}")
+        val cyrillic = cnt("\\x{0400}-\\x{04FF}")
+        val greek = cnt("\\x{0370}-\\x{03FF}")
+        val arabic = cnt("\\x{0600}-\\x{06FF}")
+        val hangul = cnt("\\x{1100}-\\x{11FF}\\x{AC00}-\\x{D7AF}")
+        val digit = cnt("0-9")
+        val space = cnt("\\x{0009}-\\x{000D}\\x{0020}\\x{00A0}" +
+          "\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}")
+        s"""WITH counts AS (
+           |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           |    CAST($latin AS BIGINT) AS latin, CAST($cjk AS BIGINT) AS cjk,
+           |    CAST($cyrillic AS BIGINT) AS cyrillic,
+           |    CAST($greek AS BIGINT) AS greek,
+           |    CAST($arabic AS BIGINT) AS arabic,
+           |    CAST($hangul AS BIGINT) AS hangul,
+           |    CAST($digit AS BIGINT) AS digit, CAST($space AS BIGINT) AS space
+           |  FROM documents)
+           |SELECT doc_id, n_chars, latin, cjk, cyrillic, greek, arabic,
+           |  hangul, digit, space,
+           |  n_chars - latin - cjk - cyrillic - greek - arabic - hangul
+           |    - digit - space AS other,
+           |  CASE WHEN greatest(latin, cjk, cyrillic, greek, arabic, hangul) = 0
+           |    THEN 'none'
+           |    WHEN arabic = greatest(latin, cjk, cyrillic, greek, arabic, hangul) THEN 'arabic'
+           |    WHEN cjk = greatest(latin, cjk, cyrillic, greek, arabic, hangul) THEN 'cjk'
+           |    WHEN cyrillic = greatest(latin, cjk, cyrillic, greek, arabic, hangul) THEN 'cyrillic'
+           |    WHEN greek = greatest(latin, cjk, cyrillic, greek, arabic, hangul) THEN 'greek'
+           |    WHEN hangul = greatest(latin, cjk, cyrillic, greek, arabic, hangul) THEN 'hangul'
+           |    ELSE 'latin' END AS dominant_script,
+           |  CASE WHEN n_chars = 0 THEN NULL
+           |    ELSE CAST(latin AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS latin_frac,
+           |  CASE WHEN n_chars = 0 THEN NULL
+           |    ELSE CAST(n_chars - latin - cjk - cyrillic - greek - arabic
+           |      - hangul - digit - space AS DOUBLE)
+           |      / CAST(n_chars AS DOUBLE) END AS other_frac
+           |FROM counts ORDER BY doc_id""".stripMargin
+      },
 
       // Quality gate: integer-exact signal numerators, identical-shape
       // double ratios, reasons built in the same fixed order both sides.

@@ -43,6 +43,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!belowJoin.contains("Exchange hashpartitioning"), p)
   }
 
+  test("script mix is map-only: no data exchange in the plan") {
+    // the only exchange allowed is Tables.spread's round-robin fixture
+    // workaround (single-row-group parquet; no-op on real inputs)
+    val p = plan(SparkEntry.queries("q_script_mix")(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("repetition metrics are map-only: no exchange in the plan") {
     val p = plan(graft.operators.Repetition.ngramRepetition(docs, "doc_id", "text"))
     assert(!p.contains("Exchange"), p)
@@ -466,6 +474,17 @@ class PlanAuditSpec extends SparkSpec {
     // the plan must read InMemoryTableScan on both join sides.
     val p = plan(graft.operators.Dedup.jaccardNearDups(docs, "doc_id", "text"))
     assert("InMemoryTableScan".r.findAllIn(p).length >= 2, p)
+    graft.operators.Caches.unpersistAll()
+  }
+
+  test("bm25 reads the tf frame from cache on all three consumers, avgdl broadcasts") {
+    // df aggregate, dl aggregate and the score join all derive from the
+    // ONE persisted tf frame; avgdl is a 1-row broadcast, and with no
+    // trailing sort the plan has no global range exchange
+    val p = plan(graft.operators.Tfidf.topTermsBm25(docs, "doc_id", "text"))
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3, p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
     graft.operators.Caches.unpersistAll()
   }
 

@@ -165,4 +165,43 @@ class TextHygieneSpec extends SparkSpec {
     // shared run is only 3 tokens → no shared 4-gram
     assert(Contamination.overlap(corpus, bench, "doc_id", "text", n = 4).isEmpty)
   }
+
+  test("script mix: counts per explicit range, dominant tie-break, edge docs") {
+    import graft.plans.ScriptMix
+    def mix(s: String): Map[String, Long] = {
+      val row = Seq(Tuple1(s)).toDF("text")
+        .select(ScriptMix.scriptMix(col("text")).as("sm"))
+        .select(ScriptMix.Fields.map(f => col(s"sm.$f").as(f)): _*).head()
+      ScriptMix.Fields.zipWithIndex.map { case (f, i) => f -> row.getLong(i) }.toMap
+    }
+    // one char of each class + punctuation lands in its own bucket
+    val m = mix("aÀ 日ひカ Ж Ω م 한ᄀ 7 !")
+    assert(m("latin") == 2 && m("cjk") == 3 && m("cyrillic") == 1 &&
+      m("greek") == 1 && m("arabic") == 1 && m("hangul") == 2 &&
+      m("digit") == 1 && m("other") == 1, m)
+    assert(m("space") == 7, m)
+    assert(m.values.sum == "aÀ 日ひカ Ж Ω م 한ᄀ 7 !".codePointCount(0,
+      "aÀ 日ひカ Ж Ω م 한ᄀ 7 !".length), m)
+    // empty and whitespace-only docs
+    assert(mix("").values.sum == 0)
+    assert(mix(" \t\n") == mix(" \t\n").updated("space", 3L), mix(" \t\n"))
+    // supplementary-plane codepoint (outside every listed range) counts
+    // ONCE as other, matching numChars/DuckDB length semantics
+    val sp = mix("a😀b") // 😀
+    assert(sp("latin") == 2 && sp("other") == 1 && sp.values.sum == 3, sp)
+    // dominant tie-break mirrors the name-ascending CASE chain: a 2-2
+    // latin/cjk tie must pick cjk (earlier name), all-zero → none
+    val docs = Seq((1L, "ab日本"), (2L, "!!!"), (3L, "это русский текст"))
+      .toDF("doc_id", "text")
+    val letters = Seq("arabic", "cjk", "cyrillic", "greek", "hangul", "latin")
+    val mx = greatest(letters.map(n => col(s"sm.$n")): _*)
+    val domCol = letters.foldLeft(when(mx === 0, lit("none"))) {
+      (acc, n) => acc.when(col(s"sm.$n") === mx, lit(n))
+    }
+    val out = docs.select(col("doc_id"),
+        ScriptMix.scriptMix(col("text")).as("sm"))
+      .select(col("doc_id"), domCol.as("dominant_script"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "cjk", 2L -> "none", 3L -> "cyrillic"), out)
+  }
 }
