@@ -1086,6 +1086,23 @@ object SparkEntry {
         .orderBy(col("stage_idx"))
     }),
 
+    // Row-level drop audit over the SAME planted corpus as the funnel:
+    // which document fell at which stage, why, and to whom (canonical
+    // survivor) — gate reasons / fingerprint-group min-id / component
+    // min-id. The oracle reuses the funnel's pipeline CTEs verbatim.
+    "q_corpus_drop_audit" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val planted = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(Text.tokens(col("text")), lit(1),
+          greatest(size(Text.tokens(col("text"))) - 1, lit(1))), " ").as("text"),
+        col("lang"))
+      graft.operators.CorpusReport.dropAudit(d.unionByName(planted), "doc_id",
+        "text", "lang",
+        uniq => graft.operators.Dedup.jaccardNearDups(uniq, "doc_id", "text",
+          shingleN = 5, dfMax = 20, minJaccard = 0.5)
+          .select("doc_a", "doc_b"))
+    }),
+
     // Document fingerprint, DEFAULT = native O(n) rolling-hash expression.
     // Oracle: DuckDB recomputes each window's Rabin-Karp polynomial in
     // HUGEINT, reduces mod 2^64, and reinterprets as signed — bit-equal to
@@ -1980,6 +1997,71 @@ object SparkEntry {
          |    ], x -> x IS NOT NULL) AS reasons
          |  FROM sig)""".stripMargin
     val qualityCtes = qualityCtesOver("documents")
+    // Shared by q_corpus_funnel_neardup / q_corpus_drop_audit: the whole
+    // planted-corpus curation pipeline as CTEs — gate, window dedup (with
+    // each group's canonical min-id), df-banded jaccard pairs,
+    // recursive-CTE components (mirrors CorpusReport.funnelWithNearDup /
+    // dropAudit stage algebra).
+    lazy val funnelPipelineCtes =
+      s"""planted AS (
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ') AS text,
+         |    lang
+         |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+         |        FROM documents)),
+         |corpus0 AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL SELECT doc_id, text, lang FROM planted),
+         |${qualityCtesOver("corpus0")},
+         |keepers AS (SELECT doc_id FROM judged WHERE len(reasons) = 0),
+         |kept AS (
+         |  SELECT d.doc_id, d.text FROM corpus0 d
+         |  JOIN keepers k ON d.doc_id = k.doc_id),
+         |ranked AS (
+         |  SELECT doc_id, text, row_number() OVER (
+         |      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         |      ORDER BY doc_id) AS rn,
+         |    min(doc_id) OVER (
+         |      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         |      ) AS canon
+         |  FROM kept),
+         |uniq AS (SELECT doc_id, text FROM ranked WHERE rn = 1),
+         |tok AS (
+         |  SELECT doc_id AS doc, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM uniq),
+         |shingles AS (
+         |  SELECT DISTINCT doc, shingle FROM (
+         |    SELECT doc, unnest(
+         |      CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+         |      ELSE list_transform(generate_series(1, len(toks) - 4),
+         |        i -> array_to_string(toks[i:i+4], ' ')) END) AS shingle
+         |    FROM tok) u),
+         |sizes AS (SELECT doc, count(*) AS set_size FROM shingles GROUP BY doc),
+         |disc AS (SELECT shingle FROM shingles
+         |         GROUP BY shingle HAVING count(*) BETWEEN 2 AND 20),
+         |ds AS (SELECT s.doc, s.shingle FROM shingles s JOIN disc USING (shingle)),
+         |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |         FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc < b.doc),
+         |common AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN shingles sa ON sa.doc = c.doc_a
+         |  JOIN shingles sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT m.doc_a, m.doc_b FROM common m
+         |  JOIN sizes za ON za.doc = m.doc_a
+         |  JOIN sizes zb ON zb.doc = m.doc_b
+         |  WHERE CAST(m.n_common AS DOUBLE) / (za.set_size + zb.set_size - m.n_common)
+         |    >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(doc, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc),
+         |comp AS (SELECT doc, min(r) AS component FROM reach GROUP BY doc)""".stripMargin
     Map(
       "q_scan_project" ->
         """SELECT event_id, user_id, event_type, value FROM events
@@ -2793,63 +2875,23 @@ object SparkEntry {
       // source), then the jaccard pair set + recursive-CTE components +
       // min-id keep-list — each piece the same mirror q_dedup_jaccard /
       // q_dedup_keep already prove — feed the neardup_kept stage.
+      "q_corpus_drop_audit" ->
+        s"""WITH RECURSIVE $funnelPipelineCtes
+           |SELECT doc_id, CAST(1 AS BIGINT) AS stage_idx,
+           |  'quality' AS stage,
+           |  array_to_string(reasons, ',') AS reason,
+           |  CAST(NULL AS BIGINT) AS canonical_id
+           |FROM judged WHERE len(reasons) > 0
+           |UNION ALL
+           |SELECT doc_id, 2, 'exact', 'exact_duplicate', canon
+           |FROM ranked WHERE rn > 1
+           |UNION ALL
+           |SELECT doc, 3, 'neardup', 'near_duplicate', component
+           |FROM comp WHERE doc <> component
+           |ORDER BY stage_idx, doc_id""".stripMargin,
+
       "q_corpus_funnel_neardup" ->
-        s"""WITH RECURSIVE planted AS (
-           |  SELECT doc_id + 1000000 AS doc_id,
-           |    array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ') AS text,
-           |    lang
-           |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
-           |        FROM documents)),
-           |corpus0 AS (
-           |  SELECT doc_id, text, lang FROM documents
-           |  UNION ALL SELECT doc_id, text, lang FROM planted),
-           |${qualityCtesOver("corpus0")},
-           |keepers AS (SELECT doc_id FROM judged WHERE len(reasons) = 0),
-           |kept AS (
-           |  SELECT d.doc_id, d.text FROM corpus0 d
-           |  JOIN keepers k ON d.doc_id = k.doc_id),
-           |uniq AS (
-           |  SELECT doc_id, text FROM (
-           |    SELECT doc_id, text, row_number() OVER (
-           |      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-           |      ORDER BY doc_id) AS rn
-           |    FROM kept) WHERE rn = 1),
-           |tok AS (
-           |  SELECT doc_id AS doc, string_split_regex(trim(lower(text)), '\\s+') AS toks
-           |  FROM uniq),
-           |shingles AS (
-           |  SELECT DISTINCT doc, shingle FROM (
-           |    SELECT doc, unnest(
-           |      CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
-           |      ELSE list_transform(generate_series(1, len(toks) - 4),
-           |        i -> array_to_string(toks[i:i+4], ' ')) END) AS shingle
-           |    FROM tok) u),
-           |sizes AS (SELECT doc, count(*) AS set_size FROM shingles GROUP BY doc),
-           |disc AS (SELECT shingle FROM shingles
-           |         GROUP BY shingle HAVING count(*) BETWEEN 2 AND 20),
-           |ds AS (SELECT s.doc, s.shingle FROM shingles s JOIN disc USING (shingle)),
-           |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-           |         FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc < b.doc),
-           |common AS (
-           |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
-           |  FROM cand c
-           |  JOIN shingles sa ON sa.doc = c.doc_a
-           |  JOIN shingles sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
-           |  GROUP BY 1, 2),
-           |pairs AS (
-           |  SELECT m.doc_a, m.doc_b FROM common m
-           |  JOIN sizes za ON za.doc = m.doc_a
-           |  JOIN sizes zb ON zb.doc = m.doc_b
-           |  WHERE CAST(m.n_common AS DOUBLE) / (za.set_size + zb.set_size - m.n_common)
-           |    >= 0.5),
-           |edges AS (
-           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-           |  UNION SELECT doc_b, doc_a FROM pairs),
-           |reach(doc, r) AS (
-           |  SELECT src, src FROM edges
-           |  UNION
-           |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc),
-           |comp AS (SELECT doc, min(r) AS component FROM reach GROUP BY doc),
+        s"""WITH RECURSIVE $funnelPipelineCtes,
            |final AS (
            |  SELECT u.doc_id, u.text FROM uniq u
            |  LEFT JOIN comp ON comp.doc = u.doc_id

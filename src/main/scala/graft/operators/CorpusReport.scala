@@ -138,4 +138,57 @@ object CorpusReport {
         uniq.join(keep.select(col(idCol)), Seq(idCol), "left_semi"),
         3, "neardup_kept"))
   }
+
+  /** Row-level DROP AUDIT — the funnel's per-document explainability twin:
+    * one row per dropped document with the stage that dropped it, the
+    * reason, and (for dedup drops) the canonical survivor it lost to.
+    * This is the "why is my document gone" lineage a curation run needs
+    * for appeals/debugging; the aggregate [[funnelWithNearDup]] says how
+    * many fell at each stage, this says WHICH and to WHOM:
+    *
+    *  - stage 1 `quality`: the gate's violated-rule names (fixed order,
+    *    comma-joined), no canonical;
+    *  - stage 2 `exact`: normalized-fingerprint duplicates, canonical =
+    *    the group's minimum id (the `rn = 1` survivor);
+    *  - stage 3 `neardup`: non-canonical members of the caller's pair
+    *    graph components ([[Dedup.components]] min-id labels).
+    *
+    * Scale shape: output is drop-cardinality (usually a small fraction of
+    * the corpus); the operator pays exactly the funnel's own stages — the
+    * map-only gate, the ONE fingerprint window (which now also carries the
+    * per-group min as a second window function over the SAME partitioning,
+    * no extra exchange), and the caller's pair graph + components. Nothing
+    * new shuffles. Quality/exact frames derive from "corpus"-scoped caches
+    * shared with a funnel run over the same input. */
+  def dropAudit(docs: DataFrame, idCol: String, textCol: String,
+                langCol: String,
+                pairsOf: DataFrame => DataFrame): DataFrame = {
+    val src = Caches.tracked(
+      docs.select(col(idCol), col(textCol), col(langCol)), "corpus")
+    val judged = Caches.tracked(
+      QualityFilter(src, idCol, textCol, langCol), "corpus")
+    val qualityDrops = judged.filter(!col("keep"))
+      .select(col(idCol), lit(1L).as("stage_idx"), lit("quality").as("stage"),
+        array_join(col("reasons"), ",").as("reason"),
+        lit(null).cast("long").as("canonical_id"))
+    val base = src.select(col(idCol), col(textCol).as("text"))
+    val kept = base.join(judged.filter(col("keep")).select(idCol),
+      Seq(idCol), "left_semi")
+    val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val byFp = Window.partitionBy(col("fp"))
+    val ranked = Caches.tracked(kept.withColumn("fp", fp)
+      .withColumn("rn", row_number().over(byFp.orderBy(col(idCol))))
+      .withColumn("canon", min(col(idCol)).over(byFp)), "corpus")
+    val exactDrops = ranked.filter(col("rn") > 1)
+      .select(col(idCol), lit(2L).as("stage_idx"), lit("exact").as("stage"),
+        lit("exact_duplicate").as("reason"),
+        col("canon").as("canonical_id"))
+    val uniq = ranked.filter(col("rn") === 1).select(col(idCol), col("text"))
+    val nearDrops = graft.operators.Dedup.components(pairsOf(uniq))
+      .filter(col("doc") =!= col("component"))
+      .select(col("doc").as(idCol), lit(3L).as("stage_idx"),
+        lit("neardup").as("stage"), lit("near_duplicate").as("reason"),
+        col("component").as("canonical_id"))
+    qualityDrops.unionByName(exactDrops).unionByName(nearDrops)
+  }
 }

@@ -68,4 +68,37 @@ class CorpusReportSpec extends SparkSpec {
       assert(rows(3).getLong(2) == 1L, rows.mkString(";"))
     } finally releaseAll()
   }
+
+  test("drop audit names every dropped doc, its stage, reason and canonical") {
+    try {
+      // 3 quality-passing distinct docs, one exact duplicate of doc 1
+      // (normalization: case + whitespace), one near-dup flood pair, and
+      // one gate violator (too few tokens)
+      val docs = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog and then it runs home u1", "en"),
+        (2L, "the quick brown fox jumps over the lazy dog and then it runs home u2", "en"),
+        (3L, "a completely different prose line with the usual and plain words here", "en"),
+        (4L, "The  Quick Brown Fox jumps over the lazy dog and then it runs home u1", "en"),
+        (5L, "tiny", "en")).toDF("doc_id", "text", "lang")
+      val audit = CorpusReport.dropAudit(docs, "doc_id", "text", "lang", pairs)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getString(2), r.getString(3),
+            if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+      // doc 5 fails the gate; doc 4 normalizes onto doc 1; docs 1-2 are
+      // the near-dup pair whose canonical is the lower id
+      assert(audit(5L)._2 == "quality" && audit(5L)._3.contains("too_few_tokens")
+        && audit(5L)._4 == -1L, audit)
+      assert(audit(4L) == ((2L, "exact", "exact_duplicate", 1L)), audit)
+      assert(audit(2L) == ((3L, "neardup", "near_duplicate", 1L)), audit)
+      assert(audit.keySet == Set(2L, 4L, 5L), audit) // survivors absent
+      // reconciliation: audit drops per stage == funnel stage-to-stage loss
+      releaseAll()
+      val f = CorpusReport.funnelWithNearDup(docs, "doc_id", "text", "lang",
+        pairs).orderBy("stage_idx").collect().map(_.getLong(2))
+      val dropsByStage = audit.values.groupBy(_._1).view.mapValues(_.size).toMap
+      assert(dropsByStage == Map(
+        1L -> (f(0) - f(1)).toInt, 2L -> (f(1) - f(2)).toInt,
+        3L -> (f(2) - f(3)).toInt), s"$dropsByStage vs ${f.toSeq}")
+    } finally releaseAll()
+  }
 }
