@@ -449,7 +449,15 @@ object Bench {
     def record(s: Section): Section = { nFailedTotal += s.nFailed; s }
     // engine section reuses sectionJson (same extraction as streaming/sf1)
     // and splices its fields at the top level of the line
-    val engine = record(sectionJson(timeQueries(spark, sfDir, engineNames, iters)))
+    // warmup=true for the same reason the scale phases have it: the first
+    // execution pays whole-stage-codegen compilation and C2 JIT of the
+    // generated classes. In the engine phase that backlog additionally
+    // CONTAMINATES the early calibration samples — 3 of 5 otherwise-idle
+    // r10 runs flagged only alphabetically-first queries (C2 threads
+    // compete with the sentinel for the box) — so the untimed first pass
+    // buys both unbiased times and a flat sentinel.
+    val engine = record(sectionJson(timeQueries(spark, sfDir, engineNames,
+      iters, warmup = true)))
     val (total, engineSection) = (engine.total, engine.json)
     // Streaming: micro-batch scheduling dominates, one iteration is enough
     // and medians would just re-measure the scheduler (class doc).
