@@ -449,15 +449,16 @@ object Bench {
     def record(s: Section): Section = { nFailedTotal += s.nFailed; s }
     // engine section reuses sectionJson (same extraction as streaming/sf1)
     // and splices its fields at the top level of the line
-    // warmup=true for the same reason the scale phases have it: the first
-    // execution pays whole-stage-codegen compilation and C2 JIT of the
-    // generated classes. In the engine phase that backlog additionally
-    // CONTAMINATES the early calibration samples — 3 of 5 otherwise-idle
-    // r10 runs flagged only alphabetically-first queries (C2 threads
-    // compete with the sentinel for the box) — so the untimed first pass
-    // buys both unbiased times and a flat sentinel.
+    // warmup + gcBetween for the same reasons the scale phases have them:
+    // the first execution pays whole-stage-codegen + C2 JIT (phase-order
+    // bias), and cache-churning queries (the IVF/SRP family) otherwise
+    // bleed GC debt into the NEXT calibration sample — min-of-two can't
+    // subtract a collection whose debt spans both samples, so three
+    // otherwise-idle r10 runs flagged the same ann_* neighbors off one
+    // 0.4 s post-churn sample. The GC lands after each iteration's dt is
+    // captured, so measured times are unaffected; only wall clock grows.
     val engine = record(sectionJson(timeQueries(spark, sfDir, engineNames,
-      iters, warmup = true)))
+      iters, gcBetween = true, warmup = true)))
     val (total, engineSection) = (engine.total, engine.json)
     // Streaming: micro-batch scheduling dominates, one iteration is enough
     // and medians would just re-measure the scheduler (class doc).
