@@ -363,8 +363,19 @@ object Bench {
     val failedJson = failed
       .map { case (n, msg) => "\"" + n + "\":" + jsonStr(msg) }
       .mkString("{", ",", "}")
+    // Drift-normalized floor: min ÷ the phase's own calibration median.
+    // The box's per-boot speed varies ~1.5× (r10 postmortem: dozens of
+    // +60% sub-second "regressions" at cal 0.10→0.13, all drift);
+    // dividing by the sentinel's constant-work time cancels uniform
+    // slowdown, so round-over-round comparisons quote THIS field and a
+    // protocol run is only needed when the normalized figure moves.
+    // Unit is "calibration multiples", not seconds; within-round query
+    // ranking still reads queries_min.
+    val mnNorm =
+      if (calMed <= 0) Seq.empty
+      else ok.map(t => t.name -> r2(t.times.min / calMed))
     Section(total,
-      s""""total":$total,"queries":${toJson(med)},"queries_min":${toJson(mn)},"shuffle_mb":${toJson(sh)},""" +
+      s""""total":$total,"queries":${toJson(med)},"queries_min":${toJson(mn)},"queries_min_normalized":${toJson(mnNorm)},"shuffle_mb":${toJson(sh)},""" +
         s""""calibration_sec":${toJson(calPer)},"calibration_median":${r2(calMed)},""" +
         s""""contaminated":${contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""n_failed":${failed.size},"failed":$failedJson""",
@@ -402,7 +413,13 @@ object Bench {
         // min of two runs: the r9 artifact carried a 7× contention
         // artifact on one config's single-sample time ((6,4) at 10.7 s
         // vs (6,7) at 1.56 s — more probes cannot cost less), which made
-        // the cost half of the recall/cost curve unreadable
+        // the cost half of the recall/cost curve unreadable.
+        // NOTE on semantics: operator caches (Caches registry) are only
+        // cleared at annRecall's end, so the second sample re-reads
+        // frames the first sample cached — the min is effectively a
+        // WARM-cache cost, a contention guard comparable across configs
+        // within one curve, NOT comparable to r9's cold single-sample
+        // protocol (r9→r10 curve "speedups" are partly cache warmth).
         val sec = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           q.write.mode("overwrite").format("noop").save()

@@ -28,11 +28,12 @@ import org.apache.spark.sql.functions._
   *    any rounding boundary (cosine similarities);
   *  - set-valued results are emitted as sorted comma-joined strings;
   *  - every result carries a deterministic total ORDER BY — EXCEPT the
-  *    row-cardinality string transforms (q_pii_scrub, q_span_scrub,
-  *    q_token_ids, q_unicode_norm), whose trailing sort was a display
-  *    convention, not semantics: it globally shuffled the full payload a
-  *    second time (89 MB at the ×10 point for q_pii_scrub alone) and the
-  *    correctness compare sorts both sides itself (`ORDER BY ALL`).
+  *    row-cardinality map-only transforms (q_pii_scrub, q_span_scrub,
+  *    q_token_ids, q_unicode_norm, q_script_mix, q_corpus_drop_audit),
+  *    whose trailing sort was a display convention, not semantics: it
+  *    globally shuffled the full payload a second time (89 MB at the ×10
+  *    point for q_pii_scrub alone) and the correctness compare sorts
+  *    both sides itself (`ORDER BY ALL`).
   */
 object SparkEntry {
 
@@ -96,6 +97,45 @@ object SparkEntry {
        |    SELECT 0.1 * sum(l2.l_quantity) FROM $lineitem l2
        |    WHERE l2.l_partkey = l1.l_partkey))
        |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q22's SHAPE, shared VERBATIM by the Spark query and the DuckDB
+    * oracle (only table names differ): an UNCORRELATED scalar aggregate
+    * subquery (the global "positive-balance average" that every candidate
+    * row compares against — must plan as ONE aggregate whose single row
+    * broadcasts into the filter, never a per-row re-execution) plus a
+    * correlated NOT EXISTS (must decorrelate to a LEFT ANTI join on
+    * o_custkey). Completes the decorrelation quartet: Q17 = correlated
+    * scalar WHERE, Q18 = IN over grouped HAVING, Q20 = correlated HAVING
+    * inside IN, Q21 = semi+anti self-joins. Fixture adaptations (plan
+    * shape unchanged): the fixtures carry no c_phone, so "country code"
+    * is c_nationkey over an IN-set; every customer has SOME order, so the
+    * anti-join's "no orders" becomes "no finalized (status F) orders" —
+    * the same adapted-predicate discipline Q21 used for lateness.
+    * Arithmetic is oracle-stable: the average is exact summed CENTS cast
+    * to double then two divisions in the same shape on both engines (sum
+    * of doubles would be addition-order-unstable at the > boundary), and
+    * the output balance total stays in exact cents. */
+  private def tpchQ22Sql(customer: String, orders: String): String =
+    s"""SELECT cntrycode,
+       |  CAST(count(*) AS BIGINT) AS numcust,
+       |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+       |    AS totacctbal_cents
+       |FROM (
+       |  SELECT c_nationkey AS cntrycode, c_acctbal
+       |  FROM $customer c
+       |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+       |    AND c_acctbal > (
+       |      SELECT (CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+       |                AS DOUBLE) / 100.0) / count(*)
+       |      FROM $customer c2
+       |      WHERE c2.c_acctbal > 0.00
+       |        AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+       |    AND NOT EXISTS (
+       |      SELECT 1 FROM $orders o
+       |      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+       |) custsale
+       |GROUP BY cntrycode
+       |ORDER BY cntrycode""".stripMargin
 
   private def ms(c: Column): Column = unix_millis(c)
 
@@ -832,6 +872,19 @@ object SparkEntry {
         Seq(col("numwait").desc, col("s_name")), 10)
     }),
 
+    // TPC-H Q22 shape: uncorrelated scalar aggregate subquery + NOT
+    // EXISTS — written as the subquery form so the rewrite is the thing
+    // under test: the global average must plan as ONE aggregate whose
+    // single row broadcasts into the customer filter, and the NOT EXISTS
+    // must become a LEFT ANTI join — never a loop join or per-row
+    // subplan. Plan pinned in PlanAuditSpec; the oracle runs the
+    // IDENTICAL text (tpchQ22Sql scaladoc).
+    "q_tpch_q22" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("q22_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("q22_orders")
+      s.sql(tpchQ22Sql("q22_customer", "q22_orders"))
+    }),
+
     // ------------------- beyond-reference: dedup -------------------------
 
     "q_dedup_exact" -> ((s, dir) =>
@@ -993,6 +1046,28 @@ object SparkEntry {
         col("doc_id"), col("lang").as("declared_lang"),
         Text.langId(col("text")).as("predicted_lang"))
         .orderBy(col("doc_id"))),
+
+    // Hashed char-trigram language ID (LangIdNgram scaladoc): buckets,
+    // then the five integer scores, each at its OWN projection boundary
+    // (lambda-CSE — inlining would md5 every trigram 5× / fold the
+    // weight table once per when-chain reference). best_score rides out
+    // so the oracle hash covers the integer arithmetic, not just the
+    // argmax.
+    "q_lang_id_ngram" -> ((s, dir) => {
+      import graft.functions.LangIdNgram
+      val bucketed = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang").as("declared_lang"),
+        LangIdNgram.trigramBuckets(col("text")).as("b3"))
+      val scoreCols = LangIdNgram.languages.map(l =>
+        LangIdNgram.score(col("b3"), l).as("s_" + l))
+      val scored = bucketed.select(
+        col("doc_id") +: col("declared_lang") +: scoreCols: _*)
+      val scores = LangIdNgram.languages.map(l => l -> col("s_" + l))
+      scored.select(col("doc_id"), col("declared_lang"),
+        LangIdNgram.langIdNgramFromScores(scores).as("predicted_lang"),
+        scores.map(_._2).reduce(greatest(_, _)).as("best_score"))
+        .orderBy(col("doc_id"))
+    }),
 
     // Unicode-script composition: one native codepoint pass per doc
     // (plans/ScriptMix — explicit BMP range table, not \p{Script}), the
@@ -2514,6 +2589,11 @@ object SparkEntry {
       // HAVING semantics.
       "q_tpch_q20" -> tpchQ20Sql("lineitem", "part", "supplier"),
 
+      // Q22 shape: identical text (tpchQ22Sql scaladoc) — the hash match
+      // proves the global-scalar-avg broadcast + LeftAnti plan computes
+      // the subquery semantics.
+      "q_tpch_q22" -> tpchQ22Sql("customer", "orders"),
+
       "q_tpch_q21" ->
         """SELECT s_name, count(*) AS numwait
           |FROM lineitem l1
@@ -2662,6 +2742,30 @@ object SparkEntry {
         s"""SELECT doc_id, lang AS declared_lang,
            |  ${Text.duckdbLangIdSql("text")} AS predicted_lang
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // Hashed-trigram language ID: the SAME weight constants rendered
+      // as DuckDB list literals, same md5-hex bucketing, integer-exact
+      // scores; argmax CASE chain identical to the Spark when-chain.
+      "q_lang_id_ngram" -> {
+        import graft.functions.LangIdNgram
+        val scoreSelects = LangIdNgram.languages.map(l =>
+          s"CAST(${LangIdNgram.duckdbScoreSql("b3", l)} AS BIGINT) AS s_$l")
+          .mkString(",\n    ")
+        val scoreRefs = LangIdNgram.languages.map(l => l -> s"s_$l")
+        s"""SELECT doc_id, declared_lang,
+           |  ${LangIdNgram.duckdbArgmaxSql(scoreRefs)} AS predicted_lang,
+           |  ${LangIdNgram.duckdbBestScoreSql(scoreRefs.map(_._2))}
+           |    AS best_score
+           |FROM (
+           |  SELECT doc_id, declared_lang,
+           |    $scoreSelects
+           |  FROM (
+           |    SELECT doc_id, lang AS declared_lang,
+           |      ${LangIdNgram.duckdbBucketsSql("text")} AS b3
+           |    FROM documents)
+           |  CROSS JOIN ${LangIdNgram.duckdbWeightListsSql})
+           |ORDER BY doc_id""".stripMargin
+      },
 
       // Script mix: the SAME explicit BMP range table as plans/ScriptMix,
       // counted as length minus length-after-removal per class (RE2

@@ -35,9 +35,14 @@ object Contamination {
       df.select(col(idCol).as(outId), Text.tokens(lower(col(textCol))).as("toks"))
         .select(col(outId), Text.shinglesFromTokens(col("toks"), n).as("gs"))
         .select(col(outId), explode(array_distinct(col("gs"))).as("g"))
-    // no cross-doc distinct on either side: in-row dedup already makes
-    // every (id, g) pair unique (each id lives in one input row), and the
-    // per-bench-doc hit count NEEDS one row per (g, bench_id) anyway
+    // no cross-doc distinct on either side. In-row dedup makes every
+    // (id, g) pair unique WHEN idCol is unique per input row (the normal
+    // corpus contract); if a caller feeds duplicate ids, the join emits
+    // duplicate (doc, g, bench_id) rows — harmless here because BOTH
+    // output aggregates are count_distinct, which absorbs them (the
+    // result equals the old cross-row `.distinct()` form either way).
+    // Any future plain count() added to this agg would break under
+    // duplicate ids — re-add a distinct first if so.
     val benchSh = shingled(bench, "bench_id")
     val corpusSh = shingled(corpus, "doc")
     corpusSh.join(broadcast(benchSh), Seq("g"))

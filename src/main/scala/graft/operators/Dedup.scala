@@ -569,11 +569,18 @@ object Dedup {
     * the query shares its oracle).
     *
     * Scale sizing: the sketch costs ~1.44·log2(1/fpp) bits per store row
-    * (`BloomFilter.optimalNumOfBits`) — at 10^9 fingerprints and 1% fpp
-    * that is ~1.4 GB, near the practical ceiling for a task-binary
-    * constant; beyond that raise `fpp` (every maybe is re-checked
-    * exactly, so correctness never depends on it) or shard the store and
-    * ingest per shard. The win: on a mostly-fresh batch (the common
+    * (`BloomFilter.optimalNumOfBits`), BUT Spark's `BloomFilterAggregate`
+    * enforces session ceilings at analysis time —
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default 4M
+    * items) and `...maxNumBits` (default 2^26 bits = 8 MB, reached near
+    * ~7M items at fpp=0.01). The require below re-states those ceilings
+    * as a named error instead of the aggregate's opaque
+    * DataTypeMismatch. Past the default ceilings, either raise both
+    * confs (a 10^9-row store at 1% fpp needs ~1.4 GB of bits — viable as
+    * a task-binary constant but size executor memory for it), raise
+    * `fpp` (every maybe is re-checked exactly, so correctness never
+    * depends on it), or shard the store and ingest per shard. The win:
+    * on a mostly-fresh batch (the common
     * rolling-crawl case) the store join's probe side shrinks from
     * |batch| to ~|dups| + fpp·|batch|, and with a fingerprint-bucketed
     * store the surviving join stays Exchange-free on history — the
@@ -585,6 +592,21 @@ object Dedup {
       "newAgainstStoreBloom needs expectedItems > 0 and fpp in (0, 1)")
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
+    // BloomFilterAggregate rejects sketches past these session ceilings
+    // at ANALYSIS time with an opaque DataTypeMismatch; fail here by name
+    // with the actionable choices instead.
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val maxItems =
+      conf.getConf(org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS)
+    val maxBits =
+      conf.getConf(org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"newAgainstStoreBloom: expectedItems=$expectedItems needs numBits=" +
+        s"$numBits, exceeding the session Bloom ceilings (" +
+        s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems=$maxItems, " +
+        s"maxNumBits=$maxBits). Raise both confs for a bigger sketch, " +
+        "raise fpp (maybes are re-checked exactly; correctness is " +
+        "unaffected), or shard the store and ingest per shard")
     // one distributed pass over history; the single sketch row collects
     // to the driver (null when the store is empty → nothing to filter)
     val sketch = store

@@ -162,6 +162,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), p)
   }
 
+  test("tpch q22: global scalar avg runs once and NOT EXISTS plans as one anti join") {
+    // sf0.01, not sf0.001: the quartet's other audits run at sf0.001,
+    // but Q22's filters leave zero rows there and AQE collapses the
+    // whole tree to EmptyRelation — no joins left to pin
+    val dir = "/root/testdata/sf0.01"
+    val df = SparkEntry.queries("q_tpch_q22")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the uncorrelated positive-balance average must stay ONE scalar
+    // subquery evaluated once and broadcast into the customer filter as
+    // a literal comparison — the filter references it, it never becomes
+    // a per-row join or re-executed subplan
+    assert(p.contains("scalar-subquery") || p.contains("Subquery"), p)
+    // NOT EXISTS decorrelates to exactly one LEFT ANTI hash join on
+    // o_custkey; never a loop join
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(p).length
+    assert(joins == 1, s"expected 1 join, got $joins\n$p")
+  }
+
   test("prebuilt ingestion store seam: the full query plans a bucketed history scan") {
     // the exact configuration Bench's controlled probe sets up: signature
     // + pre-banded tables in the catalog, conf gate on, broadcast off (the
