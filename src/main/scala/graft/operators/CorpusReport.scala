@@ -100,43 +100,83 @@ object CorpusReport {
     require(maxCandidatePairs.isEmpty || candidateVolume.isDefined,
       "maxCandidatePairs needs a candidateVolume estimator built with the " +
         "same parameters as pairsOf (e.g. Dedup.candidateVolumeEstimate)")
-    // Cache the input projection FIRST: the caller's `docs` is often an
-    // expensive derived corpus (the bench's planted near-copies tokenize
-    // every document to build themselves), and without this it is fully
-    // re-evaluated three times — the quality gate's pass, the kept join's
-    // base side, and the stage-0 aggregate. One pass, read thrice.
-    val src = Caches.tracked(
-      docs.select(col(idCol), col(textCol), col(langCol)), "corpus")
-    val base = src.select(col(idCol), col(textCol).as("text"))
-    val kept = Caches.tracked(base.join(
-      QualityFilter(src, idCol, textCol, langCol)
-        .filter(col("keep")).select(idCol),
-      Seq(idCol), "left_semi"), "corpus")
-    val w = Window
-      .partitionBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
-      .orderBy(col(idCol))
-    val uniq = Caches.tracked(kept.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn"), "corpus")
+    val f = curationFrames(docs, idCol, textCol, langCol, pairsOf)
     maxCandidatePairs.foreach { m =>
-      val est = candidateVolume.get.apply(uniq)
+      val est = candidateVolume.get.apply(f.uniq)
       if (est > m) throw new IllegalStateException(
         s"funnel pre-flight: the near-dup stage would enumerate $est " +
           s"candidate pairs over the declared budget of $m — raise the " +
           "budget, lower dfMax, or split the corpus")
     }
-    val keep = graft.operators.Dedup.keepCanonical(
-      uniq.select(col(idCol)), idCol, pairsOf(uniq))
+    // f.comps only materializes HERE — after the budget approved the run
+    val keep = graft.operators.Dedup.keepFromComponents(
+      f.uniq.select(col(idCol)), idCol, f.comps)
     def stage(df: DataFrame, idx: Int, name: String): DataFrame =
       df.agg(count(lit(1)).as("n_docs"),
         sum(Text.tokenCount(col("text"))).as("n_tokens"))
         .select(lit(idx).cast("long").as("stage_idx"), lit(name).as("stage"),
           col("n_docs"), col("n_tokens"))
-    stage(base, 0, "ingest")
-      .unionByName(stage(kept, 1, "quality_kept"))
-      .unionByName(stage(uniq, 2, "exact_unique"))
+    stage(f.base, 0, "ingest")
+      .unionByName(stage(f.kept, 1, "quality_kept"))
+      .unionByName(stage(f.uniq, 2, "exact_unique"))
       .unionByName(stage(
-        uniq.join(keep.select(col(idCol)), Seq(idCol), "left_semi"),
+        f.uniq.join(keep.select(col(idCol)), Seq(idCol), "left_semi"),
         3, "neardup_kept"))
+  }
+
+  /** The pipeline frames the funnel and the drop audit both consume —
+    * built by ONE code path so the two operators' plans are IDENTICAL
+    * and the second caller cache-hits every stage: the tracked frames
+    * (src/judged/kept/ranked, scope "corpus") substitute through the
+    * CacheManager, and `comps` — an EAGER iterative result plan caching
+    * cannot share — memoizes in [[Caches.memo]] (scope "dedup") under
+    * the canonicalized pair-plan key, so funnel-then-audit (either
+    * order) runs the pair build + label propagation exactly once.
+    * Release contract unchanged: `Caches.unpersistScope("corpus")` +
+    * [[Dedup.unpersistIntermediates]]. */
+  private[graft] final class CurationFrames(
+      val src: DataFrame, val judged: DataFrame, val base: DataFrame,
+      val kept: DataFrame, val ranked: DataFrame, val uniq: DataFrame,
+      pairsOf: DataFrame => DataFrame) {
+    /** Near-dup pairs over the stage-2 survivors. Lazy so a funnel
+      * budget pre-flight can refuse the run before any pair plan runs. */
+    lazy val pairs: DataFrame = pairsOf(uniq)
+    /** Min-id component labels, memoized across equal-input calls. The
+      * memo release frees the localCheckpointed blocks
+      * ([[Dedup.freeLocalCheckpoint]]) that `Dataset.unpersist` cannot. */
+    lazy val comps: DataFrame =
+      Caches.memo("dedup", pairs, Dedup.freeLocalCheckpoint) {
+        Dedup.components(pairs)
+      }
+  }
+
+  /** Stage frames 0-2 + the dedup graph hooks, every expensive frame
+    * tracked in the "corpus" cache scope. The input projection is cached
+    * FIRST: the caller's `docs` is often an expensive derived corpus
+    * (the bench's planted near-copies tokenize every document to build
+    * themselves), and without this it is fully re-evaluated by the
+    * gate's pass, the kept join's base side, and the stage-0 aggregate.
+    * The fingerprint window carries rn AND the per-group min id over the
+    * SAME partitioning (one exchange) — the funnel only reads rn, the
+    * audit also reads the min as its exact-stage canonical. */
+  private[graft] def curationFrames(
+      docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      pairsOf: DataFrame => DataFrame): CurationFrames = {
+    val src = Caches.tracked(
+      docs.select(col(idCol), col(textCol), col(langCol)), "corpus")
+    val judged = Caches.tracked(
+      QualityFilter(src, idCol, textCol, langCol), "corpus")
+    val base = src.select(col(idCol), col(textCol).as("text"))
+    val kept = Caches.tracked(base.join(
+      judged.filter(col("keep")).select(idCol),
+      Seq(idCol), "left_semi"), "corpus")
+    val byFp = Window.partitionBy(col("fp"))
+    val ranked = Caches.tracked(kept
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .withColumn("rn", row_number().over(byFp.orderBy(col(idCol))))
+      .withColumn("canon", min(col(idCol)).over(byFp)), "corpus")
+    val uniq = ranked.filter(col("rn") === 1).select(col(idCol), col("text"))
+    new CurationFrames(src, judged, base, kept, ranked, uniq, pairsOf)
   }
 
   /** Row-level DROP AUDIT — the funnel's per-document explainability twin:
@@ -163,28 +203,16 @@ object CorpusReport {
   def dropAudit(docs: DataFrame, idCol: String, textCol: String,
                 langCol: String,
                 pairsOf: DataFrame => DataFrame): DataFrame = {
-    val src = Caches.tracked(
-      docs.select(col(idCol), col(textCol), col(langCol)), "corpus")
-    val judged = Caches.tracked(
-      QualityFilter(src, idCol, textCol, langCol), "corpus")
-    val qualityDrops = judged.filter(!col("keep"))
+    val f = curationFrames(docs, idCol, textCol, langCol, pairsOf)
+    val qualityDrops = f.judged.filter(!col("keep"))
       .select(col(idCol), lit(1L).as("stage_idx"), lit("quality").as("stage"),
         array_join(col("reasons"), ",").as("reason"),
         lit(null).cast("long").as("canonical_id"))
-    val base = src.select(col(idCol), col(textCol).as("text"))
-    val kept = base.join(judged.filter(col("keep")).select(idCol),
-      Seq(idCol), "left_semi")
-    val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
-    val byFp = Window.partitionBy(col("fp"))
-    val ranked = Caches.tracked(kept.withColumn("fp", fp)
-      .withColumn("rn", row_number().over(byFp.orderBy(col(idCol))))
-      .withColumn("canon", min(col(idCol)).over(byFp)), "corpus")
-    val exactDrops = ranked.filter(col("rn") > 1)
+    val exactDrops = f.ranked.filter(col("rn") > 1)
       .select(col(idCol), lit(2L).as("stage_idx"), lit("exact").as("stage"),
         lit("exact_duplicate").as("reason"),
         col("canon").as("canonical_id"))
-    val uniq = ranked.filter(col("rn") === 1).select(col(idCol), col("text"))
-    val nearDrops = graft.operators.Dedup.components(pairsOf(uniq))
+    val nearDrops = f.comps
       .filter(col("doc") =!= col("component"))
       .select(col("doc").as(idCol), lit(3L).as("stage_idx"),
         lit("neardup").as("stage"), lit("near_duplicate").as("reason"),

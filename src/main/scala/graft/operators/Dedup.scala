@@ -392,6 +392,20 @@ object Dedup {
     * `probeEvery - 1` no-op propagation rounds after the fixed point,
     * each an idempotent map of already-converged labels. Returns
     * (doc, component) where component = min doc id reachable. */
+  /** Free a localCheckpointed frame's blocks promptly. They live OUTSIDE
+    * the CacheManager, so `Dataset.unpersist` on such a frame is a no-op
+    * (it only uncaches CacheManager entries) and the blocks would wait
+    * for the ContextCleaner after GC — unpersist the checkpointed RDD
+    * itself, reachable through the LogicalRDD the checkpoint rewrote the
+    * plan to. Used by [[components]]' per-round frees and as the
+    * [[Caches.memo]] release for memoized components results. */
+  private[graft] def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   def components(pairs: DataFrame, maxIters: Int = 20,
                  probeEvery: Int = 2): DataFrame = {
     require(maxIters >= 1, "components needs at least one round")
@@ -445,20 +459,9 @@ object Dedup {
     // recompute the missing ones through predecessors the probe already
     // unpersisted, turning the lineage cut into a lineage re-run
     // (measured: 1.8 s regression on the components bench query).
-    // A localCheckpointed frame's blocks live OUTSIDE the CacheManager, so
-    // Dataset.unpersist on it is a no-op (it only uncaches CacheManager
-    // entries) — the blocks would wait for the ContextCleaner after GC.
-    // Free them promptly by unpersisting the checkpointed RDD itself,
-    // reachable through the LogicalRDD the checkpoint rewrote the plan to.
-    def freeCheckpoint(df: DataFrame): Unit =
-      df.queryExecution.analyzed.collectLeaves().foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(false)
-        case _ => ()
-      }
     def probe(): Boolean = {
       val c = labels.filter(col("component") =!= col("old")).count() == 0
-      pendingUnpersist.foreach(freeCheckpoint)
+      pendingUnpersist.foreach(freeLocalCheckpoint)
       pendingUnpersist = Nil
       c
     }
@@ -1095,12 +1098,18 @@ object Dedup {
 
   /** The dedup KEEP-list: every doc not in any near-dup pair, plus the
     * canonical (minimum-id) doc of each near-dup component. */
-  def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val comps = components(pairs)
+  def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    keepFromComponents(docs, idCol, components(pairs))
+
+  /** [[keepCanonical]] over ALREADY-COMPUTED component labels — the form
+    * a caller holding a shared/memoized [[components]] result uses
+    * (e.g. [[CorpusReport]] runs components once for the funnel's keep
+    * list AND the audit's per-doc canonical). */
+  def keepFromComponents(docs: DataFrame, idCol: String,
+                         comps: DataFrame): DataFrame =
     docs.join(comps.withColumnRenamed("doc", idCol), Seq(idCol), "left")
       .filter(col("component").isNull || col("component") === col(idCol))
       .drop("component")
-  }
 
   /** Exact n-gram Jaccard near-dups. Candidates come from an inverted-index
     * self-join restricted to discriminative shingles (document frequency in

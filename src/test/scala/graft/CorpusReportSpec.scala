@@ -69,6 +69,51 @@ class CorpusReportSpec extends SparkSpec {
     } finally releaseAll()
   }
 
+  test("funnel then audit is one pipeline run: frames cache-hit, components memoizes") {
+    try {
+      val docs = flood(6)
+      // 1) the funnel runs the whole pipeline (gate, window, pairs,
+      //    components) and leaves the frames in the two cache scopes
+      val f = CorpusReport.funnelWithNearDup(docs, "doc_id", "text", "lang",
+        pairs, maxCandidatePairs = Some(1000000L), candidateVolume = estimator)
+        .orderBy("stage_idx").collect()
+      assert(f.length == 4)
+      // 2) an equal-input audit must find the components memo BEFORE it
+      //    builds anything (the pair plan canonicalizes equal)...
+      val frames2 = CorpusReport.curationFrames(
+        docs, "doc_id", "text", "lang", pairs)
+      assert(Caches.memoHit("dedup", frames2.pairs),
+        "equal-plan pairs did not hit the components memo")
+      // ...and the memo returns the SAME result instance on every equal
+      // caller — the label-propagation loop cannot have re-run
+      assert(frames2.comps eq CorpusReport.curationFrames(
+        docs, "doc_id", "text", "lang", pairs).comps)
+      // 3) the audit's executed plan reads the funnel's cached frames
+      //    (gate verdicts + fingerprint window), not fresh scans
+      val audit = CorpusReport.dropAudit(docs, "doc_id", "text", "lang", pairs)
+      val drops = audit.collect()
+      val p = audit.queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"), p)
+      // 4) shared-run audit output equals the funnel's stage algebra:
+      //    the 6-doc flood keeps 1 canonical, drops 5 as near-dups
+      assert(drops.length == 5 && drops.forall(_.getString(2) == "neardup"),
+        drops.mkString(";"))
+    } finally releaseAll()
+  }
+
+  test("scope release clears the components memo and frees its blocks") {
+    try {
+      val docs = flood(6)
+      CorpusReport.dropAudit(docs, "doc_id", "text", "lang", pairs).collect()
+      val key = CorpusReport.curationFrames(
+        docs, "doc_id", "text", "lang", pairs).pairs
+      assert(Caches.memoHit("dedup", key))
+      Dedup.unpersistIntermediates() // scope "dedup"
+      assert(!Caches.memoHit("dedup", key),
+        "unpersistScope(dedup) must evict the components memo")
+    } finally releaseAll()
+  }
+
   test("drop audit names every dropped doc, its stage, reason and canonical") {
     try {
       // 3 quality-passing distinct docs, one exact duplicate of doc 1
