@@ -73,7 +73,9 @@ import org.apache.spark.sql.functions._
   *    fixture-driven. The probe pins the join strategy (AQE broadcast
   *    flips off) so shuffle bytes compare across levels, and emits
   *    `jaccard_stages` per-stage candidate counts. Disable with
-  *    SPARK_GRAFT_SF1=0 / SPARK_GRAFT_SF20=0 / SPARK_GRAFT_PROBE=0.
+  *    SPARK_GRAFT_SF1=0 / SPARK_GRAFT_SF20=0 / SPARK_GRAFT_PROBE=0;
+  *    SPARK_GRAFT_PROBE=1 forces the probe on under ONLY/SF1_ONLY
+  *    trimming (isolated re-measurement of an ingestion regression).
   */
 object Bench {
 
@@ -701,8 +703,16 @@ object Bench {
     // containment (r6) as the no-ratio-prefilter suspect. Join strategy
     // pinned + per-stage candidate counts emitted so the shuffle curve is
     // comparable across replica levels (scalePhase scaladoc).
+    // SPARK_GRAFT_PROBE=1 FORCES the phase on even when SPARK_GRAFT_ONLY /
+    // SPARK_GRAFT_SF1_ONLY trimmed the rest of the run — the probe is the
+    // only view of pure ingestion cost, so a regression flagged there must
+    // be re-measurable alone (ABBA protocol) without paying the full
+    // engine phase. Unset/other values keep the old behavior (on for full
+    // runs, skipped under trimming); "0" disables as before.
+    val probeForced = sys.env.get("SPARK_GRAFT_PROBE").contains("1")
     val probeJson =
-      if (!enabled("SPARK_GRAFT_PROBE") || only.isDefined || sf1Only.isDefined) ""
+      if (!enabled("SPARK_GRAFT_PROBE") ||
+          ((only.isDefined || sf1Only.isDefined) && !probeForced)) ""
       else {
         // q_dedup_minhash_incr_fast joins the probe (NOT the natural
         // sf1/sf20 phases) for the same census reason jaccard does: under

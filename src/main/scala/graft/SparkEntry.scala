@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Normalize, Text, Vectors}
+import graft.functions.{Normalize, Text, Urls, Vectors}
 import graft.operators.{Dedup, Filters, Paging, Patterns, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -176,6 +176,52 @@ object SparkEntry {
       array_join(slice(Text.tokens(col("text")), lit(1),
         greatest(size(Text.tokens(col("text"))) - 1, lit(1))), " ").as("text"))
     d.unionByName(planted)
+  }
+
+  /** The lined corpus for boilerplate-line removal: fixture documents
+    * carry no newlines, so each "page" is assembled deterministically —
+    * a per-site navigation header whose PHYSICAL spacing and case vary
+    * by doc parity (same normalized fingerprint, so the df census must
+    * count across variants), the original text as the body line, a rare
+    * shared line on every 100th doc (df 5 at sf0.01 — under the
+    * threshold, must survive), and a per-site copyright footer. 20
+    * sites => header/footer df 25 at sf0.01, over the default maxDf=9.
+    * Mirrored textually in the oracle. */
+  private[graft] def linedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.select(col("doc_id"), concat_ws("\n",
+      concat(lit("Site-"), (col("doc_id") % 20).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("  NAVIGATION menu home about"))
+          .otherwise(lit(" navigation Menu home about"))),
+      col("text"),
+      when(col("doc_id") % 100 === 0, lit("rare shared line")),
+      concat(lit("copyright site-"), (col("doc_id") % 20).cast("string"),
+        lit(" all rights reserved"))).as("text"))
+  }
+
+  /** The URL corpus for canonicalization/domain stats: fixture documents
+    * carry no URLs, so one is synthesized per doc with deterministic
+    * variance — scheme case flips, a redundant default port, tracking
+    * params, and a fragment appear on doc-id-keyed subsets, and the TLD
+    * rotates through {co.uk, com, org, io} so the registrable-domain
+    * logic exercises both the 2-label and the pinned-multi-label-suffix
+    * 3-label paths. Since 4 divides 20, each of the 20 sites lands on
+    * exactly one TLD => 20 registrable domains. Mirrored textually in
+    * the oracle. */
+  private[graft] def urlCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+    d.select(col("doc_id"), concat(
+      when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("https")),
+      lit("://WWW.Site"), (col("doc_id") % 20).cast("string"),
+      element_at(lit(Array(".co.uk", ".com", ".org", ".io")),
+        (col("doc_id") % 4).cast("int") + 1),
+      when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/p/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("?utm_source=feed&id="), (col("doc_id") % 100).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("#section2")).otherwise(lit("")))
+      .as("url"))
   }
 
   /** The incremental-minhash corpus: (store = every 40th doc, batch =
@@ -955,6 +1001,35 @@ object SparkEntry {
       Dedup.removeDuplicatedSpans(containmentCorpus(s, dir), "doc_id",
         "text", w = 8, maxDf = 64)
         .withColumnRenamed("doc", "doc_id")),
+
+    // CCNet-style cross-doc LINE dedup on the lined corpus: per-site
+    // headers/footers (df 25 at sf0.01) vanish from every page including
+    // the spacing/case variants that share one normalized fingerprint;
+    // the rare shared line (df 5) and unique body lines survive verbatim.
+    "q_boilerplate_lines" -> ((s, dir) =>
+      Dedup.removeBoilerplateLines(linedCorpus(s, dir), "doc_id", "text",
+        maxDf = 9)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // URL canonicalization + registrable-domain rollup on the synthetic
+    // URL corpus: scheme-case/default-port/tracking-param/fragment
+    // variants collapse to one canonical per page, and the co.uk sites
+    // exercise the 3-label registrable-domain path. n_canon < n_urls
+    // exactly where the id param (kept, non-tracking) repeats across
+    // docs of one site.
+    "q_url_stats" -> ((s, dir) => {
+      val curl = Urls.canonicalUrl(col("url"))
+      urlCorpus(s, dir)
+        .select(curl.as("curl"))
+        .select(col("curl"), Urls.registrableDomainOf(
+          Urls.hostOf(col("curl"))).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("curl")).as("n_canon"),
+          min(col("curl")).as("url_sample"))
+        .orderBy(col("domain"))
+    }),
 
     // MinHash with PORTABLE md5-string hash families — the full
     // signature→band→bucket→estimate algebra under the oracle (the
@@ -3511,6 +3586,79 @@ object SparkEntry {
           |    i -> t.toks[i + 1]), ' '), '') END AS clean_text
           |FROM tok t LEFT JOIN rem r ON r.doc = t.doc
           |ORDER BY doc_id""".stripMargin,
+
+      // Boilerplate-line dedup: the oracle rebuilds the lined corpus
+      // textually, fingerprints each line with the same
+      // collapse/trim/lower+md5 normalization, censuses df over
+      // participating (non-blank) lines, and reassembles kept lines in
+      // position order — clean_text must agree byte-for-byte, including
+      // the surviving variants' ORIGINAL case and spacing.
+      "q_boilerplate_lines" ->
+        """WITH lined AS (
+          |  SELECT doc_id,
+          |    concat_ws(chr(10),
+          |      'Site-' || CAST(doc_id % 20 AS VARCHAR) ||
+          |        CASE WHEN doc_id % 2 = 0 THEN '  NAVIGATION menu home about'
+          |             ELSE ' navigation Menu home about' END,
+          |      text,
+          |      CASE WHEN doc_id % 100 = 0 THEN 'rare shared line' END,
+          |      'copyright site-' || CAST(doc_id % 20 AS VARCHAR) ||
+          |        ' all rights reserved') AS text
+          |  FROM documents),
+          |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+          |lines AS (
+          |  SELECT doc_id, unnest(generate_series(1, len(ls))) - 1 AS pos,
+          |    unnest(ls) AS line
+          |  FROM ls),
+          |fps AS (
+          |  SELECT doc_id, pos, line,
+          |    md5(lower(trim(regexp_replace(line, '\s+', ' ', 'g')))) AS fp,
+          |    length(trim(regexp_replace(line, '\s+', ' ', 'g'))) AS nfp
+          |  FROM lines),
+          |bp AS (
+          |  SELECT fp FROM fps WHERE nfp >= 1
+          |  GROUP BY fp HAVING count(DISTINCT doc_id) > 9)
+          |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+          |  CAST(count(*) FILTER (WHERE b.fp IS NOT NULL) AS BIGINT)
+          |    AS n_removed,
+          |  coalesce(string_agg(f.line, chr(10) ORDER BY f.pos)
+          |    FILTER (WHERE b.fp IS NULL), '') AS clean_text
+          |FROM fps f LEFT JOIN bp b USING (fp)
+          |GROUP BY f.doc_id
+          |ORDER BY doc_id""".stripMargin,
+
+      // URL stats: the oracle rebuilds the synthetic URL corpus
+      // textually and canonicalizes with the Urls object's DuckDB twin
+      // expressions (same regex text under RE2) — canonical strings,
+      // domains, and the per-domain distinct counts must all agree.
+      "q_url_stats" ->
+        s"""WITH urls AS (
+           |  SELECT doc_id,
+           |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) ||
+           |    '://WWW.Site' || CAST(doc_id % 20 AS VARCHAR) ||
+           |    (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '.co.uk'
+           |          WHEN 1 THEN '.com' WHEN 2 THEN '.org'
+           |          ELSE '.io' END) ||
+           |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+           |    '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+           |    (CASE WHEN doc_id % 2 = 0
+           |          THEN '?utm_source=feed&id=' ||
+           |               CAST(doc_id % 100 AS VARCHAR)
+           |          ELSE '' END) ||
+           |    (CASE WHEN doc_id % 7 = 0 THEN '#section2' ELSE '' END)
+           |      AS url
+           |  FROM documents),
+           |canon AS (
+           |  SELECT ${Urls.duckdbCanonicalSql("url")} AS curl FROM urls),
+           |hostc AS (
+           |  SELECT curl, ${Urls.duckdbHostSql("curl")} AS host FROM canon),
+           |dom AS (
+           |  SELECT curl, ${Urls.duckdbRegistrableDomainSql("host")} AS domain
+           |  FROM hostc)
+           |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+           |  CAST(count(DISTINCT curl) AS BIGINT) AS n_canon,
+           |  min(curl) AS url_sample
+           |FROM dom GROUP BY domain ORDER BY domain""".stripMargin,
 
       // Frame sampling is pure byte arithmetic; documents are ASCII, so
       // DuckDB's char-indexed substring sees the same bytes Spark's

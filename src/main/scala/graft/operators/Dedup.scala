@@ -1444,6 +1444,66 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** Cross-document LINE dedup (CCNet-style boilerplate removal, Wenzek
+    * et al. 2020, arXiv:1911.00359 §3.1 line-level deduplication): a line
+    * whose normalized form appears in MORE THAN `maxDf` distinct documents
+    * is template furniture — navigation menus, cookie banners, copyright
+    * footers — and is removed from EVERY document (no canonical copy
+    * survives, unlike [[removeDuplicatedSpans]], which keeps one owner of
+    * each syndicated passage: boilerplate is noise in every position it
+    * occupies, a quoted passage is content in exactly one).
+    *
+    * Line identity is the md5 of the whitespace-collapsed, trimmed,
+    * lowercased line — one deterministic normalization any engine
+    * reproduces, and a 32-hex-char shuffle key regardless of line length.
+    * Lines whose normalized form is shorter than `minLineChars` (blank
+    * lines by default) never count toward df and are never removed.
+    *
+    * Output per input doc: (doc, n_lines, n_removed, clean_text) where
+    * `clean_text` keeps the surviving lines VERBATIM (original case and
+    * inner spacing) in original order, joined with `\n`.
+    *
+    * Scale shape (mirrors [[removeDuplicatedSpans]]):
+    *  - the df census shuffles (fp, doc) pairs once — fp is the fixed-width
+    *    md5, never the line text;
+    *  - the removal join carries only boilerplate OCCURRENCES back
+    *    ((doc, pos) pairs, df-capped by nothing because boilerplate rows
+    *    are the operator's OUTPUT budget: a line in ten thousand docs
+    *    contributes ten thousand (doc, pos) longs, not ten thousand
+    *    copies of its text), aggregated to one positions array per doc;
+    *  - reassembly is in-row: the original doc splits once and filters
+    *    by position, so full text never hits an exchange. */
+  def removeBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                             maxDf: Int = 9,
+                             minLineChars: Int = 1): DataFrame = {
+    require(maxDf >= 1, "maxDf must be >= 1 (df > maxDf is removed)")
+    val base = docs.select(col(idCol).as("doc"),
+      split(col(textCol), "\n", -1).as("ls"))
+    val lines = base.select(col("doc"), posexplode(col("ls")))
+      .select(col("doc"), col("pos"),
+        md5(lower(trim(regexp_replace(col("col"), "\\s+", " ")))).as("fp"),
+        length(trim(regexp_replace(col("col"), "\\s+", " "))).as("nfp"))
+    // Census over participating lines only. Sub-minLineChars lines never
+    // enter, so their fps cannot reach the boilerplate set — the removal
+    // join below needs no second length guard.
+    val bp = lines.filter(col("nfp") >= minLineChars)
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("doc")).as("df"))
+      .filter(col("df") > maxDf)
+      .select("fp")
+    val rem = lines.join(bp, Seq("fp"))
+      .groupBy(col("doc"))
+      .agg(collect_list(col("pos")).as("rem"))
+    base.join(rem, Seq("doc"), "left")
+      .select(col("doc"),
+        size(col("ls")).cast("long").as("n_lines"),
+        coalesce(size(col("rem")), lit(0)).cast("long").as("n_removed"),
+        when(col("rem").isNull, array_join(col("ls"), "\n"))
+          .otherwise(array_join(filter(col("ls"),
+            (_, i) => !array_contains(col("rem"), i)), "\n"))
+          .as("clean_text"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup via
     * clustering: k-means the embedding space, then search for near-dup
     * pairs only WITHIN each cluster. The published scale path for

@@ -475,6 +475,40 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((12L, 0L, (1 to 12).map(i => s"unique$i").mkString(" "))))
   }
 
+  test("boilerplate lines: df>maxDf lines vanish from every doc, variants share one fingerprint") {
+    // Header's physical case/spacing varies per doc but normalizes to ONE
+    // fingerprint (df 4 > maxDf 2 → removed everywhere, no canonical
+    // survivor — unlike span removal); footer df 3 → removed; 'shared
+    // twice' df 2 ≤ maxDf → kept; the blank line is exempt; kept lines
+    // stay VERBATIM (doc 1 keeps its double space and case).
+    val d = Seq(
+      (1L, "THE  Header line\nBody  One\n\nshared twice\nfooter text"),
+      (2L, "the header  LINE\nbody two\nshared twice\nfooter text"),
+      (3L, "The Header Line\nbody three\nfooter text"),
+      (4L, " the   header line \nbody four"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplateLines(d, "doc_id", "text", maxDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((5L, 2L, "Body  One\n\nshared twice")))
+    assert(got(2L) == ((4L, 2L, "body two\nshared twice")))
+    assert(got(3L) == ((3L, 2L, "body three")))
+    assert(got(4L) == ((2L, 1L, "body four")))
+  }
+
+  test("boilerplate lines: sub-minLineChars lines are exempt from the census") {
+    val d = (1L to 5L).map(i => (i, s"x\nbody $i")).toDF("doc_id", "text")
+    // 'x' appears in all 5 docs; with minLineChars=2 it cannot be counted
+    val keep = Dedup.removeBoilerplateLines(d, "doc_id", "text",
+      maxDf = 2, minLineChars = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(keep(1L) == "x\nbody 1")
+    // with the default minLineChars=1 it is boilerplate everywhere
+    val gone = Dedup.removeBoilerplateLines(d, "doc_id", "text", maxDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(gone(1L) == "body 1")
+  }
+
   test("duplicated spans: exact cross-doc windows, coverage union, hash-invariant") {
     val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
     val d = Seq(
