@@ -522,6 +522,39 @@ class PlanAuditSpec extends SparkSpec {
     graft.operators.Caches.unpersistAll()
   }
 
+  test("boilerplate line removal: census and reassembly join via broadcast, no merge join") {
+    // the df census aggregates 32-hex fp keys; the boilerplate set and
+    // the per-doc removal positions are both small relative to the
+    // corpus, so their joins back must be broadcasts — the full-text
+    // base side never pays a sort-merge shuffle or a range exchange
+    val d = (1 to 40).map(i =>
+      (i.toLong, s"shared header line\nunique body $i\nshared footer"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.operators.Dedup.removeBoilerplateLines(
+      d, "doc_id", "text", maxDf = 5))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("url canonicalization + domain rollup: map-side until one aggregate exchange") {
+    import graft.functions.Urls
+    val u = (1 to 30).map(i =>
+      (i.toLong, s"HTTPS://Site$i.co.uk:443/p/$i?utm_source=x&id=$i#f"))
+      .toDF("doc_id", "url")
+    val agg = u.select(Urls.canonicalUrl(col("url")).as("curl"))
+      .select(col("curl"), Urls.registrableDomainOf(
+        Urls.hostOf(col("curl"))).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"), countDistinct(col("curl")).as("n_canon"))
+    val p = plan(agg)
+    // canonicalize/host/domain are pure codegen'd projections: the only
+    // data exchange is the domain aggregate's (count_distinct plans a
+    // two-phase agg over ONE exchange pair on the test corpus)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("containment candidates come from equi-joins, never a product join") {
     val p = plan(graft.operators.Dedup.containmentNearDups(docs, "doc_id", "text"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
