@@ -137,6 +137,45 @@ object SparkEntry {
        |GROUP BY cntrycode
        |ORDER BY cntrycode""".stripMargin
 
+  /** TPC-H Q2's SHAPE, shared VERBATIM by the Spark query and the DuckDB
+    * oracle (only table names differ): a correlated scalar MIN subquery
+    * whose body is itself a MULTI-TABLE JOIN (supply ⋈ supplier ⋈ nation
+    * ⋈ region) — the one decorrelation pattern the audit set
+    * (Q17/Q18/Q20/Q21/Q22) does not cover: Catalyst must decorrelate the
+    * joined subplan into ONE per-part min over the region-filtered supply
+    * relation, joined back on the part key AND the cost equality — never
+    * a per-row re-execution of a four-table join. The fixtures carry no
+    * partsupp, so the supply relation is the per-(supplier, part)
+    * minimum lineitem price in exact cents (same adaptation discipline
+    * as Q20's shipped totals), written once as a CTE both branches
+    * reference. All compared quantities are exact BIGINT cents — no
+    * float boundary can flake the = predicate cross-engine. */
+  private def tpchQ2Sql(lineitem: String, part: String, supplier: String,
+                        nation: String, region: String): String =
+    s"""WITH supply AS (
+       |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+       |    min(CAST(round(l_extendedprice * 100) AS BIGINT))
+       |      AS ps_supplycost
+       |  FROM $lineitem GROUP BY l_partkey, l_suppkey)
+       |SELECT CAST(round(s.s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+       |  s.s_name, n.n_name, p.p_partkey, p.p_brand, ps.ps_supplycost
+       |FROM $part p, supply ps, $supplier s, $nation n, $region r
+       |WHERE p.p_partkey = ps.ps_partkey AND s.s_suppkey = ps.ps_suppkey
+       |  AND p.p_size <= 15 AND p.p_type = 'LARGE'
+       |  AND s.s_nationkey = n.n_nationkey
+       |  AND n.n_regionkey = r.r_regionkey
+       |  AND r.r_name = 'EUROPE'
+       |  AND ps.ps_supplycost = (
+       |    SELECT min(ps2.ps_supplycost)
+       |    FROM supply ps2, $supplier s2, $nation n2, $region r2
+       |    WHERE ps2.ps_partkey = p.p_partkey
+       |      AND s2.s_suppkey = ps2.ps_suppkey
+       |      AND s2.s_nationkey = n2.n_nationkey
+       |      AND n2.n_regionkey = r2.r_regionkey
+       |      AND r2.r_name = 'EUROPE')
+       |ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+       |LIMIT 100""".stripMargin
+
   private def ms(c: Column): Column = unix_millis(c)
 
   /** The events table viewed as the reference's query-log domain
@@ -929,6 +968,21 @@ object SparkEntry {
       Tables.customer(s, dir).createOrReplaceTempView("q22_customer")
       Tables.orders(s, dir).createOrReplaceTempView("q22_orders")
       s.sql(tpchQ22Sql("q22_customer", "q22_orders"))
+    }),
+
+    // TPC-H Q2 shape: correlated scalar MIN subquery whose body is a
+    // four-relation join — written as the correlated form so the
+    // decorrelation of a JOINED subplan is the thing under test (see
+    // tpchQ2Sql). Plan pinned in PlanAuditSpec; the oracle runs the
+    // IDENTICAL text.
+    "q_tpch_q2" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("q2_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("q2_part")
+      Tables.supplier(s, dir).createOrReplaceTempView("q2_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("q2_nation")
+      Tables.region(s, dir).createOrReplaceTempView("q2_region")
+      s.sql(tpchQ2Sql("q2_lineitem", "q2_part", "q2_supplier",
+        "q2_nation", "q2_region"))
     }),
 
     // ------------------- beyond-reference: dedup -------------------------
@@ -2668,6 +2722,9 @@ object SparkEntry {
       // proves the global-scalar-avg broadcast + LeftAnti plan computes
       // the subquery semantics.
       "q_tpch_q22" -> tpchQ22Sql("customer", "orders"),
+
+      "q_tpch_q2" -> tpchQ2Sql("lineitem", "part", "supplier",
+        "nation", "region"),
 
       "q_tpch_q21" ->
         """SELECT s_name, count(*) AS numwait

@@ -186,6 +186,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins == 1, s"expected 1 join, got $joins\n$p")
   }
 
+  test("tpch q2: correlated scalar MIN over a joined subplan decorrelates to one per-part aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q_tpch_q2")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the correlated min's four-relation body must never re-execute per
+    // outer row: no loop join anywhere
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // 8 equi-joins exactly: the outer five-relation chain (4) + the
+    // decorrelated subquery's three dim joins + ONE join-back of the
+    // per-part min on (partkey, cost) — a per-row subplan would multiply
+    // the subquery side
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(p).length
+    assert(joins == 8, s"expected 8 joins, got $joins\n$p")
+    // two partial_min aggregates: the inlined supply CTE's per-(part,
+    // supplier) min on each branch; the decorrelated per-part min rides
+    // the existing partitioning without a second partial pass
+    assert("partial_min".r.findAllIn(p).length == 2, p)
+    // the dim broadcasts are shared between the outer and subquery
+    // branches, not rebuilt
+    assert(p.contains("ReusedExchange"), p)
+    // global top-100 plans as TakeOrdered, not a global sort exchange
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("prebuilt ingestion store seam: the full query plans a bucketed history scan") {
     // the exact configuration Bench's controlled probe sets up: signature
     // + pre-banded tables in the catalog, conf gate on, broadcast off (the
