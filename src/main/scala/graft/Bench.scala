@@ -520,6 +520,43 @@ object Bench {
         s""","ingest_stages":{"fast":${fmt(fast)},"portable":${fmt(md5)}}"""
       }
 
+    // Funnel→audit sharing instrument (r11): both operators build through
+    // ONE curationFrames core — tracked frames substitute through the
+    // CacheManager and the components result memoizes under the
+    // canonicalized pair-plan key — so a caller running funnel THEN audit
+    // pays the pipeline once. Measure exactly that claim: funnel cold,
+    // audit WITHOUT releasing the shared caches (should cost a small
+    // fraction of cold), audit cold for reference. The engine section's
+    // per-query numbers are unaffected (it releases everything between
+    // queries — this instrument runs outside it, untimed relative to the
+    // section). Disable with SPARK_GRAFT_FUNNEL_AUDIT=0.
+    val funnelAuditJson =
+      if (!enabled("SPARK_GRAFT_FUNNEL_AUDIT") ||
+          only.exists(o => !o.contains("q_corpus_drop_audit"))) ""
+      else {
+        def run(name: String): Double = {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        def release(): Unit = {
+          spark.catalog.clearCache()
+          graft.operators.Caches.unpersistAll()
+          System.gc()
+        }
+        // untimed warm pass: codegen/JIT of both plans is compile bias
+        run("q_corpus_funnel_neardup"); run("q_corpus_drop_audit"); release()
+        val funnelSec = run("q_corpus_funnel_neardup")
+        val auditSharedSec = run("q_corpus_drop_audit") // caches NOT released
+        release()
+        val auditColdSec = run("q_corpus_drop_audit")
+        release()
+        s""","funnel_then_audit":{"funnel_sec":${r2(funnelSec)},""" +
+          s""""audit_shared_sec":${r2(auditSharedSec)},""" +
+          s""""audit_cold_sec":${r2(auditColdSec)}}"""
+      }
+
     // cache key includes the source SF so an sf0.01 iteration run can't
     // poison the driver's sf0.1 bench with a stale small copy
     val srcTag = java.nio.file.Paths.get(sfDir).getFileName.toString
@@ -762,7 +799,7 @@ object Bench {
     val curveJson = lastCurve
       .map(c => s""","recall_curve_sf1":$c""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,$engineSection,"sf":"$sfDir"$ingestStagesJson$streamingJson$sf1Json$sf20Json$probeJson$scaleInversions$curveJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,$engineSection,"sf":"$sfDir"$ingestStagesJson$funnelAuditJson$streamingJson$sf1Json$sf20Json$probeJson$scaleInversions$curveJson}"""
     // Marker-prefixed line FIRST: the driver's artifact parser reads the
     // structured payload from `BENCH_JSON: {...}` without depending on
     // stdout tail ordering (r4/r5 artifacts carried parsed:null because
