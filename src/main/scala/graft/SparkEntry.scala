@@ -1085,6 +1085,20 @@ object SparkEntry {
         .orderBy(col("domain"))
     }),
 
+    // Per-domain crawl cap — domain balancing, the curation stage that
+    // keeps one mega-site from dominating a web corpus: registrable
+    // domain as the budget unit (3-label for pinned ccTLD suffixes),
+    // at most 10 pages kept per domain under groupCap's deterministic
+    // md5-shuffled rank (not first-N: ingestion order must not bias
+    // which pages survive).
+    "q_domain_cap" -> ((s, dir) => {
+      val withDom = urlCorpus(s, dir).select(col("doc_id"),
+        Urls.registrableDomainOf(Urls.hostOf(
+          Urls.canonicalUrl(col("url")))).as("domain"))
+      graft.operators.Sampling.groupCap(withDom, "doc_id", "domain", n = 10)
+        .orderBy(col("domain"), col("doc_id"))
+    }),
+
     // MinHash with PORTABLE md5-string hash families — the full
     // signature→band→bucket→estimate algebra under the oracle (the
     // xxhash64 form stays the scale default, rows-only).
@@ -3716,6 +3730,43 @@ object SparkEntry {
            |  CAST(count(DISTINCT curl) AS BIGINT) AS n_canon,
            |  min(curl) AS url_sample
            |FROM dom GROUP BY domain ORDER BY domain""".stripMargin,
+
+      // Domain cap: same URL-corpus + canonicalization + domain CTEs,
+      // then the groupCap md5-shuffled rank mirrored per domain.
+      "q_domain_cap" ->
+        s"""WITH urls AS (
+           |  SELECT doc_id,
+           |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) ||
+           |    '://WWW.Site' || CAST(doc_id % 20 AS VARCHAR) ||
+           |    (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '.co.uk'
+           |          WHEN 1 THEN '.com' WHEN 2 THEN '.org'
+           |          ELSE '.io' END) ||
+           |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+           |    '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+           |    (CASE WHEN doc_id % 2 = 0
+           |          THEN '?utm_source=feed&id=' ||
+           |               CAST(doc_id % 100 AS VARCHAR)
+           |          ELSE '' END) ||
+           |    (CASE WHEN doc_id % 7 = 0 THEN '#section2' ELSE '' END)
+           |      AS url
+           |  FROM documents),
+           |canon AS (
+           |  SELECT doc_id, ${Urls.duckdbCanonicalSql("url")} AS curl
+           |  FROM urls),
+           |hostc AS (
+           |  SELECT doc_id, ${Urls.duckdbHostSql("curl")} AS host FROM canon),
+           |dom AS (
+           |  SELECT doc_id, ${Urls.duckdbRegistrableDomainSql("host")}
+           |    AS domain
+           |  FROM hostc),
+           |ranked AS (
+           |  SELECT doc_id, domain,
+           |    row_number() OVER (PARTITION BY domain
+           |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id)
+           |      AS rn
+           |  FROM dom)
+           |SELECT doc_id, domain FROM ranked
+           |WHERE rn <= 10 ORDER BY domain, doc_id""".stripMargin,
 
       // Frame sampling is pure byte arithmetic; documents are ASCII, so
       // DuckDB's char-indexed substring sees the same bytes Spark's
