@@ -496,6 +496,26 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((2L, 1L, "body four")))
   }
 
+  test("boilerplate removal is idempotent: a second pass removes nothing") {
+    // removing ALL copies of a boilerplate line leaves every surviving
+    // line's df unchanged, so a re-run over clean_text is the identity
+    val d = Seq(
+      (1L, "THE  Header line\nBody  One\n\nshared twice\nfooter text"),
+      (2L, "the header  LINE\nbody two\nshared twice\nfooter text"),
+      (3L, "The Header Line\nbody three\nfooter text"),
+      (4L, " the   header line \nbody four"))
+      .toDF("doc_id", "text")
+    val once = Dedup.removeBoilerplateLines(d, "doc_id", "text", maxDf = 2)
+      .select(col("doc"), col("clean_text"))
+    val twice = Dedup.removeBoilerplateLines(
+      once.withColumnRenamed("clean_text", "text"), "doc", "text", maxDf = 2)
+    assert(twice.filter(col("n_removed") > 0).count() == 0)
+    val t = twice.select(col("doc"), col("clean_text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val o = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(t == o)
+  }
+
   test("boilerplate lines: sub-minLineChars lines are exempt from the census") {
     val d = (1L to 5L).map(i => (i, s"x\nbody $i")).toDF("doc_id", "text")
     // 'x' appears in all 5 docs; with minLineChars=2 it cannot be counted

@@ -48,6 +48,19 @@ class UrlsSpec extends SparkSpec {
     assert(got == Seq("sub.ex.org", ""))
   }
 
+  test("canonicalUrl is idempotent: canon(canon(u)) == canon(u)") {
+    val urls = Seq(
+      "HTTPS://User:Pw@WWW.Example.COM:443/Path/Q?id=1#frag",
+      "http://example.com:80/a?utm_source=x&b=2",
+      "https://e.com/p?utm_campaign=x", "not a url",
+      "HTTP://u@Sub.Ex.ORG:8080/p?q#f")
+    val once = urls.toDF("url")
+      .select(Urls.canonicalUrl(col("url")).as("c"))
+    val twice = once.select(col("c"),
+      Urls.canonicalUrl(col("c")).as("c2")).collect()
+    twice.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
   test("registrable domain: 2-label default, 3-label for pinned suffixes") {
     assert(domain(
       "www.site3.co.uk", "a.b.site.com.au", "www.example.com",
