@@ -162,6 +162,15 @@ object Sampling {
     * the corpus never shuffles whole rows. The target corpus is re-read
     * once for its histogram only.
     *
+    * The raw tokenize+shingle+bucket pass DELIBERATELY runs twice (raw
+    * histogram + scoring join) rather than persisting the exploded
+    * (id, bucket) frame once: the cached variant measured ~25% SLOWER
+    * at sf0.1 under matched calibration (A/B/A, r11) — same verdict as
+    * [[graft.operators.Familiarity]]'s duplicated tokenize: caching a
+    * row-exploded frame costs more than recomputing the codegen'd
+    * map-only kernel. Do not re-apply the tfidf/jaccard persist here;
+    * that lesson is for frames whose RECOMPUTE crosses an exchange.
+    *
     * Output: (id, n_grams, score) for the selected docs, score =
     * per-gram mean affinity in 2^-20 units. */
   def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
