@@ -48,6 +48,16 @@ class UrlsSpec extends SparkSpec {
     assert(got == Seq("sub.ex.org", ""))
   }
 
+  test("canonicalUrl edge shapes: path-less URLs and bracketed IPv6 hosts survive") {
+    assert(canon(
+      "HTTPS://Example.COM",            // no path, no query
+      "http://[2001:DB8::1]:8080/a",    // IPv6: brackets kept, port kept
+      "http://[::1]:80/a") == Seq(      // IPv6 + default port stripped
+      "https://example.com",
+      "http://[2001:db8::1]:8080/a",
+      "http://[::1]/a"))
+  }
+
   test("canonicalUrl is idempotent: canon(canon(u)) == canon(u)") {
     val urls = Seq(
       "HTTPS://User:Pw@WWW.Example.COM:443/Path/Q?id=1#frag",
