@@ -176,6 +176,48 @@ object SparkEntry {
        |ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
        |LIMIT 100""".stripMargin
 
+  /** The per-domain crawl-cap oracle, shared by the batch query and its
+    * streaming twin (whose md5-rank state converges to the same kept
+    * set): synthetic URL corpus → Urls DuckDB twins → groupCap's
+    * md5-shuffled rank per domain. */
+  private lazy val domainCapOracleSql: String =
+    s"""WITH urls AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) ||
+       |    '://WWW.Site' || CAST(doc_id % 20 AS VARCHAR) ||
+       |    (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '.co.uk'
+       |          WHEN 1 THEN '.com' WHEN 2 THEN '.org'
+       |          ELSE '.io' END) ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+       |    '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+       |    (CASE WHEN doc_id % 2 = 0
+       |          THEN '?utm_source=feed&id=' ||
+       |               CAST(doc_id % 100 AS VARCHAR)
+       |          ELSE '' END) ||
+       |    (CASE WHEN doc_id % 7 = 0 THEN '#section2' ELSE '' END)
+       |      AS url
+       |  FROM documents),
+       |canon AS (
+       |  SELECT doc_id, ${graft.functions.Urls.duckdbCanonicalSql("url")}
+       |    AS curl
+       |  FROM urls),
+       |hostc AS (
+       |  SELECT doc_id, ${graft.functions.Urls.duckdbHostSql("curl")} AS host
+       |  FROM canon),
+       |dom AS (
+       |  SELECT doc_id,
+       |    ${graft.functions.Urls.duckdbRegistrableDomainSql("host")}
+       |    AS domain
+       |  FROM hostc),
+       |ranked AS (
+       |  SELECT doc_id, domain,
+       |    row_number() OVER (PARTITION BY domain
+       |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id)
+       |      AS rn
+       |  FROM dom)
+       |SELECT doc_id, domain FROM ranked
+       |WHERE rn <= 10 ORDER BY domain, doc_id""".stripMargin
+
   private def ms(c: Column): Column = unix_millis(c)
 
   /** The events table viewed as the reference's query-log domain
@@ -247,21 +289,23 @@ object SparkEntry {
     * 3-label paths. Since 4 divides 20, each of the 20 sites lands on
     * exactly one TLD => 20 registrable domains. Mirrored textually in
     * the oracle. */
-  private[graft] def urlCorpus(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("doc_id"))
-    d.select(col("doc_id"), concat(
-      when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("https")),
-      lit("://WWW.Site"), (col("doc_id") % 20).cast("string"),
-      element_at(lit(Array(".co.uk", ".com", ".org", ".io")),
-        (col("doc_id") % 4).cast("int") + 1),
-      when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
-      lit("/p/"), (col("doc_id") % 50).cast("string"),
-      when(col("doc_id") % 2 === 0,
-        concat(lit("?utm_source=feed&id="), (col("doc_id") % 100).cast("string")))
-        .otherwise(lit("")),
-      when(col("doc_id") % 7 === 0, lit("#section2")).otherwise(lit("")))
-      .as("url"))
-  }
+  /** The synthetic URL for a doc id — shared by the batch [[urlCorpus]]
+    * and the streaming domain-cap query so both derive the SAME corpus. */
+  private[graft] def urlOf(docId: Column): Column = concat(
+    when(docId % 3 === 0, lit("HTTPS")).otherwise(lit("https")),
+    lit("://WWW.Site"), (docId % 20).cast("string"),
+    element_at(lit(Array(".co.uk", ".com", ".org", ".io")),
+      (docId % 4).cast("int") + 1),
+    when(docId % 5 === 0, lit(":443")).otherwise(lit("")),
+    lit("/p/"), (docId % 50).cast("string"),
+    when(docId % 2 === 0,
+      concat(lit("?utm_source=feed&id="), (docId % 100).cast("string")))
+      .otherwise(lit("")),
+    when(docId % 7 === 0, lit("#section2")).otherwise(lit("")))
+
+  private[graft] def urlCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"))
+      .select(col("doc_id"), urlOf(col("doc_id")).as("url"))
 
   /** The incremental-minhash corpus: (store = every 40th doc, batch =
     * the other sampled docs ∪ near-copies of store ∪ near-copies of the
@@ -1933,6 +1977,30 @@ object SparkEntry {
         .writeStream.outputMode("append").format("memory").queryName(name).start()
       q.processAllAvailable(); q.stop()
       s.table(name).orderBy(col("doc_id"))
+    }),
+
+    // Streaming per-domain crawl cap: the stateful twin of q_domain_cap
+    // over the SAME synthetic URL corpus (urlOf on the streamed doc ids).
+    // The md5-rank state makes the kept set equal the batch groupCap
+    // regardless of micro-batch boundaries — the fixture arrives as one
+    // batch here; StreamingSpec drives the multi-batch/ redelivery cases.
+    "q_stream_domain_cap" -> ((s, dir) => {
+      import graft.streaming.StreamingPatterns
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), Urls.registrableDomainOf(Urls.hostOf(
+          Urls.canonicalUrl(urlOf(col("doc_id"))))).as("domain"))
+      val name = "stream_domain_cap_" + math.abs(dir.hashCode).toString
+      s.catalog.dropTempView(name)
+      val q = StreamingPatterns.streamingGroupCap(stream, "doc_id", "domain",
+          n = 10)
+        .toDF("domain", "doc_id")
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.table(name).select(col("doc_id"), col("domain"))
+        .orderBy(col("domain"), col("doc_id"))
     }),
 
     "q_stream_windowed" -> ((s, dir) => {
@@ -3732,41 +3800,14 @@ object SparkEntry {
            |FROM dom GROUP BY domain ORDER BY domain""".stripMargin,
 
       // Domain cap: same URL-corpus + canonicalization + domain CTEs,
-      // then the groupCap md5-shuffled rank mirrored per domain.
-      "q_domain_cap" ->
-        s"""WITH urls AS (
-           |  SELECT doc_id,
-           |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) ||
-           |    '://WWW.Site' || CAST(doc_id % 20 AS VARCHAR) ||
-           |    (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '.co.uk'
-           |          WHEN 1 THEN '.com' WHEN 2 THEN '.org'
-           |          ELSE '.io' END) ||
-           |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
-           |    '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
-           |    (CASE WHEN doc_id % 2 = 0
-           |          THEN '?utm_source=feed&id=' ||
-           |               CAST(doc_id % 100 AS VARCHAR)
-           |          ELSE '' END) ||
-           |    (CASE WHEN doc_id % 7 = 0 THEN '#section2' ELSE '' END)
-           |      AS url
-           |  FROM documents),
-           |canon AS (
-           |  SELECT doc_id, ${Urls.duckdbCanonicalSql("url")} AS curl
-           |  FROM urls),
-           |hostc AS (
-           |  SELECT doc_id, ${Urls.duckdbHostSql("curl")} AS host FROM canon),
-           |dom AS (
-           |  SELECT doc_id, ${Urls.duckdbRegistrableDomainSql("host")}
-           |    AS domain
-           |  FROM hostc),
-           |ranked AS (
-           |  SELECT doc_id, domain,
-           |    row_number() OVER (PARTITION BY domain
-           |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id)
-           |      AS rn
-           |  FROM dom)
-           |SELECT doc_id, domain FROM ranked
-           |WHERE rn <= 10 ORDER BY domain, doc_id""".stripMargin,
+      // then the groupCap md5-shuffled rank mirrored per domain. The
+      // STREAMING twin shares the identical oracle — its md5-rank state
+      // converges to the same fixed point as the batch cap
+      // (StreamingSpec drives the multi-batch/redelivery cases; in the
+      // driver run the fixture arrives as one batch).
+      "q_domain_cap" -> domainCapOracleSql,
+
+      "q_stream_domain_cap" -> domainCapOracleSql,
 
       // Frame sampling is pure byte arithmetic; documents are ASCII, so
       // DuckDB's char-indexed substring sees the same bytes Spark's

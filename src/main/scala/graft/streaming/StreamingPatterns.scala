@@ -81,6 +81,43 @@ object StreamingPatterns {
       }
   }
 
+  /** Streaming per-group cap — the stateful face of
+    * [[graft.operators.Sampling.groupCap]]: each group's state holds the
+    * md5-rank LEAST-n row ids seen so far, so after any prefix of the
+    * stream the kept set is exactly what batch groupCap would select
+    * over the rows delivered so far — INDEPENDENT of arrival order,
+    * micro-batch boundaries, and redeliveries (duplicate ids fold
+    * idempotently into the set). A first-come-first-kept cap would tie
+    * survival to scheduling nondeterminism; ranking by the same
+    * content-derived md5 key as the batch operator makes the streaming
+    * and batch answers one fixed point, which is what lets a crawl
+    * pipeline enforce per-domain budgets incrementally and still match
+    * its own batch re-run. State per group is O(n) ids.
+    *
+    * Emits each group's full current kept set on every batch it appears
+    * in (update semantics — the sink upserts by group); pair with
+    * `outputMode("update")`. */
+  def streamingGroupCap(pairs: DataFrame, idCol: String, groupCol: String,
+                        n: Int): Dataset[(String, Long)] = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .select(col(groupCol).cast("string").as("g"),
+        col(idCol).cast("long").as("id"),
+        md5(concat(lit("cap:"), col(idCol).cast("string"))).as("k"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(String, Long)], (String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[(String, Long, String)],
+         state: GroupState[Seq[(String, Long)]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+              rows.map(r => (r._3, r._2)))
+            .distinct.sorted.take(n)
+          state.update(merged)
+          merged.iterator.map { case (_, id) => (group, id) }
+      }
+  }
+
   /** Streaming exact dedup with BOUNDED state: duplicates arriving within
     * the watermark horizon are dropped, and key state older than the
     * watermark is evicted — the streaming face of

@@ -454,4 +454,51 @@ class StreamingSpec extends SparkSpec {
       assert(rows.map(_.getAs[Long]("frequency")).sorted.toSeq == Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("streaming group cap equals batch groupCap under any batching, order, and redelivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val all = (1L to 40L).map(i => (i, s"dom${i % 3}"))
+    val batchKeep = graft.operators.Sampling.groupCap(
+      all.toDF("doc_id", "domain"), "doc_id", "domain", n = 4)
+      .select("doc_id", "domain").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    def finalKept(batches: Seq[Seq[(Long, String)]]): Set[(Long, String)] = {
+      val input = MemoryStream[(Long, String)]
+      val name = s"cap_stream_${math.abs(batches.hashCode)}"
+      val q = StreamingPatterns.streamingGroupCap(
+        input.toDF().toDF("doc_id", "domain"), "doc_id", "domain", n = 4)
+        .toDF("domain", "doc_id")
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName(name).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        // The update-mode memory sink appends every emission (it has no
+        // upsert key), so derive each group's FINAL state set-theoretically:
+        // any id in the final least-n was emitted the batch it arrived
+        // (membership in the global least-n implies membership in every
+        // containing subset's least-n), so the final set per group is the
+        // md5-least n of everything that group ever emitted. The ranking
+        // here is an INDEPENDENT md5 (commons-codec, not Spark's), and the
+        // result is cross-checked against the batch operator's answer.
+        val rows = spark.table(name).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        rows.groupBy(_._1).flatMap { case (g, rs) =>
+          rs.map(_._2).distinct
+            .sortBy(id => (org.apache.commons.codec.digest.DigestUtils
+              .md5Hex(s"cap:$id"), id)).take(4)
+            .map(id => (id, g))
+        }.toSet
+      } finally q.stop()
+    }
+    // one batch, natural order
+    assert(finalKept(Seq(all)) == batchKeep)
+    // three adversarial batches, reversed order
+    val rev = all.reverse
+    assert(finalKept(Seq(rev.take(13), rev.slice(13, 27), rev.drop(27)))
+      == batchKeep)
+    // redelivery: second batch repeats the first entirely
+    assert(finalKept(Seq(all.take(20), all.take(20), all.drop(20)))
+      == batchKeep)
+  }
 }
