@@ -1472,7 +1472,11 @@ object Dedup {
     *    contributes ten thousand (doc, pos) longs, not ten thousand
     *    copies of its text), aggregated to one positions array per doc;
     *  - reassembly is in-row: the original doc splits once and filters
-    *    by position, so full text never hits an exchange. */
+    *    by position. Full text stays out of every exchange AS LONG AS
+    *    the per-doc removal frame broadcasts (PlanAuditSpec pins that
+    *    on the test corpus); a corpus where most docs carry boilerplate
+    *    makes that side O(docs) and the reassembly join degrades to a
+    *    shuffle of the base — still one exchange, never quadratic. */
   def removeBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
                              maxDf: Int = 9,
                              minLineChars: Int = 1): DataFrame = {

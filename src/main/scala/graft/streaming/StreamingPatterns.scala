@@ -95,8 +95,12 @@ object StreamingPatterns {
     * its own batch re-run. State per group is O(n) ids.
     *
     * Emits each group's full current kept set on every batch it appears
-    * in (update semantics — the sink upserts by group); pair with
-    * `outputMode("update")`. */
+    * in (update semantics); pair with `outputMode("update")` and a sink
+    * that upserts by group. NOTE the memory sink APPENDS updates rather
+    * than upserting — a multi-batch reader of that sink must take each
+    * group's latest emission (equivalently: the md5-least n of all its
+    * emitted ids, since emissions only shrink toward the global
+    * least-n — StreamingSpec derives final state exactly that way). */
   def streamingGroupCap(pairs: DataFrame, idCol: String, groupCol: String,
                         n: Int): Dataset[(String, Long)] = {
     import pairs.sparkSession.implicits._
