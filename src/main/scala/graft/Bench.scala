@@ -332,7 +332,8 @@ object Bench {
     * error line under `failed` so a broken third of the suite can never
     * read as a speed-up again (round-7 postmortem). */
   private[graft] case class Section(total: Double, json: String,
-                                    nOk: Int, nFailed: Int, nContaminated: Int)
+                                    nOk: Int, nFailed: Int, nContaminated: Int,
+                                    mins: Seq[(String, Double)] = Seq.empty)
 
   /** Median (primary), min, totals, per-query shuffle MB (read+write,
     * last iteration), the contention sentinel (calibration series +
@@ -381,7 +382,7 @@ object Bench {
         s""""calibration_sec":${toJson(calPer)},"calibration_median":${r2(calMed)},""" +
         s""""contaminated":${contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""n_failed":${failed.size},"failed":$failedJson""",
-      ok.size, failed.size, contaminated.size)
+      ok.size, failed.size, contaminated.size, mn)
   }
 
   /** recall@k of the SRP and IVF approximate paths vs brute force over
@@ -835,6 +836,20 @@ object Bench {
       s""""n_failed":${engine.nFailed},"n_failed_other":$nFailedOther,""" +
       s""""contaminated_n":${engine.nContaminated},""" +
       s""""inversions_n":$nInversions$recallJson,"sf":"$sfDir"}""")
+    // Bare spec-shaped JSON as the final program line (<2 KB): the
+    // driver's artifact parser reads a 2 KB stdout tail, and every prior
+    // round's BENCH_r*.json carried parsed:null because the only bare
+    // JSON line (the full record above) exceeds the window. `queries`
+    // carries the HEADLINE subset — the costliest engine mins — with the
+    // full per-query record in bench_out.json. Paired with the sbt
+    // StdoutOutput strategy in build.sbt, this line reaches the driver
+    // verbatim (no "[info] " framing).
+    val headline = engine.mins.sortBy(-_._2).take(12)
+      .map { case (n, v) => s""""$n":${r2(v)}""" }.mkString(",")
+    println(s"""{"metric":"engine_total","value":${r2(total)},"unit":"sec",""" +
+      s""""queries":{$headline},"sf":"$sfDir","n_queries":${engine.nOk},""" +
+      s""""n_failed":${engine.nFailed},"n_failed_other":$nFailedOther,""" +
+      s""""contaminated_n":${engine.nContaminated},"iters":$iters}""")
     spark.stop()
   }
 }

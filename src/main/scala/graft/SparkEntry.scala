@@ -1256,6 +1256,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Hashed word-bigram LM quality score (LmScore scaladoc) — the
+    // portable CCNet-style perplexity filter: integer centi-nat NLL per
+    // doc, avg per bigram (the one double division), threshold keep.
+    // Tokens and buckets each at their OWN projection boundary
+    // (lambda-CSE — inlining the split re-tokenizes per bigram).
+    "q_lm_quality" -> ((s, dir) => {
+      import graft.functions.LmScore
+      val toks = Tables.documents(s, dir).select(
+        col("doc_id"), Text.tokens(lower(col("text"))).as("toks"))
+      val bucketed = toks.select(col("doc_id"),
+        greatest(size(col("toks")) - 1, lit(0)).cast("long").as("n_bigrams"),
+        LmScore.bigramBuckets(col("toks")).as("bb"))
+      bucketed.select(col("doc_id"), col("n_bigrams"),
+        LmScore.nllCenti(col("bb")).as("nll_c"))
+        .withColumn("avg_nll_c", LmScore.avgNll(col("nll_c"), col("n_bigrams")))
+        .withColumn("keep", col("n_bigrams") > 0 &&
+          col("avg_nll_c") <= lit(LmScore.DefaultMaxAvgNll))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unicode-script composition: one native codepoint pass per doc
     // (plans/ScriptMix — explicit BMP range table, not \p{Script}), the
     // mixed-script signal that catches script-confusion spam and mojibake
@@ -1982,8 +2002,13 @@ object SparkEntry {
     // Streaming per-domain crawl cap: the stateful twin of q_domain_cap
     // over the SAME synthetic URL corpus (urlOf on the streamed doc ids).
     // The md5-rank state makes the kept set equal the batch groupCap
-    // regardless of micro-batch boundaries — the fixture arrives as one
-    // batch here; StreamingSpec drives the multi-batch/ redelivery cases.
+    // regardless of micro-batch boundaries. The update-mode memory sink
+    // APPENDS each batch's emissions (no upsert key), so the read side
+    // applies the same per-group md5-least-n reduction StreamingSpec
+    // uses: emissions only shrink toward the global least-n, so the
+    // least-n of everything a group ever emitted IS its final state —
+    // this makes the query robust to multi-file fixtures or a
+    // maxFilesPerTrigger split, not reliant on single-batch delivery.
     "q_stream_domain_cap" -> ((s, dir) => {
       import graft.streaming.StreamingPatterns
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
@@ -1999,7 +2024,12 @@ object SparkEntry {
         .writeStream.outputMode("update").format("memory").queryName(name)
         .start()
       q.processAllAvailable(); q.stop()
-      s.table(name).select(col("doc_id"), col("domain"))
+      val byDomain = Window.partitionBy(col("domain"))
+        .orderBy(md5(concat(lit("cap:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      s.table(name).select(col("doc_id"), col("domain")).distinct()
+        .withColumn("rk", row_number().over(byDomain))
+        .filter(col("rk") <= 10).drop("rk")
         .orderBy(col("domain"), col("doc_id"))
     }),
 

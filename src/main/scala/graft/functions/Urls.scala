@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   *   - scheme and host lowercase; userinfo dropped;
   *   - default ports stripped (http:80, https:443), others kept;
   *   - fragment dropped;
-  *   - tracking query params dropped (`utm_*`, `fbclid`, `gclid`, `ref`),
-  *     remaining params kept in ORIGINAL order (param reordering changes
-  *     semantics for some endpoints, so it is not applied);
+  *   - tracking query params dropped (`utm_*`, `fbclid`, `gclid` — all
+  *     analytics-only by their platforms' own definitions; bare `ref` is
+  *     deliberately NOT dropped: it is content-bearing on common sites,
+  *     e.g. a code host's `?ref=<branch>` selects different content, so
+  *     dropping it would collapse distinct resources into one dedup
+  *     identity), remaining params kept in ORIGINAL order (param
+  *     reordering changes semantics for some endpoints, so it is not
+  *     applied);
   *   - path and remaining query kept byte-for-byte (no percent-decoding:
   *     decoding is not an identity for reserved characters).
   * Inputs without a `scheme://` shape pass through unchanged (the caller
@@ -38,7 +43,7 @@ object Urls {
     "com.mx", "co.nz", "com.sg", "com.tr", "co.za")
 
   private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*://"
-  private val TrackingParamRe = "^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
+  private val TrackingParamRe = "^(utm_[^=]*|fbclid|gclid)(=|$)"
 
   /** Lowercased host of a URL: authority minus userinfo and port. Empty
     * string when the input has no `scheme://` shape. */

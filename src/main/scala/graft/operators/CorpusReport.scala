@@ -129,11 +129,20 @@ object CorpusReport {
     * and the second caller cache-hits every stage: the tracked frames
     * (src/judged/kept/ranked, scope "corpus") substitute through the
     * CacheManager, and `comps` — an EAGER iterative result plan caching
-    * cannot share — memoizes in [[Caches.memo]] (scope "dedup") under
-    * the canonicalized pair-plan key, so funnel-then-audit (either
-    * order) runs the pair build + label propagation exactly once.
-    * Release contract unchanged: `Caches.unpersistScope("corpus")` +
-    * [[Dedup.unpersistIntermediates]]. */
+    * cannot share — memoizes in [[Caches.memo]] under the canonicalized
+    * pair-plan key, so funnel-then-audit (either order) runs the pair
+    * build + label propagation exactly once.
+    *
+    * The memo lives in the "corpus" scope THIS module owns, NOT in
+    * "dedup": [[Dedup.unpersistIntermediates]] fires *internally* at the
+    * end of Dedup's instrumented ingestion path, and because `comps` is
+    * localCheckpointed (lineage truncated), a force-free there would
+    * leave any still-held reference unrecoverable — the scope invariant
+    * is that one operator family's cleanup cannot drop another's
+    * still-needed cache. Release contract for callers is unchanged in
+    * shape: `Caches.unpersistScope("corpus")` frees these frames AND the
+    * memo; [[Dedup.unpersistIntermediates]] additionally frees the pair
+    * build's own "dedup"-scope shingle/index frames. */
   private[graft] final class CurationFrames(
       val src: DataFrame, val judged: DataFrame, val base: DataFrame,
       val kept: DataFrame, val ranked: DataFrame, val uniq: DataFrame,
@@ -145,7 +154,7 @@ object CorpusReport {
       * memo release frees the localCheckpointed blocks
       * ([[Dedup.freeLocalCheckpoint]]) that `Dataset.unpersist` cannot. */
     lazy val comps: DataFrame =
-      Caches.memo("dedup", pairs, Dedup.freeLocalCheckpoint) {
+      Caches.memo("corpus", pairs, Dedup.freeLocalCheckpoint) {
         Dedup.components(pairs)
       }
   }

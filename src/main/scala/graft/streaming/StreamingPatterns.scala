@@ -92,7 +92,19 @@ object StreamingPatterns {
     * content-derived md5 key as the batch operator makes the streaming
     * and batch answers one fixed point, which is what lets a crawl
     * pipeline enforce per-domain budgets incrementally and still match
-    * its own batch re-run. State per group is O(n) ids.
+    * its own batch re-run.
+    *
+    * State is O(n) ids PER GROUP but the GROUP COUNT is unbounded: with
+    * registrable domains as groups (the advertised crawl use), a
+    * long-running stream accretes one state entry per domain ever seen,
+    * forever — unlike the watermark-bounded [[streamingDedup]] next
+    * door. For bounded deployments pass `idleRetention` (a duration,
+    * e.g. "7 days"): a group idle past it has its state evicted on a
+    * later batch via a processing-time timeout. The TRADE is explicit —
+    * an evicted group that reappears restarts its cap from empty, so
+    * batch-equivalence then holds per retention epoch, not over the
+    * whole stream history. Default (None) keeps the exact fixed point
+    * and the unbounded-group caveat.
     *
     * Emits each group's full current kept set on every batch it appears
     * in (update semantics); pair with `outputMode("update")` and a sink
@@ -102,8 +114,11 @@ object StreamingPatterns {
     * emitted ids, since emissions only shrink toward the global
     * least-n — StreamingSpec derives final state exactly that way). */
   def streamingGroupCap(pairs: DataFrame, idCol: String, groupCol: String,
-                        n: Int): Dataset[(String, Long)] = {
+                        n: Int,
+                        idleRetention: Option[String] = None): Dataset[(String, Long)] = {
     import pairs.sparkSession.implicits._
+    val timeoutConf = if (idleRetention.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     pairs
       .select(col(groupCol).cast("string").as("g"),
         col(idCol).cast("long").as("id"),
@@ -111,14 +126,22 @@ object StreamingPatterns {
       .as[(String, Long, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Seq[(String, Long)], (String, Long)](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeoutConf) {
         (group: String, rows: Iterator[(String, Long, String)],
          state: GroupState[Seq[(String, Long)]]) =>
-          val merged = (state.getOption.getOrElse(Seq.empty) ++
-              rows.map(r => (r._3, r._2)))
-            .distinct.sorted.take(n)
-          state.update(merged)
-          merged.iterator.map { case (_, id) => (group, id) }
+          if (state.hasTimedOut) {
+            // idle past retention: drop the group's state; its kept set
+            // was already emitted — nothing new to say
+            state.remove()
+            Iterator.empty
+          } else {
+            val merged = (state.getOption.getOrElse(Seq.empty) ++
+                rows.map(r => (r._3, r._2)))
+              .distinct.sorted.take(n)
+            state.update(merged)
+            idleRetention.foreach(state.setTimeoutDuration)
+            merged.iterator.map { case (_, id) => (group, id) }
+          }
       }
   }
 

@@ -82,7 +82,7 @@ class CorpusReportSpec extends SparkSpec {
       //    builds anything (the pair plan canonicalizes equal)...
       val frames2 = CorpusReport.curationFrames(
         docs, "doc_id", "text", "lang", pairs)
-      assert(Caches.memoHit("dedup", frames2.pairs),
+      assert(Caches.memoHit("corpus", frames2.pairs),
         "equal-plan pairs did not hit the components memo")
       // ...and the memo returns the SAME result instance on every equal
       // caller — the label-propagation loop cannot have re-run
@@ -101,16 +101,26 @@ class CorpusReportSpec extends SparkSpec {
     } finally releaseAll()
   }
 
-  test("scope release clears the components memo and frees its blocks") {
+  test("Dedup's internal cleanup cannot evict a held comps; corpus release does") {
     try {
       val docs = flood(6)
-      CorpusReport.dropAudit(docs, "doc_id", "text", "lang", pairs).collect()
-      val key = CorpusReport.curationFrames(
-        docs, "doc_id", "text", "lang", pairs).pairs
-      assert(Caches.memoHit("dedup", key))
-      Dedup.unpersistIntermediates() // scope "dedup"
-      assert(!Caches.memoHit("dedup", key),
-        "unpersistScope(dedup) must evict the components memo")
+      val frames = CorpusReport.curationFrames(
+        docs, "doc_id", "text", "lang", pairs)
+      val before = frames.comps.collect().toSet
+      assert(Caches.memoHit("corpus", frames.pairs))
+      // Dedup fires this INTERNALLY at the end of its instrumented
+      // ingestion path — it must not free the localCheckpointed comps a
+      // CorpusReport caller still holds (lineage is truncated, so a
+      // freed block would make the next read unrecoverable, not slow)
+      Dedup.unpersistIntermediates()
+      assert(Caches.memoHit("corpus", frames.pairs),
+        "Dedup's own scope release evicted CorpusReport's components memo")
+      assert(frames.comps.collect().toSet == before,
+        "held comps must stay readable after Dedup's internal cleanup")
+      // the documented corpus release is what frees it
+      Caches.unpersistScope("corpus")
+      assert(!Caches.memoHit("corpus", frames.pairs),
+        "unpersistScope(corpus) must evict the components memo")
     } finally releaseAll()
   }
 

@@ -501,4 +501,48 @@ class StreamingSpec extends SparkSpec {
     assert(finalKept(Seq(all.take(20), all.take(20), all.drop(20)))
       == batchKeep)
   }
+
+  test("group cap idleRetention evicts idle groups: a reappearing group restarts its cap") {
+    implicit val sqlCtx = spark.sqlContext
+    // md5-rank of group a's candidates, independent implementation
+    val aIds = (1L to 5L)
+    val ranked = aIds.sortBy(id => (org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(s"cap:$id"), id))
+    val (kept2, loser) = (ranked.take(2), ranked(2))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingPatterns.streamingGroupCap(
+      input.toDF().toDF("doc_id", "domain"), "doc_id", "domain", n = 2,
+      idleRetention = Some("1 millisecond"))
+      .toDF("domain", "doc_id")
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("cap_evict").start()
+    // With ProcessingTimeTimeout the engine NEVER quiesces (every batch
+    // "requires another" to honor future timeouts), so processAllAvailable
+    // would hang forever — poll the sink against a deadline instead.
+    def awaitEmission(want: (String, Long)): Set[(String, Long)] = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var got = Set.empty[(String, Long)]
+      while (!got.contains(want) && System.nanoTime() < deadline) {
+        got = spark.table("cap_evict").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+        if (!got.contains(want)) Thread.sleep(20)
+      }
+      assert(got.contains(want), s"no emission $want within deadline: $got")
+      got
+    }
+    try {
+      input.addData(aIds.map((_, "a")): _*)
+      kept2.foreach(id => awaitEmission(("a", id)))
+      Thread.sleep(50) // let group a's 1 ms retention lapse; the engine's
+      // continuous timeout batches sweep its state away
+      input.addData((100L, "b"))
+      awaitEmission(("b", 100L))
+      // group a reappears with an id its PRE-eviction cap had rejected:
+      // with retained state it would lose to kept2 again; from a fresh
+      // (evicted) state it is the sole member and must be emitted kept
+      input.addData((loser, "a"))
+      val emissions = awaitEmission(("a", loser))
+      assert(kept2.forall(id => emissions.contains(("a", id))))
+    } finally q.stop()
+  }
 }

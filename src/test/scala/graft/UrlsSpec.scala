@@ -28,12 +28,16 @@ class UrlsSpec extends SparkSpec {
 
   test("canonicalUrl drops tracking params, keeps the rest in original order") {
     assert(canon(
-      "https://e.com/p?utm_source=feed&b=2&a=1&gclid=xyz&fbclid&ref=z",
+      "https://e.com/p?utm_source=feed&b=2&a=1&gclid=xyz&fbclid",
       "https://e.com/p?utm_campaign=x",
-      "https://e.com/p") == Seq(
+      "https://e.com/p",
+      // ref is content-bearing (e.g. ?ref=<branch> on code hosts) and
+      // must SURVIVE canonicalization — it is not in the drop set
+      "https://e.com/repo?ref=main&utm_source=x") == Seq(
       "https://e.com/p?b=2&a=1",  // NOT resorted
       "https://e.com/p",          // all-tracking query -> no '?'
-      "https://e.com/p"))
+      "https://e.com/p",
+      "https://e.com/repo?ref=main"))
   }
 
   test("canonicalUrl passes scheme-less input through unchanged") {
