@@ -3011,6 +3011,35 @@ object SparkEntry {
            |ORDER BY doc_id""".stripMargin
       },
 
+      // Bigram-LM quality: the SAME dense weight constants as a hoisted
+      // list column, same md5-hex bucketing, integer-exact NLL; the only
+      // double is the final avg division (IEEE-exact both engines).
+      "q_lm_quality" -> {
+        import graft.functions.LmScore
+        s"""WITH toks AS (
+           |  SELECT doc_id, ${LmScore.duckdbTokensSql("text")} AS toks
+           |  FROM documents),
+           |bb AS (
+           |  SELECT doc_id,
+           |    CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+           |    ${LmScore.duckdbBucketsSql("toks")} AS bb
+           |  FROM toks),
+           |scored AS (
+           |  SELECT doc_id, n_bigrams,
+           |    CAST(${LmScore.duckdbNllSql("bb")} AS BIGINT) AS nll_c
+           |  FROM bb CROSS JOIN ${LmScore.duckdbWeightListSql}),
+           |avgd AS (
+           |  SELECT doc_id, n_bigrams, nll_c,
+           |    CASE WHEN n_bigrams = 0 THEN NULL
+           |      ELSE CAST(nll_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+           |    END AS avg_nll_c
+           |  FROM scored)
+           |SELECT doc_id, n_bigrams, nll_c, avg_nll_c,
+           |  (n_bigrams > 0 AND avg_nll_c <= ${LmScore.DefaultMaxAvgNll})
+           |    AS keep
+           |FROM avgd ORDER BY doc_id""".stripMargin
+      },
+
       // Script mix: the SAME explicit BMP range table as plans/ScriptMix,
       // counted as length minus length-after-removal per class (RE2
       // \x{...} ranges); other = total minus the eight named classes;
