@@ -307,6 +307,27 @@ object SparkEntry {
     Tables.documents(s, dir).select(col("doc_id"))
       .select(col("doc_id"), urlOf(col("doc_id")).as("url"))
 
+  /** The synthetic crawl page for a doc: the fixture's text wrapped in a
+    * deterministic HTML shell whose script body contains comparison
+    * operators (`<`, `>`, `&&`) — the exact content a naive tag-strip
+    * mangles — plus style/comment blocks, undecodable entities that must
+    * survive verbatim (`&middot;`, `&copy;`), the five decodable ones,
+    * and a double-encoded `&amp;lt;` that must decode exactly ONE level.
+    * Mirrored textually in the oracle. */
+  private[graft] def htmlOf(docId: Column, text: Column): Column = concat(
+    lit("<html><head><title>Doc "), docId.cast("string"),
+    lit("</title><style type=\"text/css\">body { color: #333; }</style>" +
+      "<script type=\"text/javascript\">var n = "),
+    (docId % 7).cast("string"),
+    lit("; if (n < 3 && n > 0) { n = n * 2; }</script></head><body>" +
+      "<nav><a href=\"/home\">Home</a> &middot; " +
+      "<a href=\"/about\">About</a></nav><!-- rendered "),
+    (docId % 10).cast("string"),
+    lit(" ms --><h1>Doc "), docId.cast("string"), lit("</h1><p>"), text,
+    lit("</p><p>It&#39;s &quot;quoted&quot; &amp;&nbsp;done: 1 &lt; 2 " +
+      "&gt; 0; double &amp;lt;b&amp;gt;</p>" +
+      "<div class=\"footer\">&copy; Example</div></body></html>"))
+
   /** The incremental-minhash corpus: (store = every 40th doc, batch =
     * the other sampled docs ∪ near-copies of store ∪ near-copies of the
     * batch's own docs) — shared by the md5 and xxhash64 ingestion
@@ -1109,6 +1130,26 @@ object SparkEntry {
         maxDf = 9)
         .withColumnRenamed("doc", "doc_id")
         .orderBy(col("doc_id"))),
+
+    // HTML -> text extraction (Html scaladoc) on the synthetic crawl
+    // corpus: script/style/comment content must vanish (including the
+    // script's `<`/`&&` operators), the five entities decode, the
+    // double-encoded one decodes one level, the rest pass verbatim,
+    // whitespace collapses. Map-only; density is the boilerplate signal.
+    "q_html_extract" -> ((s, dir) => {
+      import graft.functions.Html
+      Tables.documents(s, dir)
+        .select(col("doc_id"), htmlOf(col("doc_id"), col("text")).as("html"))
+        .select(col("doc_id"),
+          length(col("html")).cast("long").as("n_chars_html"),
+          Html.extractText(col("html")).as("extracted"))
+        .withColumn("n_chars_text", length(col("extracted")).cast("long"))
+        .withColumn("density",
+          Html.textDensity(col("n_chars_text"), col("n_chars_html")))
+        .select(col("doc_id"), col("extracted"), col("n_chars_html"),
+          col("n_chars_text"), col("density"))
+        .orderBy(col("doc_id"))
+    }),
 
     // URL canonicalization + registrable-domain rollup on the synthetic
     // URL corpus: scheme-case/default-port/tracking-param/fragment
@@ -2031,6 +2072,37 @@ object SparkEntry {
         .withColumn("rk", row_number().over(byDomain))
         .filter(col("rk") <= 10).drop("rk")
         .orderBy(col("domain"), col("doc_id"))
+    }),
+
+    // Streaming SESSION windows — the gap-merge primitive Structured
+    // Streaming ships natively (session_window): per-user sessions whose
+    // window end extends 1 h past the last event. Semantics pinned in
+    // StreamingSpec: the merge boundary is INCLUSIVE — an event at
+    // exactly prev+gap merges; sessions split only at gap > 1 h, the
+    // same strictly-after rule as the batch q_sessionize lag operator.
+    // Complete mode: the memory sink then holds final merged sessions —
+    // no watermark-finalization dependence.
+    "q_stream_sessionize" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = Tables.normalizeEventTs(s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+        .select(col("user_id"), col("ts"),
+          cents(col("value")).as("value_cents"))
+      val name = "stream_sessionize_" + math.abs(dir.hashCode).toString
+      s.catalog.dropTempView(name)
+      val q = stream
+        .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value_cents")).cast("long").as("total_value_cents"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.table(name).select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("n_events"), col("total_value_cents"))
+        .orderBy(col("user_id"), col("session_start_ms"))
     }),
 
     "q_stream_windowed" -> ((s, dir) => {
@@ -3825,6 +3897,41 @@ object SparkEntry {
           |GROUP BY f.doc_id
           |ORDER BY doc_id""".stripMargin,
 
+      // HTML extraction: the oracle rebuilds the synthetic page textually
+      // and extracts with the Html object's DuckDB twin (same pass chain
+      // under RE2) — extracted strings must agree byte-for-byte,
+      // including entity decodes and verbatim unknown entities.
+      "q_html_extract" -> {
+        import graft.functions.Html
+        val htmlSql =
+          """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+            |'</title><style type="text/css">body { color: #333; }</style>' ||
+            |'<script type="text/javascript">var n = ' ||
+            |CAST(doc_id % 7 AS VARCHAR) ||
+            |'; if (n < 3 && n > 0) { n = n * 2; }</script></head><body>' ||
+            |'<nav><a href="/home">Home</a> &middot; ' ||
+            |'<a href="/about">About</a></nav><!-- rendered ' ||
+            |CAST(doc_id % 10 AS VARCHAR) ||
+            |' ms --><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+            |text ||
+            |'</p><p>It&#39;s &quot;quoted&quot; &amp;&nbsp;done: 1 &lt; 2 ' ||
+            |'&gt; 0; double &amp;lt;b&amp;gt;</p>' ||
+            |'<div class="footer">&copy; Example</div></body></html>'"""
+            .stripMargin.replace("\n", "")
+        s"""WITH page AS (
+           |  SELECT doc_id, $htmlSql AS html FROM documents),
+           |ext AS (
+           |  SELECT doc_id, CAST(length(html) AS BIGINT) AS n_chars_html,
+           |    ${Html.duckdbExtractSql("html")} AS extracted
+           |  FROM page)
+           |SELECT doc_id, extracted, n_chars_html,
+           |  CAST(length(extracted) AS BIGINT) AS n_chars_text,
+           |  CASE WHEN n_chars_html = 0 THEN NULL
+           |    ELSE CAST(length(extracted) AS DOUBLE)
+           |      / CAST(n_chars_html AS DOUBLE) END AS density
+           |FROM ext ORDER BY doc_id""".stripMargin
+      },
+
       // URL stats: the oracle rebuilds the synthetic URL corpus
       // textually and canonicalizes with the Urls object's DuckDB twin
       // expressions (same regex text under RE2) — canonical strings,
@@ -4273,6 +4380,30 @@ object SparkEntry {
            |  coalesce(array_to_string(reasons, ','), '') AS reasons,
            |  len(reasons) = 0 AS keep
            |FROM judged ORDER BY doc_id""".stripMargin,
+
+      // Session windows: lag-gap islands with the session_window merge
+      // rule — the merge boundary is inclusive (exact-gap events merge;
+      // StreamingSpec pins it), so the split is gap > 3600000 ms, the
+      // same rule as q_sessionize; session end = last event + gap.
+      "q_stream_sessionize" ->
+        s"""WITH g AS (
+           |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+           |    ${centsSql("value")} AS value_cents,
+           |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+           |        PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+           |      > 3600000 THEN 1 ELSE 0 END AS brk
+           |  FROM events),
+           |s AS (
+           |  SELECT user_id, ts_ms, value_cents,
+           |    sum(brk) OVER (PARTITION BY user_id
+           |      ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM g)
+           |SELECT user_id, min(ts_ms) AS session_start_ms,
+           |  max(ts_ms) + 3600000 AS session_end_ms,
+           |  count(*) AS n_events,
+           |  CAST(sum(value_cents) AS BIGINT) AS total_value_cents
+           |FROM s GROUP BY user_id, sid
+           |ORDER BY user_id, session_start_ms""".stripMargin,
 
       "q_stream_windowed" ->
         s"""SELECT $patternIdSql AS pattern_id,

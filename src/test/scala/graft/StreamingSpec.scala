@@ -502,6 +502,65 @@ class StreamingSpec extends SparkSpec {
       == batchKeep)
   }
 
+  test("session_window merges at exactly the gap and splits strictly after it") {
+    import org.apache.spark.sql.functions._
+    // the semantic pin the q_stream_sessionize oracle relies on: an event
+    // at EXACTLY prev + gap still merges (the window boundary is
+    // inclusive for merging — split only at gap > 1 h, the same strictly-
+    // after rule as the batch lag operator), and session end = last
+    // event + gap
+    val df = Seq((1L, 0L), (1L, 3600000L), (2L, 0L), (2L, 3599999L),
+        (3L, 0L), (3L, 3600001L))
+      .toDF("u", "ms").withColumn("ts", timestamp_millis(col("ms")))
+    val rows = df.groupBy(session_window(col("ts"), "1 hour"), col("u"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("u"), unix_millis(col("session_window.start")).as("st"),
+        unix_millis(col("session_window.end")).as("en"), col("n"))
+      .orderBy(col("u"), col("st"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 0L, 7200000L, 2L),
+      (2L, 0L, 7199999L, 2L),
+      (3L, 0L, 3600000L, 1L), (3L, 3600001L, 7200001L, 1L)), rows.mkString(";"))
+  }
+
+  test("streaming session_window in complete mode equals the batch computation") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // adversarial batching: a session's events split across micro-batches
+    // and arrive out of order — complete mode must still merge them
+    val events = Seq((1L, 0L), (1L, 1000L), (1L, 3599000L), (1L, 7200000L),
+      (2L, 500L), (2L, 3600499L), (2L, 10000000L))
+    def batch(rows: Seq[(Long, Long)]) = rows.toDF("u", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val expected = batch(events)
+      .groupBy(session_window(col("ts"), "1 hour"), col("u"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("u"), unix_millis(col("session_window.start")).as("st"),
+        unix_millis(col("session_window.end")).as("en"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val input = MemoryStream[(Long, Long)]
+    val q = input.toDF().toDF("u", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .groupBy(session_window(col("ts"), "1 hour"), col("u"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("stream_sessions").start()
+    try {
+      // reversed order, split mid-session
+      val rev = events.reverse
+      input.addData(rev.take(3): _*); q.processAllAvailable()
+      input.addData(rev.drop(3): _*); q.processAllAvailable()
+      val got = spark.table("stream_sessions")
+        .select(col("u"), unix_millis(col("session_window.start")).as("st"),
+          unix_millis(col("session_window.end")).as("en"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expected, s"streaming $got vs batch $expected")
+    } finally q.stop()
+  }
+
   test("group cap idleRetention evicts idle groups: a reappearing group restarts its cap") {
     implicit val sqlCtx = spark.sqlContext
     // md5-rank of group a's candidates, independent implementation
