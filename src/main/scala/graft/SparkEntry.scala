@@ -180,6 +180,51 @@ object SparkEntry {
     * streaming twin (whose md5-rank state converges to the same kept
     * set): synthetic URL corpus → Urls DuckDB twins → groupCap's
     * md5-shuffled rank per domain. */
+  /** The q_dedup_jaccard oracle's inverted-index pipeline as a reusable
+    * CTE chain ending in `jpairs(doc_a, doc_b, n_common, jaccard)` —
+    * shared verbatim by the pair query and the split-leakage audit so
+    * the two oracles cannot drift apart. */
+  private lazy val jaccardPairsOracleCtes: String =
+    """planted AS (
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ') AS text
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM documents)),
+      |base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM planted),
+      |tok AS (
+      |  SELECT doc_id AS doc, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |  FROM base),
+      |shingles AS (
+      |  SELECT DISTINCT doc, shingle FROM (
+      |    SELECT doc, unnest(
+      |      CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(generate_series(1, len(toks) - 4),
+      |        i -> array_to_string(toks[i:i+4], ' ')) END) AS shingle
+      |    FROM tok) u),
+      |sizes AS (SELECT doc, count(*) AS set_size FROM shingles GROUP BY doc),
+      |disc AS (SELECT shingle FROM shingles
+      |         GROUP BY shingle HAVING count(*) BETWEEN 2 AND 20),
+      |ds AS (SELECT s.doc, s.shingle FROM shingles s JOIN disc USING (shingle)),
+      |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      |         FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc < b.doc),
+      |common AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      |  FROM cand c
+      |  JOIN shingles sa ON sa.doc = c.doc_a
+      |  JOIN shingles sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
+      |  GROUP BY 1, 2),
+      |jpairs AS (
+      |  SELECT m.doc_a, m.doc_b, m.n_common,
+      |    CAST(m.n_common AS DOUBLE) / (za.set_size + zb.set_size - m.n_common)
+      |      AS jaccard
+      |  FROM common m
+      |  JOIN sizes za ON za.doc = m.doc_a
+      |  JOIN sizes zb ON zb.doc = m.doc_b
+      |  WHERE CAST(m.n_common AS DOUBLE) / (za.set_size + zb.set_size - m.n_common)
+      |    >= 0.3)""".stripMargin
+
   private lazy val domainCapOracleSql: String =
     s"""WITH urls AS (
        |  SELECT doc_id,
@@ -1455,6 +1500,25 @@ object SparkEntry {
       graft.operators.Sampling.split(
         Tables.documents(s, dir).select(col("doc_id")), "doc_id")
         .orderBy(col("doc_id"))),
+
+    // Split-leakage audit (Sampling.splitLeakage scaladoc): near-dup
+    // pairs crossing the hash split's boundaries — the planted
+    // near-copies (id + 1e6) hash independently of their originals, so
+    // a slice of them lands in a different split and must be flagged as
+    // evaluation contamination. Composes the audited jaccard pair
+    // operator with the audited hash split; both joins move ids only.
+    "q_split_leakage" -> ((s, dir) => {
+      val corpus = jaccardCorpus(s, dir)
+      val pairs = Dedup.jaccardNearDups(corpus, "doc_id", "text",
+        shingleN = 5, dfMax = 20, minJaccard = 0.3)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      graft.operators.Sampling.splitLeakage(pairs,
+          graft.operators.Sampling.split(
+            corpus.select(col("doc_id")), "doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+          col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
 
     // Per-language deterministic downsample: keep 20% of en, 100% of zh,
     // 50% of es; de/fr dropped (rate 0).
@@ -3695,47 +3759,32 @@ object SparkEntry {
       // Exact n-gram Jaccard: DuckDB mirrors the full pipeline on RAW
       // string shingles — Spark's xxhash64'd shingles preserve distinct
       // counts and intersections (injective in practice), so df caps,
-      // candidate sets, and exact Jaccard values coincide.
+      // candidate sets, and exact Jaccard values coincide. CTE chain
+      // shared with q_split_leakage.
       "q_dedup_jaccard" ->
-        """WITH planted AS (
-          |  SELECT doc_id + 1000000 AS doc_id,
-          |    array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ') AS text
-          |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-          |        FROM documents)),
-          |base AS (
-          |  SELECT doc_id, text FROM documents
-          |  UNION ALL SELECT doc_id, text FROM planted),
-          |tok AS (
-          |  SELECT doc_id AS doc, string_split_regex(trim(lower(text)), '\s+') AS toks
-          |  FROM base),
-          |shingles AS (
-          |  SELECT DISTINCT doc, shingle FROM (
-          |    SELECT doc, unnest(
-          |      CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
-          |      ELSE list_transform(generate_series(1, len(toks) - 4),
-          |        i -> array_to_string(toks[i:i+4], ' ')) END) AS shingle
-          |    FROM tok) u),
-          |sizes AS (SELECT doc, count(*) AS set_size FROM shingles GROUP BY doc),
-          |disc AS (SELECT shingle FROM shingles
-          |         GROUP BY shingle HAVING count(*) BETWEEN 2 AND 20),
-          |ds AS (SELECT s.doc, s.shingle FROM shingles s JOIN disc USING (shingle)),
-          |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-          |         FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc < b.doc),
-          |common AS (
-          |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
-          |  FROM cand c
-          |  JOIN shingles sa ON sa.doc = c.doc_a
-          |  JOIN shingles sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
-          |  GROUP BY 1, 2)
-          |SELECT m.doc_a, m.doc_b, m.n_common,
-          |  CAST(m.n_common AS DOUBLE) / (za.set_size + zb.set_size - m.n_common)
-          |    AS jaccard
-          |FROM common m
-          |JOIN sizes za ON za.doc = m.doc_a
-          |JOIN sizes zb ON zb.doc = m.doc_b
-          |WHERE CAST(m.n_common AS DOUBLE) / (za.set_size + zb.set_size - m.n_common)
-          |  >= 0.3
-          |ORDER BY doc_a, doc_b""".stripMargin,
+        s"""WITH $jaccardPairsOracleCtes
+           |SELECT doc_a, doc_b, n_common, jaccard FROM jpairs
+           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // Split leakage: the SAME jaccard pair chain, each endpoint
+      // assigned its split by the SAME md5 hash-bucket formula the
+      // batch split uses — cross-split pairs survive the filter.
+      "q_split_leakage" -> {
+        def sp(c: String) = {
+          val b = graft.operators.Sampling.duckdbHashBucketSql(c, 10000)
+          s"""CASE WHEN $b < 1000 THEN 'val'
+             |       WHEN $b < 2000 THEN 'test'
+             |       ELSE 'train' END""".stripMargin
+        }
+        s"""WITH $jaccardPairsOracleCtes,
+           |lk AS (
+           |  SELECT doc_a, doc_b, ${sp("doc_a")} AS split_a,
+           |    ${sp("doc_b")} AS split_b, jaccard
+           |  FROM jpairs)
+           |SELECT doc_a, doc_b, split_a, split_b, jaccard FROM lk
+           |WHERE split_a <> split_b
+           |ORDER BY doc_a, doc_b""".stripMargin
+      },
 
       // containment: same inverted-index mirror as q_dedup_jaccard, score
       // |A∩B| / min(|A|,|B|), planted excerpts instead of token-dropped

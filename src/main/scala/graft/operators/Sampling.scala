@@ -35,6 +35,33 @@ object Sampling {
         .otherwise("train"))
   }
 
+  /** Train/val/test LEAKAGE AUDIT — the near-dup pairs whose endpoints
+    * landed in DIFFERENT splits: every such pair is evaluation
+    * contamination (a test document whose near-copy was trained on
+    * inflates the benchmark), and a split cut by [[split]]'s per-doc
+    * hash CANNOT avoid it — hash splitting is independent of content,
+    * so each near-dup cluster scatters across splits. The audit is the
+    * step a real pipeline runs BEFORE training: either re-cut the split
+    * along component keep-lists (dedup first, split after) or drop the
+    * flagged eval docs.
+    *
+    * `pairs` = any near-dup pair frame (jaccard/minhash/simhash/
+    * containment output: `aCol`, `bCol`, carried score columns pass
+    * through); `splits` = ([[split]]'s) (id, split) assignment.
+    *
+    * Scale shape: `pairs` is already bounded by the dedup budget; the
+    * assignment frame is two thin columns, and both joins shuffle on
+    * the id key only (or broadcast when the pair set is small) — no
+    * text moves. */
+  def splitLeakage(pairs: DataFrame, splits: DataFrame,
+                   idCol: String = "doc_id",
+                   aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val sa = splits.select(col(idCol).as(aCol), col("split").as("split_a"))
+    val sb = splits.select(col(idCol).as(bCol), col("split").as("split_b"))
+    pairs.join(sa, aCol).join(sb, bCol)
+      .filter(col("split_a") =!= col("split_b"))
+  }
+
   /** Per-stratum deterministic sample: keep a row iff its hash bucket
     * falls under the stratum's rate (basis points of 10000). Strata
     * missing from `ratesBp` are dropped — the training-data shape

@@ -28,6 +28,32 @@ class PackingSamplingSpec extends SparkSpec {
     assert(math.abs(frac("train") - 0.80) < 0.05)
   }
 
+  test("split leakage flags exactly the cross-split near-dup pairs, scores carried") {
+    import org.apache.spark.sql.functions.col
+    // enough docs that every split is populated, then near-dup pairs
+    // planted WITHIN and ACROSS splits — only the cross ones may surface
+    val ids = (0L until 500L)
+    val splits = Sampling.split(ids.toDF("doc_id"), "doc_id")
+    val byDoc = splits.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySplit = byDoc.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
+    val (tr, te, va) =
+      (bySplit("train"), bySplit("test"), bySplit("val"))
+    val pairs = Seq(
+      (tr(0), tr(1), 0.91), // within train — must NOT surface
+      (te(0), te(1), 0.92), // within test — must NOT surface
+      (tr(2), te(2), 0.93), // train/test — leakage
+      (va(0), tr(3), 0.94)) // val/train — leakage
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = Sampling.splitLeakage(pairs, splits)
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      (tr(2), te(2), "train", "test", 0.93),
+      (va(0), tr(3), "val", "train", 0.94)), got)
+  }
+
   test("stratified sample keeps rate-0 strata empty and full-rate strata whole") {
     val d = docs(300, 2).withColumn("lang",
       when(col("doc_id") % 3 === 0, "en").when(col("doc_id") % 3 === 1, "zh")
