@@ -225,6 +225,33 @@ object SparkEntry {
       |  WHERE CAST(m.n_common AS DOUBLE) / (za.set_size + zb.set_size - m.n_common)
       |    >= 0.3)""".stripMargin
 
+  /** The lined-corpus + per-line fingerprint oracle CTEs (ends in
+    * `fps(doc_id, pos, line, fp, nfp)`) — shared by the boilerplate-line
+    * and paragraph-dedup oracles so the corpus synthesis and the
+    * normalization cannot drift between them. */
+  private lazy val linedFpsOracleCtes: String =
+    """lined AS (
+      |  SELECT doc_id,
+      |    concat_ws(chr(10),
+      |      'Site-' || CAST(doc_id % 20 AS VARCHAR) ||
+      |        CASE WHEN doc_id % 2 = 0 THEN '  NAVIGATION menu home about'
+      |             ELSE ' navigation Menu home about' END,
+      |      text,
+      |      CASE WHEN doc_id % 100 = 0 THEN 'rare shared line' END,
+      |      'copyright site-' || CAST(doc_id % 20 AS VARCHAR) ||
+      |        ' all rights reserved') AS text
+      |  FROM documents),
+      |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+      |lines AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(ls))) - 1 AS pos,
+      |    unnest(ls) AS line
+      |  FROM ls),
+      |fps AS (
+      |  SELECT doc_id, pos, line,
+      |    md5(lower(trim(regexp_replace(line, '\s+', ' ', 'g')))) AS fp,
+      |    length(trim(regexp_replace(line, '\s+', ' ', 'g'))) AS nfp
+      |  FROM lines)""".stripMargin
+
   private lazy val domainCapOracleSql: String =
     s"""WITH urls AS (
        |  SELECT doc_id,
@@ -1175,6 +1202,33 @@ object SparkEntry {
         maxDf = 9)
         .withColumnRenamed("doc", "doc_id")
         .orderBy(col("doc_id"))),
+
+    // Paragraph dedup (Dedup.dedupParagraphs scaladoc) on the lined
+    // corpus: every repeated paragraph keeps its global first (doc, pos)
+    // occurrence verbatim; the per-site header/footer variants that
+    // share one normalized fingerprint collapse to the site's first doc.
+    "q_paragraph_dedup" -> ((s, dir) =>
+      Dedup.dedupParagraphs(linedCorpus(s, dir), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // Snapshot diff (Dedup.corpusDiff scaladoc): old = the fixture, new
+    // = a deterministic mutation (every 13th doc dropped, every 7th
+    // content-changed, every 17th re-added under a fresh id) — the
+    // recrawl delta is exactly the mutated rows, never the unchanged
+    // bulk.
+    "q_corpus_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val newSnap = d.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            concat(lit("new page "), col("text")).as("text")))
+      Dedup.corpusDiff(d, newSnap, "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
 
     // HTML -> text extraction (Html scaladoc) on the synthetic crawl
     // corpus: script/style/comment content must vanish (including the
@@ -3913,37 +3967,65 @@ object SparkEntry {
       // position order — clean_text must agree byte-for-byte, including
       // the surviving variants' ORIGINAL case and spacing.
       "q_boilerplate_lines" ->
-        """WITH lined AS (
+        s"""WITH $linedFpsOracleCtes,
+           |bp AS (
+           |  SELECT fp FROM fps WHERE nfp >= 1
+           |  GROUP BY fp HAVING count(DISTINCT doc_id) > 9)
+           |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+           |  CAST(count(*) FILTER (WHERE b.fp IS NOT NULL) AS BIGINT)
+           |    AS n_removed,
+           |  coalesce(string_agg(f.line, chr(10) ORDER BY f.pos)
+           |    FILTER (WHERE b.fp IS NULL), '') AS clean_text
+           |FROM fps f LEFT JOIN bp b USING (fp)
+           |GROUP BY f.doc_id
+           |ORDER BY doc_id""".stripMargin,
+
+      // Paragraph dedup: same lined corpus + normalization, but the
+      // removal set is every occurrence RANKED PAST the global first
+      // ((doc, pos) order per fingerprint) instead of a df cap — the
+      // first occurrence of each repeated paragraph must survive
+      // verbatim, all later ones vanish.
+      "q_paragraph_dedup" ->
+        s"""WITH $linedFpsOracleCtes,
+           |rem AS (
+           |  SELECT doc_id, pos FROM (
+           |    SELECT doc_id, pos,
+           |      row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos)
+           |        AS rn
+           |    FROM fps WHERE nfp >= 1) t
+           |  WHERE rn > 1)
+           |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+           |  CAST(count(*) FILTER (WHERE r.pos IS NOT NULL) AS BIGINT)
+           |    AS n_removed,
+           |  coalesce(string_agg(f.line, chr(10) ORDER BY f.pos)
+           |    FILTER (WHERE r.pos IS NULL), '') AS clean_text
+           |FROM fps f
+           |LEFT JOIN rem r ON r.doc_id = f.doc_id AND r.pos = f.pos
+           |GROUP BY f.doc_id
+           |ORDER BY f.doc_id""".stripMargin,
+
+      // Snapshot diff: the oracle rebuilds the mutated new snapshot
+      // textually (drop %13, content-change %7, add %17 under new ids)
+      // and mirrors the fingerprint full-outer-join status algebra.
+      "q_corpus_diff" ->
+        """WITH o AS (SELECT doc_id AS doc, md5(text) AS old_fp FROM documents),
+          |newc AS (
           |  SELECT doc_id,
-          |    concat_ws(chr(10),
-          |      'Site-' || CAST(doc_id % 20 AS VARCHAR) ||
-          |        CASE WHEN doc_id % 2 = 0 THEN '  NAVIGATION menu home about'
-          |             ELSE ' navigation Menu home about' END,
-          |      text,
-          |      CASE WHEN doc_id % 100 = 0 THEN 'rare shared line' END,
-          |      'copyright site-' || CAST(doc_id % 20 AS VARCHAR) ||
-          |        ' all rights reserved') AS text
-          |  FROM documents),
-          |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
-          |lines AS (
-          |  SELECT doc_id, unnest(generate_series(1, len(ls))) - 1 AS pos,
-          |    unnest(ls) AS line
-          |  FROM ls),
-          |fps AS (
-          |  SELECT doc_id, pos, line,
-          |    md5(lower(trim(regexp_replace(line, '\s+', ' ', 'g')))) AS fp,
-          |    length(trim(regexp_replace(line, '\s+', ' ', 'g'))) AS nfp
-          |  FROM lines),
-          |bp AS (
-          |  SELECT fp FROM fps WHERE nfp >= 1
-          |  GROUP BY fp HAVING count(DISTINCT doc_id) > 9)
-          |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
-          |  CAST(count(*) FILTER (WHERE b.fp IS NOT NULL) AS BIGINT)
-          |    AS n_removed,
-          |  coalesce(string_agg(f.line, chr(10) ORDER BY f.pos)
-          |    FILTER (WHERE b.fp IS NULL), '') AS clean_text
-          |FROM fps f LEFT JOIN bp b USING (fp)
-          |GROUP BY f.doc_id
+          |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+          |  FROM documents WHERE doc_id % 13 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 3000000 AS doc_id, 'new page ' || text AS text
+          |  FROM documents WHERE doc_id % 17 = 0),
+          |n AS (SELECT doc_id AS doc, md5(text) AS new_fp FROM newc),
+          |j AS (
+          |  SELECT coalesce(o.doc, n.doc) AS doc_id, o.old_fp, n.new_fp,
+          |    CASE WHEN o.old_fp IS NULL THEN 'added'
+          |         WHEN n.new_fp IS NULL THEN 'removed'
+          |         WHEN o.old_fp <> n.new_fp THEN 'changed'
+          |         ELSE 'unchanged' END AS status
+          |  FROM o FULL OUTER JOIN n ON o.doc = n.doc)
+          |SELECT doc_id, status, old_fp, new_fp FROM j
+          |WHERE status <> 'unchanged'
           |ORDER BY doc_id""".stripMargin,
 
       // HTML extraction: the oracle rebuilds the synthetic page textually

@@ -1508,6 +1508,81 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** Exact PARAGRAPH dedup with a first-occurrence canonical — the
+    * sub-document granularity between [[removeBoilerplateLines]] (df-
+    * capped, NO survivor: template furniture) and [[exactGroups]] (whole
+    * documents): every repeated paragraph keeps exactly its GLOBAL FIRST
+    * occurrence (minimum (doc, pos), the deterministic arrival-order
+    * canonical) and loses all later ones — including repeats inside one
+    * document — regardless of how many documents carry it. This is the
+    * paragraph-level pass of CCNet-style pipelines: syndicated passages,
+    * quoted headers, and copy-pasted blocks collapse to one owner while
+    * each document keeps its unique prose.
+    *
+    * Paragraph identity = md5 of the whitespace-collapsed, trimmed,
+    * lowercased paragraph (the [[removeBoilerplateLines]] normalization);
+    * paragraphs under `minChars` normalized chars (blanks) are exempt.
+    *
+    * Output per input doc: (doc, n_paras, n_removed, clean_text) with
+    * surviving paragraphs VERBATIM in original order.
+    *
+    * Scale shape: ONE window shuffle keyed by the 32-hex fp (never the
+    * paragraph text) ranks occurrences; the removal join carries
+    * (doc, pos) longs at duplicate-occurrence cardinality; reassembly is
+    * in-row on the original doc's split array. */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                      minChars: Int = 1): DataFrame = {
+    val base = docs.select(col(idCol).as("doc"),
+      split(col(textCol), "\n", -1).as("ls"))
+    val paras = base.select(col("doc"), posexplode(col("ls")))
+      .select(col("doc"), col("pos"),
+        md5(lower(trim(regexp_replace(col("col"), "\\s+", " ")))).as("fp"),
+        length(trim(regexp_replace(col("col"), "\\s+", " "))).as("nfp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc"), col("pos"))
+    val rem = paras.filter(col("nfp") >= minChars)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .groupBy(col("doc")).agg(collect_list(col("pos")).as("rem"))
+    base.join(rem, Seq("doc"), "left")
+      .select(col("doc"),
+        size(col("ls")).cast("long").as("n_paras"),
+        coalesce(size(col("rem")), lit(0)).cast("long").as("n_removed"),
+        when(col("rem").isNull, array_join(col("ls"), "\n"))
+          .otherwise(array_join(filter(col("ls"),
+            (_, i) => !array_contains(col("rem"), i)), "\n"))
+          .as("clean_text"))
+  }
+
+  /** Snapshot DIFF between two corpus versions keyed by document id —
+    * the recrawl delta a 100 TB pipeline feeds its incremental stages
+    * instead of reprocessing the world: `added` (id only in the new
+    * snapshot), `removed` (only in the old), `changed` (both, different
+    * content fingerprint). Unchanged documents are NOT emitted — the
+    * output is delta-cardinality, which is the entire point.
+    *
+    * Content identity is the RAW md5 (no normalization): the diff
+    * detects byte changes; semantic-equivalence questions belong to the
+    * dedup operators downstream.
+    *
+    * Scale shape: each side reduces map-only to (id, 32-hex fp) — text
+    * never crosses an exchange — and the full-outer join shuffles those
+    * thin pairs on the id; with both snapshots bucketed by id the join
+    * is exchange-free. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("doc"), md5(col(textCol)).as("old_fp"))
+    val n = newDocs.select(col(idCol).as("doc"), md5(col(textCol)).as("new_fp"))
+    o.join(n, Seq("doc"), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc"), col("status"), col("old_fp"), col("new_fp"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup via
     * clustering: k-means the embedding space, then search for near-dup
     * pairs only WITHIN each cluster. The published scale path for

@@ -529,6 +529,53 @@ class DedupSpec extends SparkSpec {
     assert(gone(1L) == "body 1")
   }
 
+  test("paragraph dedup keeps each repeated paragraph's global first occurrence verbatim") {
+    // 'shared para' appears in docs 1 (twice!) and 2/3 under spacing/case
+    // variants: ONLY doc 1 pos 0 survives — later copies vanish including
+    // the within-doc repeat; unique paragraphs and blanks are untouched
+    val d = Seq(
+      (1L, "Shared  PARA\nunique one\n\nshared para"),
+      (2L, "shared para\nunique two"),
+      (3L, " SHARED   para \nunique three"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((4L, 1L, "Shared  PARA\nunique one\n")),
+      got(1L).toString)
+    assert(got(2L) == ((2L, 1L, "unique two")))
+    assert(got(3L) == ((2L, 1L, "unique three")))
+  }
+
+  test("paragraph dedup is idempotent and df-independent (no cap: even df=2 dedups)") {
+    val d = Seq(
+      (1L, "a b c\nfirst body"),
+      (2L, "a b c\nsecond body"))
+      .toDF("doc_id", "text")
+    val once = Dedup.dedupParagraphs(d, "doc_id", "text")
+      .select(col("doc"), col("clean_text"))
+    val kept = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept(1L) == "a b c\nfirst body" && kept(2L) == "second body")
+    val twice = Dedup.dedupParagraphs(
+      once.withColumnRenamed("clean_text", "text"), "doc", "text")
+    assert(twice.filter(col("n_removed") > 0).count() == 0)
+  }
+
+  test("corpus diff emits exactly the delta with the right statuses") {
+    val old_ = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val new_ = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(old_, new_, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"), got)
+    // fingerprints carried: changed rows expose both sides, added/removed
+    // carry a null on the absent side
+    val rows = Dedup.corpusDiff(old_, new_, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.isNullAt(2), r.isNullAt(3))).toSet
+    assert(rows == Set((2L, false, false), (3L, false, true), (4L, true, false)))
+  }
+
   test("duplicated spans: exact cross-doc windows, coverage union, hash-invariant") {
     val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
     val d = Seq(
