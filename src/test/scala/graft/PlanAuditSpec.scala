@@ -565,6 +565,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("paragraph dedup: removal join via broadcast, fp window only, no merge join") {
+    // same budget argument as boilerplate removal: the removal frame is
+    // duplicate-occurrence cardinality ((doc, pos) longs), so the
+    // reassembly join back onto the full-text base must broadcast; the
+    // only wide exchange is the rank window's fp hash partitioning
+    val d = (1 to 40).map(i =>
+      (i.toLong, s"shared para\nunique body $i\nshared para"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.operators.Dedup.dedupParagraphs(d, "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("corpus diff: both sides reduce to thin (id, fp) pairs before the one join") {
+    // the full-outer join cannot broadcast, but what shuffles must be
+    // the two map-only (id, 32-hex fp) reductions — never the text: two
+    // hash exchanges total, no product join, and no exchange carries
+    // the text attribute
+    val o = (1 to 40).map(i => (i.toLong, s"old body $i")).toDF("doc_id", "text")
+    val n = (3 to 42).map(i => (i.toLong, s"new body $i")).toDF("doc_id", "text")
+    val p = plan(graft.operators.Dedup.corpusDiff(o, n, "doc_id", "text"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"), exchanges)
+  }
+
+  test("split leakage: assignment joins never shuffle the pair side wide") {
+    // the pair frame is near-dup-output cardinality (small); Spark must
+    // broadcast it against the corpus-wide split assignment — the audit
+    // overlay adds no product join and no range exchange
+    import graft.operators.Sampling
+    val ids = (0L until 200L)
+    val splits = Sampling.split(ids.toDF("doc_id"), "doc_id")
+    val pairs = Seq((1L, 2L, 0.9), (3L, 150L, 0.8), (7L, 9L, 0.7))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val p = plan(Sampling.splitLeakage(pairs, splits))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("url canonicalization + domain rollup: map-side until one aggregate exchange") {
     import graft.functions.Urls
     val u = (1 to 30).map(i =>
