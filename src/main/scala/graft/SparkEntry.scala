@@ -1771,6 +1771,18 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))),
 
+    // Product quantization (Pq scaladoc): per-subspace Lloyd codebooks
+    // (8 subspaces × 16 centroids over 64 dims), corpus quantized to 8
+    // code bytes/vector, queries' EXACT vectors scored against candidate
+    // RECONSTRUCTIONS. The whole pipeline — subspace slicing, seeded
+    // deterministic Lloyd, fixed-point updates, encode, reconstruct,
+    // rank — runs under the DuckDB oracle like q_ann_ivf's build does.
+    "q_ann_pq" -> ((s, dir) =>
+      graft.operators.Pq.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("query_id") % 20 === 0, k = 5, m = 8, numCentroids = 16, dim = 64)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))),
+
     // SRP-LSH bucketed approximate neighbors, ORACLE-EXACT by
     // construction: queries are planted collinear copies (×1.5) of corpus
     // vectors, so every query shares its partner's hyperplane-sign bucket
@@ -4618,6 +4630,72 @@ object SparkEntry {
            |  SELECT query_id, vid, cosine,
            |    row_number() OVER (PARTITION BY query_id
            |      ORDER BY cosine DESC, vid) AS rnk
+           |  FROM scored)
+           |WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin
+      },
+
+      // PQ: the full per-subspace Lloyd build + encode + reconstruct +
+      // rank mirrored in SQL — same fixed-point discipline as the IVF
+      // oracle, with the subspace key carried through every stage.
+      "q_ann_pq" -> {
+        def assignSql(name: String, cb: String) =
+          s"""$name AS (
+             |  SELECT vid, j, sub, cid FROM (
+             |    SELECT s.vid, s.j, s.sub, t.cid,
+             |      row_number() OVER (PARTITION BY s.vid, s.j ORDER BY
+             |        list_sum(list_transform(generate_series(1, 8),
+             |          i -> (CAST(s.sub[i] AS DOUBLE) - CAST(t.cvec[i] AS DOUBLE))
+             |             * (CAST(s.sub[i] AS DOUBLE) - CAST(t.cvec[i] AS DOUBLE)))),
+             |        t.cid) AS rn
+             |    FROM subs s JOIN $cb t ON s.j = t.j) WHERE rn = 1)"""
+        def updateSql(exName: String, updName: String, cbName: String, from: String) =
+          s"""$exName AS (
+             |  SELECT j, cid, unnest(generate_series(1, 8)) AS pos,
+             |    unnest(sub) AS x
+             |  FROM $from),
+             |$updName AS (
+             |  SELECT j, cid, pos,
+             |    sum(CAST(floor(x::DOUBLE * 1048576.0) AS BIGINT)) AS s,
+             |    count(*) AS n
+             |  FROM $exName GROUP BY j, cid, pos),
+             |$cbName AS (
+             |  SELECT j, cid,
+             |    list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS FLOAT)
+             |      ORDER BY pos) AS cvec
+             |  FROM $updName GROUP BY j, cid)"""
+        s"""WITH corpus AS (
+           |  SELECT vec_id AS vid, embedding AS vec FROM embeddings),
+           |subs AS (
+           |  SELECT vid, j, vec[j*8 + 1 : j*8 + 8] AS sub
+           |  FROM corpus
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) js),
+           |seeds AS (
+           |  SELECT j,
+           |    CAST(row_number() OVER (PARTITION BY j ORDER BY vid) AS INTEGER)
+           |      AS cid,
+           |    sub AS cvec
+           |  FROM subs
+           |  WHERE vid IN (SELECT vid FROM corpus ORDER BY vid LIMIT 16)),
+           |${assignSql("a0", "seeds")},
+           |${updateSql("ex0", "upd0", "cb1", "a0")},
+           |${assignSql("a1", "cb1")},
+           |${updateSql("ex1", "upd1", "cb2", "a1")},
+           |${assignSql("afin", "cb2")},
+           |recon AS (
+           |  SELECT c.vid, flatten(list(t.cvec ORDER BY c.j)) AS rvec
+           |  FROM afin c JOIN cb2 t ON c.j = t.j AND c.cid = t.cid
+           |  GROUP BY c.vid),
+           |scored AS (
+           |  SELECT q.vid AS query_id, r.vid AS neighbor_id,
+           |    round(list_cosine_similarity(q.vec::DOUBLE[], r.rvec::DOUBLE[]), 5)
+           |      AS pq_cosine
+           |  FROM recon r JOIN corpus q ON q.vid % 20 = 0 AND r.vid != q.vid)
+           |SELECT query_id, neighbor_id, pq_cosine,
+           |  CAST(rnk AS BIGINT) AS rnk FROM (
+           |  SELECT query_id, neighbor_id, pq_cosine,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY pq_cosine DESC, neighbor_id) AS rnk
            |  FROM scored)
            |WHERE rnk <= 5
            |ORDER BY query_id, rnk""".stripMargin
