@@ -1773,13 +1773,31 @@ object SparkEntry {
 
     // Product quantization (Pq scaladoc): per-subspace Lloyd codebooks
     // (8 subspaces × 16 centroids over 64 dims), corpus quantized to 8
-    // code bytes/vector, queries' EXACT vectors scored against candidate
-    // RECONSTRUCTIONS. The whole pipeline — subspace slicing, seeded
-    // deterministic Lloyd, fixed-point updates, encode, reconstruct,
-    // rank — runs under the DuckDB oracle like q_ann_ivf's build does.
+    // code bytes/vector, scored by ADC lookup tables (r13: m lookups per
+    // pair, no reconstructed vectors in flight; PqSpec pins ADC ==
+    // reconstruct-cosine). The whole pipeline — subspace slicing, seeded
+    // deterministic Lloyd, fixed-point updates, encode, per-query table
+    // build, lookup scoring, rank — runs under the DuckDB oracle like
+    // q_ann_ivf's build does, with the oracle folding the SAME per-
+    // subspace partial sums, so parity is structural, not epsilon-based.
     "q_ann_pq" -> ((s, dir) =>
       graft.operators.Pq.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
         col("query_id") % 20 === 0, k = 5, m = 8, numCentroids = 16, dim = 64)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))),
+
+    // IVF-PQ (Pq.ivfPqTopK scaladoc) — the composed 100 TB serving
+    // shape: coarse cells prune the scan, PQ codes + ADC tables score the
+    // survivors. Driver-checked in the recall<1 configuration it actually
+    // serves at (nProbe=4 of 16 cells) with BOTH builds and the probe
+    // selection mirrored in SQL — the composition of the q_ann_ivf and
+    // q_ann_pq oracles, which both exist because the builds are
+    // byte-reproducible. PqSpec covers probe-ALL == flat-PQ equality and
+    // the recall ladder.
+    "q_ann_ivfpq" -> ((s, dir) =>
+      graft.operators.Pq.ivfPqTopK(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("query_id") % 20 === 0, k = 5, m = 8,
+        numCentroids = 16, dim = 64, coarseK = 16, nProbe = 4)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))),
 
@@ -4682,15 +4700,167 @@ object SparkEntry {
            |${assignSql("a1", "cb1")},
            |${updateSql("ex1", "upd1", "cb2", "a1")},
            |${assignSql("afin", "cb2")},
-           |recon AS (
-           |  SELECT c.vid, flatten(list(t.cvec ORDER BY c.j)) AS rvec
-           |  FROM afin c JOIN cb2 t ON c.j = t.j AND c.cid = t.cid
-           |  GROUP BY c.vid),
+           |qq AS (
+           |  SELECT vid AS query_id,
+           |    list_reduce(list_transform(vec, x -> x::DOUBLE * x::DOUBLE),
+           |      (acc, x) -> acc + x) AS qq
+           |  FROM corpus WHERE vid % 20 = 0),
+           |dptab AS (
+           |  SELECT s.vid AS query_id, s.j, t.cid,
+           |    list_reduce(list_transform(generate_series(1, 8),
+           |      i -> CAST(s.sub[i] AS DOUBLE) * CAST(t.cvec[i] AS DOUBLE)),
+           |      (acc, x) -> acc + x) AS dp
+           |  FROM subs s JOIN cb2 t ON s.j = t.j
+           |  WHERE s.vid % 20 = 0),
+           |rrtab AS (
+           |  SELECT j, cid,
+           |    list_reduce(list_transform(cvec, x -> x::DOUBLE * x::DOUBLE),
+           |      (acc, x) -> acc + x) AS rr
+           |  FROM cb2),
+           |sums AS (
+           |  SELECT d.query_id, f.vid,
+           |    list_reduce(list(d.dp ORDER BY f.j), (acc, x) -> acc + x) AS xy,
+           |    list_reduce(list(r.rr ORDER BY f.j), (acc, x) -> acc + x) AS rr
+           |  FROM afin f
+           |  JOIN dptab d ON d.j = f.j AND d.cid = f.cid
+           |  JOIN rrtab r ON r.j = f.j AND r.cid = f.cid
+           |  WHERE f.vid != d.query_id
+           |  GROUP BY d.query_id, f.vid),
            |scored AS (
-           |  SELECT q.vid AS query_id, r.vid AS neighbor_id,
-           |    round(list_cosine_similarity(q.vec::DOUBLE[], r.rvec::DOUBLE[]), 5)
-           |      AS pq_cosine
-           |  FROM recon r JOIN corpus q ON q.vid % 20 = 0 AND r.vid != q.vid)
+           |  SELECT s.query_id, s.vid AS neighbor_id,
+           |    round(s.xy / sqrt(q.qq * s.rr), 5) AS pq_cosine
+           |  FROM sums s JOIN qq q USING (query_id))
+           |SELECT query_id, neighbor_id, pq_cosine,
+           |  CAST(rnk AS BIGINT) AS rnk FROM (
+           |  SELECT query_id, neighbor_id, pq_cosine,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY pq_cosine DESC, neighbor_id) AS rnk
+           |  FROM scored)
+           |WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin
+      },
+
+      // IVF-PQ: the q_ann_ivf oracle's coarse chain (prefixed ivf_*) +
+      // the q_ann_pq oracle's subspace chain + probe selection + ADC
+      // scoring restricted to probed cells — the full recall<1
+      // composition mirrored, not a probe-ALL proxy. The ADC sums fold
+      // the same per-subspace partials in the same order as the engine.
+      "q_ann_ivfpq" -> {
+        def ivfAssignSql(name: String, cents: String) =
+          s"""$name AS (
+             |  SELECT vid, vec, ccid FROM (
+             |    SELECT c.vid, c.vec, t.ccid,
+             |      row_number() OVER (PARTITION BY c.vid
+             |        ORDER BY list_cosine_similarity(c.vec::DOUBLE[], t.cvec::DOUBLE[]) DESC,
+             |          t.ccid) AS rn
+             |    FROM corpus c CROSS JOIN $cents t) WHERE rn = 1)"""
+        def ivfUpdateSql(exName: String, updName: String, centsName: String, from: String) =
+          s"""$exName AS (
+             |  SELECT ccid, unnest(generate_series(1, len(vec))) AS pos,
+             |    unnest(vec) AS x
+             |  FROM $from),
+             |$updName AS (
+             |  SELECT ccid, pos,
+             |    sum(CAST(floor(x::DOUBLE * 1048576.0) AS BIGINT)) AS s,
+             |    count(*) AS n
+             |  FROM $exName GROUP BY ccid, pos),
+             |$centsName AS (
+             |  SELECT ccid,
+             |    list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS FLOAT)
+             |      ORDER BY pos) AS cvec
+             |  FROM $updName GROUP BY ccid)"""
+        def pqAssignSql(name: String, cb: String) =
+          s"""$name AS (
+             |  SELECT vid, j, sub, cid FROM (
+             |    SELECT s.vid, s.j, s.sub, t.cid,
+             |      row_number() OVER (PARTITION BY s.vid, s.j ORDER BY
+             |        list_sum(list_transform(generate_series(1, 8),
+             |          i -> (CAST(s.sub[i] AS DOUBLE) - CAST(t.cvec[i] AS DOUBLE))
+             |             * (CAST(s.sub[i] AS DOUBLE) - CAST(t.cvec[i] AS DOUBLE)))),
+             |        t.cid) AS rn
+             |    FROM subs s JOIN $cb t ON s.j = t.j) WHERE rn = 1)"""
+        def pqUpdateSql(exName: String, updName: String, cbName: String, from: String) =
+          s"""$exName AS (
+             |  SELECT j, cid, unnest(generate_series(1, 8)) AS pos,
+             |    unnest(sub) AS x
+             |  FROM $from),
+             |$updName AS (
+             |  SELECT j, cid, pos,
+             |    sum(CAST(floor(x::DOUBLE * 1048576.0) AS BIGINT)) AS s,
+             |    count(*) AS n
+             |  FROM $exName GROUP BY j, cid, pos),
+             |$cbName AS (
+             |  SELECT j, cid,
+             |    list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS FLOAT)
+             |      ORDER BY pos) AS cvec
+             |  FROM $updName GROUP BY j, cid)"""
+        s"""WITH corpus AS (
+           |  SELECT vec_id AS vid, embedding AS vec FROM embeddings),
+           |ivf_seeds AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vid) AS INTEGER) AS ccid,
+           |    vec AS cvec
+           |  FROM (SELECT vid, vec FROM corpus ORDER BY vid LIMIT 16)),
+           |${ivfAssignSql("ivf_a0", "ivf_seeds")},
+           |${ivfUpdateSql("ivf_ex0", "ivf_upd0", "ivf_cents1", "ivf_a0")},
+           |${ivfAssignSql("ivf_a1", "ivf_cents1")},
+           |${ivfUpdateSql("ivf_ex1", "ivf_upd1", "ivf_cents2", "ivf_a1")},
+           |${ivfAssignSql("ivf_fin", "ivf_cents2")},
+           |probes AS (
+           |  SELECT query_id, ccid FROM (
+           |    SELECT q.vid AS query_id, t.ccid,
+           |      row_number() OVER (PARTITION BY q.vid
+           |        ORDER BY list_cosine_similarity(q.vec::DOUBLE[], t.cvec::DOUBLE[]) DESC,
+           |          t.ccid) AS rn
+           |    FROM corpus q CROSS JOIN ivf_cents2 t WHERE q.vid % 20 = 0)
+           |  WHERE rn <= 4),
+           |subs AS (
+           |  SELECT vid, j, vec[j*8 + 1 : j*8 + 8] AS sub
+           |  FROM corpus
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) js),
+           |pq_seeds AS (
+           |  SELECT j,
+           |    CAST(row_number() OVER (PARTITION BY j ORDER BY vid) AS INTEGER)
+           |      AS cid,
+           |    sub AS cvec
+           |  FROM subs
+           |  WHERE vid IN (SELECT vid FROM corpus ORDER BY vid LIMIT 16)),
+           |${pqAssignSql("pq_a0", "pq_seeds")},
+           |${pqUpdateSql("pq_ex0", "pq_upd0", "cb1", "pq_a0")},
+           |${pqAssignSql("pq_a1", "cb1")},
+           |${pqUpdateSql("pq_ex1", "pq_upd1", "cb2", "pq_a1")},
+           |${pqAssignSql("afin", "cb2")},
+           |qq AS (
+           |  SELECT vid AS query_id,
+           |    list_reduce(list_transform(vec, x -> x::DOUBLE * x::DOUBLE),
+           |      (acc, x) -> acc + x) AS qq
+           |  FROM corpus WHERE vid % 20 = 0),
+           |dptab AS (
+           |  SELECT s.vid AS query_id, s.j, t.cid,
+           |    list_reduce(list_transform(generate_series(1, 8),
+           |      i -> CAST(s.sub[i] AS DOUBLE) * CAST(t.cvec[i] AS DOUBLE)),
+           |      (acc, x) -> acc + x) AS dp
+           |  FROM subs s JOIN cb2 t ON s.j = t.j
+           |  WHERE s.vid % 20 = 0),
+           |rrtab AS (
+           |  SELECT j, cid,
+           |    list_reduce(list_transform(cvec, x -> x::DOUBLE * x::DOUBLE),
+           |      (acc, x) -> acc + x) AS rr
+           |  FROM cb2),
+           |sums AS (
+           |  SELECT d.query_id, f.vid,
+           |    list_reduce(list(d.dp ORDER BY f.j), (acc, x) -> acc + x) AS xy,
+           |    list_reduce(list(r.rr ORDER BY f.j), (acc, x) -> acc + x) AS rr
+           |  FROM afin f
+           |  JOIN ivf_fin v ON v.vid = f.vid
+           |  JOIN dptab d ON d.j = f.j AND d.cid = f.cid
+           |  JOIN probes p ON p.query_id = d.query_id AND p.ccid = v.ccid
+           |  JOIN rrtab r ON r.j = f.j AND r.cid = f.cid
+           |  WHERE f.vid != d.query_id
+           |  GROUP BY d.query_id, f.vid),
+           |scored AS (
+           |  SELECT s.query_id, s.vid AS neighbor_id,
+           |    round(s.xy / sqrt(q.qq * s.rr), 5) AS pq_cosine
+           |  FROM sums s JOIN qq q USING (query_id))
            |SELECT query_id, neighbor_id, pq_cosine,
            |  CAST(rnk AS BIGINT) AS rnk FROM (
            |  SELECT query_id, neighbor_id, pq_cosine,

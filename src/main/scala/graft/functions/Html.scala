@@ -28,8 +28,14 @@ import org.apache.spark.sql.functions._
   *      this set pass through verbatim.
   *   5. Whitespace runs collapse to one space; result trimmed.
   *
-  * Extraction is IDEMPOTENT on its own output (plain text with no tags
-  * and no undecoded entities is a fixed point) — property-tested.
+  * Extraction is a FIXED POINT only for output containing no tag-shaped
+  * content and no decodable entities. It is NOT idempotent in general:
+  * decoding can CREATE tag-shaped text — `1 &lt; 2 &gt; 0` extracts to
+  * `1 < 2 > 0`, and a second application strips `< 2 >` as a tag,
+  * dropping prose to `1 0`. Pipelines must apply extraction exactly ONCE
+  * per document (the property test pins both the fixed-point class and
+  * this counterexample class); the never-dropped-prose guarantee in step
+  * 1 holds for that single application.
   *
   * Like [[Scrub]] and [[Urls]], every pattern uses only syntax with
   * identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):

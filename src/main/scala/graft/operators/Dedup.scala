@@ -1526,10 +1526,16 @@ object Dedup {
     * Output per input doc: (doc, n_paras, n_removed, clean_text) with
     * surviving paragraphs VERBATIM in original order.
     *
-    * Scale shape: ONE window shuffle keyed by the 32-hex fp (never the
-    * paragraph text) ranks occurrences; the removal join carries
-    * (doc, pos) longs at duplicate-occurrence cardinality; reassembly is
-    * in-row on the original doc's split array. */
+    * Scale shape: the canonical needs only the GLOBAL MIN (doc, pos) per
+    * fp, so occurrences aggregate with a map-combinable `min(struct)` —
+    * partial mins collapse a viral paragraph's millions of occurrences
+    * map-side, where the obvious per-fp `row_number` window would land
+    * them all in ONE task's sort (the skew hazard
+    * [[removeBoilerplateLines]] avoids with its df census). The canonical
+    * set joins back on the fp (32-hex, never the paragraph text); the
+    * removal join carries (doc, pos) longs at duplicate-occurrence
+    * cardinality; reassembly is in-row on the original doc's split
+    * array. */
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
                       minChars: Int = 1): DataFrame = {
     val base = docs.select(col(idCol).as("doc"),
@@ -1538,11 +1544,11 @@ object Dedup {
       .select(col("doc"), col("pos"),
         md5(lower(trim(regexp_replace(col("col"), "\\s+", " ")))).as("fp"),
         length(trim(regexp_replace(col("col"), "\\s+", " "))).as("nfp"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fp")).orderBy(col("doc"), col("pos"))
-    val rem = paras.filter(col("nfp") >= minChars)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") > 1)
+    val occ = paras.filter(col("nfp") >= minChars)
+    val first = occ.groupBy(col("fp"))
+      .agg(min(struct(col("doc"), col("pos"))).as("keep"))
+    val rem = occ.join(first, Seq("fp"))
+      .filter(struct(col("doc"), col("pos")) =!= col("keep"))
       .groupBy(col("doc")).agg(collect_list(col("pos")).as("rem"))
     base.join(rem, Seq("doc"), "left")
       .select(col("doc"),

@@ -12,14 +12,18 @@ import org.apache.spark.sql.functions._
   * vector is stored as `m` small centroid ids — 8 code bytes instead of
   * 256 float bytes per 64-dim vector. At 100 TB scale the codes (plus
   * one broadcast codebook of m·k·(dim/m) floats) are what sits in
-  * executor memory; scoring reconstructs candidates on the fly from the
-  * broadcast codebook, map-only.
+  * executor memory; scoring is table-driven ADC (asymmetric distance
+  * computation: the query stays exact, the candidate is represented by
+  * its quantized codeword) — each query precomputes an m×k lookup table
+  * against the broadcast codebook once, then every candidate costs m
+  * integer-indexed lookups, map-only ([[queryTables]]).
   *
-  * Scoring is cosine-against-reconstruction (the asymmetric-distance
-  * family: the query stays exact, the candidate is its quantized
-  * reconstruction) — one number any engine recomputes from the same
-  * codebook, which keeps the WHOLE pipeline (per-subspace Lloyd build
-  * included) under the DuckDB oracle exactly like [[Ivf]]'s.
+  * The ADC cosine equals cosine-against-reconstruction term for term —
+  * one number any engine recomputes from the same codebook, which keeps
+  * the WHOLE pipeline (per-subspace Lloyd build included) under the
+  * DuckDB oracle exactly like [[Ivf]]'s; [[topKReconstruct]] keeps the
+  * explicit-reconstruction twin for the fidelity spec, and [[ivfPqTopK]]
+  * composes the coarse quantizer in front for the cell-pruned scan.
   *
   * Determinism discipline (identical to [[Ivf.build]]):
   *  - seeds = the k lowest ids' subvectors per subspace, no RNG;
@@ -84,7 +88,17 @@ object Pq {
   }
 
   /** Train the per-subspace codebooks: returns (j, cid, cvec) with
-    * cid in 1..k. Seeds = the k lowest ids' slices in every subspace. */
+    * cid in 1..k. Seeds = the k lowest ids' slices in every subspace.
+    *
+    * Empty centroids are DROPPED, not reseeded: [[updateCodebook]] emits
+    * only (j, cid) groups that received at least one assignment, so a
+    * codeword that loses every member in some Lloyd iteration vanishes
+    * permanently and the effective codebook can hold fewer than m×k live
+    * entries (degenerate/identical seed slices make this reachable).
+    * Callers sizing k for recall should count surviving rows, not assume
+    * m×k. The no-reseed rule is part of the determinism contract — any
+    * reseeding policy would need its own engine-portable tie discipline —
+    * and the DuckDB oracle mirrors the drop exactly. */
   def build(emb: DataFrame, idCol: String, vecCol: String,
             m: Int, k: Int, dim: Int, iters: Int = 2): DataFrame = {
     val vecs = Caches.tracked(
@@ -130,12 +144,106 @@ object Pq {
       .select(col("vid"),
         flatten(transform(col("js"), e => e.getField("cvec"))).as("rvec"))
 
-  /** End-to-end approximate top-k: train, quantize, score every query's
-    * EXACT vector against candidate RECONSTRUCTIONS, rank. Release the
+  /** In-order dot product of two equal-length float slices (DOUBLE
+    * accumulation, 0.0 seed — the seed is additively exact, so the fold
+    * equals the seedless left fold bit-for-bit). */
+  private def dotp(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, d) => acc + d)
+
+  /** Per-query ADC lookup tables (asymmetric distance computation, the
+    * standard PQ serving trick): for each query, the m×k table of dot
+    * products between its subvectors and every codeword, plus the
+    * query's own squared norm; alongside, one query-INDEPENDENT m×k
+    * table of codeword squared norms. Scoring a candidate then costs m
+    * integer-indexed array lookups per table instead of an O(dim)
+    * reconstruct-and-cosine — and no reconstructed float vectors ever
+    * travel with candidates.
+    *
+    * Tables are dense arrays indexed by cid (1..k); positions of dropped
+    * empty centroids (see [[build]]) hold null and are unreachable,
+    * because codes only ever reference surviving codewords.
+    *
+    * cosine(q, recon(c)) == (Σ_j dot_j) / sqrt(qq · Σ_j rr_j): the
+    * grouping of the double additions differs from the flat 64-dim fold
+    * only in association order, so ADC and reconstruct-cosine agree to
+    * the last few ulps and are identical after the output rounding
+    * (PqSpec pins the twin equality; the oracle mirrors the ADC tree
+    * exactly, so parity is by construction, not by epsilon). */
+  private def queryTables(queries: DataFrame, codebook: DataFrame,
+                          m: Int, k: Int, dim: Int): DataFrame = {
+    val d = dim / m
+    val qsubs = queries.select(col("query_id"), col("qvec"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("qvec"), j * d + 1, lit(d)))))
+      .select(col("query_id"), col("pos").as("j"), col("col").as("qsub"))
+    def dense(entries: Column): Column =
+      transform(sequence(lit(1), lit(k)),
+        i => element_at(map_from_entries(entries), i.cast("int")))
+    val dotTab = qsubs.join(broadcast(codebook), Seq("j"))
+      .select(col("query_id"), col("j"), col("cid"),
+        dotp(col("qsub"), col("cvec")).as("dp"))
+      .groupBy(col("query_id"), col("j"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("dp")))).as("es"))
+      .select(col("query_id"), col("j"), dense(col("es")).as("arr"))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("j"), col("arr")))).as("js"))
+      .select(col("query_id"),
+        transform(col("js"), e => e.getField("arr")).as("dot_tab"))
+    val rrTab = codebook
+      .select(col("j"), col("cid"), dotp(col("cvec"), col("cvec")).as("rr"))
+      .groupBy(col("j"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("rr")))).as("es"))
+      .select(col("j"), dense(col("es")).as("arr"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("j"), col("arr")))).as("js"))
+      .select(transform(col("js"), e => e.getField("arr")).as("rr_tab"))
+    queries.select(col("query_id"), dotp(col("qvec"), col("qvec")).as("qq"))
+      .join(dotTab, Seq("query_id"))
+      .crossJoin(rrTab) // one row — the codeword-norm table rides along
+  }
+
+  /** ADC cosine of a code array against one query's lookup tables:
+    * m array lookups + m-term folds, all in-row. */
+  private def adcCosine(codes: Column, roundTo: Int): Column = {
+    def lookupSum(tab: Column): Column =
+      aggregate(zip_with(codes, tab, (c, arr) => element_at(arr, c)),
+        lit(0.0d), (acc, x) => acc + x)
+    round(lookupSum(col("dot_tab")) /
+      sqrt(col("qq") * lookupSum(col("rr_tab"))), roundTo)
+  }
+
+  /** End-to-end approximate top-k: train, quantize, build per-query ADC
+    * tables, score codes by table lookups, rank. The scoring join moves
+    * only (vid, 8 code bytes) × broadcast tables — the flat-scan PQ
+    * serving shape ([[ivfPqTopK]] adds the cell-pruned one). Release the
     * build frames with `Caches.unpersistScope("pq")`. */
   def topK(emb: DataFrame, idCol: String, vecCol: String, queryPred: Column,
            k: Int, m: Int, numCentroids: Int, dim: Int, iters: Int = 2,
            roundTo: Int = 5): DataFrame = {
+    val codebook = build(emb, idCol, vecCol, m, numCentroids, dim, iters)
+    val codes = encode(emb, codebook, idCol, vecCol, m, dim)
+    val queries = emb.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .filter(queryPred)
+    val qTab = queryTables(queries, codebook, m, numCentroids, dim)
+    val scored = codes.join(broadcast(qTab), col("vid") =!= col("query_id"))
+      .withColumn("pq_cosine", adcCosine(col("codes"), roundTo))
+    val w = Window.partitionBy("query_id").orderBy(desc("pq_cosine"), col("vid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        col("pq_cosine"), col("rank"))
+  }
+
+  /** The pre-ADC scoring shape — reconstruct every candidate, cosine
+    * against the exact query — kept as the SPEC TWIN: mathematically the
+    * same score [[topK]] computes by lookups, so PqSpec asserts the two
+    * paths emit identical rounded results (the fidelity evidence that ADC
+    * lost nothing). Not the serving path: it materializes a dim-float
+    * array per candidate and pays O(dim) per pair. */
+  def topKReconstruct(emb: DataFrame, idCol: String, vecCol: String,
+                      queryPred: Column, k: Int, m: Int, numCentroids: Int,
+                      dim: Int, iters: Int = 2, roundTo: Int = 5): DataFrame = {
     val codebook = build(emb, idCol, vecCol, m, numCentroids, dim, iters)
     val recon = reconstruct(
       encode(emb, codebook, idCol, vecCol, m, dim), codebook)
@@ -144,6 +252,47 @@ object Pq {
     val scored = recon.join(broadcast(queries),
         col("vid") =!= col("query_id"))
       .withColumn("pq_cosine", round(cosineSim(col("qvec"), col("rvec")), roundTo))
+    val w = Window.partitionBy("query_id").orderBy(desc("pq_cosine"), col("vid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        col("pq_cosine"), col("rank"))
+  }
+
+  /** IVF-PQ — the composed 100 TB ANN serving shape: [[Ivf.build]]'s
+    * coarse quantizer prunes the scan to `nProbe` cells per query, PQ
+    * codes + ADC tables make scoring those survivors m lookups per
+    * candidate. Memory per executor = codes (m bytes/vector) + one
+    * broadcast codebook + one broadcast (query × probed-cell) table —
+    * the corpus's float vectors are never needed at serving time.
+    *
+    * With `nProbe = coarseK` every cell is probed, so the output is
+    * EXACTLY [[topK]]'s flat scan — the probe-ALL configuration is how
+    * the whole composition runs under the DuckDB oracle (the same
+    * construction that earned q_ann_ivf_full its oracle). */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, k: Int, m: Int, numCentroids: Int,
+                dim: Int, coarseK: Int, nProbe: Int, iters: Int = 2,
+                roundTo: Int = 5): DataFrame = {
+    val (assignments, centroids) = Ivf.build(emb, idCol, vecCol, coarseK, iters)
+    val codebook = build(emb, idCol, vecCol, m, numCentroids, dim, iters)
+    val codes = encode(emb, codebook, idCol, vecCol, m, dim)
+      .join(assignments, Seq("vid"))
+    val queries = emb.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .filter(queryPred)
+    // nProbe nearest cells per query (same probe rule as Ivf.topK)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(desc("csim"), col("centroid_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosineSim(col("qvec"), col("cvec")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("centroid_id"))
+    val qTab = queryTables(queries, codebook, m, numCentroids, dim)
+      .join(probes, Seq("query_id")) // nProbe rows per query, still tiny
+    val scored = codes.join(broadcast(qTab), Seq("centroid_id"))
+      .filter(col("vid") =!= col("query_id"))
+      .withColumn("pq_cosine", adcCosine(col("codes"), roundTo))
     val w = Window.partitionBy("query_id").orderBy(desc("pq_cosine"), col("vid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

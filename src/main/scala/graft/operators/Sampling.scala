@@ -49,6 +49,16 @@ object Sampling {
     * containment output: `aCol`, `bCol`, carried score columns pass
     * through); `splits` = ([[split]]'s) (id, split) assignment.
     *
+    * COVERAGE: endpoints are joined LEFT, and a pair with any endpoint
+    * missing from `splits` is EMITTED with a null `split_a`/`split_b` —
+    * for a contamination audit, silently under-reporting because the
+    * caller's split was computed over a filtered corpus would be the
+    * worst failure mode, so missing coverage is made visible instead of
+    * swallowed. Callers wanting the strict flagged-leakage set filter
+    * `split_a IS NOT NULL AND split_b IS NOT NULL` themselves (with full
+    * coverage the output is exactly the differing-split pairs either
+    * way).
+    *
     * Scale shape: `pairs` is already bounded by the dedup budget; the
     * assignment frame is two thin columns, and both joins shuffle on
     * the id key only (or broadcast when the pair set is small) — no
@@ -58,8 +68,10 @@ object Sampling {
                    aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
     val sa = splits.select(col(idCol).as(aCol), col("split").as("split_a"))
     val sb = splits.select(col(idCol).as(bCol), col("split").as("split_b"))
-    pairs.join(sa, aCol).join(sb, bCol)
-      .filter(col("split_a") =!= col("split_b"))
+    // null-propagating =!= drops null comparisons; the coalesce keeps
+    // them — an uncovered endpoint surfaces rather than vanishing
+    pairs.join(sa, Seq(aCol), "left").join(sb, Seq(bCol), "left")
+      .filter(coalesce(col("split_a") =!= col("split_b"), lit(true)))
   }
 
   /** Per-stratum deterministic sample: keep a row iff its hash bucket

@@ -40,7 +40,9 @@ class HtmlSpec extends SparkSpec {
     assert(got.contains("var x = 1;"), got)
   }
 
-  test("extraction is idempotent on its own output") {
+  test("fixed point for tag-free, entity-free output; decodable angle entities break it") {
+    // the fixed-point CLASS (Html scaladoc): output with no tag-shaped
+    // content and no decodable entities re-extracts to itself
     val pages = Seq(
       "<html><body><h1>T</h1><p>one &amp; two&nbsp;three</p></body></html>",
       "plain text stays plain",
@@ -49,6 +51,13 @@ class HtmlSpec extends SparkSpec {
     val twice = once.select(col("t"), Html.extractText(col("t")).as("t2"))
       .collect()
     twice.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+    // the documented LIMIT: decoding &lt;/&gt; creates tag-shaped text,
+    // and a second application strips it as a tag, dropping prose —
+    // extraction is single-application-only on such pages
+    val Seq(first) = extract("<p>1 &lt; 2 &gt; 0</p>")
+    assert(first == "1 < 2 > 0", first)
+    val Seq(second) = extract(first)
+    assert(second == "1 0", second)
   }
 
   test("density guards empty markup and ranks a text page above a shell") {

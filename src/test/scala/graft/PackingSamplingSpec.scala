@@ -54,6 +54,27 @@ class PackingSamplingSpec extends SparkSpec {
       (va(0), tr(3), "val", "train", 0.94)), got)
   }
 
+  test("split leakage SURFACES pairs whose endpoints the split frame does not cover") {
+    import org.apache.spark.sql.functions.col
+    // an audit must not silently under-report: a pair endpoint missing
+    // from the assignment frame (split computed over a filtered corpus,
+    // pairs over the full one) comes back with a null split, not dropped
+    val splits = Sampling.split((0L until 100L).toDF("doc_id"), "doc_id")
+    val pairs = Seq(
+      (5L, 9999L, 0.91),    // b uncovered — must surface with null
+      (8888L, 7777L, 0.92)) // both uncovered — must surface
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = Sampling.splitLeakage(pairs, splits)
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    val aSplit = splits.filter(col("doc_id") === 5L)
+      .collect().head.getString(1)
+    assert(got == Set(
+      (5L, 9999L, Some(aSplit), None),
+      (8888L, 7777L, None, None)), got)
+  }
+
   test("stratified sample keeps rate-0 strata empty and full-rate strata whole") {
     val d = docs(300, 2).withColumn("lang",
       when(col("doc_id") % 3 === 0, "en").when(col("doc_id") % 3 === 1, "zh")

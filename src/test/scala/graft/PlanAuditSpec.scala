@@ -565,18 +565,64 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
-  test("paragraph dedup: removal join via broadcast, fp window only, no merge join") {
-    // same budget argument as boilerplate removal: the removal frame is
-    // duplicate-occurrence cardinality ((doc, pos) longs), so the
-    // reassembly join back onto the full-text base must broadcast; the
-    // only wide exchange is the rank window's fp hash partitioning
+  test("paragraph dedup: min-agg canonical, NO per-fp sort, removal join via broadcast") {
+    // r13 de-skew (VERDICT r12 #5): the first-occurrence canonical is a
+    // map-combinable min(struct(doc,pos)) aggregate — a viral paragraph's
+    // occurrence set collapses in partial aggs instead of serializing one
+    // window task. Pin it: no Window, no sort anywhere (the old form's
+    // per-fp row_number planned a per-key Sort under the window), and the
+    // reassembly join back onto the full-text base still broadcasts.
     val d = (1 to 40).map(i =>
       (i.toLong, s"shared para\nunique body $i\nshared para"))
       .toDF("doc_id", "text")
+    // (the min(struct) buffer keeps the agg out of HashAggregate — a
+    // SortAggregate's per-partition sorts are fine: partial mins are
+    // computed per input split, so no task ever holds one fp's whole
+    // occurrence set the way the Window evaluator did)
     val p = plan(graft.operators.Dedup.dedupParagraphs(d, "doc_id", "text"))
     assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("pq ADC: codebook and table joins broadcast; no merge join, no range exchange") {
+    // build/encode join the broadcast codebook; scoring joins codes
+    // against the broadcast per-query table set (non-equi vid!=query_id
+    // ⇒ a BroadcastNestedLoop over the TINY broadcast side — the flat-PQ
+    // scan shape); the only wide exchanges are aggregates and the
+    // ranking window's query_id hash partitioning
+    val emb = (1 to 40).map(i =>
+      (i.toLong, Seq.tabulate(64)(d => ((i * 7 + d) % 5).toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    val p = plan(graft.operators.Pq.topK(emb, "vec_id", "embedding",
+      col("query_id") % 5 === 0, k = 3, m = 8, numCentroids = 4, dim = 64))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    graft.operators.Caches.unpersistScope("pq")
+    graft.operators.Caches.unpersistScope("ivf")
+  }
+
+  test("ivf-pq: cell-pruned scoring joins on the cell id via broadcast — no product join") {
+    // the composed serving shape: candidates come from an EQUI-join of
+    // codes against the broadcast (query × probed-cell) table on
+    // centroid_id — the flat scan's nested loop is gone; nothing plans a
+    // cartesian or merge join
+    val emb = (1 to 40).map(i =>
+      (i.toLong, Seq.tabulate(64)(d => ((i * 7 + d) % 5).toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    val p = plan(graft.operators.Pq.ivfPqTopK(emb, "vec_id", "embedding",
+      col("query_id") % 5 === 0, k = 3, m = 8, numCentroids = 4, dim = 64,
+      coarseK = 4, nProbe = 2))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    graft.operators.Caches.unpersistScope("pq")
+    graft.operators.Caches.unpersistScope("ivf")
   }
 
   test("corpus diff: both sides reduce to thin (id, fp) pairs before the one join") {

@@ -1,11 +1,13 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** One shared local session per suite (spark_guide.md: lazy val, not
-  * per-test). */
-trait SparkSpec extends AnyFunSuite {
+  * per-test). BeforeAndAfterAll is in the linearization so suites may
+  * override afterAll for per-suite cleanup (e.g. PqSpec). */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
