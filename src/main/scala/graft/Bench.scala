@@ -119,7 +119,8 @@ object Bench {
     "q_quality_filter", "q_repetition", "q_pii_scrub", "q_contamination",
     "q_dedup_components", "q_token_familiarity", "q_global_shuffle",
     "q_span_dedup", "q_dedup_semantic", "q_tfidf_topk",
-    "q_feature_hash", "q_multimodal_features", "q_token_bpe")
+    "q_feature_hash", "q_multimodal_features", "q_token_bpe",
+    "q_paragraph_dedup")
 
   /** 20× probe set: the dedup heavies that exposed superlinearity before,
     * PLUS the shuffled-by-design operators (familiarity's vocab join,
@@ -131,7 +132,7 @@ object Bench {
     "q_span_dedup", "q_repetition", "q_dedup_semantic", "q_dedup_minhash",
     "q_dedup_components", "q_token_familiarity",
     "q_tfidf_topk", "q_cms_heavy", "q_session_stats", "q_asof_join_native",
-    "q_multimodal_features")
+    "q_multimodal_features", "q_paragraph_dedup")
 
   /** Per-replica content perturbation (see class doc). Replica 0 is the
     * untouched original.
@@ -395,7 +396,7 @@ object Bench {
     * recall at sub-linear cost because only the broadcast query side
     * fans out. */
   private def annRecall(spark: SparkSession, dir: String, k: Int = 10)
-      : (Double, Double, String) = {
+      : (Map[String, Double], String) = {
     import graft.operators.{Ivf, Similarity}
     val emb = graft.sources.Tables.embeddings(spark, dir)
     val pred = col("vid") % 20 === 0
@@ -413,17 +414,20 @@ object Bench {
       case (planes, probes) =>
         val q = Similarity.srpTopK(emb, "vec_id", "embedding", pred, k,
           planes = planes, probes = probes)
-        // min of two runs: the r9 artifact carried a 7× contention
-        // artifact on one config's single-sample time ((6,4) at 10.7 s
-        // vs (6,7) at 1.56 s — more probes cannot cost less), which made
-        // the cost half of the recall/cost curve unreadable.
+        // min of three runs (r13; was two): the r9 artifact carried a 7×
+        // contention artifact on one config's single-sample time ((6,4)
+        // at 10.7 s vs (6,7) at 1.56 s — more probes cannot cost less),
+        // and r12's min-of-two still published (6,2)=18.39 s next to
+        // (6,4)=1.72 s when BOTH samples landed in one contended window
+        // — a third sample makes a same-window double-hit the only
+        // remaining failure mode.
         // NOTE on semantics: operator caches (Caches registry) are only
         // cleared at annRecall's end, so the second sample re-reads
         // frames the first sample cached — the min is effectively a
         // WARM-cache cost, a contention guard comparable across configs
         // within one curve, NOT comparable to r9's cold single-sample
         // protocol (r9→r10 curve "speedups" are partly cache warmth).
-        val sec = (1 to 2).map { _ =>
+        val sec = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           q.write.mode("overwrite").format("noop").save()
           r2((System.nanoTime() - t0) / 1e9)
@@ -435,9 +439,19 @@ object Bench {
     val srp = recallOf(Similarity.srpTopK(emb, "vec_id", "embedding", pred, k))
     val ivf = recallOf(Ivf.topK(emb, "vec_id", "embedding", pred, k,
       numCentroids = 16, nProbe = 4))
+    // the r13 ladder rungs: flat-PQ ADC (8×16 codes) and the composed
+    // IVF-PQ serving config (nProbe=4 of 16 cells) — recall of the
+    // LOSSY-code paths vs exact brute force, beside the code-free paths
+    val qpred = col("query_id") % 20 === 0
+    val pq = recallOf(graft.operators.Pq.topK(emb, "vec_id", "embedding",
+      qpred, k, m = 8, numCentroids = 16, dim = 64))
+    val ivfpq = recallOf(graft.operators.Pq.ivfPqTopK(emb, "vec_id",
+      "embedding", qpred, k, m = 8, numCentroids = 16, dim = 64,
+      coarseK = 16, nProbe = 4))
     bf.unpersist()
     graft.operators.Caches.unpersistAll()
-    (srp, ivf, curve.mkString("[", ",", "]"))
+    (Map("q_ann_srp" -> srp, "q_ann_ivf" -> ivf, "q_ann_pq" -> pq,
+      "q_ann_ivfpq" -> ivfpq), curve.mkString("[", ",", "]"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -589,7 +603,7 @@ object Bench {
     // every such inversion itself rather than leaving the contradiction
     // for the reader to discover.
     val phaseMins = scala.collection.mutable.Map.empty[String, Map[String, Double]]
-    var lastRecall: Option[(Double, Double)] = None
+    var lastRecall: Option[Map[String, Double]] = None
     // the sf1 phase's recall/cost curve, re-emitted top-level as
     // `recall_curve_sf1`: the curve's ground truth is brute-force cosine
     // over the SCALED (x10) corpus itself — i.e. the planes/probes
@@ -704,10 +718,12 @@ object Bench {
       val recallJson =
         if (!withRecall) ""
         else {
-          val (srp, ivf, curve) = annRecall(spark, scaledDir)
-          lastRecall = Some((srp, ivf))
+          val (recalls, curve) = annRecall(spark, scaledDir)
+          lastRecall = Some(recalls)
           lastCurve = Some(curve)
-          s""","recall_at10":{"q_ann_srp":$srp,"q_ann_ivf":$ivf},"recall_curve":$curve"""
+          val rj = recalls.toSeq.sortBy(_._1)
+            .map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
+          s""","recall_at10":$rj,"recall_curve":$curve"""
         }
       val strategyJson = if (fixedJoin) ""","join_strategy":"fixed"""" else ""
       s"""{"dir":"$scaledDir","replicas":$replicas,"mode":"$mode"$strategyJson,"build_sec":${r2(buildSec)}$storeBuildJson,"warm_sec":${r2(warmSec)},"iters":$phaseIters,$section$stagesJson$recallJson}"""
@@ -829,7 +845,8 @@ object Bench {
     // as n_failed_other so a crashed phase can't be misread as a crashed
     // engine query — or hide.
     val recallJson = lastRecall
-      .map { case (srp, ivf) => s""","recall_srp":$srp,"recall_ivf":$ivf""" }
+      .map(m => s""","recall_srp":${m("q_ann_srp")},"recall_ivf":${m("q_ann_ivf")},""" +
+        s""""recall_pq":${m("q_ann_pq")},"recall_ivfpq":${m("q_ann_ivfpq")}""")
       .getOrElse("")
     val nFailedOther = nFailedTotal - engine.nFailed
     println(s"""BENCH_SUMMARY: {"total":${r2(total)},"n_queries":${engine.nOk},""" +

@@ -1343,6 +1343,65 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // RECRAWL PIPELINE — corpusDiff composed into the incremental
+    // ingestion story end-to-end: snapshot-diff the recrawl against the
+    // held corpus, route ONLY the added+changed delta through the minhash
+    // store check (history = the old snapshot's precomputed signatures),
+    // and emit the delta keep-list with its diff status. The 100 TB
+    // recrawl narrative in one query: unchanged pages cost a thin
+    // (id, fp) diff row, trivially-edited pages (" v2") and re-added
+    // near-copies ("new page " prefix) are rejected by their own history
+    // signatures, genuine rewrites and fresh pages survive, and a fresh
+    // page's own near-copy collapses to the min-id canonical within the
+    // batch. Fast xxhash64 family; shares the md5 oracle algebra by the
+    // same bimodal keep-set-invariance argument as
+    // q_dedup_minhash_incr_fast (synthetic rewrites/fresh pages are
+    // token-disjoint from history — est ≈ 0 — while near-copies sit at
+    // est ≈ 0.97).
+    "q_recrawl_pipeline" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 20 === 0).coalesce(8)
+      // n id-salted tokens: pairwise token-disjoint across ids by
+      // construction, so every synthetic page is bimodally far from
+      // history AND from its unrelated batch peers
+      def salted(prefix: String, id: Column, n: Int) =
+        array_join(transform(sequence(lit(0), lit(n - 1)),
+          i => concat(lit(prefix), id.cast("string"), lit("x"),
+            i.cast("string"))), " ")
+      val newSnap = d.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 19 === 0, salted("r", col("doc_id"), 40))
+            .when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(lit("new page "), col("text")).as("text")))
+        // nid bound ONCE in its own projection: putting the `+ 4000000`
+        // expression inline beside a same-name alias would let lateral
+        // column alias resolution bind it to the SHIFTED output column
+        // (doubling the shift and silently de-twinning the near-copy)
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .withColumn("nid", col("doc_id") + 4000000L)
+          .select(col("nid").as("doc_id"), salted("w", col("nid"), 40).as("text")))
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .withColumn("nid", col("doc_id") + 4000000L)
+          .select((col("nid") + 1000000L).as("doc_id"),
+            salted("w", col("nid"), 39).as("text")))
+      val delta = Dedup.corpusDiff(d, newSnap, "doc_id", "text")
+        .filter(col("status").isin("added", "changed"))
+        .select(col("doc").as("doc_id"), col("status"))
+        .join(newSnap, Seq("doc_id"))
+      val storeSigs = Dedup.minhashSignatures(d, "doc_id", "text",
+        numHashes = 32, shingleN = 5)
+      Dedup.newAgainstStoreMinhashFast(
+          delta.select(col("doc_id"), col("text")), "doc_id", "text",
+          storeSigs, numHashes = 32, bands = 8, shingleN = 5,
+          minEstJaccard = 0.3)
+        .select(col("doc_id"))
+        .join(delta.select(col("doc_id"), col("status")), Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash with PORTABLE md5-nibble bit votes — the full
     // signature→chunk-banding→hamming algebra under the oracle (the
     // xxhash64 form stays the scale default, rows-only).
@@ -3132,6 +3191,102 @@ object SparkEntry {
       // within-batch candidate join, and the min-id component collapse
       // (recursive CTE) — the whole ingestion policy under one oracle.
       "q_dedup_minhash_incr" -> oracleForIncrMinhash,
+
+      // Recrawl pipeline: the diff routing + the md5-16 ingestion algebra
+      // of oracleForIncrMinhash over the recrawl fixture. Store rows are
+      // internally re-keyed (+9000000) so a 'changed' doc's batch row and
+      // its history twin never alias one signature — the engine keeps
+      // them apart structurally (separate batch/store frames), the SQL
+      // mirror needs the key shift. Keep-set family invariance: every
+      // candidate pair estimates ≈0 or ≥0.83, nowhere near the 0.3
+      // threshold (same argument as q_dedup_minhash_incr_fast).
+      "q_recrawl_pipeline" ->
+        """WITH RECURSIVE old AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+          |news AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 19 = 0 THEN array_to_string(
+          |        list_transform(generate_series(0, 39),
+          |          i -> 'r' || doc_id::VARCHAR || 'x' || i::VARCHAR), ' ')
+          |      WHEN doc_id % 7 = 0 THEN text || ' v2'
+          |      ELSE text END AS text
+          |  FROM old WHERE doc_id % 13 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 3000000, 'new page ' || text
+          |  FROM old WHERE doc_id % 17 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 4000000, array_to_string(
+          |      list_transform(generate_series(0, 39),
+          |        i -> 'w' || (doc_id + 4000000)::VARCHAR || 'x' || i::VARCHAR), ' ')
+          |  FROM old WHERE doc_id % 11 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 5000000, array_to_string(
+          |      list_transform(generate_series(0, 38),
+          |        i -> 'w' || (doc_id + 4000000)::VARCHAR || 'x' || i::VARCHAR), ' ')
+          |  FROM old WHERE doc_id % 11 = 0),
+          |delta AS (
+          |  SELECT n.doc_id, n.text,
+          |    CASE WHEN o.doc_id IS NULL THEN 'added' ELSE 'changed' END AS status
+          |  FROM news n LEFT JOIN old o ON o.doc_id = n.doc_id
+          |  WHERE o.doc_id IS NULL OR md5(o.text) <> md5(n.text)),
+          |alldocs AS (
+          |  SELECT doc_id, text, true AS in_batch FROM delta
+          |  UNION ALL SELECT doc_id + 9000000, text, false FROM old),
+          |tok AS (
+          |  SELECT doc_id AS doc, in_batch,
+          |    string_split_regex(trim(lower(text)), '\s+') AS toks
+          |  FROM alldocs),
+          |shingles AS (
+          |  SELECT DISTINCT doc, shingle FROM (
+          |    SELECT doc, unnest(
+          |      CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+          |      ELSE list_transform(generate_series(1, len(toks) - 4),
+          |        i -> array_to_string(toks[i:i+4], ' ')) END) AS shingle
+          |    FROM tok) u),
+          |fams AS (
+          |  SELECT doc, i, min(md5(i::VARCHAR || ':' || shingle)) AS h
+          |  FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) f
+          |  GROUP BY doc, i),
+          |sig AS (SELECT doc, list(h ORDER BY i) AS sig FROM fams GROUP BY doc),
+          |bandh AS (
+          |  SELECT doc, i // 2 AS band, md5(string_agg(h, '|' ORDER BY i)) AS bh
+          |  FROM fams GROUP BY doc, i // 2),
+          |flags AS (SELECT doc_id AS doc, in_batch FROM alldocs),
+          |storehits AS (
+          |  SELECT DISTINCT ba.doc
+          |  FROM bandh ba JOIN flags fa ON fa.doc = ba.doc AND fa.in_batch
+          |  JOIN bandh bs ON ba.band = bs.band AND ba.bh = bs.bh
+          |  JOIN flags fs ON fs.doc = bs.doc AND NOT fs.in_batch
+          |  JOIN sig sa ON sa.doc = ba.doc
+          |  JOIN sig ss ON ss.doc = bs.doc
+          |  WHERE len(list_filter(generate_series(1, 16),
+          |      j -> sa.sig[j] = ss.sig[j]))::DOUBLE / 16.0 >= 0.3),
+          |fresh AS (
+          |  SELECT doc FROM flags WHERE in_batch
+          |  AND doc NOT IN (SELECT doc FROM storehits)),
+          |pairs AS (
+          |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          |  FROM bandh a JOIN bandh b
+          |    ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+          |  JOIN fresh f1 ON f1.doc = a.doc
+          |  JOIN fresh f2 ON f2.doc = b.doc
+          |  JOIN sig sa ON sa.doc = a.doc
+          |  JOIN sig sb ON sb.doc = b.doc
+          |  WHERE len(list_filter(generate_series(1, 16),
+          |      j -> sa.sig[j] = sb.sig[j]))::DOUBLE / 16.0 >= 0.3),
+          |edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |  UNION SELECT doc_b, doc_a FROM pairs),
+          |reach(doc, r) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc),
+          |comp AS (SELECT doc, min(r) AS component FROM reach GROUP BY doc)
+          |SELECT f.doc AS doc_id, d.status FROM fresh f
+          |JOIN delta d ON d.doc_id = f.doc
+          |LEFT JOIN comp ON comp.doc = f.doc
+          |WHERE comp.doc IS NULL OR comp.component = f.doc
+          |ORDER BY doc_id""".stripMargin,
 
       // The xxhash64 family can't be reproduced in DuckDB, but its KEEP
       // SET equals the md5 family's on this corpus (bimodal estimate

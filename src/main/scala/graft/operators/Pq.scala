@@ -60,15 +60,47 @@ object Pq {
       .select(col("vid"), col("pos").as("j"), col("col").as("sub"))
   }
 
-  /** Nearest centroid per (vid, j) against the broadcast codebook —
-    * map-side partial aggregation (min_by under groupBy, not a window),
-    * ties to the lowest centroid id. */
-  private def assign(subs: DataFrame, codebook: DataFrame): DataFrame =
-    subs.join(broadcast(codebook), Seq("j"))
-      .withColumn("d2", sqDist(col("sub"), col("cvec")))
-      .groupBy(col("vid"), col("j"))
-      .agg(any_value(col("sub")).as("sub"),
-        min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+  /** The codebook COLLECTED into a nested literal — index j+1 → the
+    * subspace's (cid, cvec) entries sorted by cid. A codebook is m·k·d
+    * floats (512 at the 8×16×8 defaults), the one structure small enough
+    * that driver-side materialization is the right call (MLlib's KMeans
+    * keeps centers on the driver for the same reason): embedding it as a
+    * literal makes assignment a pure in-row fold — no broadcast join, no
+    * per-(vid, j) shuffle, no k-way row fan-out. Float bits survive the
+    * collect/re-embed round trip exactly, so determinism is unaffected. */
+  private def codebookLit(codebook: DataFrame, m: Int): Column = {
+    val rows = codebook.select(col("j"), col("cid"), col("cvec")).collect()
+    val byJ: Seq[Seq[(Int, Seq[Float])]] = (0 until m).map { j =>
+      rows.filter(_.getInt(0) == j)
+        .map(r => (r.getInt(1), r.getSeq[Float](2).toSeq))
+        .sortBy(_._1).toSeq
+    }
+    typedLit(byJ)
+  }
+
+  /** In-row argmin over one subspace's literal entries: strict `<` over
+    * cid-ascending entries keeps the LOWEST cid on d2 ties — the same
+    * rule as a min over (d2, cid) pairs. */
+  private def argminCid(sub: Column, entries: Column): Column =
+    aggregate(entries,
+      struct(lit(Double.MaxValue).as("d2"), lit(0).as("cid")),
+      (acc, e) =>
+        when(sqDist(sub, e.getField("_2")) < acc.getField("d2"),
+          struct(sqDist(sub, e.getField("_2")).as("d2"),
+            e.getField("_1").as("cid")))
+          .otherwise(acc))
+      .getField("cid")
+
+  /** MAP-ONLY corpus quantization against the literal codebook:
+    * (vid, vec, codes ARRAY<INT> in subspace order). */
+  private def assignCodes(vecs: DataFrame, cbLit: Column,
+                          m: Int, dim: Int): DataFrame = {
+    val d = dim / m
+    vecs.select(col("vid"), col("vec"),
+      transform(sequence(lit(0), lit(m - 1)),
+        j => argminCid(slice(col("vec"), j * d + 1, lit(d)),
+          element_at(cbLit, j + 1))).as("codes"))
+  }
 
   /** Per-(subspace, centroid) element-wise mean in exact fixed-point —
     * [[Ivf.updateCentroids]] with the subspace key carried through. */
@@ -101,37 +133,56 @@ object Pq {
     * and the DuckDB oracle mirrors the drop exactly. */
   def build(emb: DataFrame, idCol: String, vecCol: String,
             m: Int, k: Int, dim: Int, iters: Int = 2): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m subspaces")
+    val d = dim / m
+    val sess = emb.sparkSession
     val vecs = Caches.tracked(
       emb.select(col(idCol).as("vid"), col(vecCol).as("vec")), "pq")
-    val subs = Caches.tracked(subvectors(vecs, m, dim), "pq")
-    var codebook = subvectors(vecs.orderBy(col("vid")).limit(k), m, dim)
-      .select(col("j"),
-        row_number().over(Window.partitionBy(col("j")).orderBy(col("vid")))
-          .as("cid"),
-        col("sub").as("cvec"))
-    var prev: Option[DataFrame] = None
+    // Each iteration: in-row assignment against the LITERAL codebook
+    // (map-only), then one fixed-point update aggregation whose collect
+    // (inside codebookLit) IS the materialization barrier — no
+    // persist/count dance, no broadcast join, and plans stay
+    // constant-size because each pass starts from an embedded literal,
+    // not the previous iteration's lineage.
+    var cb = codebookLit(
+      subvectors(vecs.orderBy(col("vid")).limit(k), m, dim)
+        .select(col("j"),
+          row_number().over(Window.partitionBy(col("j")).orderBy(col("vid")))
+            .as("cid"),
+          col("sub").as("cvec")), m)
+    var last: Array[(Int, Int, Seq[Float])] = Array.empty
     for (_ <- 1 to iters) {
-      val next = updateCodebook(assign(subs, codebook)).persist()
-      next.count() // materialize before dropping the previous iteration
-      prev.foreach(_.unpersist(false))
-      prev = Some(next)
-      codebook = next
+      val assigned = assignCodes(vecs, cb, m, dim)
+        .select(col("vid"), posexplode(zip_with(
+          transform(sequence(lit(0), lit(m - 1)),
+            j => slice(col("vec"), j * d + 1, lit(d))),
+          col("codes"),
+          (sub, cid) => struct(sub.as("sub"), cid.as("cid")))))
+        .select(col("pos").as("j"), col("col.cid").as("cid"),
+          col("col.sub").as("sub"))
+      val next = updateCodebook(assigned)
+      last = next.select(col("j"), col("cid"), col("cvec")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toSeq))
+        .sortBy(t => (t._1, t._2))
+      val byJ: Seq[Seq[(Int, Seq[Float])]] = (0 until m).map(j =>
+        last.filter(_._1 == j).map(t => (t._2, t._3)).toSeq)
+      cb = typedLit(byJ)
     }
-    prev.foreach(Caches.register(_, "pq"))
-    codebook
+    // re-emit the final (already-materialized) codebook as a local frame
+    // so downstream consumers never recompute the last Lloyd pass
+    import sess.implicits._
+    last.toSeq.toDF("j", "cid", "cvec")
   }
 
   /** Quantize the corpus: (vid, codes ARRAY<INT> in subspace order) —
-    * the 8-bytes-per-vector serving representation. */
+    * the 8-bytes-per-vector serving representation. MAP-ONLY: the
+    * argmin folds run in-row against the literal codebook, so encoding
+    * N vectors is one codegen pass with no exchange at all. */
   def encode(emb: DataFrame, codebook: DataFrame, idCol: String,
-             vecCol: String, m: Int, dim: Int): DataFrame = {
-    val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-    assign(subvectors(vecs, m, dim), codebook)
-      .groupBy(col("vid"))
-      .agg(array_sort(collect_list(struct(col("j"), col("cid")))).as("jc"))
-      .select(col("vid"),
-        transform(col("jc"), e => e.getField("cid")).as("codes"))
-  }
+             vecCol: String, m: Int, dim: Int): DataFrame =
+    assignCodes(emb.select(col(idCol).as("vid"), col(vecCol).as("vec")),
+      codebookLit(codebook, m), m, dim)
+      .select(col("vid"), col("codes"))
 
   /** Rebuild approximate vectors from codes + the broadcast codebook —
     * what a scorer does on the fly per partition at serving time. */
