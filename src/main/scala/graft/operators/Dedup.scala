@@ -1623,10 +1623,11 @@ object Dedup {
                     maxCluster: Int = 4096, roundTo: Int = 5): DataFrame = {
     import graft.plans.CosineSimilarity.cosineSim
     val (assignments, _) = Ivf.build(emb, idCol, vecCol, k, iters)
-    val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("centroid_id")).orderBy(col("vid"))
-    val clustered = tracked(vecs.join(assignments, Seq("vid"))
+    // assignments already carries (vid, vec, centroid_id) map-only — no
+    // corpus re-join; the window below is the build's ONE corpus shuffle
+    val clustered = tracked(assignments
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= maxCluster)
       .drop("rn"))

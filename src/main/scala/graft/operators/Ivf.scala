@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   *
   * Build: k centroids via Lloyd iterations on normalized vectors
   * (deterministic init: the k lowest ids — no RNG, stable across runs).
-  * Centroids are tiny (k × dim floats) and live broadcast; assignments are
-  * a per-row argmax against the broadcast list, so building an index over
-  * N vectors is `iters` map-only passes plus one small aggregate each —
-  * no shuffle of the corpus itself.
+  * Centroids are tiny (k × dim floats) and live as a driver-side LITERAL
+  * embedded in the plan; assignment is a per-row in-row argmax against
+  * that literal, so building an index over N vectors is `iters` map-only
+  * passes plus one small aggregate each — no shuffle of the corpus
+  * itself, and quantizing the corpus costs zero exchanges.
   *
   * Probe: a query scans only its `nProbe` nearest centroid cells instead
   * of the whole corpus: expected work |C|·nProbe/k per query.
@@ -46,49 +47,74 @@ object Ivf {
             .cast("float")).as("cvec"))
   }
 
-  /** Nearest-centroid id for `vec` against a broadcast centroid table.
-    * argmax via `max_by` under groupBy, NOT a window: map-side partial
-    * aggregation collapses the k-way fan-out before the shuffle, so the
-    * exchange moves one row per vector (a window would shuffle all N·k
-    * scored rows and sort them). Tie-break: lowest centroid id. */
-  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(centroids))
-      .withColumn("sim", cosineSim(col("vec"), col("cvec")))
-      .groupBy(col("vid"))
-      .agg(any_value(col("vec")).as("vec"),
-        max_by(col("centroid_id"), struct(col("sim"), -col("centroid_id")))
-          .as("centroid_id"))
+  /** A collected centroid table as a literal array of (centroid_id, cvec)
+    * structs sorted by id — k·dim floats, the one structure small enough
+    * that driver-side materialization is the right call (MLlib's KMeans
+    * keeps centers on the driver for the same reason). Embedding it as a
+    * literal makes assignment a pure in-row computation: no broadcast
+    * join, no k-way row fan-out, no per-vid exchange. Float bits survive
+    * the collect/re-embed round trip exactly, so the fixed-point
+    * byte-reproducibility contract is unaffected. */
+  private def centroidLit(cents: Seq[(Int, Seq[Float])]): Column =
+    typedLit(cents)
 
-  /** Build the IVF index: returns (assignments, centroids).
+  /** Collect an existing (centroid_id, cvec) frame into the literal form
+    * — for composers ([[Pq.ivfPqTopK]]) that want map-only cell
+    * assignment against [[build]]'s returned centroid table (itself a
+    * local relation, so the collect is free). */
+  private[operators] def centroidLitOf(centroids: DataFrame): Column =
+    centroidLit(centroids.select(col("centroid_id"), col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toSeq)).sortBy(_._1).toSeq)
+
+  /** In-row nearest-centroid argmax against the literal entries: score
+    * every centroid once (one small (sim, cid) array per row), then a
+    * strict `>` fold over id-ascending entries — which keeps the LOWEST
+    * id on ties and treats a NaN sim as largest, exactly `max_by(cid,
+    * struct(sim, -cid))` under Spark's NaN-largest comparison rule
+    * (zero-norm inputs score NaN; same winner as the old aggregate). */
+  private[operators] def nearestCid(vec: Column, entries: Column): Column =
+    aggregate(
+      transform(entries, e => struct(
+        cosineSim(vec, e.getField("_2")).as("sim"),
+        e.getField("_1").as("cid"))),
+      struct(lit(Double.NegativeInfinity).as("sim"), lit(0).as("cid")),
+      (acc, p) => when(p.getField("sim") > acc.getField("sim"), p)
+        .otherwise(acc))
+      .getField("cid")
+
+  /** Build the IVF index: returns (assignments, centroids), where
+    * assignments carries (vid, vec, centroid_id) so callers can consume
+    * the clustered corpus WITHOUT re-joining vectors on vid (the
+    * assignment is a map-only projection — re-deriving it is free,
+    * shuffling the corpus to join it back is not).
     *
-    * Each Lloyd iteration's centroid table is MATERIALIZED (persist +
-    * count) before the next assignment pass: centroids are k×dim floats —
-    * trivially small at any corpus scale — but without the cut, iteration
-    * i's plan nests every previous iteration's cross-join and the work
-    * grows quadratically in `iters` (the standard iterative-algorithm
-    * lineage trap; MLlib's KMeans keeps centers on the driver for the
-    * same reason). */
+    * Each Lloyd iteration assigns in-row against the LITERAL centroid
+    * table, then runs one fixed-point update aggregation whose collect
+    * (inside the loop) IS the materialization barrier — no persist/count
+    * dance, no broadcast join, and plans stay constant-size because each
+    * pass starts from an embedded literal, not the previous iteration's
+    * lineage (the standard iterative-algorithm trap). The corpus never
+    * shuffles for the build: `iters` map-only passes + one small
+    * aggregate each. */
   def build(emb: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int = 3): (DataFrame, DataFrame) = {
-    // corpus + final centroids stay cached until the caller materializes
-    // its result — registered with Caches so long-lived sessions reclaim
-    // them; superseded per-iteration centroid tables are unpersisted
-    // EAGERLY (safe: the next table is counted, i.e. fully materialized,
-    // before its predecessor is dropped).
+    val sess = emb.sparkSession
     val vecs = Caches.tracked(emb.select(col(idCol).as("vid"), col(vecCol).as("vec")), "ivf")
-    var centroids = vecs.orderBy(col("vid")).limit(k)
-      .select(row_number().over(Window.orderBy(col("vid"))).as("centroid_id"),
-        col("vec").as("cvec"))
-    var prev: Option[DataFrame] = None
+    // deterministic init: the k lowest ids, centroid_id 1..k in vid order
+    var cents: Seq[(Int, Seq[Float])] = vecs.orderBy(col("vid")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Float](1).toSeq) }.toSeq
     for (_ <- 1 to iters) {
-      val next = updateCentroids(assign(vecs, centroids)).persist()
-      next.count() // materialize before dropping the previous iteration
-      prev.foreach(_.unpersist(false))
-      prev = Some(next)
-      centroids = next
+      val assigned = vecs.select(
+        nearestCid(col("vec"), centroidLit(cents)).as("centroid_id"),
+        col("vec"))
+      cents = updateCentroids(assigned).collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toSeq)).sortBy(_._1).toSeq
     }
-    prev.foreach(Caches.register(_, "ivf")) // the surviving table outlives the build
-    (assign(vecs, centroids).select("vid", "centroid_id"), centroids)
+    import sess.implicits._
+    val assignments = vecs.select(col("vid"), col("vec"),
+      nearestCid(col("vec"), centroidLit(cents)).as("centroid_id"))
+    (assignments, cents.toDF("centroid_id", "cvec"))
   }
 
   /** Approximate top-k: score each query only against cells of its
@@ -97,9 +123,9 @@ object Ivf {
            k: Int, numCentroids: Int, nProbe: Int = 2, iters: Int = 2,
            roundTo: Int = 5): DataFrame = {
     val (assignments, centroids) = build(emb, idCol, vecCol, numCentroids, iters)
-    val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-    val corpus = vecs.join(assignments, Seq("vid"))
-    val queries = vecs.filter(queryPred)
+    val corpus = assignments // (vid, vec, centroid_id) — map-only, no join
+    val queries = emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .filter(queryPred)
       .select(col("vid").as("query_id"), col("vec").as("qvec"))
     // nProbe nearest cells per query (against broadcast centroids).
     val probeW = Window.partitionBy(col("query_id"))

@@ -325,10 +325,18 @@ object Pq {
                 queryPred: Column, k: Int, m: Int, numCentroids: Int,
                 dim: Int, coarseK: Int, nProbe: Int, iters: Int = 2,
                 roundTo: Int = 5): DataFrame = {
-    val (assignments, centroids) = Ivf.build(emb, idCol, vecCol, coarseK, iters)
+    val (_, centroids) = Ivf.build(emb, idCol, vecCol, coarseK, iters)
     val codebook = build(emb, idCol, vecCol, m, numCentroids, dim, iters)
-    val codes = encode(emb, codebook, idCol, vecCol, m, dim)
-      .join(assignments, Seq("vid"))
+    // ONE map-only pass emits (vid, codes, centroid_id): PQ codes and the
+    // coarse cell are both in-row computations against literals, so the
+    // serving index never shuffles — the old encode⋈assignments vid join
+    // was a corpus-wide exchange for two columns born in the same row
+    val codes = assignCodes(
+        emb.select(col(idCol).as("vid"), col(vecCol).as("vec")),
+        codebookLit(codebook, m), m, dim)
+      .select(col("vid"), col("codes"),
+        Ivf.nearestCid(col("vec"), Ivf.centroidLitOf(centroids))
+          .as("centroid_id"))
     val queries = emb.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .filter(queryPred)
     // nProbe nearest cells per query (same probe rule as Ivf.topK)

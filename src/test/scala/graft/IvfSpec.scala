@@ -45,7 +45,9 @@ class IvfSpec extends SparkSpec {
   test("index build is byte-reproducible under repartitioning") {
     def assignments(parts: Int) =
       Ivf.build(emb.repartition(parts), "vec_id", "embedding", k = 4)._1
-        .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+        .collect()
+        .map(r => (r.getAs[Long]("vid"), r.getAs[Int]("centroid_id")))
+        .sortBy(_._1).toSeq
     // fixed-point centroid accumulation is associative: any partitioning
     // yields the same centroids, hence the same cell assignments
     assert(assignments(1) == assignments(7))
