@@ -22,29 +22,33 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Element-wise mean per cluster via posexplode(dim) + groupBy — the
-    * dimension explode multiplies rows by `dim`, but only for ONE
-    * aggregation pass per Lloyd iteration, and it keeps the update fully
-    * distributed (no driver-side math over the corpus).
+  /** Element-wise mean per cluster as ONE hash aggregate keyed on the
+    * cluster id with `dim` bigint accumulators — no row fan-out: the old
+    * posexplode form pushed N·dim rows through the partial aggregate's
+    * hash machinery (key probe + buffer update per DIMENSION); wide
+    * accumulators update dim sums per VECTOR in a single buffer row.
+    * At crawl scale that is the difference between hashing 64 billion
+    * and 1 billion rows per Lloyd pass.
     *
     * Accumulates in exact fixed-point (same rationale as
     * [[Vectors.centroids]]): float `avg` is partition-order-dependent, so
     * an index built twice over the same 100 TB corpus would get DIFFERENT
     * centroids (and different cell assignments) run to run. Exact bigint
-    * sums make the build byte-reproducible under any partitioning. */
-  private def updateCentroids(assigned: DataFrame): DataFrame = {
+    * sums make the build byte-reproducible under any partitioning —
+    * per-element sums are the SAME `sum(floor(x·2^20))` terms the explode
+    * form computed, so results are bit-identical and the oracle algebra
+    * is untouched. */
+  private def updateCentroids(assigned: DataFrame, dim: Int): DataFrame = {
     val scale = 1048576.0d // 2^20
-    assigned.select(col("centroid_id"), posexplode(col("vec")))
-      .groupBy(col("centroid_id"), col("pos"))
-      .agg(sum(floor(col("col").cast("double") * scale)).as("s"),
-        count(lit(1)).as("n"))
-      .groupBy("centroid_id")
-      .agg(any_value(col("n")).as("n"),
-        array_sort(collect_list(struct(col("pos"), col("s")))).as("ss"))
+    val sums = (0 until dim).map(i =>
+      sum(floor(element_at(col("vec"), i + 1).cast("double") * scale))
+        .as(s"s$i"))
+    assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"), sums: _*)
       .select(col("centroid_id"),
-        transform(col("ss"),
-          e => (e.getField("s").cast("double") / col("n").cast("double") / scale)
-            .cast("float")).as("cvec"))
+        array((0 until dim).map(i =>
+          (col(s"s$i").cast("double") / col("n").cast("double") / scale)
+            .cast("float")): _*).as("cvec"))
   }
 
   /** A collected centroid table as a literal array of (centroid_id, cvec)
@@ -104,11 +108,12 @@ object Ivf {
     var cents: Seq[(Int, Seq[Float])] = vecs.orderBy(col("vid")).limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => (i + 1, r.getSeq[Float](1).toSeq) }.toSeq
+    val dim = cents.head._2.length
     for (_ <- 1 to iters) {
       val assigned = vecs.select(
         nearestCid(col("vec"), centroidLit(cents)).as("centroid_id"),
         col("vec"))
-      cents = updateCentroids(assigned).collect()
+      cents = updateCentroids(assigned, dim).collect()
         .map(r => (r.getInt(0), r.getSeq[Float](1).toSeq)).sortBy(_._1).toSeq
     }
     import sess.implicits._

@@ -103,20 +103,22 @@ object Pq {
   }
 
   /** Per-(subspace, centroid) element-wise mean in exact fixed-point —
-    * [[Ivf.updateCentroids]] with the subspace key carried through. */
-  private def updateCodebook(assigned: DataFrame): DataFrame = {
+    * [[Ivf.updateCentroids]] with the subspace key carried through: one
+    * hash aggregate keyed (j, cid) with `d` bigint accumulators instead
+    * of a d-way posexplode fan-out (same bit-identical
+    * `sum(floor(x·2^20))` terms, d× fewer rows through the partial
+    * aggregate). */
+  private def updateCodebook(assigned: DataFrame, d: Int): DataFrame = {
     val scale = 1048576.0d // 2^20
-    assigned.select(col("j"), col("cid"), posexplode(col("sub")))
-      .groupBy(col("j"), col("cid"), col("pos"))
-      .agg(sum(floor(col("col").cast("double") * scale)).as("s"),
-        count(lit(1)).as("n"))
-      .groupBy(col("j"), col("cid"))
-      .agg(any_value(col("n")).as("n"),
-        array_sort(collect_list(struct(col("pos"), col("s")))).as("ss"))
+    val sums = (0 until d).map(i =>
+      sum(floor(element_at(col("sub"), i + 1).cast("double") * scale))
+        .as(s"s$i"))
+    assigned.groupBy(col("j"), col("cid"))
+      .agg(count(lit(1)).as("n"), sums: _*)
       .select(col("j"), col("cid"),
-        transform(col("ss"),
-          e => (e.getField("s").cast("double") / col("n").cast("double") / scale)
-            .cast("float")).as("cvec"))
+        array((0 until d).map(i =>
+          (col(s"s$i").cast("double") / col("n").cast("double") / scale)
+            .cast("float")): _*).as("cvec"))
   }
 
   /** Train the per-subspace codebooks: returns (j, cid, cvec) with
@@ -160,7 +162,7 @@ object Pq {
           (sub, cid) => struct(sub.as("sub"), cid.as("cid")))))
         .select(col("pos").as("j"), col("col.cid").as("cid"),
           col("col.sub").as("sub"))
-      val next = updateCodebook(assigned)
+      val next = updateCodebook(assigned, d)
       last = next.select(col("j"), col("cid"), col("cvec")).collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toSeq))
         .sortBy(t => (t._1, t._2))
