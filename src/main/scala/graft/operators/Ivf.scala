@@ -143,9 +143,7 @@ object Ivf {
     val scored = corpus.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("vid") =!= col("query_id"))
       .withColumn("cosine", round(cosineSim(col("qvec"), col("vec")), roundTo))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("vid"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    Ranking.topKByScore(scored, "query_id", "vid", "cosine", k)
       .select(col("query_id"), col("vid").as("neighbor_id"), col("cosine"), col("rank"))
   }
 }

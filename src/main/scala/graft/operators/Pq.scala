@@ -281,9 +281,7 @@ object Pq {
     val qTab = queryTables(queries, codebook, m, numCentroids, dim)
     val scored = codes.join(broadcast(qTab), col("vid") =!= col("query_id"))
       .withColumn("pq_cosine", adcCosine(col("codes"), roundTo))
-    val w = Window.partitionBy("query_id").orderBy(desc("pq_cosine"), col("vid"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    Ranking.topKByScore(scored, "query_id", "vid", "pq_cosine", k)
       .select(col("query_id"), col("vid").as("neighbor_id"),
         col("pq_cosine"), col("rank"))
   }
@@ -292,8 +290,11 @@ object Pq {
     * against the exact query — kept as the SPEC TWIN: mathematically the
     * same score [[topK]] computes by lookups, so PqSpec asserts the two
     * paths emit identical rounded results (the fidelity evidence that ADC
-    * lost nothing). Not the serving path: it materializes a dim-float
-    * array per candidate and pays O(dim) per pair. */
+    * lost nothing). Deliberately still ranked by the WINDOW idiom: the
+    * twin equality therefore also pins [[Ranking.topKByScore]]'s heap
+    * ranking == window ranking on live data every suite run. Not the
+    * serving path: it materializes a dim-float array per candidate and
+    * pays O(dim) per pair. */
   def topKReconstruct(emb: DataFrame, idCol: String, vecCol: String,
                       queryPred: Column, k: Int, m: Int, numCentroids: Int,
                       dim: Int, iters: Int = 2, roundTo: Int = 5): DataFrame = {
@@ -354,9 +355,7 @@ object Pq {
     val scored = codes.join(broadcast(qTab), Seq("centroid_id"))
       .filter(col("vid") =!= col("query_id"))
       .withColumn("pq_cosine", adcCosine(col("codes"), roundTo))
-    val w = Window.partitionBy("query_id").orderBy(desc("pq_cosine"), col("vid"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    Ranking.topKByScore(scored, "query_id", "vid", "pq_cosine", k)
       .select(col("query_id"), col("vid").as("neighbor_id"),
         col("pq_cosine"), col("rank"))
   }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
+import org.apache.spark.sql.functions._
+
+/** Bounded per-key top-k — the scale-correct replacement for the
+  * `row_number().over(Window.partitionBy(key).orderBy(...)) <= k` idiom
+  * in every ANN serving path.
+  *
+  * Spark's rank-limit pushdown (WindowGroupLimit, 3.5+) already keeps
+  * the window form's EXCHANGE bounded — partial group-limits run
+  * map-side — but both the partial and final group-limits work by
+  * SORTING their whole input partition (every candidate, O(n log n) per
+  * partition, twice) before streaming off the first k per key, and at
+  * 100 TB an IVF-PQ query probing nProbe/k of the corpus owns millions
+  * of candidates per partition. This helper ranks with Spark's
+  * `collect_top_k` aggregate instead (a size-k
+  * [[org.apache.spark.util.BoundedPriorityQueue]] in the aggregation
+  * buffer): a heap insert per candidate (O(n log k) with k ≪ n, no sort
+  * of anything unbounded, no Sort exec in the plan at all), the same
+  * partial/merge shape as any hash aggregate — a per-key TakeOrdered,
+  * which is exactly what Spark itself picks for global
+  * `ORDER BY ... LIMIT k`.
+  *
+  * Output rows and rank values are IDENTICAL to the window form: the
+  * heap's struct ordering ((score, −id) ascending, largest kept) is the
+  * same total order as `ORDER BY score DESC, id ASC` — Spark's struct
+  * comparison uses the engine's double ordering (NaN largest, nulls
+  * smallest), matching the window's `desc` NULLS LAST / NaN-first rule —
+  * and the DuckDB oracles keep expressing rank as a SQL window, so the
+  * equivalence sits under the correctness gate, not an epsilon.
+  * [[Pq.topKReconstruct]] deliberately stays on the window form: PqSpec's
+  * ADC==reconstruct twin equality then also pins heap-rank == window-rank
+  * on live data every suite run. */
+object Ranking {
+
+  /** Top `k` rows per `keyCol` by (`scoreCol` DESC, `idCol` ASC), with a
+    * 1-based dense `rank` column — byte-identical to
+    * `row_number().over(Window.partitionBy(keyCol).orderBy(desc(scoreCol),
+    * col(idCol))).filter(_ <= k)` followed by the same projection.
+    * `idCol` must be numeric (the tie-break rides as a negated struct
+    * field) and unique per key, which every ANN candidate set guarantees
+    * (candidates are deduped ids). Output columns: keyCol, idCol,
+    * scoreCol, rank. */
+  def topKByScore(scored: DataFrame, keyCol: String, idCol: String,
+                  scoreCol: String, k: Int): DataFrame = {
+    // CollectTopK sits in the INTERNAL function registry (the pandas-API
+    // nsmallest/nlargest aggregate), not the SQL one, so it is wired by
+    // expression: reverse=false keeps the k LARGEST (score, −id) structs
+    // and eval() emits them already sorted descending — rank == pos + 1.
+    val entry = struct(col(scoreCol).as("s"), (-col(idCol)).as("nv"),
+      col(idCol).as("id"))
+    val top = GraftSqlBridge.column(new CollectTopK(
+      GraftSqlBridge.expression(entry), k, false, 0, 0)
+      .toAggregateExpression())
+    scored.groupBy(col(keyCol)).agg(top.as("top"))
+      .select(col(keyCol), posexplode(col("top")))
+      .select(col(keyCol), col("col.id").as(idCol), col("col.s").as(scoreCol),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+}

@@ -42,9 +42,7 @@ object Similarity {
       .select(col("vid").as("query_id"), col("vec").as("qvec"))
     val scored = all.join(broadcast(q), col("vid") =!= col("query_id"))
       .withColumn("cosine", round(cosineSim(col("qvec"), col("vec")), roundTo))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("vid"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    Ranking.topKByScore(scored, "query_id", "vid", "cosine", k)
       .select(col("query_id"), col("vid").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
@@ -80,9 +78,7 @@ object Similarity {
     val deduped = if (probes == 1) cand else cand.dropDuplicates("query_id", "vid")
     val scored = deduped
       .withColumn("cosine", round(cosineSim(col("qvec"), col("vec")), roundTo))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("vid"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    Ranking.topKByScore(scored, "query_id", "vid", "cosine", k)
       .select(col("query_id"), col("vid").as("neighbor_id"), col("cosine"), col("rank"))
   }
 }

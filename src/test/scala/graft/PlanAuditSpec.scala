@@ -590,8 +590,9 @@ class PlanAuditSpec extends SparkSpec {
     // build/encode join the broadcast codebook; scoring joins codes
     // against the broadcast per-query table set (non-equi vid!=query_id
     // ⇒ a BroadcastNestedLoop over the TINY broadcast side — the flat-PQ
-    // scan shape); the only wide exchanges are aggregates and the
-    // ranking window's query_id hash partitioning
+    // scan shape); ranking is Ranking.topKByScore's bounded-heap
+    // aggregate (r13), so NO Window and no per-key candidate sort
+    // survive — the only wide exchanges are hash aggregates
     val emb = (1 to 40).map(i =>
       (i.toLong, Seq.tabulate(64)(d => ((i * 7 + d) % 5).toFloat + 1f)))
       .toDF("vec_id", "embedding")
@@ -602,6 +603,8 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
     graft.operators.Caches.unpersistScope("pq")
     graft.operators.Caches.unpersistScope("ivf")
   }
@@ -621,6 +624,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Exchange rangepartitioning"), p)
+    // candidate ranking is the bounded-heap aggregate; the one Window
+    // exec left is the probe selection over queries × coarseK rows
+    // (bounded by the centroid count, not the corpus — not a scale
+    // hazard; WindowGroupLimit nodes are that window's own rank-limit
+    // pushdown, not extra windows)
+    assert("Window \\[".r.findAllIn(p).length <= 1, p)
+    assert(p.contains("ObjectHashAggregate"), p)
     graft.operators.Caches.unpersistScope("pq")
     graft.operators.Caches.unpersistScope("ivf")
   }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Ranking
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [[Ranking.topKByScore]] — the bounded-heap replacement for the
+  * per-key ranking window. The load-bearing property is EXACT equality
+  * with the window idiom (rows AND rank values) under ties, nulls, and
+  * k larger than the group; the plan test pins that ranking really is
+  * an aggregate (no Window, no Sort anywhere) so the scale claim — no
+  * task ever sorts an unbounded candidate list, heap inserts only — is
+  * structural. */
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def windowReference(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy("key").orderBy(desc("score"), col("id"))
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("key", "id", "score", "rank")
+  }
+
+  test("heap ranking == window ranking under ties and large k") {
+    // scores rounded to one decimal force ties inside every key, so the
+    // id tie-break carries the ordering; key 5 has fewer rows than k
+    val rows = (1L to 200L).map { i =>
+      (i % 5, i, math.round(math.sin(i.toDouble) * 10) / 10.0)
+    } :+ ((5L, 999L, 0.5))
+    val df = rows.toDF("key", "id", "score")
+    val got = Ranking.topKByScore(df, "key", "id", "score", 7)
+      .select("key", "id", "score", "rank")
+    val want = windowReference(df, 7)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      got.orderBy("key", "rank").collect().mkString("\n"))
+    assert(got.count() === want.count())
+  }
+
+  test("null scores trail exactly like the window's desc NULLS LAST") {
+    val df = Seq[(Long, Long, java.lang.Double)](
+      (1L, 10L, 0.9), (1L, 11L, null), (1L, 12L, 0.3), (1L, 13L, null)
+    ).toDF("key", "id", "score")
+    val got = Ranking.topKByScore(df, "key", "id", "score", 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(got.toSeq === Seq((10L, 1L), (12L, 2L), (11L, 3L)), got.toSeq)
+  }
+
+  test("plan: ranking is a partial-merge aggregate — no Window, no per-key sort") {
+    val df = (1L to 50L).map(i => (i % 3, i, i * 0.1)).toDF("key", "id", "score")
+    val p = df.sparkSession.sessionState.executePlan(
+      Ranking.topKByScore(df, "key", "id", "score", 5).queryExecution.logical)
+      .executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort ["), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_collect_top_k") || p.contains("partial collect_top_k")
+      || "ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+}
