@@ -59,4 +59,33 @@ object Ranking {
       .select(col(keyCol), col("col.id").as(idCol), col("col.s").as(scoreCol),
         (col("pos") + 1).cast("long").as("rank"))
   }
+
+  /** Top `k` rows per `keyCol` by (`scoreCol` DESC, `tieCol` ASC) where
+    * the tie-break is any orderable type (term strings), carrying
+    * `carry` columns through unchanged — the [[topKByScore]] shape for
+    * rankings whose tie column cannot be negated. The heap instead keeps
+    * the k SMALLEST (−score, tie) structs (CollectTopK reverse=true),
+    * which is the same total order… except at the edges negation cannot
+    * mirror: NaN (desc ranks it first; negated NaN stays NaN and sorts
+    * last) and NULL (desc trails it; a negated null leads a keep-smallest
+    * heap). This variant therefore REQUIRES non-null, NaN-free scores —
+    * true by construction for tf/df and BM25 (ratios of positive
+    * integers); the ANN paths, whose zero-norm vectors can score NaN,
+    * use [[topKByScore]]'s NaN/null-consistent form instead. Output:
+    * keyCol, tieCol, scoreCol, carry…, `rankName` (1-based, long). */
+  def topKCarrying(scored: DataFrame, keyCol: String, scoreCol: String,
+                   tieCol: String, carry: Seq[String], k: Int,
+                   rankName: String = "rank"): DataFrame = {
+    val entry = struct(
+      (-col(scoreCol)).as("ns") +: col(tieCol).as("t") +:
+        col(scoreCol).as("s") +: carry.map(c => col(c).as(c)): _*)
+    val top = GraftSqlBridge.column(new CollectTopK(
+      GraftSqlBridge.expression(entry), k, true, 0, 0)
+      .toAggregateExpression())
+    scored.groupBy(col(keyCol)).agg(top.as("top"))
+      .select(col(keyCol), posexplode(col("top")))
+      .select(col(keyCol) +: col("col.t").as(tieCol) +:
+        col("col.s").as(scoreCol) +: carry.map(c => col(s"col.$c").as(c)) :+
+        (col("pos") + 1).cast("long").as(rankName): _*)
+  }
 }

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.Text
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-document characteristic-term extraction — the tf-idf step of corpus
@@ -21,7 +20,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one shuffle of (doc, term) pairs for tf (map-side
   * combinable counts), one vocabulary-sized aggregate for df, per-doc
-  * top-k via a window partitioned on doc. The df join-back carries NO
+  * top-k via [[Ranking.topKCarrying]]'s bounded-heap aggregate (r13;
+  * was a window partitioned on doc — the heap never sorts a partition). The df join-back carries NO
   * broadcast hint on purpose: a natural-language vocabulary fits under
   * the auto-broadcast threshold and Catalyst broadcasts it unhinted,
   * but a web-scale token vocabulary does not bound (the same reason
@@ -44,12 +44,12 @@ object Tfidf {
       pairs.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf")),
       "tfidf")
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc"))
-      .orderBy(col("score").desc, col("term"))
-    tf.join(df_, Seq("term"))
+    val scored = tf.join(df_, Seq("term"))
       .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    // bounded-heap ranking (r13): scores are ratios of positive integers
+    // — never null/NaN — so the topKCarrying contract holds
+    Ranking.topKCarrying(scored, "doc", "score", "term",
+        Seq("tf", "df"), k, rankName = "rnk")
       .select(col("doc"), col("rnk"), col("term"), col("tf"), col("df"),
         col("score"))
   }
@@ -90,12 +90,13 @@ object Tfidf {
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) +
           lit(b) * (col("dl").cast("double") / col("avgdl"))))
-    val w = Window.partitionBy(col("doc"))
-      .orderBy(col("score").desc, col("term"))
-    tf.join(df_, Seq("term")).join(dl, Seq("doc")).crossJoin(broadcast(avgdl))
+    val scored = tf.join(df_, Seq("term")).join(dl, Seq("doc"))
+      .crossJoin(broadcast(avgdl))
       .withColumn("score", satTf / col("df").cast("double"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    // bounded-heap ranking (r13): saturated-tf scores are finite and
+    // positive (every denominator term is positive), never null/NaN
+    Ranking.topKCarrying(scored, "doc", "score", "term",
+        Seq("tf", "df", "dl"), k, rankName = "rnk")
       .select(col("doc"), col("rnk"), col("term"), col("tf"), col("df"),
         col("dl"), col("score"))
   }

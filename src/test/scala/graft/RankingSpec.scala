@@ -45,6 +45,26 @@ class RankingSpec extends SparkSpec {
     assert(got.toSeq === Seq((10L, 1L), (12L, 2L), (11L, 3L)), got.toSeq)
   }
 
+  test("topKCarrying == window ranking with a string tie-break and carried columns") {
+    // duplicate scores inside every key force the term tie-break; carry
+    // columns must ride through byte-identical
+    val rows = (1L to 120L).map { i =>
+      (i % 4, s"t${(i * 37) % 30}", (i % 6).toDouble / 2.0, i, i * 10)
+    }
+    val df = rows.toDF("key", "term", "score", "ca", "cb")
+      .dropDuplicates("key", "term")
+    val got = Ranking.topKCarrying(df, "key", "score", "term",
+      Seq("ca", "cb"), 5, rankName = "rnk")
+      .select("key", "term", "score", "ca", "cb", "rnk")
+    val w = Window.partitionBy("key").orderBy(desc("score"), col("term"))
+    val want = df.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("key", "term", "score", "ca", "cb", "rnk")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      got.orderBy("key", "rnk").collect().mkString("\n"))
+    assert(got.count() === want.count())
+  }
+
   test("plan: ranking is a partial-merge aggregate — no Window, no per-key sort") {
     val df = (1L to 50L).map(i => (i % 3, i, i * 0.1)).toDF("key", "id", "score")
     val p = df.sparkSession.sessionState.executePlan(
