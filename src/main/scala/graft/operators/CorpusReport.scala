@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.Text
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Stage-by-stage curation FUNNEL: the per-ingest accounting report every
@@ -13,9 +12,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: each stage is summarized by ONE tiny aggregate (count +
   * token sum); the only shuffles beyond the quality gate's map-only pass
-  * are the normalized-fingerprint window the dedup stage already pays and
-  * the id semi-join against the caller's keep-list. Output is 3-4 rows
-  * regardless of corpus size. */
+  * are the normalized-fingerprint min_by aggregate the dedup stage
+  * already pays and the id semi-join against the caller's keep-list.
+  * Output is 3-4 rows regardless of corpus size. */
 object CorpusReport {
 
   /** Stages 0-2 as a population: quality-kept, normalized-exact-unique
@@ -30,11 +29,12 @@ object CorpusReport {
       QualityFilter(docs, idCol, textCol, langCol)
         .filter(col("keep")).select(idCol),
       Seq(idCol), "left_semi")
-    val w = Window
-      .partitionBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
-      .orderBy(col(idCol))
-    kept.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    // min_by, not a per-fp window: a viral exact-dup (df in the millions
+    // at crawl scale) collapses in map-side partial aggregates instead of
+    // one task's sort — the dedupParagraphs de-skew discipline
+    kept.groupBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .agg(min_by(struct(col(idCol), col("text")), col(idCol)).as("row"))
+      .select(col("row.*"))
   }
 
   /** The funnel report. `nearDupKeep` (ids surviving near-dup dedup — the
@@ -49,11 +49,11 @@ object CorpusReport {
       QualityFilter(docs, idCol, textCol, langCol)
         .filter(col("keep")).select(idCol),
       Seq(idCol), "left_semi")
-    val w = Window
-      .partitionBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
-      .orderBy(col(idCol))
-    val uniq = kept.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // same de-skewed min_by canonical as exactUnique
+    val uniq = kept
+      .groupBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .agg(min_by(struct(col(idCol), col("text")), col(idCol)).as("row"))
+      .select(col("row.*"))
     def stage(df: DataFrame, idx: Int, name: String): DataFrame =
       df.agg(count(lit(1)).as("n_docs"),
         sum(Text.tokenCount(col("text"))).as("n_tokens"))
@@ -70,13 +70,14 @@ object CorpusReport {
   }
 
   /** Whole-funnel form owning the near-dup stage: computes the gate and
-    * the exact-dedup window ONCE each (cached, scope "corpus" — caller
+    * the exact-dedup canonical ONCE each (cached, scope "corpus" — caller
     * releases via `Caches.unpersistScope("corpus")`), builds the pair set
     * over the cached stage-2 survivors with the caller's `pairsOf`
     * (e.g. `Dedup.jaccardNearDups(_, ...)`), and reports all four
     * stages. The composed [[funnel]]+[[exactUnique]] route evaluates the
-    * gate once per stage branch and the window three times — 4 corpus
-    * passes this form collapses to 1 gate + 1 window + the pair build. */
+    * gate once per stage branch and the dedup canonical three times — 4
+    * corpus passes this form collapses to 1 gate + 1 canonical + the
+    * pair build. */
   /** `maxCandidatePairs`: pre-flight budget for the near-dup stage — the
     * heaviest stage of a real funnel run. When set, `candidateVolume`
     * (REQUIRED alongside it, e.g. [[Dedup.candidateVolumeEstimate]] with
@@ -165,9 +166,12 @@ object CorpusReport {
     * (the bench's planted near-copies tokenize every document to build
     * themselves), and without this it is fully re-evaluated by the
     * gate's pass, the kept join's base side, and the stage-0 aggregate.
-    * The fingerprint window carries rn AND the per-group min id over the
-    * SAME partitioning (one exchange) — the funnel only reads rn, the
-    * audit also reads the min as its exact-stage canonical. */
+    * The exact-stage canonical is a map-combinable per-fp `min`
+    * aggregate joined back on the fp (the dedupParagraphs de-skew: a
+    * viral duplicate collapses in partial aggs instead of one window
+    * task's sort); `ranked` carries every kept row with its group's
+    * `canon`, so "survivor" is simply `id === canon` — the funnel reads
+    * the survivors, the audit reads the losers with their canonical. */
   private[graft] def curationFrames(
       docs: DataFrame, idCol: String, textCol: String, langCol: String,
       pairsOf: DataFrame => DataFrame): CurationFrames = {
@@ -179,12 +183,12 @@ object CorpusReport {
     val kept = Caches.tracked(base.join(
       judged.filter(col("keep")).select(idCol),
       Seq(idCol), "left_semi"), "corpus")
-    val byFp = Window.partitionBy(col("fp"))
-    val ranked = Caches.tracked(kept
-      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
-      .withColumn("rn", row_number().over(byFp.orderBy(col(idCol))))
-      .withColumn("canon", min(col(idCol)).over(byFp)), "corpus")
-    val uniq = ranked.filter(col("rn") === 1).select(col(idCol), col("text"))
+    val withFp = kept.withColumn("fp",
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+    val mins = withFp.groupBy(col("fp")).agg(min(col(idCol)).as("canon"))
+    val ranked = Caches.tracked(withFp.join(mins, Seq("fp")), "corpus")
+    val uniq = ranked.filter(col(idCol) === col("canon"))
+      .select(col(idCol), col("text"))
     new CurationFrames(src, judged, base, kept, ranked, uniq, pairsOf)
   }
 
@@ -198,17 +202,16 @@ object CorpusReport {
     *  - stage 1 `quality`: the gate's violated-rule names (fixed order,
     *    comma-joined), no canonical;
     *  - stage 2 `exact`: normalized-fingerprint duplicates, canonical =
-    *    the group's minimum id (the `rn = 1` survivor);
+    *    the group's minimum id (the `id === canon` survivor);
     *  - stage 3 `neardup`: non-canonical members of the caller's pair
     *    graph components ([[Dedup.components]] min-id labels).
     *
     * Scale shape: output is drop-cardinality (usually a small fraction of
     * the corpus); the operator pays exactly the funnel's own stages — the
-    * map-only gate, the ONE fingerprint window (which now also carries the
-    * per-group min as a second window function over the SAME partitioning,
-    * no extra exchange), and the caller's pair graph + components. Nothing
-    * new shuffles. Quality/exact frames derive from "corpus"-scoped caches
-    * shared with a funnel run over the same input. */
+    * map-only gate, the de-skewed per-fp min aggregate + fp join-back
+    * (see [[curationFrames]]), and the caller's pair graph + components.
+    * Quality/exact frames derive from "corpus"-scoped caches shared with
+    * a funnel run over the same input. */
   def dropAudit(docs: DataFrame, idCol: String, textCol: String,
                 langCol: String,
                 pairsOf: DataFrame => DataFrame): DataFrame = {
@@ -217,7 +220,7 @@ object CorpusReport {
       .select(col(idCol), lit(1L).as("stage_idx"), lit("quality").as("stage"),
         array_join(col("reasons"), ",").as("reason"),
         lit(null).cast("long").as("canonical_id"))
-    val exactDrops = f.ranked.filter(col("rn") > 1)
+    val exactDrops = f.ranked.filter(col(idCol) =!= col("canon"))
       .select(col(idCol), lit(2L).as("stage_idx"), lit("exact").as("stage"),
         lit("exact_duplicate").as("reason"),
         col("canon").as("canonical_id"))

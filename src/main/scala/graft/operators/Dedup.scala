@@ -543,6 +543,21 @@ object Dedup {
       numHashes, minEstJaccard, maxBucket = Int.MaxValue)
   }
 
+  /** Min-id row per batch fingerprint WITHOUT a per-fp window: one
+    * map-combinable `min_by` aggregate, so a viral fingerprint's
+    * occurrences collapse in partial aggregates instead of serializing
+    * one task's sort — the same de-skew discipline as
+    * [[dedupParagraphs]]'s first-occurrence canonical (r12 VERDICT #5),
+    * applied to batch ingestion. Same single fp exchange as the window
+    * form; the sort (and the skew) is what disappears. Drops the
+    * fingerprint column. */
+  private def firstPerFingerprint(fresh: DataFrame, idCol: String): DataFrame = {
+    val cols = fresh.columns.filterNot(_ == "fingerprint")
+    fresh.groupBy(col("fingerprint"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("row"))
+      .select(col("row.*"))
+  }
+
   /** Incremental exact dedup: rows of `batch` that are new BOTH against a
     * fingerprint `store` (the corpus already kept — one `fingerprint`
     * column) AND within the batch itself (min-id wins). The production
@@ -554,10 +569,7 @@ object Dedup {
                       store: DataFrame): DataFrame = {
     val fp = batch.withColumn("fingerprint", md5(col(textCol)))
     val fresh = fp.join(store.select("fingerprint"), Seq("fingerprint"), "left_anti")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fingerprint")).orderBy(col(idCol))
-    fresh.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn", "fingerprint")
+    firstPerFingerprint(fresh, idCol)
   }
 
   /** [[newAgainstStore]] with a Bloom pre-filter — the 100 TB shape of
@@ -627,10 +639,7 @@ object Dedup {
           fp.filter(maybe).join(store.select("fingerprint"),
             Seq("fingerprint"), "left_anti"))
       }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fingerprint")).orderBy(col(idCol))
-    fresh.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn", "fingerprint")
+    firstPerFingerprint(fresh, idCol)
   }
 
   /** Incremental NEAR-dup ingestion: rows of `batch` that are near-dup-new
