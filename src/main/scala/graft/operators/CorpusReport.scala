@@ -29,12 +29,16 @@ object CorpusReport {
       QualityFilter(docs, idCol, textCol, langCol)
         .filter(col("keep")).select(idCol),
       Seq(idCol), "left_semi")
-    // min_by, not a per-fp window: a viral exact-dup (df in the millions
-    // at crawl scale) collapses in map-side partial aggregates instead of
-    // one task's sort — the dedupParagraphs de-skew discipline
-    kept.groupBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
-      .agg(min_by(struct(col(idCol), col("text")), col(idCol)).as("row"))
-      .select(col("row.*"))
+    // a size-1 heap per fp (Ranking.keepSmallestK), not a per-fp window:
+    // a viral exact-dup (df in the millions at crawl scale) collapses in
+    // map-side partial aggregates and NOTHING sorts — the dedupParagraphs
+    // de-skew discipline, hash-aggregated (min_by(struct) would fall back
+    // to SortAggregate and re-sort every partition)
+    Ranking.keepSmallestK(
+        kept.withColumn("fp",
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))),
+        "fp", Seq(col(idCol)), 1)
+      .drop("fp")
   }
 
   /** The funnel report. `nearDupKeep` (ids surviving near-dup dedup — the
@@ -49,11 +53,12 @@ object CorpusReport {
       QualityFilter(docs, idCol, textCol, langCol)
         .filter(col("keep")).select(idCol),
       Seq(idCol), "left_semi")
-    // same de-skewed min_by canonical as exactUnique
-    val uniq = kept
-      .groupBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
-      .agg(min_by(struct(col(idCol), col("text")), col(idCol)).as("row"))
-      .select(col("row.*"))
+    // same de-skewed heap canonical as exactUnique
+    val uniq = Ranking.keepSmallestK(
+        kept.withColumn("fp",
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))),
+        "fp", Seq(col(idCol)), 1)
+      .drop("fp")
     def stage(df: DataFrame, idx: Int, name: String): DataFrame =
       df.agg(count(lit(1)).as("n_docs"),
         sum(Text.tokenCount(col("text"))).as("n_tokens"))

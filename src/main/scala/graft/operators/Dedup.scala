@@ -543,20 +543,17 @@ object Dedup {
       numHashes, minEstJaccard, maxBucket = Int.MaxValue)
   }
 
-  /** Min-id row per batch fingerprint WITHOUT a per-fp window: one
-    * map-combinable `min_by` aggregate, so a viral fingerprint's
-    * occurrences collapse in partial aggregates instead of serializing
-    * one task's sort — the same de-skew discipline as
-    * [[dedupParagraphs]]'s first-occurrence canonical (r12 VERDICT #5),
-    * applied to batch ingestion. Same single fp exchange as the window
-    * form; the sort (and the skew) is what disappears. Drops the
-    * fingerprint column. */
-  private def firstPerFingerprint(fresh: DataFrame, idCol: String): DataFrame = {
-    val cols = fresh.columns.filterNot(_ == "fingerprint")
-    fresh.groupBy(col("fingerprint"))
-      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("row"))
-      .select(col("row.*"))
-  }
+  /** Min-id row per batch fingerprint WITHOUT a per-fp window OR a sort:
+    * [[Ranking.keepSmallestK]] with k=1 — a size-1 heap in an
+    * ObjectHashAggregate, so a viral fingerprint's occurrences collapse
+    * in map-side partials and no task sorts anything (the same de-skew
+    * discipline as [[dedupParagraphs]]'s canonical; note `min_by(struct)`
+    * would NOT do — declarative aggregates with struct buffers fall back
+    * to SortAggregate, which re-sorts every partition by the key). Same
+    * single fp exchange as the window form. Drops the fingerprint. */
+  private def firstPerFingerprint(fresh: DataFrame, idCol: String): DataFrame =
+    Ranking.keepSmallestK(fresh, "fingerprint", Seq(col(idCol)), 1)
+      .drop("fingerprint")
 
   /** Incremental exact dedup: rows of `batch` that are new BOTH against a
     * fingerprint `store` (the corpus already kept — one `fingerprint`
@@ -1536,11 +1533,12 @@ object Dedup {
     * surviving paragraphs VERBATIM in original order.
     *
     * Scale shape: the canonical needs only the GLOBAL MIN (doc, pos) per
-    * fp, so occurrences aggregate with a map-combinable `min(struct)` —
-    * partial mins collapse a viral paragraph's millions of occurrences
-    * map-side, where the obvious per-fp `row_number` window would land
-    * them all in ONE task's sort (the skew hazard
-    * [[removeBoilerplateLines]] avoids with its df census). The canonical
+    * fp, so occurrences collapse through a size-1 heap aggregate
+    * ([[Ranking.keepSmallestK]], hash-based) — partial mins fold a viral
+    * paragraph's millions of occurrences map-side with NO sort, where
+    * the obvious per-fp `row_number` window would land them all in ONE
+    * task's sort (the skew hazard [[removeBoilerplateLines]] avoids with
+    * its df census). The canonical
     * set joins back on the fp (32-hex, never the paragraph text); the
     * removal join carries (doc, pos) longs at duplicate-occurrence
     * cardinality; reassembly is in-row on the original doc's split
@@ -1554,8 +1552,14 @@ object Dedup {
         md5(lower(trim(regexp_replace(col("col"), "\\s+", " ")))).as("fp"),
         length(trim(regexp_replace(col("col"), "\\s+", " "))).as("nfp"))
     val occ = paras.filter(col("nfp") >= minChars)
-    val first = occ.groupBy(col("fp"))
-      .agg(min(struct(col("doc"), col("pos"))).as("keep"))
+    // size-1 heap, not min(struct): the declarative min over a struct
+    // buffer falls back to SortAggregate (per-partition sorts by fp);
+    // the ObjectHashAggregate heap keeps the map-combinable collapse
+    // with no sort at all
+    val first = Ranking.keepSmallestK(
+        occ.select(col("fp"), col("doc"), col("pos")), "fp",
+        Seq(col("doc"), col("pos")), 1)
+      .select(col("fp"), struct(col("doc"), col("pos")).as("keep"))
     val rem = occ.join(first, Seq("fp"))
       .filter(struct(col("doc"), col("pos")) =!= col("keep"))
       .groupBy(col("doc")).agg(collect_list(col("pos")).as("rem"))

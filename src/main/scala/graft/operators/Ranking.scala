@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
 import org.apache.spark.sql.functions._
 
@@ -87,5 +87,24 @@ object Ranking {
       .select(col(keyCol) +: col("col.t").as(tieCol) +:
         col("col.s").as(scoreCol) +: carry.map(c => col(s"col.$c").as(c)) :+
         (col("pos") + 1).cast("long").as(rankName): _*)
+  }
+
+  /** The k FIRST rows per `keyCol` under `orderCols` ASCENDING (all
+    * directions up, so any orderable types work — no negation, no
+    * null/NaN caveat: ascending keep-smallest agrees with an ascending
+    * window everywhere, nulls first in both). Returns the kept rows with
+    * `df`'s own columns, no rank — the per-group QUOTA shape
+    * ([[Sampling.groupCap]]'s "at most n per domain"). `orderCols` must
+    * be unique per (key, row) for a deterministic kept set. */
+  def keepSmallestK(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                    k: Int): DataFrame = {
+    val entry = struct(orderCols :+
+      struct(df.columns.map(col): _*).as("r"): _*)
+    val top = GraftSqlBridge.column(new CollectTopK(
+      GraftSqlBridge.expression(entry), k, true, 0, 0)
+      .toAggregateExpression())
+    df.groupBy(col(keyCol)).agg(top.as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.r.*"))
   }
 }

@@ -123,15 +123,12 @@ object Sampling {
     * source" that any engine recomputes identically (same property story
     * as [[hashBucket]]). The per-source cap of a data-mixing recipe
     * ("at most 100k docs from any single domain"), one shuffle on the
-    * group key; within-partition sort only, no global sort. */
-  def groupCap(df: DataFrame, idCol: String, groupCol: String, n: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(md5(concat(lit("cap:"), col(idCol).cast("string"))), col(idCol))
-    df.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= n)
-      .drop("rn")
-  }
+    * group key — ranked by [[Ranking.keepSmallestK]]'s bounded heap
+    * (r13; was a per-group window), so a mega-domain's rows collapse to
+    * n in map-side partials instead of feeding one task's sort. */
+  def groupCap(df: DataFrame, idCol: String, groupCol: String, n: Int): DataFrame =
+    Ranking.keepSmallestK(df, groupCol,
+      Seq(md5(concat(lit("cap:"), col(idCol).cast("string"))), col(idCol)), n)
 
   /** Temperature-weighted mixture sampling — the data-mixing step of an
     * LLM training pipeline: draw from source s at a rate ∝ n_s^α with

@@ -565,6 +565,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("batch ingestion and group quota keep their min-per-key WITHOUT a window") {
+    // the r13 family closure of the paragraph-dedup de-skew: every
+    // remaining first-occurrence/quota selection is a map-combinable
+    // aggregate (min_by / CollectTopK heap), so no per-key sort task can
+    // serialize a viral fingerprint or a mega-domain
+    val batch = (1 to 30).map(i => (i.toLong, s"body ${i % 7}"))
+      .toDF("doc_id", "text")
+    val store = Seq.empty[String].toDF("fingerprint")
+    val pIngest = plan(graft.operators.Dedup.newAgainstStore(
+      batch, "doc_id", "text", store))
+    assert(!pIngest.contains("Window"), pIngest)
+    assert(!pIngest.contains("Sort ["), pIngest)
+    val pCap = plan(graft.operators.Sampling.groupCap(
+      batch.withColumn("grp", col("doc_id") % 3), "doc_id", "grp", 5))
+    assert(!pCap.contains("Window"), pCap)
+    assert(!pCap.contains("Sort ["), pCap)
+    assert(pCap.contains("ObjectHashAggregate"), pCap)
+    val pUniq = plan(graft.operators.CorpusReport.exactUnique(
+      batch.withColumn("lang", lit("en")), "doc_id", "text", "lang"))
+    assert(!pUniq.contains("Window"), pUniq)
+    assert(!pUniq.contains("Sort ["), pUniq)
+  }
+
   test("paragraph dedup: min-agg canonical, NO per-fp sort, removal join via broadcast") {
     // r13 de-skew (VERDICT r12 #5): the first-occurrence canonical is a
     // map-combinable min(struct(doc,pos)) aggregate — a viral paragraph's

@@ -65,6 +65,19 @@ class RankingSpec extends SparkSpec {
     assert(got.count() === want.count())
   }
 
+  test("keepSmallestK == the window quota, string + numeric order columns") {
+    val df = (1L to 90L).map(i => (i % 3, i, s"payload$i"))
+      .toDF("grp", "id", "body")
+    val ord = md5(concat(lit("cap:"), col("id").cast("string")))
+    val got = Ranking.keepSmallestK(df, "grp", Seq(ord, col("id")), 7)
+    val w = Window.partitionBy("grp").orderBy(ord, col("id"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 7).drop("rn")
+    assert(got.columns.toSeq === df.columns.toSeq)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    assert(got.count() === want.count())
+  }
+
   test("plan: ranking is a partial-merge aggregate — no Window, no per-key sort") {
     val df = (1L to 50L).map(i => (i % 3, i, i * 0.1)).toDF("key", "id", "score")
     val p = df.sparkSession.sessionState.executePlan(
