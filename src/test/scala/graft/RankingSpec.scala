@@ -78,6 +78,33 @@ class RankingSpec extends SparkSpec {
     assert(got.count() === want.count())
   }
 
+  test("property: heap == window on random frames with heavy ties and nulls") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(7042L + i)))
+    // few distinct scores + nulls ⇒ ties everywhere; ids unique per key
+    val rowGen = for {
+      key <- Gen.choose(0L, 3L)
+      score <- Gen.frequency(
+        6 -> Gen.choose(0, 4).map(s => s / 2.0: java.lang.Double),
+        1 -> Gen.const(null: java.lang.Double))
+    } yield (key, score)
+    val frameGen = Gen.choose(5, 60).flatMap(n =>
+      Gen.listOfN(n, rowGen).map(_.zipWithIndex.map {
+        case ((k, s), i) => (k, i.toLong, s)
+      }))
+    samples(frameGen, 6).foreach { rows =>
+      val df = rows.toDF("key", "id", "score")
+      val got = Ranking.topKByScore(df, "key", "id", "score", 4)
+        .select("key", "id", "score", "rank")
+      val want = windowReference(df, 4)
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"rows=$rows")
+      assert(got.count() === want.count(), s"rows=$rows")
+    }
+  }
+
   test("plan: ranking is a partial-merge aggregate — no Window, no per-key sort") {
     val df = (1L to 50L).map(i => (i % 3, i, i * 0.1)).toDF("key", "id", "score")
     val p = df.sparkSession.sessionState.executePlan(
