@@ -1860,6 +1860,25 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))),
 
+    // Reciprocal-rank fusion (Ranking.rrfFuse scaladoc) — hybrid-search
+    // ensemble over two oracle-exact rankers of the SAME query set: the
+    // exhaustive exact-cosine list (probe-ALL IVF) fused with the
+    // quantized ADC list (flat PQ) purely in rank space. Every fused
+    // score is an exact IEEE chain on small integers (1/(rank+60)), so
+    // the oracle mirrors it bit-for-bit with no rounding; rank-space
+    // ties (a doc found by only one system at rank r ties any doc found
+    // only by the other at rank r) break by neighbor id in both engines.
+    "q_ann_rrf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = graft.operators.Ivf.topK(emb, "vec_id", "embedding",
+        col("vid") % 20 === 0, k = 5, numCentroids = 16, nProbe = 16)
+      val quant = graft.operators.Pq.topK(emb, "vec_id", "embedding",
+        col("query_id") % 20 === 0, k = 5, m = 8, numCentroids = 16, dim = 64)
+      graft.operators.Ranking.rrfFuse(exact, quant, k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // SRP-LSH bucketed approximate neighbors, ORACLE-EXACT by
     // construction: queries are planted collinear copies (×1.5) of corpus
     // vectors, so every query shares its partner's hyperplane-sign bucket
@@ -2557,6 +2576,87 @@ object SparkEntry {
       |LEFT JOIN comp ON comp.doc = f.doc
       |WHERE comp.doc IS NULL OR comp.component = f.doc
       |ORDER BY doc_id""".stripMargin
+
+  /** The q_ann_pq oracle's full CTE chain (corpus → subspaces → seeded
+    * 2-iteration Lloyd → encode → per-query ADC tables → `scored`),
+    * WITHOUT the leading WITH or a final select — factored to ONE
+    * definition so the flat-PQ oracle and the RRF fusion oracle that
+    * composes it cannot drift (the jaccard/q_split_leakage rule). */
+  private def pqOracleCtes: String = {
+    def assignSql(name: String, cb: String) =
+      s"""$name AS (
+         |  SELECT vid, j, sub, cid FROM (
+         |    SELECT s.vid, s.j, s.sub, t.cid,
+         |      row_number() OVER (PARTITION BY s.vid, s.j ORDER BY
+         |        list_sum(list_transform(generate_series(1, 8),
+         |          i -> (CAST(s.sub[i] AS DOUBLE) - CAST(t.cvec[i] AS DOUBLE))
+         |             * (CAST(s.sub[i] AS DOUBLE) - CAST(t.cvec[i] AS DOUBLE)))),
+         |        t.cid) AS rn
+         |    FROM subs s JOIN $cb t ON s.j = t.j) WHERE rn = 1)"""
+    def updateSql(exName: String, updName: String, cbName: String, from: String) =
+      s"""$exName AS (
+         |  SELECT j, cid, unnest(generate_series(1, 8)) AS pos,
+         |    unnest(sub) AS x
+         |  FROM $from),
+         |$updName AS (
+         |  SELECT j, cid, pos,
+         |    sum(CAST(floor(x::DOUBLE * 1048576.0) AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM $exName GROUP BY j, cid, pos),
+         |$cbName AS (
+         |  SELECT j, cid,
+         |    list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS FLOAT)
+         |      ORDER BY pos) AS cvec
+         |  FROM $updName GROUP BY j, cid)"""
+    s"""corpus AS (
+       |  SELECT vec_id AS vid, embedding AS vec FROM embeddings),
+       |subs AS (
+       |  SELECT vid, j, vec[j*8 + 1 : j*8 + 8] AS sub
+       |  FROM corpus
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) js),
+       |seeds AS (
+       |  SELECT j,
+       |    CAST(row_number() OVER (PARTITION BY j ORDER BY vid) AS INTEGER)
+       |      AS cid,
+       |    sub AS cvec
+       |  FROM subs
+       |  WHERE vid IN (SELECT vid FROM corpus ORDER BY vid LIMIT 16)),
+       |${assignSql("a0", "seeds")},
+       |${updateSql("ex0", "upd0", "cb1", "a0")},
+       |${assignSql("a1", "cb1")},
+       |${updateSql("ex1", "upd1", "cb2", "a1")},
+       |${assignSql("afin", "cb2")},
+       |qq AS (
+       |  SELECT vid AS query_id,
+       |    list_reduce(list_transform(vec, x -> x::DOUBLE * x::DOUBLE),
+       |      (acc, x) -> acc + x) AS qq
+       |  FROM corpus WHERE vid % 20 = 0),
+       |dptab AS (
+       |  SELECT s.vid AS query_id, s.j, t.cid,
+       |    list_reduce(list_transform(generate_series(1, 8),
+       |      i -> CAST(s.sub[i] AS DOUBLE) * CAST(t.cvec[i] AS DOUBLE)),
+       |      (acc, x) -> acc + x) AS dp
+       |  FROM subs s JOIN cb2 t ON s.j = t.j
+       |  WHERE s.vid % 20 = 0),
+       |rrtab AS (
+       |  SELECT j, cid,
+       |    list_reduce(list_transform(cvec, x -> x::DOUBLE * x::DOUBLE),
+       |      (acc, x) -> acc + x) AS rr
+       |  FROM cb2),
+       |sums AS (
+       |  SELECT d.query_id, f.vid,
+       |    list_reduce(list(d.dp ORDER BY f.j), (acc, x) -> acc + x) AS xy,
+       |    list_reduce(list(r.rr ORDER BY f.j), (acc, x) -> acc + x) AS rr
+       |  FROM afin f
+       |  JOIN dptab d ON d.j = f.j AND d.cid = f.cid
+       |  JOIN rrtab r ON r.j = f.j AND r.cid = f.cid
+       |  WHERE f.vid != d.query_id
+       |  GROUP BY d.query_id, f.vid),
+       |scored AS (
+       |  SELECT s.query_id, s.vid AS neighbor_id,
+       |    round(s.xy / sqrt(q.qq * s.rr), 5) AS pq_cosine
+       |  FROM sums s JOIN qq q USING (query_id))""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = {
     val normSql = Normalize.duckdbNormalizeSql(logQuerySql)
@@ -4811,80 +4911,8 @@ object SparkEntry {
       // PQ: the full per-subspace Lloyd build + encode + reconstruct +
       // rank mirrored in SQL — same fixed-point discipline as the IVF
       // oracle, with the subspace key carried through every stage.
-      "q_ann_pq" -> {
-        def assignSql(name: String, cb: String) =
-          s"""$name AS (
-             |  SELECT vid, j, sub, cid FROM (
-             |    SELECT s.vid, s.j, s.sub, t.cid,
-             |      row_number() OVER (PARTITION BY s.vid, s.j ORDER BY
-             |        list_sum(list_transform(generate_series(1, 8),
-             |          i -> (CAST(s.sub[i] AS DOUBLE) - CAST(t.cvec[i] AS DOUBLE))
-             |             * (CAST(s.sub[i] AS DOUBLE) - CAST(t.cvec[i] AS DOUBLE)))),
-             |        t.cid) AS rn
-             |    FROM subs s JOIN $cb t ON s.j = t.j) WHERE rn = 1)"""
-        def updateSql(exName: String, updName: String, cbName: String, from: String) =
-          s"""$exName AS (
-             |  SELECT j, cid, unnest(generate_series(1, 8)) AS pos,
-             |    unnest(sub) AS x
-             |  FROM $from),
-             |$updName AS (
-             |  SELECT j, cid, pos,
-             |    sum(CAST(floor(x::DOUBLE * 1048576.0) AS BIGINT)) AS s,
-             |    count(*) AS n
-             |  FROM $exName GROUP BY j, cid, pos),
-             |$cbName AS (
-             |  SELECT j, cid,
-             |    list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS FLOAT)
-             |      ORDER BY pos) AS cvec
-             |  FROM $updName GROUP BY j, cid)"""
-        s"""WITH corpus AS (
-           |  SELECT vec_id AS vid, embedding AS vec FROM embeddings),
-           |subs AS (
-           |  SELECT vid, j, vec[j*8 + 1 : j*8 + 8] AS sub
-           |  FROM corpus
-           |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) js),
-           |seeds AS (
-           |  SELECT j,
-           |    CAST(row_number() OVER (PARTITION BY j ORDER BY vid) AS INTEGER)
-           |      AS cid,
-           |    sub AS cvec
-           |  FROM subs
-           |  WHERE vid IN (SELECT vid FROM corpus ORDER BY vid LIMIT 16)),
-           |${assignSql("a0", "seeds")},
-           |${updateSql("ex0", "upd0", "cb1", "a0")},
-           |${assignSql("a1", "cb1")},
-           |${updateSql("ex1", "upd1", "cb2", "a1")},
-           |${assignSql("afin", "cb2")},
-           |qq AS (
-           |  SELECT vid AS query_id,
-           |    list_reduce(list_transform(vec, x -> x::DOUBLE * x::DOUBLE),
-           |      (acc, x) -> acc + x) AS qq
-           |  FROM corpus WHERE vid % 20 = 0),
-           |dptab AS (
-           |  SELECT s.vid AS query_id, s.j, t.cid,
-           |    list_reduce(list_transform(generate_series(1, 8),
-           |      i -> CAST(s.sub[i] AS DOUBLE) * CAST(t.cvec[i] AS DOUBLE)),
-           |      (acc, x) -> acc + x) AS dp
-           |  FROM subs s JOIN cb2 t ON s.j = t.j
-           |  WHERE s.vid % 20 = 0),
-           |rrtab AS (
-           |  SELECT j, cid,
-           |    list_reduce(list_transform(cvec, x -> x::DOUBLE * x::DOUBLE),
-           |      (acc, x) -> acc + x) AS rr
-           |  FROM cb2),
-           |sums AS (
-           |  SELECT d.query_id, f.vid,
-           |    list_reduce(list(d.dp ORDER BY f.j), (acc, x) -> acc + x) AS xy,
-           |    list_reduce(list(r.rr ORDER BY f.j), (acc, x) -> acc + x) AS rr
-           |  FROM afin f
-           |  JOIN dptab d ON d.j = f.j AND d.cid = f.cid
-           |  JOIN rrtab r ON r.j = f.j AND r.cid = f.cid
-           |  WHERE f.vid != d.query_id
-           |  GROUP BY d.query_id, f.vid),
-           |scored AS (
-           |  SELECT s.query_id, s.vid AS neighbor_id,
-           |    round(s.xy / sqrt(q.qq * s.rr), 5) AS pq_cosine
-           |  FROM sums s JOIN qq q USING (query_id))
+      "q_ann_pq" ->
+        s"""WITH $pqOracleCtes
            |SELECT query_id, neighbor_id, pq_cosine,
            |  CAST(rnk AS BIGINT) AS rnk FROM (
            |  SELECT query_id, neighbor_id, pq_cosine,
@@ -4892,8 +4920,45 @@ object SparkEntry {
            |      ORDER BY pq_cosine DESC, neighbor_id) AS rnk
            |  FROM scored)
            |WHERE rnk <= 5
-           |ORDER BY query_id, rnk""".stripMargin
-      },
+           |ORDER BY query_id, rnk""".stripMargin,
+
+      // RRF: the q_ann_pq CTE chain (shared def — the factoring rule
+      // that keeps composed oracles from drifting) + the brute-force
+      // exhaustive ranking + the textual mirror of Ranking.rrfFuse's
+      // exact IEEE score chain (CAST(1 AS DOUBLE) guards DuckDB's
+      // DECIMAL literal arithmetic).
+      "q_ann_rrf" ->
+        s"""WITH $pqOracleCtes,
+           |pqr AS (
+           |  SELECT query_id, neighbor_id, rnk FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY pq_cosine DESC, neighbor_id) AS rnk
+           |    FROM scored) WHERE rnk <= 5),
+           |ivfr AS (
+           |  SELECT query_id, neighbor_id, rnk FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 5)
+           |          DESC, c.vec_id) AS rnk
+           |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+           |    WHERE q.vec_id % 20 = 0) WHERE rnk <= 5),
+           |fused AS (
+           |  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+           |    COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+           |    COALESCE(CAST(1 AS DOUBLE) / CAST(a.rnk + 60 AS DOUBLE), CAST(0 AS DOUBLE))
+           |      + COALESCE(CAST(1 AS DOUBLE) / CAST(b.rnk + 60 AS DOUBLE), CAST(0 AS DOUBLE))
+           |      AS rrf_score
+           |  FROM ivfr a FULL JOIN pqr b
+           |    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id)
+           |SELECT query_id, neighbor_id, rrf_score,
+           |  CAST(rn AS BIGINT) AS rnk FROM (
+           |  SELECT query_id, neighbor_id, rrf_score,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY rrf_score DESC, neighbor_id) AS rn
+           |  FROM fused)
+           |WHERE rn <= 5
+           |ORDER BY query_id, rnk""".stripMargin,
 
       // IVF-PQ: the q_ann_ivf oracle's coarse chain (prefixed ivf_*) +
       // the q_ann_pq oracle's subspace chain + probe selection + ADC

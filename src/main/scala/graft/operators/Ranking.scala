@@ -89,6 +89,39 @@ object Ranking {
         (col("pos") + 1).cast("long").as(rankName): _*)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009 — the hybrid-search
+    * ensemble Elasticsearch/Vespa ship): combine two rankings of the
+    * same query set purely in RANK space, `score(d) = Σ_systems
+    * 1/(k0 + rank_s(d))`, so systems with incomparable score scales
+    * (BM25 vs cosine, exact vs quantized) fuse without calibration. A
+    * document missing from one system's list contributes 0 from it.
+    *
+    * Inputs are rank frames as every ANN/retrieval operator here emits
+    * them — (query_id, neighbor_id, rank) with rank 1-based — already
+    * truncated to each system's own top-k. Output: (query_id,
+    * neighbor_id, rrf_score, rank), re-ranked by [[topKByScore]]
+    * (score DESC, neighbor_id ASC; ties are REAL in rank space — two
+    * docs each found by only one system at the same rank tie exactly).
+    *
+    * Engine-portability: every score is a fixed chain of exact IEEE
+    * ops on small integers (`1.0/(rank+k0)`, one addition), so fused
+    * scores are bit-identical in any engine that mirrors the chain —
+    * no rounding needed. Scale shape: rank frames are (queries × k)
+    * rows — tiny relative to the corpora that produced them — so the
+    * full-outer join and the re-rank aggregate move ephemera, never
+    * corpus data. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, k0: Int = 60): DataFrame = {
+    def recip(df: DataFrame, out: String) =
+      df.select(col("query_id"), col("neighbor_id"),
+        (lit(1.0d) / (col("rank") + lit(k0.toLong)).cast("double")).as(out))
+    val scored = recip(a, "ra").join(recip(b, "rb"),
+        Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        (coalesce(col("ra"), lit(0.0d)) + coalesce(col("rb"), lit(0.0d)))
+          .as("rrf_score"))
+    topKByScore(scored, "query_id", "neighbor_id", "rrf_score", k)
+  }
+
   /** The k FIRST rows per `keyCol` under `orderCols` ASCENDING (all
     * directions up, so any orderable types work — no negation, no
     * null/NaN caveat: ascending keep-smallest agrees with an ascending

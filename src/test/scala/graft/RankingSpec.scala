@@ -105,6 +105,37 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("rrfFuse: hand-computed fusion, one-sided docs, rank-space ties") {
+    // system A ranks (10,11,12); system B ranks (11,10,13).
+    // doc 11: 1/62 + 1/61; doc 10: 1/61 + 1/62 — exact tie with doc 11,
+    // broken by neighbor_id (10 first). doc 12: 1/63 (A only);
+    // doc 13: 1/63 (B only) — tie broken by id (12 first).
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 11L, 1L), (1L, 10L, 2L), (1L, 13L, 3L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = Ranking.rrfFuse(a, b, k = 4).orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val s2 = 1.0 / 61 + 1.0 / 62
+    assert(got.toSeq === Seq((10L, s2, 1L), (11L, s2, 2L),
+      (12L, 1.0 / 63, 3L), (13L, 1.0 / 63, 4L)), got.toSeq)
+  }
+
+  test("rrfFuse: self-fusion preserves the input order with doubled scores") {
+    val a = (1L to 30L).map(i => (i % 3, i, (i % 7) + 1L))
+      .toDF("query_id", "neighbor_id", "rank")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy("rank", "neighbor_id")).cast("long"))
+    val fused = Ranking.rrfFuse(a, a, k = 100)
+    val back = fused.select(col("query_id"), col("neighbor_id"),
+      col("rank"))
+    assert(back.except(a.select("query_id", "neighbor_id", "rank")).isEmpty)
+    val scoresOk = fused.withColumn("want",
+        lit(2.0) / (col("rank") + lit(60L)).cast("double"))
+      .filter(col("rrf_score") =!= col("want"))
+    assert(scoresOk.isEmpty, scoresOk.collect().mkString("\n"))
+  }
+
   test("plan: ranking is a partial-merge aggregate — no Window, no per-key sort") {
     val df = (1L to 50L).map(i => (i % 3, i, i * 0.1)).toDF("key", "id", "score")
     val p = df.sparkSession.sessionState.executePlan(
