@@ -1721,6 +1721,25 @@ object SparkEntry {
         .withColumnRenamed("doc", "doc_id")
         .orderBy(col("doc_id"), col("rnk"))),
 
+    // BM25 SEARCH (Tfidf.searchBm25 scaladoc) — query-string → document
+    // retrieval, the sparse ranker of a hybrid stack. Queries are a
+    // deterministic synthesis (every %97 doc's first three tokens), so
+    // each query's source document should surface in its own results.
+    // Per-term weights are the q_bm25_topk chain; the cross-term sum is
+    // 2^-20 fixed point (order-free BIGINT) so parity is exact.
+    "q_bm25_search" -> ((s, dir) => {
+      import graft.functions.Text
+      val docs = Tables.documents(s, dir)
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          array_join(slice(Text.tokens(lower(col("text"))), 1, 3), " ")
+            .as("qtext"))
+      graft.operators.Tfidf.searchBm25(docs, "doc_id", "text",
+          queries, "doc_id", "qtext", k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // Feature-hashed bag of words (hashing trick): text → fixed-dim signed
     // BIGINT vector, no vocabulary pass, map-only, exact in any engine.
     "q_feature_hash" -> ((s, dir) =>
@@ -4707,6 +4726,47 @@ object SparkEntry {
           |    CROSS JOIN avgx a)
           |WHERE rnk <= 5
           |ORDER BY doc_id, rnk""".stripMargin,
+
+      // BM25 search: the q_bm25_topk term-weight chain verbatim, distinct
+      // first-3-token query terms, and an order-free fixed-point BIGINT
+      // sum across terms (floor ·2^20 per term) — the one float-sum
+      // hazard neutralized the DSIR way
+      "q_bm25_search" ->
+        """WITH pairs AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+          |    AS term
+          |  FROM documents),
+          |tf AS (
+          |  SELECT doc_id AS doc, term, CAST(count(*) AS BIGINT) AS tf
+          |  FROM pairs GROUP BY 1, 2),
+          |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          |dlx AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+          |avgx AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          |  AS avgdl FROM dlx),
+          |qt AS (
+          |  SELECT doc_id AS query_id,
+          |    unnest(list_distinct(
+          |      string_split_regex(trim(lower(text)), '\s+')[1:3])) AS term
+          |  FROM documents WHERE doc_id % 97 = 0),
+          |scored AS (
+          |  SELECT q.query_id, t.doc,
+          |    CAST(sum(CAST(floor(
+          |      ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+          |        (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
+          |          0.75 * (CAST(l.dl AS DOUBLE) / a.avgdl))))
+          |        / CAST(d.df AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT)
+          |      AS score_c
+          |  FROM qt q JOIN tf t USING (term) JOIN dfx d USING (term)
+          |    JOIN dlx l ON l.doc = t.doc
+          |  CROSS JOIN avgx a
+          |  GROUP BY 1, 2)
+          |SELECT query_id, doc, score_c, CAST(rn AS BIGINT) AS rnk FROM (
+          |  SELECT query_id, doc, score_c,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY score_c DESC, doc) AS rn
+          |  FROM scored)
+          |WHERE rn <= 5
+          |ORDER BY query_id, rnk""".stripMargin,
 
       // hashing trick: same md5 bucket + 9th-nibble sign rule; DuckDB
       // aggregates per (doc, bucket) then left-joins a dense (doc, pos)

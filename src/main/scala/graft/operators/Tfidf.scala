@@ -54,6 +54,55 @@ object Tfidf {
         col("score"))
   }
 
+  /** BM25 SEARCH — rank documents for each QUERY STRING (the sparse half
+    * of a hybrid retrieval stack; [[Ranking.rrfFuse]] composes its rank
+    * frame with a dense ANN ranking): score(q, d) = Σ over q's DISTINCT
+    * terms of `satTf(t,d) / df(t)`, the same saturated-tf linear-idf
+    * term weight as [[topTermsBm25]] (and portable for the same reason).
+    *
+    * The one NEW portability hazard is the cross-term SUM: a sum of
+    * doubles is aggregation-order-dependent, so each term's weight is
+    * floored to 2^-20 fixed point and summed as BIGINT (the DSIR/
+    * centroid discipline) — `score_c` is an order-free exact integer any
+    * engine reproduces bit-for-bit.
+    *
+    * Scale shape: tf/df/dl build exactly as [[topTermsBm25]] (one corpus
+    * shuffle, persisted tf frame); queries explode to DISTINCT (query,
+    * term) pairs — tiny — and the term join is a shuffled equi-join on
+    * the same vocabulary-key rationale as the df join (no broadcast
+    * hint: a web-scale vocabulary does not bound, and the QUERY side is
+    * the small one Catalyst broadcasts unhinted when it fits). Per-query
+    * ranking is the bounded heap. Output: (query_id, doc, score_c,
+    * rank). */
+  def searchBm25(docs: DataFrame, idCol: String, textCol: String,
+                 queries: DataFrame, qidCol: String, qtextCol: String,
+                 k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val pairs = docs.select(col(idCol).as("doc"),
+      explode(Text.tokens(lower(col(textCol)))).as("term"))
+    val tf = Caches.tracked(
+      pairs.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf")),
+      "tfidf")
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+    val avgdl = dl.agg((sum(col("dl")).cast("double")
+      / count(lit(1)).cast("double")).as("avgdl"))
+    val qterms = queries.select(col(qidCol).as("query_id"),
+        explode(array_distinct(Text.tokens(lower(col(qtextCol))))).as("term"))
+    val satTf = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) +
+          lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    val scored = qterms.join(tf, Seq("term"))
+      .join(df_, Seq("term")).join(dl, Seq("doc"))
+      .crossJoin(broadcast(avgdl))
+      .select(col("query_id"), col("doc"),
+        floor(satTf / col("df").cast("double") * lit(1048576.0d))
+          .cast("long").as("w_c"))
+      .groupBy(col("query_id"), col("doc"))
+      .agg(sum(col("w_c")).as("score_c"))
+    Ranking.topKByScore(scored, "query_id", "doc", "score_c", k)
+  }
+
   /** Top `k` terms per document under BM25's tf-SATURATION curve with the
     * linear idf: `score = satTf / df` where
     * `satTf = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` — the Okapi

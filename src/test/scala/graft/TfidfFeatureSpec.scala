@@ -57,6 +57,35 @@ class TfidfFeatureSpec extends SparkSpec {
     graft.operators.Caches.unpersistAll()
   }
 
+  test("bm25 search: self-retrieval, multi-term accumulation, absent terms score nothing") {
+    val docs = Seq(
+      1L -> "apple apple banana",
+      2L -> "banana cherry",
+      3L -> "cherry cherry cherry durian",
+      4L -> "elderberry fig").toDF("doc_id", "text")
+    val queries = Seq(
+      (100L, "durian"),            // unique term → only doc 3 retrievable
+      (200L, "apple banana"),      // multi-term: doc 1 holds both
+      (300L, "zzz")                // vocabulary miss → no results at all
+    ).toDF("qid", "qtext")
+    val res = Tfidf.searchBm25(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    assert(res((100L, 1L)) === 3L)
+    assert(!res.contains((100L, 2L)), res)          // nothing else has durian
+    assert(res((200L, 1L)) === 1L)                  // both terms accumulate
+    assert(res((200L, 2L)) === 2L)                  // banana-only hit
+    assert(!res.contains((200L, 3L)), res)          // doc 3 has no query term
+    assert(!res.keys.exists(_._1 == 300L), res)     // miss emits no rows
+    // the two-term hit strictly outscores the single-term hit for q200
+    val scores = Tfidf.searchBm25(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 3)
+      .filter(col("query_id") === 200L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(scores(1L) > scores(2L), scores)
+    graft.operators.Caches.unpersistAll()
+  }
+
   test("feature hash: shape, parity conservation, determinism, layout-invariance") {
     val docs = Seq(
       1L -> "one two three four five six",
