@@ -550,7 +550,13 @@ object Dedup {
     * discipline as [[dedupParagraphs]]'s canonical; note `min_by(struct)`
     * would NOT do — declarative aggregates with struct buffers fall back
     * to SortAggregate, which re-sorts every partition by the key). Same
-    * single fp exchange as the window form. Drops the fingerprint. */
+    * single fp exchange as the window form. Drops the fingerprint.
+    *
+    * Inherits [[Ranking.keepSmallestK]]'s thin-orderable-rows contract:
+    * every `batch` column rides inside the k=1 heap entry, so ingestion
+    * batches must carry orderable columns only (the (id, text) shape
+    * every caller here has — a MapType payload column fails analysis;
+    * project it off or route it through [[Ranking.keepSmallestKIds]]). */
   private def firstPerFingerprint(fresh: DataFrame, idCol: String): DataFrame =
     Ranking.keepSmallestK(fresh, "fingerprint", Seq(col(idCol)), 1)
       .drop("fingerprint")
@@ -561,7 +567,10 @@ object Dedup {
     * shape for rolling corpus ingestion: the store is the big side and
     * arrives pre-hashed, so the anti-join is a plain fingerprint
     * equi-join — bucket the store by fingerprint and ingestion never
-    * reshuffles it. */
+    * reshuffles it. Batch columns must all be ORDERABLE (the min-id
+    * canonical is a heap aggregate whose entry embeds the whole batch
+    * row — [[firstPerFingerprint]]); the (id, text) ingestion shape
+    * always is. */
   def newAgainstStore(batch: DataFrame, idCol: String, textCol: String,
                       store: DataFrame): DataFrame = {
     val fp = batch.withColumn("fingerprint", md5(col(textCol)))
@@ -1534,11 +1543,19 @@ object Dedup {
     *
     * Scale shape: the canonical needs only the GLOBAL MIN (doc, pos) per
     * fp, so occurrences collapse through a size-1 heap aggregate
-    * ([[Ranking.keepSmallestK]], hash-based) — partial mins fold a viral
-    * paragraph's millions of occurrences map-side with NO sort, where
-    * the obvious per-fp `row_number` window would land them all in ONE
-    * task's sort (the skew hazard [[removeBoilerplateLines]] avoids with
-    * its df census). The canonical
+    * ([[Ranking.keepSmallestK]], hash-based; the occurrence rows are the
+    * thin (fp, doc, pos) projection that contract asks for) — partial
+    * mins fold a viral paragraph's millions of occurrences map-side with
+    * NO sort, where the obvious per-fp `row_number` window would land
+    * them all in ONE task's sort (the skew hazard
+    * [[removeBoilerplateLines]] avoids with its df census). The trade
+    * against the old single window: `occ` is consumed TWICE (the
+    * canonical aggregate and the removal join-back), so the map-only
+    * split/posexplode/md5 tokenize subtree runs two passes — deliberate
+    * and unpersisted, because caching a row-exploded map-only frame
+    * measured ~25% SLOWER than recomputing it (the r11 Familiarity/DSIR
+    * A/B/A; the [[Caches]] rule persists only recompute that crosses an
+    * exchange, and this one doesn't). The canonical
     * set joins back on the fp (32-hex, never the paragraph text); the
     * removal join carries (doc, pos) longs at duplicate-occurrence
     * cardinality; reassembly is in-row on the original doc's split

@@ -108,6 +108,11 @@ object Ivf {
     var cents: Seq[(Int, Seq[Float])] = vecs.orderBy(col("vid")).limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => (i + 1, r.getSeq[Float](1).toSeq) }.toSeq
+    // fail by name on an empty corpus (the r13 literal-centroid rewrite
+    // would otherwise throw a bare NoSuchElementException off cents.head
+    // where the old broadcast-join form returned empty frames)
+    require(cents.nonEmpty,
+      "Ivf.build: cannot seed centroids from an empty embedding frame")
     val dim = cents.head._2.length
     for (_ <- 1 to iters) {
       val assigned = vecs.select(

@@ -136,6 +136,14 @@ object Pq {
   def build(emb: DataFrame, idCol: String, vecCol: String,
             m: Int, k: Int, dim: Int, iters: Int = 2): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m subspaces")
+    // the returned frame is the LAST Lloyd pass's output; with no pass
+    // there is nothing to return (the r13 literal-codebook rewrite
+    // stopped materializing the seed frame, so iters=0 would now yield
+    // an EMPTY codebook where the old form returned the seeds — fail by
+    // name instead of silently changing that edge)
+    require(iters >= 1, s"Pq.build needs iters >= 1 (got $iters): the " +
+      "codebook is the last Lloyd pass's update; the seed codebook is " +
+      "never returned")
     val d = dim / m
     val sess = emb.sparkSession
     val vecs = Caches.tracked(

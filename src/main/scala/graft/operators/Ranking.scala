@@ -32,8 +32,55 @@ import org.apache.spark.sql.functions._
   * equivalence sits under the correctness gate, not an epsilon.
   * [[Pq.topKReconstruct]] deliberately stays on the window form: PqSpec's
   * ADC==reconstruct twin equality then also pins heap-rank == window-rank
-  * on live data every suite run. */
+  * on live data every suite run.
+  *
+  * ONE RUNTIME CAVEAT the plan cannot show (r14): `ObjectHashAggregateExec`
+  * falls back to SORT-BASED aggregation once its in-memory map exceeds
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` — whose
+  * Spark default is 128 KEYS, a ceiling sized for aggregates with
+  * unbounded buffers (`collect_list`), not for bounded k-heaps. Past it
+  * the runtime sorts each partition by the grouping key anyway — the
+  * exact cost this operator exists to avoid — while every plan-level
+  * "no Sort exec" pin stays green, because the fallback is invisible in
+  * the plan. Every helper here therefore raises the threshold to
+  * [[Ranking.FallbackThreshold]] on the calling session when (and only
+  * when) it still carries the Spark default: the buffers are bounded at
+  * k entries per key, so the map's worst case is
+  * `threshold × k × entry-bytes` — at the repo's widest caller (k ≤ 10,
+  * thin entries ≤ 128 B; callers keep payloads OUT of the heap, see
+  * [[keepSmallestK]]'s contract) ≈ 170 MB per task, and an order less
+  * for the k=1 canonicals. Beyond the raised threshold the sort
+  * fallback is the RIGHT memory/speed trade and still correct —
+  * RankingSpec's fallback guard pins both result-equality under a
+  * forced fallback and fallback-freedom at 10⁵ keys per partition via
+  * the exec's own `numTasksFallBacked` metric, the runtime-level
+  * evidence the plan pins cannot give. */
 object Ranking {
+
+  /** See the class doc: the session conf key whose 128-key Spark default
+    * silently turns every bounded-heap aggregate sort-based. */
+  val FallbackThresholdKey =
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+
+  /** Keys the in-memory map may hold before the sort fallback: 2^17.
+    * Sizing: one k-bounded heap per key, so worst-case map memory is
+    * threshold × k × entry-bytes ≈ 131072 × 10 × 128 B ≈ 170 MB per task
+    * at the widest caller — safe under default executor sizing, and two
+    * orders above any per-partition key count an input-size-bounded
+    * partition (spark.sql.files.maxPartitionBytes) produces for per-doc
+    * keys. A genuinely hotter partition falls back and stays correct. */
+  val FallbackThreshold: Int = 131072
+
+  /** Raise the fallback threshold on `df`'s session iff it still holds
+    * the Spark default (an explicit non-default user setting wins; an
+    * explicit 128 is indistinguishable from the default and gets raised
+    * too — set 129 to mean it). Session-level and idempotent; runs at
+    * DataFrame-construction time, before any action reads the conf. */
+  private def ensureHeapRoom(df: DataFrame): Unit = {
+    val conf = df.sparkSession.conf
+    if (conf.get(FallbackThresholdKey, "128") == "128")
+      conf.set(FallbackThresholdKey, FallbackThreshold.toString)
+  }
 
   /** Top `k` rows per `keyCol` by (`scoreCol` DESC, `idCol` ASC), with a
     * 1-based dense `rank` column — byte-identical to
@@ -45,6 +92,7 @@ object Ranking {
     * scoreCol, rank. */
   def topKByScore(scored: DataFrame, keyCol: String, idCol: String,
                   scoreCol: String, k: Int): DataFrame = {
+    ensureHeapRoom(scored)
     // CollectTopK sits in the INTERNAL function registry (the pandas-API
     // nsmallest/nlargest aggregate), not the SQL one, so it is wired by
     // expression: reverse=false keeps the k LARGEST (score, −id) structs
@@ -76,6 +124,7 @@ object Ranking {
   def topKCarrying(scored: DataFrame, keyCol: String, scoreCol: String,
                    tieCol: String, carry: Seq[String], k: Int,
                    rankName: String = "rank"): DataFrame = {
+    ensureHeapRoom(scored)
     val entry = struct(
       (-col(scoreCol)).as("ns") +: col(tieCol).as("t") +:
         col(scoreCol).as("s") +: carry.map(c => col(c).as(c)): _*)
@@ -109,7 +158,17 @@ object Ranking {
     * no rounding needed. Scale shape: rank frames are (queries × k)
     * rows — tiny relative to the corpora that produced them — so the
     * full-outer join and the re-rank aggregate move ephemera, never
-    * corpus data. */
+    * corpus data.
+    *
+    * `neighbor_id` must be NUMERIC: the re-rank rides on
+    * [[topKByScore]], whose tie-break negates the id (and overflows at
+    * `Long.MinValue`) — inherited, not intrinsic to RRF. Both retrieval
+    * halves here emit numeric document/vector ids (the documents and
+    * embeddings fixtures share one BIGINT id space), so the constraint
+    * costs nothing today; fusing string-keyed rank frames needs a
+    * surrogate id first. End-to-end composition: `q_hybrid_search`
+    * (SparkEntry) fuses [[Tfidf.searchBm25]]'s sparse ranking with
+    * [[Pq.ivfPqTopK]]'s dense one over the same query set, oracle-exact. */
   def rrfFuse(a: DataFrame, b: DataFrame, k: Int, k0: Int = 60): DataFrame = {
     def recip(df: DataFrame, out: String) =
       df.select(col("query_id"), col("neighbor_id"),
@@ -128,9 +187,23 @@ object Ranking {
     * window everywhere, nulls first in both). Returns the kept rows with
     * `df`'s own columns, no rank — the per-group QUOTA shape
     * ([[Sampling.groupCap]]'s "at most n per domain"). `orderCols` must
-    * be unique per (key, row) for a deterministic kept set. */
+    * be unique per (key, row) for a deterministic kept set.
+    *
+    * CONTRACT — thin rows only: every column of `df` rides inside the
+    * heap's comparison struct, so (a) columns should be ORDERABLE types
+    * (the struct ordering tolerates an uncompared trailing payload in
+    * this Spark build, but that is an implementation detail, not a
+    * promise) and (b) every byte of the row is copied into each heap
+    * insert/compare AND held in the in-memory map
+    * ([[FallbackThreshold]] keys × k × row bytes).
+    * Project the frame down to (key, orderCols, id)-shaped rows and join
+    * any payload back — [[keepSmallestKIds]] packages exactly that for
+    * callers with a unique row id ([[Sampling.groupCap]]); the direct
+    * form is for frames that already ARE the thin projection
+    * ([[Dedup.dedupParagraphs]]'s (fp, doc, pos) canonicals). */
   def keepSmallestK(df: DataFrame, keyCol: String, orderCols: Seq[Column],
                     k: Int): DataFrame = {
+    ensureHeapRoom(df)
     val entry = struct(orderCols :+
       struct(df.columns.map(col): _*).as("r"): _*)
     val top = GraftSqlBridge.column(new CollectTopK(
@@ -139,5 +212,28 @@ object Ranking {
     df.groupBy(col(keyCol)).agg(top.as("top"))
       .select(explode(col("top")).as("e"))
       .select(col("e.r.*"))
+  }
+
+  /** [[keepSmallestK]] with the PAYLOAD kept out of the heap: ranks the
+    * thin (keyCol, orderCols, idCol) projection only, then left-semi
+    * joins `df` back on `idCol`. Same kept set as the direct form
+    * whenever `idCol` is unique across `df` (required — a duplicated id
+    * would smuggle extra rows through the semi-join), which every quota
+    * caller has (document/row ids). The trade, explicit: the heap's
+    * exchange and in-memory map now carry id-width entries instead of
+    * whole rows — full text never enters an aggregation buffer — at the
+    * cost of the thin side recomputing `df`'s map-side projection (the
+    * [[Caches]] persist rule: recompute that crosses no exchange beats
+    * caching) plus one semi-join whose build side is the kept ids,
+    * ≤ k·|groups| rows, broadcastable in every quota configuration. */
+  def keepSmallestKIds(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                       idCol: String, k: Int): DataFrame = {
+    val thin = df.select(col(keyCol) +: col(idCol) +:
+      orderCols.zipWithIndex.map { case (c, i) => c.as(s"_ord$i") }: _*)
+    val kept = keepSmallestK(thin, keyCol,
+        orderCols.indices.map(i => col(s"_ord$i")), k)
+      .select(col(idCol))
+    // USING-join reorders idCol first; restore the caller's column order
+    df.join(kept, Seq(idCol), "left_semi").select(df.columns.map(col): _*)
   }
 }

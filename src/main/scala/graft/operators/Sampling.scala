@@ -123,12 +123,18 @@ object Sampling {
     * source" that any engine recomputes identically (same property story
     * as [[hashBucket]]). The per-source cap of a data-mixing recipe
     * ("at most 100k docs from any single domain"), one shuffle on the
-    * group key — ranked by [[Ranking.keepSmallestK]]'s bounded heap
-    * (r13; was a per-group window), so a mega-domain's rows collapse to
-    * n in map-side partials instead of feeding one task's sort. */
+    * group key — ranked by [[Ranking.keepSmallestKIds]]'s bounded heap
+    * (r13 heap; r14 thin form), so a mega-domain's rows collapse to n in
+    * map-side partials instead of feeding one task's sort, and ONLY
+    * (group, md5, id) entries ever enter the aggregation buffer — the
+    * caller's payload (full text, maps, anything non-orderable) stays
+    * out of the heap and rejoins by id, so `df`'s columns are
+    * unconstrained. `idCol` must be unique across `df` (it is the row
+    * identity the payload rejoins on). */
   def groupCap(df: DataFrame, idCol: String, groupCol: String, n: Int): DataFrame =
-    Ranking.keepSmallestK(df, groupCol,
-      Seq(md5(concat(lit("cap:"), col(idCol).cast("string"))), col(idCol)), n)
+    Ranking.keepSmallestKIds(df, groupCol,
+      Seq(md5(concat(lit("cap:"), col(idCol).cast("string"))), col(idCol)),
+      idCol, n)
 
   /** Temperature-weighted mixture sampling — the data-mixing step of an
     * LLM training pipeline: draw from source s at a rate ∝ n_s^α with

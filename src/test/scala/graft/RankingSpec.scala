@@ -136,6 +136,84 @@ class RankingSpec extends SparkSpec {
     assert(scoresOk.isEmpty, scoresOk.collect().mkString("\n"))
   }
 
+  test("keepSmallestKIds == keepSmallestK, payload (incl. a MapType) out of the heap") {
+    val base = (1L to 90L).map(i => (i % 3, i, s"payload$i"))
+      .toDF("grp", "id", "body")
+    val ord = Seq(md5(concat(lit("cap:"), col("id").cast("string"))), col("id"))
+    val want = Ranking.keepSmallestK(base, "grp", ord, 7)
+    val got = Ranking.keepSmallestKIds(base, "grp", ord, "id", 7)
+    assert(got.columns.toSeq === base.columns.toSeq)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    assert(got.count() === want.count())
+    // a MapType payload rides through the thin form untouched — it never
+    // enters the heap struct, so no ordering over it is ever constructed
+    val withMap = base.withColumn("m", map(col("id"), col("body")))
+    val gotMap = Ranking.keepSmallestKIds(withMap, "grp", ord, "id", 7)
+    assert(gotMap.columns.toSeq === withMap.columns.toSeq)
+    assert(gotMap.select("grp", "id", "body").except(want).isEmpty)
+    assert(gotMap.count() === want.count())
+  }
+
+  // --- the runtime-level fallback guard (r14): plan pins see the
+  // ObjectHashAggregate NODE but not its sort-based fallback, which
+  // Spark's default conf fires at 128 keys per partition. These two
+  // tests pin the property at the RUNTIME level via the exec's own
+  // numTasksFallBacked metric: with the raised threshold Ranking
+  // installs, 10^5 keys in ONE input partition stay hash-aggregated;
+  // and when the fallback IS forced (explicit low threshold), results
+  // remain byte-identical to the window twin — slower, never wrong.
+
+  private def fallbackTasks(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val self = plan match {
+      case o: ObjectHashAggregateExec =>
+        val m = o.metrics.get("numTasksFallBacked")
+        assert(m.isDefined,
+          s"ObjectHashAggregateExec no longer exposes numTasksFallBacked; " +
+            s"known metrics: ${o.metrics.keys.mkString(",")}")
+        m.get.value
+      case _ => 0L
+    }
+    val kids = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case p => p.children
+    }
+    self + kids.map(fallbackTasks).sum
+  }
+
+  private def hundredKKeys = spark.range(200000L).coalesce(1)
+    .select((col("id") % 100000L).as("key"), col("id").as("id"),
+      (col("id") % 7L).cast("double").as("score"))
+
+  test("guard: 1e5 keys in one partition hash-aggregate with zero sort fallbacks") {
+    val ranked = Ranking.topKByScore(hundredKKeys, "key", "id", "score", 2)
+    // collect() runs THIS Dataset's queryExecution (count()/noop-write
+    // would execute a different plan tree, leaving these metrics empty)
+    assert(ranked.collect().length === 200000) // 2 rows per key, k = 2
+    assert(fallbackTasks(ranked.queryExecution.executedPlan) === 0L,
+      "the raised fallback threshold did not take effect — the heap " +
+        "aggregation sort-fell-back at high key cardinality")
+    assert(spark.conf.get(Ranking.FallbackThresholdKey) ===
+      Ranking.FallbackThreshold.toString)
+  }
+
+  test("guard: a FORCED sort fallback still equals the window ranking exactly") {
+    spark.conf.set(Ranking.FallbackThresholdKey, "64")
+    try {
+      val df = hundredKKeys.filter(col("key") < 5000L)
+      val ranked = Ranking.topKByScore(df, "key", "id", "score", 2)
+        .select("key", "id", "score", "rank")
+      assert(ranked.collect().length === 10000) // populate ranked's metrics
+      assert(fallbackTasks(ranked.queryExecution.executedPlan) > 0L,
+        "expected the forced 64-key threshold to fire the sort fallback")
+      val want = windowReference(df, 2)
+      assert(ranked.except(want).isEmpty && want.except(ranked).isEmpty)
+      assert(ranked.count() === want.count())
+    } finally spark.conf.unset(Ranking.FallbackThresholdKey)
+  }
+
   test("plan: ranking is a partial-merge aggregate — no Window, no per-key sort") {
     val df = (1L to 50L).map(i => (i % 3, i, i * 0.1)).toDF("key", "id", "score")
     val p = df.sparkSession.sessionState.executePlan(
