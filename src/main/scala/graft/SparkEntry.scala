@@ -1740,6 +1740,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // BPE tokenizer TRAINING (BpeTrain scaladoc): learn 16 merges from
+    // the corpus — exact integer pair counts, pinned (count DESC, lhs,
+    // rhs) tie-break, application via the SHIPPED encoder expression —
+    // and the DuckDB oracle replays every round, so the learned merge
+    // table itself is rank-by-rank driver-checked (the Lloyd-under-
+    // oracle playbook applied to the tokenizer).
+    "q_bpe_train" -> ((s, dir) =>
+      graft.operators.BpeTrain.train(Tables.documents(s, dir), "text", 16)
+        .orderBy(col("rnk"))),
+
     // Feature-hashed bag of words (hashing trick): text → fixed-dim signed
     // BIGINT vector, no vocabulary pass, map-only, exact in any engine.
     "q_feature_hash" -> ((s, dir) =>
@@ -1872,12 +1882,32 @@ object SparkEntry {
     // q_ann_pq oracles, which both exist because the builds are
     // byte-reproducible. PqSpec covers probe-ALL == flat-PQ equality and
     // the recall ladder.
-    "q_ann_ivfpq" -> ((s, dir) =>
-      graft.operators.Pq.ivfPqTopK(Tables.embeddings(s, dir), "vec_id",
-        "embedding", col("query_id") % 20 === 0, k = 5, m = 8,
-        numCentroids = 16, dim = 64, coarseK = 16, nProbe = 4)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy(col("query_id"), col("rnk"))),
+    // Scale-phase seam (the q_dedup_minhash_incr_fast pattern): when the
+    // bench has pre-built the serving index OUTSIDE the timed window
+    // (conf graft.bench.annIndex=1 — set only by Bench's ann_serve
+    // phase), the timed work is pure SERVING — probe selection + ADC
+    // tables + cell-pruned lookup scoring + heap rank over a FIXED
+    // 25-query set (base ids < 500), against pre-built codes/centroids/
+    // codebook tables. Unset (Verify, the engine phase), both builds run
+    // inline exactly as before, so the oracle checks the whole
+    // composition.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      import graft.operators.Pq
+      val prebuilt = s.conf.getOption("graft.bench.annIndex").contains("1")
+      val out =
+        if (prebuilt) {
+          val queries = Tables.embeddings(s, dir)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+            .filter(col("query_id") % 20 === 0 && col("query_id") < 500)
+          Pq.ivfPqServe(s.table("graft_ann_codes"),
+            s.table("graft_ann_centroids"), s.table("graft_ann_codebook"),
+            queries, k = 5, m = 8, numCentroids = 16, dim = 64, nProbe = 4)
+        } else Pq.ivfPqTopK(Tables.embeddings(s, dir), "vec_id",
+          "embedding", col("query_id") % 20 === 0, k = 5, m = 8,
+          numCentroids = 16, dim = 64, coarseK = 16, nProbe = 4)
+      out.withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
 
     // Reciprocal-rank fusion (Ranking.rrfFuse scaladoc) — hybrid-search
     // ensemble over two oracle-exact rankers of the SAME query set: the
@@ -1894,6 +1924,32 @@ object SparkEntry {
       val quant = graft.operators.Pq.topK(emb, "vec_id", "embedding",
         col("query_id") % 20 === 0, k = 5, m = 8, numCentroids = 16, dim = 64)
       graft.operators.Ranking.rrfFuse(exact, quant, k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // HYBRID retrieval end-to-end (Ranking.rrfFuse scaladoc): BM25
+    // query-string retrieval (the sparse ranker) fused with IVF-PQ ANN
+    // (the dense one) over the SAME %97 query set — documents and
+    // embeddings share one id space, so each query is a (first-3-tokens
+    // text, embedding) pair. Both halves run their ENTIRE pipelines
+    // under the one oracle (the factored bm25/ivfpq CTE chains), fused
+    // in exact rank space — the retrieval stack a RAG/contamination
+    // pipeline actually serves.
+    "q_hybrid_search" -> ((s, dir) => {
+      import graft.functions.Text
+      val docs = Tables.documents(s, dir)
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          array_join(slice(Text.tokens(lower(col("text"))), 1, 3), " ")
+            .as("qtext"))
+      val sparse = graft.operators.Tfidf.searchBm25(docs, "doc_id", "text",
+          queries, "doc_id", "qtext", k = 5)
+        .withColumnRenamed("doc", "neighbor_id")
+      val dense = graft.operators.Pq.ivfPqTopK(Tables.embeddings(s, dir),
+        "vec_id", "embedding", col("query_id") % 97 === 0, k = 5, m = 8,
+        numCentroids = 16, dim = 64, coarseK = 16, nProbe = 4)
+      graft.operators.Ranking.rrfFuse(sparse, dense, k = 5)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
     }),
@@ -2676,6 +2732,168 @@ object SparkEntry {
        |    round(s.xy / sqrt(q.qq * s.rr), 5) AS pq_cosine
        |  FROM sums s JOIN qq q USING (query_id))""".stripMargin
   }
+
+  /** The q_ann_ivfpq oracle's full CTE chain — the q_ann_ivf coarse
+    * chain (prefixed ivf_*) + the q_ann_pq subspace chain + probe
+    * selection + ADC scoring restricted to probed cells, ending in
+    * `ivfpq_scored(query_id, neighbor_id, pq_cosine)`. Factored (the
+    * pqOracleCtes rule) so the recall<1 serving oracle and the hybrid
+    * fusion oracle that composes it cannot drift; `qMod` is the query
+    * predicate's modulus (`vid % qMod = 0`) — 20 for the ANN corpus
+    * probe set, 97 for the hybrid retrieval query set shared with
+    * BM25. */
+  private def ivfPqOracleCtes(qMod: Int): String = {
+    def ivfAssignSql(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vid, vec, ccid FROM (
+         |    SELECT c.vid, c.vec, t.ccid,
+         |      row_number() OVER (PARTITION BY c.vid
+         |        ORDER BY list_cosine_similarity(c.vec::DOUBLE[], t.cvec::DOUBLE[]) DESC,
+         |          t.ccid) AS rn
+         |    FROM corpus c CROSS JOIN $cents t) WHERE rn = 1)"""
+    def ivfUpdateSql(exName: String, updName: String, centsName: String, from: String) =
+      s"""$exName AS (
+         |  SELECT ccid, unnest(generate_series(1, len(vec))) AS pos,
+         |    unnest(vec) AS x
+         |  FROM $from),
+         |$updName AS (
+         |  SELECT ccid, pos,
+         |    sum(CAST(floor(x::DOUBLE * 1048576.0) AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM $exName GROUP BY ccid, pos),
+         |$centsName AS (
+         |  SELECT ccid,
+         |    list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS FLOAT)
+         |      ORDER BY pos) AS cvec
+         |  FROM $updName GROUP BY ccid)"""
+    def pqAssignSql(name: String, cb: String) =
+      s"""$name AS (
+         |  SELECT vid, j, sub, cid FROM (
+         |    SELECT s.vid, s.j, s.sub, t.cid,
+         |      row_number() OVER (PARTITION BY s.vid, s.j ORDER BY
+         |        list_sum(list_transform(generate_series(1, 8),
+         |          i -> (CAST(s.sub[i] AS DOUBLE) - CAST(t.cvec[i] AS DOUBLE))
+         |             * (CAST(s.sub[i] AS DOUBLE) - CAST(t.cvec[i] AS DOUBLE)))),
+         |        t.cid) AS rn
+         |    FROM subs s JOIN $cb t ON s.j = t.j) WHERE rn = 1)"""
+    def pqUpdateSql(exName: String, updName: String, cbName: String, from: String) =
+      s"""$exName AS (
+         |  SELECT j, cid, unnest(generate_series(1, 8)) AS pos,
+         |    unnest(sub) AS x
+         |  FROM $from),
+         |$updName AS (
+         |  SELECT j, cid, pos,
+         |    sum(CAST(floor(x::DOUBLE * 1048576.0) AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM $exName GROUP BY j, cid, pos),
+         |$cbName AS (
+         |  SELECT j, cid,
+         |    list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS FLOAT)
+         |      ORDER BY pos) AS cvec
+         |  FROM $updName GROUP BY j, cid)"""
+    s"""corpus AS (
+       |  SELECT vec_id AS vid, embedding AS vec FROM embeddings),
+       |ivf_seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vid) AS INTEGER) AS ccid,
+       |    vec AS cvec
+       |  FROM (SELECT vid, vec FROM corpus ORDER BY vid LIMIT 16)),
+       |${ivfAssignSql("ivf_a0", "ivf_seeds")},
+       |${ivfUpdateSql("ivf_ex0", "ivf_upd0", "ivf_cents1", "ivf_a0")},
+       |${ivfAssignSql("ivf_a1", "ivf_cents1")},
+       |${ivfUpdateSql("ivf_ex1", "ivf_upd1", "ivf_cents2", "ivf_a1")},
+       |${ivfAssignSql("ivf_fin", "ivf_cents2")},
+       |probes AS (
+       |  SELECT query_id, ccid FROM (
+       |    SELECT q.vid AS query_id, t.ccid,
+       |      row_number() OVER (PARTITION BY q.vid
+       |        ORDER BY list_cosine_similarity(q.vec::DOUBLE[], t.cvec::DOUBLE[]) DESC,
+       |          t.ccid) AS rn
+       |    FROM corpus q CROSS JOIN ivf_cents2 t WHERE q.vid % $qMod = 0)
+       |  WHERE rn <= 4),
+       |subs AS (
+       |  SELECT vid, j, vec[j*8 + 1 : j*8 + 8] AS sub
+       |  FROM corpus
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) js),
+       |pq_seeds AS (
+       |  SELECT j,
+       |    CAST(row_number() OVER (PARTITION BY j ORDER BY vid) AS INTEGER)
+       |      AS cid,
+       |    sub AS cvec
+       |  FROM subs
+       |  WHERE vid IN (SELECT vid FROM corpus ORDER BY vid LIMIT 16)),
+       |${pqAssignSql("pq_a0", "pq_seeds")},
+       |${pqUpdateSql("pq_ex0", "pq_upd0", "cb1", "pq_a0")},
+       |${pqAssignSql("pq_a1", "cb1")},
+       |${pqUpdateSql("pq_ex1", "pq_upd1", "cb2", "pq_a1")},
+       |${pqAssignSql("afin", "cb2")},
+       |qq AS (
+       |  SELECT vid AS query_id,
+       |    list_reduce(list_transform(vec, x -> x::DOUBLE * x::DOUBLE),
+       |      (acc, x) -> acc + x) AS qq
+       |  FROM corpus WHERE vid % $qMod = 0),
+       |dptab AS (
+       |  SELECT s.vid AS query_id, s.j, t.cid,
+       |    list_reduce(list_transform(generate_series(1, 8),
+       |      i -> CAST(s.sub[i] AS DOUBLE) * CAST(t.cvec[i] AS DOUBLE)),
+       |      (acc, x) -> acc + x) AS dp
+       |  FROM subs s JOIN cb2 t ON s.j = t.j
+       |  WHERE s.vid % $qMod = 0),
+       |rrtab AS (
+       |  SELECT j, cid,
+       |    list_reduce(list_transform(cvec, x -> x::DOUBLE * x::DOUBLE),
+       |      (acc, x) -> acc + x) AS rr
+       |  FROM cb2),
+       |sums AS (
+       |  SELECT d.query_id, f.vid,
+       |    list_reduce(list(d.dp ORDER BY f.j), (acc, x) -> acc + x) AS xy,
+       |    list_reduce(list(r.rr ORDER BY f.j), (acc, x) -> acc + x) AS rr
+       |  FROM afin f
+       |  JOIN ivf_fin v ON v.vid = f.vid
+       |  JOIN dptab d ON d.j = f.j AND d.cid = f.cid
+       |  JOIN probes p ON p.query_id = d.query_id AND p.ccid = v.ccid
+       |  JOIN rrtab r ON r.j = f.j AND r.cid = f.cid
+       |  WHERE f.vid != d.query_id
+       |  GROUP BY d.query_id, f.vid),
+       |ivfpq_scored AS (
+       |  SELECT s.query_id, s.vid AS neighbor_id,
+       |    round(s.xy / sqrt(q.qq * s.rr), 5) AS pq_cosine
+       |  FROM sums s JOIN qq q USING (query_id))""".stripMargin
+  }
+
+  /** The q_bm25_search oracle's CTE chain — corpus tf/df/dl/avgdl, the
+    * %97 first-3-token query set, the q_bm25_topk term-weight chain and
+    * the 2^-20 fixed-point cross-term sum — ending in
+    * `bm25_scored(query_id, doc, score_c)`. Factored so the standalone
+    * search oracle and the hybrid fusion oracle share one definition. */
+  private def bm25SearchScoredCtes: String =
+    """pairs AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+      |    AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id AS doc, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM pairs GROUP BY 1, 2),
+      |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |dlx AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |avgx AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |  AS avgdl FROM dlx),
+      |qt AS (
+      |  SELECT doc_id AS query_id,
+      |    unnest(list_distinct(
+      |      string_split_regex(trim(lower(text)), '\s+')[1:3])) AS term
+      |  FROM documents WHERE doc_id % 97 = 0),
+      |bm25_scored AS (
+      |  SELECT q.query_id, t.doc,
+      |    CAST(sum(CAST(floor(
+      |      ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+      |        (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
+      |          0.75 * (CAST(l.dl AS DOUBLE) / a.avgdl))))
+      |        / CAST(d.df AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT)
+      |      AS score_c
+      |  FROM qt q JOIN tf t USING (term) JOIN dfx d USING (term)
+      |    JOIN dlx l ON l.doc = t.doc
+      |  CROSS JOIN avgx a
+      |  GROUP BY 1, 2)""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val normSql = Normalize.duckdbNormalizeSql(logQuerySql)
@@ -4732,41 +4950,14 @@ object SparkEntry {
       // sum across terms (floor ·2^20 per term) — the one float-sum
       // hazard neutralized the DSIR way
       "q_bm25_search" ->
-        """WITH pairs AS (
-          |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
-          |    AS term
-          |  FROM documents),
-          |tf AS (
-          |  SELECT doc_id AS doc, term, CAST(count(*) AS BIGINT) AS tf
-          |  FROM pairs GROUP BY 1, 2),
-          |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-          |dlx AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-          |avgx AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-          |  AS avgdl FROM dlx),
-          |qt AS (
-          |  SELECT doc_id AS query_id,
-          |    unnest(list_distinct(
-          |      string_split_regex(trim(lower(text)), '\s+')[1:3])) AS term
-          |  FROM documents WHERE doc_id % 97 = 0),
-          |scored AS (
-          |  SELECT q.query_id, t.doc,
-          |    CAST(sum(CAST(floor(
-          |      ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
-          |        (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
-          |          0.75 * (CAST(l.dl AS DOUBLE) / a.avgdl))))
-          |        / CAST(d.df AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT)
-          |      AS score_c
-          |  FROM qt q JOIN tf t USING (term) JOIN dfx d USING (term)
-          |    JOIN dlx l ON l.doc = t.doc
-          |  CROSS JOIN avgx a
-          |  GROUP BY 1, 2)
-          |SELECT query_id, doc, score_c, CAST(rn AS BIGINT) AS rnk FROM (
-          |  SELECT query_id, doc, score_c,
-          |    row_number() OVER (PARTITION BY query_id
-          |      ORDER BY score_c DESC, doc) AS rn
-          |  FROM scored)
-          |WHERE rn <= 5
-          |ORDER BY query_id, rnk""".stripMargin,
+        s"""WITH $bm25SearchScoredCtes
+           |SELECT query_id, doc, score_c, CAST(rn AS BIGINT) AS rnk FROM (
+           |  SELECT query_id, doc, score_c,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score_c DESC, doc) AS rn
+           |  FROM bm25_scored)
+           |WHERE rn <= 5
+           |ORDER BY query_id, rnk""".stripMargin,
 
       // hashing trick: same md5 bucket + 9th-nibble sign rule; DuckDB
       // aggregates per (doc, bucket) then left-joins a dense (doc, pos)
@@ -5020,136 +5211,67 @@ object SparkEntry {
            |WHERE rn <= 5
            |ORDER BY query_id, rnk""".stripMargin,
 
-      // IVF-PQ: the q_ann_ivf oracle's coarse chain (prefixed ivf_*) +
-      // the q_ann_pq oracle's subspace chain + probe selection + ADC
-      // scoring restricted to probed cells — the full recall<1
-      // composition mirrored, not a probe-ALL proxy. The ADC sums fold
-      // the same per-subspace partials in the same order as the engine.
-      "q_ann_ivfpq" -> {
-        def ivfAssignSql(name: String, cents: String) =
-          s"""$name AS (
-             |  SELECT vid, vec, ccid FROM (
-             |    SELECT c.vid, c.vec, t.ccid,
-             |      row_number() OVER (PARTITION BY c.vid
-             |        ORDER BY list_cosine_similarity(c.vec::DOUBLE[], t.cvec::DOUBLE[]) DESC,
-             |          t.ccid) AS rn
-             |    FROM corpus c CROSS JOIN $cents t) WHERE rn = 1)"""
-        def ivfUpdateSql(exName: String, updName: String, centsName: String, from: String) =
-          s"""$exName AS (
-             |  SELECT ccid, unnest(generate_series(1, len(vec))) AS pos,
-             |    unnest(vec) AS x
-             |  FROM $from),
-             |$updName AS (
-             |  SELECT ccid, pos,
-             |    sum(CAST(floor(x::DOUBLE * 1048576.0) AS BIGINT)) AS s,
-             |    count(*) AS n
-             |  FROM $exName GROUP BY ccid, pos),
-             |$centsName AS (
-             |  SELECT ccid,
-             |    list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS FLOAT)
-             |      ORDER BY pos) AS cvec
-             |  FROM $updName GROUP BY ccid)"""
-        def pqAssignSql(name: String, cb: String) =
-          s"""$name AS (
-             |  SELECT vid, j, sub, cid FROM (
-             |    SELECT s.vid, s.j, s.sub, t.cid,
-             |      row_number() OVER (PARTITION BY s.vid, s.j ORDER BY
-             |        list_sum(list_transform(generate_series(1, 8),
-             |          i -> (CAST(s.sub[i] AS DOUBLE) - CAST(t.cvec[i] AS DOUBLE))
-             |             * (CAST(s.sub[i] AS DOUBLE) - CAST(t.cvec[i] AS DOUBLE)))),
-             |        t.cid) AS rn
-             |    FROM subs s JOIN $cb t ON s.j = t.j) WHERE rn = 1)"""
-        def pqUpdateSql(exName: String, updName: String, cbName: String, from: String) =
-          s"""$exName AS (
-             |  SELECT j, cid, unnest(generate_series(1, 8)) AS pos,
-             |    unnest(sub) AS x
-             |  FROM $from),
-             |$updName AS (
-             |  SELECT j, cid, pos,
-             |    sum(CAST(floor(x::DOUBLE * 1048576.0) AS BIGINT)) AS s,
-             |    count(*) AS n
-             |  FROM $exName GROUP BY j, cid, pos),
-             |$cbName AS (
-             |  SELECT j, cid,
-             |    list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS FLOAT)
-             |      ORDER BY pos) AS cvec
-             |  FROM $updName GROUP BY j, cid)"""
-        s"""WITH corpus AS (
-           |  SELECT vec_id AS vid, embedding AS vec FROM embeddings),
-           |ivf_seeds AS (
-           |  SELECT CAST(row_number() OVER (ORDER BY vid) AS INTEGER) AS ccid,
-           |    vec AS cvec
-           |  FROM (SELECT vid, vec FROM corpus ORDER BY vid LIMIT 16)),
-           |${ivfAssignSql("ivf_a0", "ivf_seeds")},
-           |${ivfUpdateSql("ivf_ex0", "ivf_upd0", "ivf_cents1", "ivf_a0")},
-           |${ivfAssignSql("ivf_a1", "ivf_cents1")},
-           |${ivfUpdateSql("ivf_ex1", "ivf_upd1", "ivf_cents2", "ivf_a1")},
-           |${ivfAssignSql("ivf_fin", "ivf_cents2")},
-           |probes AS (
-           |  SELECT query_id, ccid FROM (
-           |    SELECT q.vid AS query_id, t.ccid,
-           |      row_number() OVER (PARTITION BY q.vid
-           |        ORDER BY list_cosine_similarity(q.vec::DOUBLE[], t.cvec::DOUBLE[]) DESC,
-           |          t.ccid) AS rn
-           |    FROM corpus q CROSS JOIN ivf_cents2 t WHERE q.vid % 20 = 0)
-           |  WHERE rn <= 4),
-           |subs AS (
-           |  SELECT vid, j, vec[j*8 + 1 : j*8 + 8] AS sub
-           |  FROM corpus
-           |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) js),
-           |pq_seeds AS (
-           |  SELECT j,
-           |    CAST(row_number() OVER (PARTITION BY j ORDER BY vid) AS INTEGER)
-           |      AS cid,
-           |    sub AS cvec
-           |  FROM subs
-           |  WHERE vid IN (SELECT vid FROM corpus ORDER BY vid LIMIT 16)),
-           |${pqAssignSql("pq_a0", "pq_seeds")},
-           |${pqUpdateSql("pq_ex0", "pq_upd0", "cb1", "pq_a0")},
-           |${pqAssignSql("pq_a1", "cb1")},
-           |${pqUpdateSql("pq_ex1", "pq_upd1", "cb2", "pq_a1")},
-           |${pqAssignSql("afin", "cb2")},
-           |qq AS (
-           |  SELECT vid AS query_id,
-           |    list_reduce(list_transform(vec, x -> x::DOUBLE * x::DOUBLE),
-           |      (acc, x) -> acc + x) AS qq
-           |  FROM corpus WHERE vid % 20 = 0),
-           |dptab AS (
-           |  SELECT s.vid AS query_id, s.j, t.cid,
-           |    list_reduce(list_transform(generate_series(1, 8),
-           |      i -> CAST(s.sub[i] AS DOUBLE) * CAST(t.cvec[i] AS DOUBLE)),
-           |      (acc, x) -> acc + x) AS dp
-           |  FROM subs s JOIN cb2 t ON s.j = t.j
-           |  WHERE s.vid % 20 = 0),
-           |rrtab AS (
-           |  SELECT j, cid,
-           |    list_reduce(list_transform(cvec, x -> x::DOUBLE * x::DOUBLE),
-           |      (acc, x) -> acc + x) AS rr
-           |  FROM cb2),
-           |sums AS (
-           |  SELECT d.query_id, f.vid,
-           |    list_reduce(list(d.dp ORDER BY f.j), (acc, x) -> acc + x) AS xy,
-           |    list_reduce(list(r.rr ORDER BY f.j), (acc, x) -> acc + x) AS rr
-           |  FROM afin f
-           |  JOIN ivf_fin v ON v.vid = f.vid
-           |  JOIN dptab d ON d.j = f.j AND d.cid = f.cid
-           |  JOIN probes p ON p.query_id = d.query_id AND p.ccid = v.ccid
-           |  JOIN rrtab r ON r.j = f.j AND r.cid = f.cid
-           |  WHERE f.vid != d.query_id
-           |  GROUP BY d.query_id, f.vid),
-           |scored AS (
-           |  SELECT s.query_id, s.vid AS neighbor_id,
-           |    round(s.xy / sqrt(q.qq * s.rr), 5) AS pq_cosine
-           |  FROM sums s JOIN qq q USING (query_id))
+      // IVF-PQ: the factored ivfPqOracleCtes chain (shared with the
+      // hybrid fusion oracle — the pqOracleCtes rule) in the recall<1
+      // configuration it actually serves at (nProbe=4 of 16 cells, query
+      // set vid % 20 = 0) — the full composition mirrored, not a
+      // probe-ALL proxy. The ADC sums fold the same per-subspace
+      // partials in the same order as the engine.
+      "q_ann_ivfpq" ->
+        s"""WITH ${ivfPqOracleCtes(20)}
            |SELECT query_id, neighbor_id, pq_cosine,
            |  CAST(rnk AS BIGINT) AS rnk FROM (
            |  SELECT query_id, neighbor_id, pq_cosine,
            |    row_number() OVER (PARTITION BY query_id
            |      ORDER BY pq_cosine DESC, neighbor_id) AS rnk
-           |  FROM scored)
+           |  FROM ivfpq_scored)
            |WHERE rnk <= 5
-           |ORDER BY query_id, rnk""".stripMargin
-      },
+           |ORDER BY query_id, rnk""".stripMargin,
+
+      // Hybrid retrieval: the factored BM25 chain + the factored IVF-PQ
+      // chain over the SHARED %97 query/id space, each ranked to its own
+      // top-5, fused by the textual mirror of Ranking.rrfFuse's exact
+      // IEEE chain (the q_ann_rrf pattern; CAST(1 AS DOUBLE) guards
+      // DuckDB's DECIMAL literal arithmetic).
+      "q_hybrid_search" ->
+        s"""WITH $bm25SearchScoredCtes,
+           |${ivfPqOracleCtes(97)},
+           |bm25r AS (
+           |  SELECT query_id, doc AS neighbor_id, rn FROM (
+           |    SELECT query_id, doc,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY score_c DESC, doc) AS rn
+           |    FROM bm25_scored) WHERE rn <= 5),
+           |ivfpqr AS (
+           |  SELECT query_id, neighbor_id, rn FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY pq_cosine DESC, neighbor_id) AS rn
+           |    FROM ivfpq_scored) WHERE rn <= 5),
+           |fused AS (
+           |  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+           |    COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+           |    COALESCE(CAST(1 AS DOUBLE) / CAST(a.rn + 60 AS DOUBLE), CAST(0 AS DOUBLE))
+           |      + COALESCE(CAST(1 AS DOUBLE) / CAST(b.rn + 60 AS DOUBLE), CAST(0 AS DOUBLE))
+           |      AS rrf_score
+           |  FROM bm25r a FULL JOIN ivfpqr b
+           |    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id)
+           |SELECT query_id, neighbor_id, rrf_score,
+           |  CAST(rn AS BIGINT) AS rnk FROM (
+           |  SELECT query_id, neighbor_id, rrf_score,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY rrf_score DESC, neighbor_id) AS rn
+           |  FROM fused)
+           |WHERE rn <= 5
+           |ORDER BY query_id, rnk""".stripMargin,
+
+      // BPE training replay: 16 rounds of pair-count / argmax /
+      // SEP-replace CTEs (BpeTrain.oracleCtes — the chr(1)-join replace
+      // identity the encoder oracle established), checking the LEARNED
+      // merge table rank by rank.
+      "q_bpe_train" ->
+        s"""WITH ${graft.operators.BpeTrain.oracleCtes("documents", "text", 16)}
+           |${graft.operators.BpeTrain.oracleSelect(16)}""".stripMargin,
 
       // probe-ALL IVF is exhaustive → identical oracle to brute force
       "q_ann_ivf_full" ->

@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** BPE tokenizer TRAINING — learning the merge table from the corpus,
+  * the step upstream of everything [[graft.plans.BpeTokenCount]] /
+  * [[graft.plans.BpeTokens]] already do with a PINNED table. A
+  * training-data pipeline does not ship someone else's vocabulary: it
+  * derives merges from its own corpus so token budgets, packing and
+  * familiarity scores measure the distribution they will actually train
+  * on (Sennrich et al. 2016, the GPT-2 tokenizer recipe).
+  *
+  * Algorithm — the classic iteration, with every choice pinned exactly:
+  *  1. Pre-tokenize with `Text.BpeTokenRe` (the same boundary rule the
+  *     encoder uses) and collapse the corpus to DISTINCT pre-tokens with
+  *     occurrence counts — the only corpus-wide pass, persisted once.
+  *     All further work is over the vocabulary, thousands of rows where
+  *     the corpus has billions.
+  *  2. Each round, split every word into its CURRENT symbols (all
+  *     previously learned merges applied), count adjacent symbol pairs
+  *     weighted by word count — OVERLAPPING adjacency, the classic
+  *     `get_stats` ("aaa" counts (a,a) twice) — and adopt the most
+  *     frequent pair as the next merge. Ties break by (count DESC, lhs
+  *     ASC, rhs ASC): exact BIGINT counts and binary string order, so
+  *     the learned table is byte-identical in any engine.
+  *  3. Merge APPLICATION is the encoder's own left-to-right
+  *     non-overlapping rank-order pass: rather than mutating a symbols
+  *     frame (whose lineage would grow by one transform per round — the
+  *     iterative-algorithm trap the Lloyd builds dodge with literal
+  *     codebooks), every round re-derives symbols FROM SCRATCH by
+  *     running [[graft.plans.BpeTokens]] with the merges learned so
+  *     far riding as a task-serialized literal. Plans stay
+  *     constant-size, the pass is map-only codegen over the persisted
+  *     vocabulary, and training and encoding are the SAME code path —
+  *     the learned table round-trips through the shipped encoder by
+  *     construction, not by convention.
+  *
+  * Scale shape: one corpus shuffle total (the word-count aggregate);
+  * per merge, one map-only vocabulary pass + one pair-count aggregate
+  * (|adjacent-pair vocabulary| rows) + a 1-row collect. The driver-side
+  * loop materializes only the merge table itself — the same
+  * driver-bounded structure as the PQ/IVF codebooks.
+  *
+  * The DuckDB oracle replays the whole loop: symbols live as
+  * chr(1)-joined strings, merge application is the `replace(s,
+  * SEP||x||SEP||y, SEP||x||y)` identity [[graft.functions.Bpe]]'s
+  * encoder oracle established, and each round's argmax is the same
+  * (count DESC, lhs, rhs) ORDER BY ... LIMIT 1 — so `q_bpe_train`
+  * checks the LEARNED TABLE itself, rank by rank.
+  *
+  * Caveat the caller owns: `numMerges` must stop short of pair
+  * exhaustion (every word collapsed to one symbol). Training handles it
+  * gracefully (returns the merges found and stops); the fixed-depth SQL
+  * oracle cannot, so driver queries size numMerges well under
+  * saturation. */
+object BpeTrain {
+
+  /** Learn `numMerges` merge rules from `docs(textCol)`. Returns
+    * (rnk BIGINT 1-based, lhs, rhs) in learning order — the exact shape
+    * [[graft.functions.Bpe.loadMerges]] validates and the encoder
+    * expressions consume (as `Seq((lhs, rhs))` via [[merges]]).
+    * Stops early (fewer rows) if the vocabulary runs out of adjacent
+    * pairs. Release the vocabulary cache with
+    * `Caches.unpersistScope("bpe")`. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1 (got $numMerges)")
+    val sess = docs.sparkSession
+    val words = Caches.tracked(
+      docs.select(explode(
+          regexp_extract_all(col(textCol), lit(Text.BpeTokenRe), lit(0)))
+          .as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n")),
+      "bpe")
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (learned.length < numMerges && !exhausted) {
+      // current symbols = the SHIPPED encoder with the merges so far
+      val syms = words.select(
+        graft.plans.BpeTokenCount.tokens(col("word"), learned.toSeq).as("a"),
+        col("n"))
+      val best: Array[Row] = syms
+        .select(explode(zip_with(
+            slice(col("a"), lit(1), size(col("a")) - lit(1)),
+            slice(col("a"), lit(2), size(col("a")) - lit(1)),
+            (x, y) => struct(x.as("lhs"), y.as("rhs")))).as("p"),
+          col("n"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(desc("cnt"), col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else learned += ((best(0).getString(0), best(0).getString(1)))
+    }
+    import sess.implicits._
+    learned.toSeq.zipWithIndex
+      .map { case ((l, r), i) => (i + 1L, l, r) }
+      .toDF("rnk", "lhs", "rhs")
+  }
+
+  /** The learned table as the `Seq[(lhs, rhs)]` the encoder expressions
+    * take — rank order preserved. Driver-side by design (a merge table
+    * is a driver-bounded structure, like a codebook). */
+  def merges(learned: DataFrame): Seq[(String, String)] =
+    learned.orderBy(col("rnk")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** The oracle's training replay, factored so every consumer (the
+    * q_bpe_train oracle, composed oracles) generates the SAME SQL: CTE
+    * `w0` holds the chr(1)-joined symbol strings of the distinct-word
+    * frame; each round i computes pair counts `p{i}` (overlapping
+    * adjacency via list_zip over the split symbols), argmax `b{i}`, and
+    * the merged vocabulary `w{i}` by the SEP-replace identity. The
+    * caller SELECTs from the union of b1..bN. `src` must expose a
+    * `text` column. */
+  def oracleCtes(src: String, textCol: String, numMerges: Int): String = {
+    val sep = "chr(1)"
+    // DuckDB single-quoted strings keep backslashes literal, so the RE2
+    // pattern embeds verbatim (it carries no single quotes)
+    val w0 =
+      s"""wrds AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT unnest(regexp_extract_all($textCol,
+         |      '${Text.BpeTokenRe}')) AS word
+         |    FROM $src)
+         |  GROUP BY 1),
+         |w0 AS MATERIALIZED (
+         |  SELECT list_reduce(list_transform(regexp_extract_all(word, '.'),
+         |    c -> $sep || c), (a, b) -> a || b) AS s, n
+         |  FROM wrds)""".stripMargin
+    val rounds = (1 to numMerges).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT pr[1] AS lhs, pr[2] AS rhs, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)]))
+         |      AS pr, n
+         |    FROM (SELECT string_split(s, $sep)[2:] AS syms, n FROM $prev))
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT lhs, rhs FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT replace(s, $sep || b.lhs || $sep || b.rhs,
+         |    $sep || b.lhs || b.rhs) AS s, n
+         |  FROM $prev CROSS JOIN b$i b)""".stripMargin
+    }
+    (w0 +: rounds).mkString(",\n")
+  }
+
+  /** The oracle's final projection over [[oracleCtes]]'s b1..bN. */
+  def oracleSelect(numMerges: Int): String =
+    (1 to numMerges)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rnk, lhs, rhs FROM b$i")
+      .mkString("\nUNION ALL ") + "\nORDER BY rnk"
+}

@@ -44,15 +44,22 @@ import org.apache.spark.sql.functions._
   * "no Sort exec" pin stays green, because the fallback is invisible in
   * the plan. Every helper here therefore raises the threshold to
   * [[Ranking.FallbackThreshold]] on the calling session when (and only
-  * when) it still carries the Spark default: the buffers are bounded at
-  * k entries per key, so the map's worst case is
-  * `threshold × k × entry-bytes` — at the repo's widest caller (k ≤ 10,
-  * thin entries ≤ 128 B; callers keep payloads OUT of the heap, see
-  * [[keepSmallestK]]'s contract) ≈ 170 MB per task, and an order less
-  * for the k=1 canonicals. Beyond the raised threshold the sort
+  * when) it still carries the Spark default — sized by the r14
+  * adjudication, which measured BOTH failure directions at the ×20
+  * scale point: left at 128, per-doc tf-idf ranking sort-fell-back and
+  * regressed 2.8 → 6.2 s; raised to 2^17, the same aggregate held
+  * keys × k × entry-bytes live per task (its partial ran on
+  * TERM-partitioned input, so every task saw ~10⁵ doc keys) and OOM'd
+  * the shared 8 GB local[32] heap in partial-buffer serialization. The
+  * resolution is two-sided: high-cardinality rankings with WIDE entries
+  * whose agg key is orthogonal to the input partitioning belong on
+  * WindowGroupLimit, not the heap ([[Tfidf.topTerms]]/`topTermsBm25`
+  * reverted — see the Tfidf class doc), and the heap keeps a MODEST
+  * raise for the callers it genuinely fits (low-cardinality keys, thin
+  * entries, k=1 canonicals). Beyond the raised threshold the sort
   * fallback is the RIGHT memory/speed trade and still correct —
   * RankingSpec's fallback guard pins both result-equality under a
-  * forced fallback and fallback-freedom at 10⁵ keys per partition via
+  * forced fallback and fallback-freedom at 3×10⁴ keys per partition via
   * the exec's own `numTasksFallBacked` metric, the runtime-level
   * evidence the plan pins cannot give. */
 object Ranking {
@@ -62,14 +69,19 @@ object Ranking {
   val FallbackThresholdKey =
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
 
-  /** Keys the in-memory map may hold before the sort fallback: 2^17.
-    * Sizing: one k-bounded heap per key, so worst-case map memory is
-    * threshold × k × entry-bytes ≈ 131072 × 10 × 128 B ≈ 170 MB per task
-    * at the widest caller — safe under default executor sizing, and two
-    * orders above any per-partition key count an input-size-bounded
-    * partition (spark.sql.files.maxPartitionBytes) produces for per-doc
-    * keys. A genuinely hotter partition falls back and stays correct. */
-  val FallbackThreshold: Int = 131072
+  /** Keys the in-memory map may hold before the sort fallback: 2^15.
+    * Sizing: one k-bounded heap per key, so worst-case live map memory
+    * is threshold × k × entry-bytes ≈ 32768 × 10 × 500 B (JVM-object
+    * entries, not packed rows) ≈ 160 MB per task at the widest
+    * remaining caller — and an order less for the thin k=1 canonicals —
+    * against a per-task budget of heap/slots (250 MB at the 8 GB
+    * local[32] floor this was sized on; proportionally more on real
+    * executors). 256× the Spark default, covering every key count the
+    * remaining callers' input partitionings produce (per-partition fps,
+    * query sets, group quotas); a genuinely hotter partition falls back
+    * and stays correct. 2^17 was measured to OOM — see the class doc;
+    * wide-entry key-orthogonal rankings must use the window instead. */
+  val FallbackThreshold: Int = 32768
 
   /** Raise the fallback threshold on `df`'s session iff it still holds
     * the Spark default (an explicit non-default user setting wins; an
@@ -120,7 +132,12 @@ object Ranking {
     * true by construction for tf/df and BM25 (ratios of positive
     * integers); the ANN paths, whose zero-norm vectors can score NaN,
     * use [[topKByScore]]'s NaN/null-consistent form instead. Output:
-    * keyCol, tieCol, scoreCol, carry…, `rankName` (1-based, long). */
+    * keyCol, tieCol, scoreCol, carry…, `rankName` (1-based, long).
+    *
+    * For LOW-CARDINALITY keys (per-query ranks, per-batch canonicals):
+    * the r13 tf-idf/BM25 per-doc callers were REVERTED to the window in
+    * r14 — their agg key was orthogonal to the term-partitioned input,
+    * the class-doc failure case both ways (fallback or OOM). */
   def topKCarrying(scored: DataFrame, keyCol: String, scoreCol: String,
                    tieCol: String, carry: Seq[String], k: Int,
                    rankName: String = "rank"): DataFrame = {

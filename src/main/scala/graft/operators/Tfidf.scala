@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Text
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-document characteristic-term extraction — the tf-idf step of corpus
@@ -20,8 +21,21 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one shuffle of (doc, term) pairs for tf (map-side
   * combinable counts), one vocabulary-sized aggregate for df, per-doc
-  * top-k via [[Ranking.topKCarrying]]'s bounded-heap aggregate (r13;
-  * was a window partitioned on doc — the heap never sorts a partition). The df join-back carries NO
+  * top-k via the `row_number` WINDOW (WindowGroupLimit pushdown bounds
+  * the exchange map-side). The window form is a MEASURED r14 decision,
+  * REVERTING r13's bounded-heap rewrite for these two rankings: the
+  * scored frame arrives TERM-partitioned (the df join's exchange), so
+  * the heap's partial aggregate sees nearly every doc key in every
+  * partition — at the ×20 scale point that meant 10⁵ keys/partition,
+  * where the ObjectHashAggregate either sort-falls-back at the 128-key
+  * default (q_tfidf_topk ×20 regressed 2.8 → 6.2 s, the r13→r14
+  * adjudication) or, with the threshold raised, holds keys × k × entry
+  * bytes live per task and OOMs a shared-heap executor (measured: 8 GB
+  * local[32] JVM died in partial-heap serialization). Per-doc rankings
+  * whose agg key is orthogonal to the input partitioning belong on the
+  * window; [[Ranking]]'s heap stays the right shape for low-cardinality
+  * keys ([[searchBm25]]'s per-query rank, the ANN paths) and thin k=1
+  * canonicals. The df join-back carries NO
   * broadcast hint on purpose: a natural-language vocabulary fits under
   * the auto-broadcast threshold and Catalyst broadcasts it unhinted,
   * but a web-scale token vocabulary does not bound (the same reason
@@ -44,12 +58,14 @@ object Tfidf {
       pairs.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf")),
       "tfidf")
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(df_, Seq("term"))
+    // window, not heap — the class-doc r14 adjudication: term-partitioned
+    // input × per-doc keys is the heap's pathological case
+    val w = Window.partitionBy(col("doc"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df_, Seq("term"))
       .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
-    // bounded-heap ranking (r13): scores are ratios of positive integers
-    // — never null/NaN — so the topKCarrying contract holds
-    Ranking.topKCarrying(scored, "doc", "score", "term",
-        Seq("tf", "df"), k, rankName = "rnk")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
       .select(col("doc"), col("rnk"), col("term"), col("tf"), col("df"),
         col("score"))
   }
@@ -139,13 +155,14 @@ object Tfidf {
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) +
           lit(b) * (col("dl").cast("double") / col("avgdl"))))
-    val scored = tf.join(df_, Seq("term")).join(dl, Seq("doc"))
+    // window, not heap — same r14 adjudication as topTerms
+    val w = Window.partitionBy(col("doc"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df_, Seq("term")).join(dl, Seq("doc"))
       .crossJoin(broadcast(avgdl))
       .withColumn("score", satTf / col("df").cast("double"))
-    // bounded-heap ranking (r13): saturated-tf scores are finite and
-    // positive (every denominator term is positive), never null/NaN
-    Ranking.topKCarrying(scored, "doc", "score", "term",
-        Seq("tf", "df", "dl"), k, rankName = "rnk")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
       .select(col("doc"), col("rnk"), col("term"), col("tf"), col("df"),
         col("dl"), col("score"))
   }

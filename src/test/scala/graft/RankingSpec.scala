@@ -159,9 +159,11 @@ class RankingSpec extends SparkSpec {
   // Spark's default conf fires at 128 keys per partition. These two
   // tests pin the property at the RUNTIME level via the exec's own
   // numTasksFallBacked metric: with the raised threshold Ranking
-  // installs, 10^5 keys in ONE input partition stay hash-aggregated;
-  // and when the fallback IS forced (explicit low threshold), results
-  // remain byte-identical to the window twin — slower, never wrong.
+  // installs, 3×10^4 keys in ONE input partition (200× the Spark
+  // default, just under FallbackThreshold — the memory-sized ceiling,
+  // see its scaladoc) stay hash-aggregated; and when the fallback IS
+  // forced (explicit low threshold), results remain byte-identical to
+  // the window twin — slower, never wrong.
 
   private def fallbackTasks(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -183,15 +185,15 @@ class RankingSpec extends SparkSpec {
     self + kids.map(fallbackTasks).sum
   }
 
-  private def hundredKKeys = spark.range(200000L).coalesce(1)
-    .select((col("id") % 100000L).as("key"), col("id").as("id"),
+  private def thirtyKKeys = spark.range(60000L).coalesce(1)
+    .select((col("id") % 30000L).as("key"), col("id").as("id"),
       (col("id") % 7L).cast("double").as("score"))
 
-  test("guard: 1e5 keys in one partition hash-aggregate with zero sort fallbacks") {
-    val ranked = Ranking.topKByScore(hundredKKeys, "key", "id", "score", 2)
+  test("guard: 3e4 keys in one partition hash-aggregate with zero sort fallbacks") {
+    val ranked = Ranking.topKByScore(thirtyKKeys, "key", "id", "score", 2)
     // collect() runs THIS Dataset's queryExecution (count()/noop-write
     // would execute a different plan tree, leaving these metrics empty)
-    assert(ranked.collect().length === 200000) // 2 rows per key, k = 2
+    assert(ranked.collect().length === 60000) // 2 rows per key, k = 2
     assert(fallbackTasks(ranked.queryExecution.executedPlan) === 0L,
       "the raised fallback threshold did not take effect — the heap " +
         "aggregation sort-fell-back at high key cardinality")
@@ -202,7 +204,7 @@ class RankingSpec extends SparkSpec {
   test("guard: a FORCED sort fallback still equals the window ranking exactly") {
     spark.conf.set(Ranking.FallbackThresholdKey, "64")
     try {
-      val df = hundredKKeys.filter(col("key") < 5000L)
+      val df = thirtyKKeys.filter(col("key") < 5000L)
       val ranked = Ranking.topKByScore(df, "key", "id", "score", 2)
         .select("key", "id", "score", "rank")
       assert(ranked.collect().length === 10000) // populate ranked's metrics
