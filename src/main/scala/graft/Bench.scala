@@ -120,21 +120,28 @@ object Bench {
     "q_dedup_components", "q_token_familiarity", "q_global_shuffle",
     "q_span_dedup", "q_dedup_semantic", "q_tfidf_topk",
     "q_feature_hash", "q_multimodal_features", "q_token_bpe",
-    "q_paragraph_dedup", "q_ann_pq", "q_ann_ivfpq")
+    "q_paragraph_dedup", "q_ann_pq", "q_ann_ivfpq", "q_bpe_train")
 
   /** 20× probe set: the dedup heavies that exposed superlinearity before,
     * PLUS the shuffled-by-design operators (familiarity's vocab join,
     * tfidf's df agg, CMS, sessionization, native as-of) that previously
     * had no ≥20× evidence, PLUS q_ann_ivfpq (r13) — its two Lloyd builds
     * are the wide-accumulator aggregate shape whose scaling claim
-    * ("hash N rows, not N·dim") deserves a ≥20× data point. Pair-output operators (jaccard, containment)
+    * ("hash N rows, not N·dim") deserves a ≥20× data point — PLUS
+    * q_bpe_train (r14): tokenizer training's claim is that per-round
+    * cost is VOCABULARY-bounded (the corpus collapses to distinct
+    * pre-tokens once), so corpus 20× with a near-flat vocabulary should
+    * scale sublinearly after the first aggregate. q_hybrid_search stays
+    * engine-only: its scale components (searchBm25's tf build, IVF-PQ)
+    * already carry their own points. Pair-output operators (jaccard, containment)
     * live in the controlled probe instead — see the Sf1Queries scaladoc
     * for the census evidence. */
   private val Sf20Queries: Seq[String] = Seq(
     "q_span_dedup", "q_repetition", "q_dedup_semantic", "q_dedup_minhash",
     "q_dedup_components", "q_token_familiarity",
     "q_tfidf_topk", "q_cms_heavy", "q_session_stats", "q_asof_join_native",
-    "q_multimodal_features", "q_paragraph_dedup", "q_ann_ivfpq")
+    "q_multimodal_features", "q_paragraph_dedup", "q_ann_ivfpq",
+    "q_bpe_train")
 
   /** Per-replica content perturbation (see class doc). Replica 0 is the
     * untouched original.

@@ -1750,6 +1750,24 @@ object SparkEntry {
       graft.operators.BpeTrain.train(Tables.documents(s, dir), "text", 16)
         .orderBy(col("rnk"))),
 
+    // The tokenizer pipeline a training run actually executes: LEARN the
+    // merge table from the corpus, then BUDGET the same corpus with it —
+    // per-doc token counts under the learned (not the pinned) vocabulary,
+    // via the shipped codegen encoder with the learned merges as its
+    // literal. The oracle replays training (BpeTrain.oracleCtes) AND
+    // re-encodes every (doc, pre-token) occurrence with the learned
+    // b1..b16 rules (oracleApplyCtes), so the whole train→apply
+    // composition sits under one SQL.
+    "q_bpe_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.BpeTrain.merges(
+        graft.operators.BpeTrain.train(docs, "text", 16))
+      docs.select(col("doc_id"),
+          graft.plans.BpeTokenCount.count(col("text"), merges)
+            .as("n_tokens_learned"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Feature-hashed bag of words (hashing trick): text → fixed-dim signed
     // BIGINT vector, no vocabulary pass, map-only, exact in any engine.
     "q_feature_hash" -> ((s, dir) =>
@@ -5272,6 +5290,21 @@ object SparkEntry {
       "q_bpe_train" ->
         s"""WITH ${graft.operators.BpeTrain.oracleCtes("documents", "text", 16)}
            |${graft.operators.BpeTrain.oracleSelect(16)}""".stripMargin,
+
+      // train → apply composition: the training chain's b1..b16 feed the
+      // d0..d16 per-pre-token re-encode; token count = SEP chars left;
+      // docs whose text yields zero pre-tokens keep count 0 via the
+      // LEFT join (the engine's encoder returns 0 for them)
+      "q_bpe_pipeline" ->
+        s"""WITH ${graft.operators.BpeTrain.oracleCtes("documents", "text", 16)},
+           |${graft.operators.BpeTrain.oracleApplyCtes("documents", "text", 16)},
+           |cnts AS (
+           |  SELECT doc_id,
+           |    CAST(sum(len(string_split(s, chr(1))) - 1) AS BIGINT) AS n
+           |  FROM d16 GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(c.n, 0) AS n_tokens_learned
+           |FROM documents d LEFT JOIN cnts c USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
 
       // probe-ALL IVF is exhaustive → identical oracle to brute force
       "q_ann_ivf_full" ->

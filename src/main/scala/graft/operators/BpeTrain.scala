@@ -152,4 +152,30 @@ object BpeTrain {
     (1 to numMerges)
       .map(i => s"SELECT CAST($i AS BIGINT) AS rnk, lhs, rhs FROM b$i")
       .mkString("\nUNION ALL ") + "\nORDER BY rnk"
+
+  /** APPLY the learned table to a corpus, in SQL: the d0..dN chain that
+    * encodes every (doc, pre-token) occurrence with the b1..bN merges
+    * [[oracleCtes]] learned — one SEP-replace per rank, in rank order,
+    * exactly the engine encoder's sequential pass. Appended AFTER
+    * [[oracleCtes]] (it references the b$i CTEs); the final CTE
+    * `d$numMerges` holds (doc_id, s) with one row per pre-token
+    * occurrence, token count = SEP chars remaining. Every CTE is
+    * MATERIALIZED for the same inlining reason as the training chain. */
+  def oracleApplyCtes(src: String, textCol: String, numMerges: Int): String = {
+    val sep = "chr(1)"
+    val d0 =
+      s"""d0 AS MATERIALIZED (
+         |  SELECT doc_id, list_reduce(list_transform(
+         |    regexp_extract_all(tok, '.'), c -> $sep || c),
+         |    (a, b) -> a || b) AS s
+         |  FROM (SELECT doc_id, unnest(regexp_extract_all($textCol,
+         |    '${Text.BpeTokenRe}')) AS tok FROM $src))""".stripMargin
+    val rounds = (1 to numMerges).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT doc_id, replace(s, $sep || b.lhs || $sep || b.rhs,
+         |    $sep || b.lhs || b.rhs) AS s
+         |  FROM d${i - 1} CROSS JOIN b$i b)""".stripMargin
+    }
+    (d0 +: rounds).mkString(",\n")
+  }
 }

@@ -582,6 +582,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pCap.contains("Window"), pCap)
     assert(!pCap.contains("Sort ["), pCap)
     assert(pCap.contains("ObjectHashAggregate"), pCap)
+    // r14 thin-heap pin (VERDICT #6 done-criterion): the payload must
+    // NOT ride inside the aggregation buffer — no collect_top_k line may
+    // mention the text column; it rejoins via the id semi-join instead
+    val heapLines = pCap.linesIterator.filter(_.contains("collect_top_k"))
+    assert(heapLines.forall(!_.contains("text")),
+      "full text entered the groupCap heap buffer:\n" + pCap)
     val pUniq = plan(graft.operators.CorpusReport.exactUnique(
       batch.withColumn("lang", lit("en")), "doc_id", "text", "lang"))
     assert(!pUniq.contains("Window"), pUniq)
