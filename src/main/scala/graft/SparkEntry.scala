@@ -1768,6 +1768,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The learned tokenizer's VOCABULARY with exact corpus frequencies —
+    // the vocab.json half of the artifact (merges = q_bpe_train). The
+    // oracle derives it from the training replay's FINAL vocabulary
+    // state (w16's symbol strings), where the engine re-encodes through
+    // the shipped expression — two different routes to the same table,
+    // both exact.
+    "q_bpe_vocab" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.BpeTrain.merges(
+        graft.operators.BpeTrain.train(docs, "text", 16))
+      graft.operators.BpeTrain.vocabulary(docs, "text", merges)
+        .orderBy(col("symbol"))
+    }),
+
     // Feature-hashed bag of words (hashing trick): text → fixed-dim signed
     // BIGINT vector, no vocabulary pass, map-only, exact in any engine.
     "q_feature_hash" -> ((s, dir) =>
@@ -5305,6 +5319,17 @@ object SparkEntry {
            |SELECT d.doc_id, coalesce(c.n, 0) AS n_tokens_learned
            |FROM documents d LEFT JOIN cnts c USING (doc_id)
            |ORDER BY doc_id""".stripMargin,
+
+      // vocabulary = the training replay's final state: w16 already
+      // holds every word's post-merge symbol string × its count, so the
+      // oracle just splits and sums — no second encode chain needed
+      "q_bpe_vocab" ->
+        s"""WITH ${graft.operators.BpeTrain.oracleCtes("documents", "text", 16)}
+           |SELECT symbol, CAST(sum(n) AS BIGINT) AS n_occurrences FROM (
+           |  SELECT unnest(string_split(s, chr(1))[2:]) AS symbol, n
+           |  FROM w16)
+           |GROUP BY symbol
+           |ORDER BY symbol""".stripMargin,
 
       // probe-ALL IVF is exhaustive → identical oracle to brute force
       "q_ann_ivf_full" ->

@@ -64,8 +64,22 @@ object BpeTrain {
     * Stops early (fewer rows) if the vocabulary runs out of adjacent
     * pairs. Release the vocabulary cache with
     * `Caches.unpersistScope("bpe")`. */
-  def train(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  def train(docs: DataFrame, textCol: String, numMerges: Int): DataFrame =
+    train(docs, textCol, numMerges, Seq.empty)
+
+  /** [[train]] RESUMED from a prior partial merge table (`init`, rank
+    * order — e.g. [[merges]] of a persisted earlier run): learning
+    * continues from rank `init.length + 1` and the returned table
+    * carries init + the new rules. Because each round re-derives
+    * symbols from scratch through the encoder with ALL merges so far,
+    * `train(n)` ≡ `train(k)` then resume for `n − k` — checkpoint/
+    * restart for the multi-day tokenizer runs a 100 TB corpus implies
+    * is therefore free, and `BpeTrainSpec` pins the equivalence. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            init: Seq[(String, String)]): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1 (got $numMerges)")
+    require(init.length < numMerges,
+      s"init already holds ${init.length} >= numMerges=$numMerges merges")
     val sess = docs.sparkSession
     val words = Caches.tracked(
       docs.select(explode(
@@ -74,6 +88,7 @@ object BpeTrain {
         .groupBy(col("word")).agg(count(lit(1)).as("n")),
       "bpe")
     val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    learned ++= init
     var exhausted = false
     while (learned.length < numMerges && !exhausted) {
       // current symbols = the SHIPPED encoder with the merges so far
@@ -105,6 +120,25 @@ object BpeTrain {
   def merges(learned: DataFrame): Seq[(String, String)] =
     learned.orderBy(col("rnk")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** The VOCABULARY the learned table induces over the corpus — the
+    * second half of the tokenizer artifact a training run ships
+    * (merges.txt + vocab.json): every symbol the encoder emits under
+    * `mergesTable`, with its exact corpus frequency. One map-only
+    * encoder pass over the distinct-word frame (weights = word counts),
+    * one symbol-sized aggregate. Output: (symbol, n_occurrences),
+    * BIGINT-exact in any engine. */
+  def vocabulary(docs: DataFrame, textCol: String,
+                 mergesTable: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(explode(
+        regexp_extract_all(col(textCol), lit(Text.BpeTokenRe), lit(0)))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    words.select(explode(
+        graft.plans.BpeTokenCount.tokens(col("word"), mergesTable))
+        .as("symbol"), col("n"))
+      .groupBy(col("symbol")).agg(sum(col("n")).as("n_occurrences"))
+  }
 
   /** The oracle's training replay, factored so every consumer (the
     * q_bpe_train oracle, composed oracles) generates the SAME SQL: CTE

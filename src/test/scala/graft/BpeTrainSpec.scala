@@ -58,6 +58,33 @@ class BpeTrainSpec extends SparkSpec {
     graft.operators.Caches.unpersistScope("bpe")
   }
 
+  test("resumed training == one uninterrupted run (checkpoint/restart)") {
+    val docs = Seq(
+      "the cat sat on the mat", "the cat ate the rat",
+      "that cat, that hat!", "rates of cats and hats").toDF("text")
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rnk").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val full = table(BpeTrain.train(docs, "text", 6))
+    val first4 = BpeTrain.merges(BpeTrain.train(docs, "text", 4))
+    val resumed = table(BpeTrain.train(docs, "text", 6, init = first4))
+    assert(resumed === full, s"resumed=$resumed full=$full")
+    graft.operators.Caches.unpersistScope("bpe")
+  }
+
+  test("vocabulary: exact frequencies, reassembles the corpus mass") {
+    val docs = Seq("aaab aaab aab").toDF("text")
+    val merges = BpeTrain.merges(BpeTrain.train(docs, "text", 2))
+    // after (a,a) and (a,b): aaab -> [aa, ab] ×2, aab -> [aa, b] ×1
+    val vocab = BpeTrain.vocabulary(docs, "text", merges)
+      .orderBy("symbol").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(vocab === Seq(("aa", 3L), ("ab", 2L), ("b", 1L)), vocab)
+    // conservation: Σ symbol_len × freq == total pre-token chars
+    assert(vocab.map { case (s, n) => s.length * n }.sum === 11L)
+    graft.operators.Caches.unpersistScope("bpe")
+  }
+
   test("pair exhaustion stops early with the merges found so far") {
     // one distinct word "ab": round 1 merges (a,b); round 2 has no
     // adjacent pairs left anywhere — train must return 1 row, not loop

@@ -118,4 +118,37 @@ class PqSpec extends SparkSpec {
     val recall = (pruned & flatPairs).size.toDouble / flatPairs.size
     assert(recall >= 0.4, s"recall-vs-flat-PQ $recall")
   }
+
+  test("the bench's pre-built-index seam serves the same rows as the inline build") {
+    // the graft.bench.annIndex branch of q_ann_ivfpq (Bench's ann_serve
+    // phase) is the one path Verify never exercises — pin it here: the
+    // index persisted through parquet tables and served by ivfPqServe
+    // must emit EXACTLY the inline composition's rows. At sf0.001 every
+    // vec_id < 500, so the fixed-query-set filter is the identity and
+    // the two branches answer the same question.
+    import org.apache.spark.sql.functions.col
+    val (_, cents) = graft.operators.Ivf.build(emb, "vec_id", "embedding",
+      k = 16, iters = 2)
+    val cb = Pq.build(emb, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+    cents.write.mode("overwrite").format("parquet")
+      .saveAsTable("graft_ann_centroids")
+    cb.write.mode("overwrite").format("parquet")
+      .saveAsTable("graft_ann_codebook")
+    graft.sources.Sinks.bucketedTableOn(
+      Pq.servingCodes(emb, "vec_id", "embedding", cb, cents, m = 8, dim = 64),
+      "graft_ann_codes", Seq("centroid_id"), 4)
+    spark.conf.set("graft.bench.annIndex", "1")
+    try {
+      val served = SparkEntry.queries("q_ann_ivfpq")(spark, sf0001).collect()
+      spark.conf.unset("graft.bench.annIndex")
+      val inline = SparkEntry.queries("q_ann_ivfpq")(spark, sf0001).collect()
+      assert(served.length == inline.length && served.length > 0)
+      assert(served.map(_.toString).sameElements(inline.map(_.toString)))
+    } finally {
+      spark.conf.unset("graft.bench.annIndex")
+      spark.sql("DROP TABLE IF EXISTS graft_ann_codes")
+      spark.sql("DROP TABLE IF EXISTS graft_ann_centroids")
+      spark.sql("DROP TABLE IF EXISTS graft_ann_codebook")
+    }
+  }
 }
