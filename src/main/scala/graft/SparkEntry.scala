@@ -1782,6 +1782,21 @@ object SparkEntry {
         .orderBy(col("symbol"))
     }),
 
+    // Gate distillation (LinearProbe scaladoc): train a linear quality
+    // scorer against the rule gate's own keep/drop labels — 8 full-batch
+    // GD iterations, fixed-point gradients, no transcendentals — and
+    // score every document with the learned model. The oracle replays
+    // the ENTIRE training (the q_quality_filter signal CTEs feeding 8
+    // materialized gradient/weight CTE pairs), so the learned weights
+    // are checked through every document's fixed-point score.
+    "q_quality_probe" -> ((s, dir) => {
+      import graft.operators.{Caches, LinearProbe}
+      val feats = Caches.tracked(LinearProbe.gateFeatures(
+        Tables.documents(s, dir), "doc_id", "text", "lang"), "probe")
+      val (w, b) = LinearProbe.fit(feats, iters = 8, lr = 0.25)
+      LinearProbe.score(feats, "doc_id", w, b).orderBy(col("doc_id"))
+    }),
+
     // Feature-hashed bag of words (hashing trick): text → fixed-dim signed
     // BIGINT vector, no vocabulary pass, map-only, exact in any engine.
     "q_feature_hash" -> ((s, dir) =>
@@ -5330,6 +5345,23 @@ object SparkEntry {
            |  FROM w16)
            |GROUP BY symbol
            |ORDER BY symbol""".stripMargin,
+
+      // gate distillation: the q_quality_filter signal CTEs feed the
+      // bounded features; LinearProbe.oracleCtes replays the 8 GD
+      // rounds (MATERIALIZED — same inlining hazard as the BPE replay);
+      // the final projection scores every doc with the learned weights
+      "q_quality_probe" ->
+        s"""WITH ${qualityCtesOver("documents")},
+           |feats AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    CAST(LEAST(n_tokens, 1000) AS DOUBLE) / CAST(1000 AS DOUBLE) AS z0,
+           |    mean_word_len / CAST(12 AS DOUBLE) AS z1,
+           |    punct_ratio AS z2, stopword_ratio AS z3, alpha_ratio AS z4,
+           |    CASE WHEN len(reasons) = 0 THEN CAST(1 AS DOUBLE)
+           |      ELSE CAST(0 AS DOUBLE) END AS y
+           |  FROM judged),
+           |${graft.operators.LinearProbe.oracleCtes(8)}
+           |${graft.operators.LinearProbe.oracleScoreSelect(8)}""".stripMargin,
 
       // probe-ALL IVF is exhaustive → identical oracle to brute force
       "q_ann_ivf_full" ->
