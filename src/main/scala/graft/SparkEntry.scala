@@ -5341,7 +5341,8 @@ object SparkEntry {
       "q_bpe_vocab" ->
         s"""WITH ${graft.operators.BpeTrain.oracleCtes("documents", "text", 16)}
            |SELECT symbol, CAST(sum(n) AS BIGINT) AS n_occurrences FROM (
-           |  SELECT unnest(string_split(s, chr(1))[2:]) AS symbol, n
+           |  SELECT unnest(list_transform(string_split(s, chr(1))[2:],
+           |    e -> e[2:])) AS symbol, n
            |  FROM w16)
            |GROUP BY symbol
            |ORDER BY symbol""".stripMargin,

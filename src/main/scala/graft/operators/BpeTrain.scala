@@ -140,16 +140,42 @@ object BpeTrain {
       .groupBy(col("symbol")).agg(sum(col("n")).as("n_occurrences"))
   }
 
+  /** One merge-application `replace` step over a LENGTH-PREFIXED symbol
+    * string: each symbol is encoded `chr(1) || chr(32+len) || sym`, so a
+    * merge pattern can only match a symbol whose length equals the
+    * rule's rhs EXACTLY — the naive `SEP||x||SEP||y` pattern silently
+    * over-merges whenever the next symbol merely STARTS with y (e.g.
+    * symbols [t, he] under rule (t, h) — caught at the sf0.01 gate, r14:
+    * a vocabulary rich enough to hold both "h"-initial composites and
+    * their prefixes fired it; the length byte makes boundaries
+    * self-describing while keeping the left-to-right non-overlapping
+    * run-chaining the trailing-delimiter variants break). */
+  private def replaceStep(s: String, lhs: String, rhs: String): String =
+    s"replace($s, chr(1) || chr(CAST(32 + length($lhs) AS INTEGER)) || $lhs" +
+      s" || chr(1) || chr(CAST(32 + length($rhs) AS INTEGER)) || $rhs," +
+      s" chr(1) || chr(CAST(32 + length($lhs) + length($rhs) AS INTEGER))" +
+      s" || $lhs || $rhs)"
+
+  /** Initial encoding of a word column: per code point,
+    * `chr(1) || chr(33) || c`. */
+  private def encode0(wordExpr: String): String =
+    s"""list_reduce(list_transform(regexp_extract_all($wordExpr, '.'),
+       |    c -> chr(1) || chr(33) || c), (a, b) -> a || b)""".stripMargin
+
+  /** Split a length-prefixed symbol string back to RAW symbols. */
+  private def rawSyms(sExpr: String): String =
+    s"list_transform(string_split($sExpr, chr(1))[2:], e -> e[2:])"
+
   /** The oracle's training replay, factored so every consumer (the
     * q_bpe_train oracle, composed oracles) generates the SAME SQL: CTE
-    * `w0` holds the chr(1)-joined symbol strings of the distinct-word
-    * frame; each round i computes pair counts `p{i}` (overlapping
-    * adjacency via list_zip over the split symbols), argmax `b{i}`, and
-    * the merged vocabulary `w{i}` by the SEP-replace identity. The
-    * caller SELECTs from the union of b1..bN. `src` must expose a
-    * `text` column. */
+    * `w0` holds the length-prefixed chr(1)-joined symbol strings of the
+    * distinct-word frame (see [[replaceStep]] for why the length byte is
+    * load-bearing); each round i computes pair counts `p{i}`
+    * (overlapping adjacency via list_zip over the stripped symbols),
+    * argmax `b{i}`, and the merged vocabulary `w{i}` by the boundary-
+    * exact replace identity. The caller SELECTs from the union of
+    * b1..bN. `src` must expose a `text` column. */
   def oracleCtes(src: String, textCol: String, numMerges: Int): String = {
-    val sep = "chr(1)"
     // DuckDB single-quoted strings keep backslashes literal, so the RE2
     // pattern embeds verbatim (it carries no single quotes)
     val w0 =
@@ -160,8 +186,7 @@ object BpeTrain {
          |    FROM $src)
          |  GROUP BY 1),
          |w0 AS MATERIALIZED (
-         |  SELECT list_reduce(list_transform(regexp_extract_all(word, '.'),
-         |    c -> $sep || c), (a, b) -> a || b) AS s, n
+         |  SELECT ${encode0("word")} AS s, n
          |  FROM wrds)""".stripMargin
     val rounds = (1 to numMerges).map { i =>
       val prev = s"w${i - 1}"
@@ -170,12 +195,11 @@ object BpeTrain {
          |  FROM (
          |    SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)]))
          |      AS pr, n
-         |    FROM (SELECT string_split(s, $sep)[2:] AS syms, n FROM $prev))
+         |    FROM (SELECT ${rawSyms("s")} AS syms, n FROM $prev))
          |  GROUP BY 1, 2),
          |b$i AS MATERIALIZED (SELECT lhs, rhs FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
          |w$i AS MATERIALIZED (
-         |  SELECT replace(s, $sep || b.lhs || $sep || b.rhs,
-         |    $sep || b.lhs || b.rhs) AS s, n
+         |  SELECT ${replaceStep("s", "b.lhs", "b.rhs")} AS s, n
          |  FROM $prev CROSS JOIN b$i b)""".stripMargin
     }
     (w0 +: rounds).mkString(",\n")
@@ -196,18 +220,14 @@ object BpeTrain {
     * occurrence, token count = SEP chars remaining. Every CTE is
     * MATERIALIZED for the same inlining reason as the training chain. */
   def oracleApplyCtes(src: String, textCol: String, numMerges: Int): String = {
-    val sep = "chr(1)"
     val d0 =
       s"""d0 AS MATERIALIZED (
-         |  SELECT doc_id, list_reduce(list_transform(
-         |    regexp_extract_all(tok, '.'), c -> $sep || c),
-         |    (a, b) -> a || b) AS s
+         |  SELECT doc_id, ${encode0("tok")} AS s
          |  FROM (SELECT doc_id, unnest(regexp_extract_all($textCol,
          |    '${Text.BpeTokenRe}')) AS tok FROM $src))""".stripMargin
     val rounds = (1 to numMerges).map { i =>
       s"""d$i AS MATERIALIZED (
-         |  SELECT doc_id, replace(s, $sep || b.lhs || $sep || b.rhs,
-         |    $sep || b.lhs || b.rhs) AS s
+         |  SELECT doc_id, ${replaceStep("s", "b.lhs", "b.rhs")} AS s
          |  FROM d${i - 1} CROSS JOIN b$i b)""".stripMargin
     }
     (d0 +: rounds).mkString(",\n")
