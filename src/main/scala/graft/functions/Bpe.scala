@@ -122,20 +122,33 @@ object Bpe {
   // ---- DuckDB twin -----------------------------------------------------
 
   private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
-  private def sep(sym: String) = s"chr(1)||${sqlStr(sym)}"
+
+  /** Length-prefixed symbol encoding (r14): `chr(1) || chr(32+len) ||
+    * sym`. The length byte is load-bearing — with the bare `chr(1)||sym`
+    * form a merge pattern `SEP||x||SEP||y` also matches when the symbol
+    * after x merely STARTS with y (symbols [t, he] under rule (t, h)),
+    * silently over-merging; the pinned fixture never exercised that
+    * configuration, but the r14 LEARNED-merges oracles hit it at the
+    * sf0.01 gate (BpeTrain.replaceStep — the same fix, same rationale).
+    * A longer symbol now fails the pattern at its length byte, while the
+    * left-to-right non-overlapping run-chaining ("aaa" → aa, a) that
+    * trailing-delimiter encodings break is preserved. */
+  private def sep(sym: String) =
+    s"chr(1)||chr(${32 + sym.codePointCount(0, sym.length)})||${sqlStr(sym)}"
 
   private def mergedExprSql(col: String, merges: Seq[(String, String)]): String = {
     val marked =
       s"array_to_string(list_transform(regexp_extract_all($col, ${sqlStr(Text.BpeTokenRe)}), " +
         "t -> chr(2) || array_to_string(list_transform(string_split(t, ''), " +
-        "c -> chr(1) || c), '')), '')"
+        "c -> chr(1) || chr(33) || c), '')), '')"
     merges.foldLeft(marked) { case (acc, (x, y)) =>
       s"replace($acc, ${sep(x)}||${sep(y)}, ${sep(x + y)})"
     }
   }
 
-  /** Generated oracle: chr(2)-marked pre-tokens, chr(1)-prefixed symbols,
-    * one `replace` per merge rule in rank order, then count the SEPs. */
+  /** Generated oracle: chr(2)-marked pre-tokens, length-prefixed
+    * chr(1)-joined symbols (see [[sep]]), one `replace` per merge rule
+    * in rank order, then count the SEPs. */
   def duckdbMergedCountSql(col: String, merges: Seq[(String, String)]): String = {
     val merged = mergedExprSql(col, merges)
     s"coalesce(length($merged) - length(replace($merged, chr(1), '')), 0)"
@@ -143,11 +156,11 @@ object Bpe {
 
   /** Oracle twin of [[tokens]]: split the merged string on chr(1) —
     * fragment 1 is the leading chr(2), later pre-token markers stick to
-    * the preceding symbol and are stripped — yielding the symbol
-    * sequence in order. */
+    * the preceding symbol and are stripped, and each fragment drops its
+    * length byte — yielding the symbol sequence in order. */
   def duckdbTokensSql(col: String, merges: Seq[(String, String)]): String =
     s"list_transform(string_split(${mergedExprSql(col, merges)}, chr(1))[2:], " +
-      "f -> replace(f, chr(2), ''))"
+      "f -> replace(f, chr(2), '')[2:])"
 
   /** Oracle twin of [[tokenId]]'s id scheme, as a CASE over the vocab. */
   def duckdbTokenIdSql(tok: String, merges: Seq[(String, String)]): String = {
