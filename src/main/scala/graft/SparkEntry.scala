@@ -1943,9 +1943,10 @@ object SparkEntry {
       val prebuilt = s.conf.getOption("graft.bench.annIndex").contains("1")
       val out =
         if (prebuilt) {
-          val queries = Tables.embeddings(s, dir)
-            .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-            .filter(col("query_id") % 20 === 0 && col("query_id") < 500)
+          // the fixed query set is read from its own 25-row prebuilt
+          // table (r15, ADVICE): deriving it from Tables.embeddings here
+          // put a corpus embedding scan inside the timed serve window
+          val queries = s.table("graft_ann_queries")
           Pq.ivfPqServe(s.table("graft_ann_codes"),
             s.table("graft_ann_centroids"), s.table("graft_ann_codebook"),
             queries, k = 5, m = 8, numCentroids = 16, dim = 64, nProbe = 4)

@@ -132,13 +132,38 @@ object Bpe {
     * sf0.01 gate (BpeTrain.replaceStep — the same fix, same rationale).
     * A longer symbol now fails the pattern at its length byte, while the
     * left-to-right non-overlapping run-chaining ("aaa" → aa, a) that
-    * trailing-delimiter encodings break is preserved. */
-  private def sep(sym: String) =
-    s"chr(1)||chr(${32 + sym.codePointCount(0, sym.length)})||${sqlStr(sym)}"
+    * trailing-delimiter encodings break is preserved.
+    *
+    * GUARDED (r15, ADVICE): the encoding's two blind spots now fail by
+    * name at SQL-generation time instead of as a cryptic DuckDB `chr()`
+    * error or a silent mismatch — a symbol long enough to push `32+len`
+    * into the UTF surrogate range chr() rejects (55296–57343), and a
+    * symbol carrying the chr(1)/chr(2) framing bytes themselves (which
+    * the corpus-side guard in [[mergedExprSql]] mirrors for text). */
+  private def sep(sym: String) = {
+    val n = sym.codePointCount(0, sym.length)
+    require(32 + n < 0xD800, s"bpe oracle: symbol of $n code points needs " +
+      s"a chr(${32 + n}) length byte - inside the UTF surrogate range " +
+      "DuckDB chr() rejects; the length-prefix encoding cannot frame it")
+    require(!sym.exists(c => c == '\u0001' || c == '\u0002'),
+      "bpe oracle: symbol contains the chr(1)/chr(2) framing control " +
+        "characters - the length-prefix encoding cannot frame it")
+    s"chr(1)||chr(${32 + n})||${sqlStr(sym)}"
+  }
+
+  /** Corpus-side oracle guard (r15, ADVICE): text containing literal
+    * chr(1)/chr(2) control characters (which `Text.BpeTokenRe`'s
+    * `[^A-Za-z0-9\s]` branch happily tokenizes) would corrupt the framed
+    * encoding silently — error BY NAME instead. Shared with
+    * [[graft.operators.BpeTrain]]'s training/apply replays. */
+  private[graft] def guardedText(col: String): String =
+    s"(CASE WHEN regexp_matches($col, '[\\x01\\x02]') THEN " +
+      s"error('graft bpe oracle: text contains chr(1)/chr(2) framing bytes') " +
+      s"ELSE $col END)"
 
   private def mergedExprSql(col: String, merges: Seq[(String, String)]): String = {
     val marked =
-      s"array_to_string(list_transform(regexp_extract_all($col, ${sqlStr(Text.BpeTokenRe)}), " +
+      s"array_to_string(list_transform(regexp_extract_all(${guardedText(col)}, ${sqlStr(Text.BpeTokenRe)}), " +
         "t -> chr(2) || array_to_string(list_transform(string_split(t, ''), " +
         "c -> chr(1) || chr(33) || c), '')), '')"
     merges.foldLeft(marked) { case (acc, (x, y)) =>

@@ -178,10 +178,13 @@ object BpeTrain {
   def oracleCtes(src: String, textCol: String, numMerges: Int): String = {
     // DuckDB single-quoted strings keep backslashes literal, so the RE2
     // pattern embeds verbatim (it carries no single quotes)
+    // corpus framing guard (r15, ADVICE — Bpe.guardedText scaladoc):
+    // chr(1)/chr(2) in text errors by name instead of corrupting the
+    // length-prefixed encoding silently
     val w0 =
       s"""wrds AS MATERIALIZED (
          |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
-         |    SELECT unnest(regexp_extract_all($textCol,
+         |    SELECT unnest(regexp_extract_all(${graft.functions.Bpe.guardedText(textCol)},
          |      '${Text.BpeTokenRe}')) AS word
          |    FROM $src)
          |  GROUP BY 1),
@@ -223,7 +226,7 @@ object BpeTrain {
     val d0 =
       s"""d0 AS MATERIALIZED (
          |  SELECT doc_id, ${encode0("tok")} AS s
-         |  FROM (SELECT doc_id, unnest(regexp_extract_all($textCol,
+         |  FROM (SELECT doc_id, unnest(regexp_extract_all(${graft.functions.Bpe.guardedText(textCol)},
          |    '${Text.BpeTokenRe}')) AS tok FROM $src))""".stripMargin
     val rounds = (1 to numMerges).map { i =>
       s"""d$i AS MATERIALIZED (

@@ -83,15 +83,41 @@ object Ranking {
     * wide-entry key-orthogonal rankings must use the window instead. */
   val FallbackThreshold: Int = 32768
 
-  /** Raise the fallback threshold on `df`'s session iff it still holds
-    * the Spark default (an explicit non-default user setting wins; an
-    * explicit 128 is indistinguishable from the default and gets raised
-    * too — set 129 to mean it). Session-level and idempotent; runs at
-    * DataFrame-construction time, before any action reads the conf. */
+  /** Opt-out gate for the automatic raise (r15, ADVICE): set "false" and
+    * the helpers leave `spark.sql.objectHashAggregate.sortBased.
+    * fallbackThreshold` entirely alone — they stay correct (a heap
+    * aggregate past 128 keys just sort-falls-back), and no unrelated
+    * unbounded-buffer aggregate (`collect_list`) in the same session
+    * inherits 256× more pre-fallback headroom as a side effect. */
+  val AutoHeapRoomKey = "graft.ranking.autoHeapRoom"
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val heapRoomLogged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Raise the fallback threshold on `df`'s session iff (a) the
+    * [[AutoHeapRoomKey]] gate is not "false" and (b) the threshold still
+    * holds the Spark default (an explicit non-default user setting wins;
+    * an explicit 128 is indistinguishable from the default and gets
+    * raised too — set 129 to mean it, or set the gate to "false").
+    * Session-level and idempotent; runs at DataFrame-construction time,
+    * before any action reads the conf. Because the raise outlives the
+    * returned frame and applies to EVERY ObjectHashAggregate in the
+    * session (it cannot be scoped to one plan), it announces itself: one
+    * WARN per session naming the key, the new value, and the opt-out. */
   private def ensureHeapRoom(df: DataFrame): Unit = {
-    val conf = df.sparkSession.conf
-    if (conf.get(FallbackThresholdKey, "128") == "128")
+    val sess = df.sparkSession
+    val conf = sess.conf
+    if (conf.get(AutoHeapRoomKey, "true") != "false" &&
+        conf.get(FallbackThresholdKey, "128") == "128") {
       conf.set(FallbackThresholdKey, FallbackThreshold.toString)
+      if (heapRoomLogged.add(String.valueOf(System.identityHashCode(sess))))
+        log.warn(s"graft.Ranking: raising session conf $FallbackThresholdKey " +
+          s"128 -> $FallbackThreshold (bounded-heap top-k headroom; applies " +
+          s"to ALL ObjectHashAggregates in this session, including " +
+          s"collect_list/collect_set — set $AutoHeapRoomKey=false to opt out, " +
+          s"or set the threshold explicitly to pin it)")
+    }
   }
 
   /** Top `k` rows per `keyCol` by (`scoreCol` DESC, `idCol` ASC), with a
@@ -242,13 +268,35 @@ object Ranking {
     * cost of the thin side recomputing `df`'s map-side projection (the
     * [[Caches]] persist rule: recompute that crosses no exchange beats
     * caching) plus one semi-join whose build side is the kept ids,
-    * ≤ k·|groups| rows, broadcastable in every quota configuration. */
+    * ≤ k·|groups| rows, broadcastable in every quota configuration.
+    *
+    * The uniqueness contract is GUARDED at runtime (r15, ADVICE), not
+    * just documented: the kept-id frame passes through an in-plan
+    * distinctness assertion (one extra aggregate over the ≤ k·|groups|
+    * kept rows — ephemera, never `df`), so a duplicated id that ranks
+    * into the kept set twice — within one group at k ≥ 2, or across
+    * groups — fails BY NAME instead of silently returning more than k
+    * rows per group through the semi-join. The one undetectable shape:
+    * duplicated ids of which exactly ONE copy is kept (e.g. k = 1 with
+    * both copies in the same group) — the old whole-row heap capped
+    * those unconditionally; callers with possibly-non-unique ids must
+    * use [[keepSmallestK]] directly. */
   def keepSmallestKIds(df: DataFrame, keyCol: String, orderCols: Seq[Column],
                        idCol: String, k: Int): DataFrame = {
     val thin = df.select(col(keyCol) +: col(idCol) +:
       orderCols.zipWithIndex.map { case (c, i) => c.as(s"_ord$i") }: _*)
     val kept = keepSmallestK(thin, keyCol,
         orderCols.indices.map(i => col(s"_ord$i")), k)
+      .select(col(idCol))
+      // in-plan guard: assert_true rides in a FILTER (a projected check
+      // column would be pruned away with the assertion inside it);
+      // passing rows evaluate to null -> isNull -> kept
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_dup"))
+      .filter(assert_true(col("_dup") === 1,
+        lit(s"Ranking.keepSmallestKIds: id column '$idCol' is not unique " +
+          "(duplicate id ranked into the kept set) - the semi-join " +
+          "payload restore requires unique ids; use keepSmallestK " +
+          "directly for frames with non-unique ids")).isNull)
       .select(col(idCol))
     // USING-join reorders idCol first; restore the caller's column order
     df.join(kept, Seq(idCol), "left_semi").select(df.columns.map(col): _*)

@@ -112,4 +112,19 @@ class BpeSpec extends SparkSpec {
     assert(resolved == Bpe.ClasspathMerges ||
       java.nio.file.Files.exists(java.nio.file.Paths.get(resolved)))
   }
+  test("oracle framing guards fail by name (r15 ADVICE)") {
+    // a merge symbol carrying the chr(1) framing byte is unencodable
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.duckdbMergedCountSql("text", Seq(("\u0001", "a")))
+    }
+    assert(ex.getMessage.contains("framing control"), ex.getMessage)
+    // and the generated SQL carries the corpus-side control-char guard,
+    // so chr(1)/chr(2) in TEXT errors by name inside DuckDB itself
+    val sql = Bpe.duckdbMergedCountSql("text", Seq(("a", "b")))
+    assert(sql.contains("error('graft bpe oracle"), sql)
+    assert(graft.operators.BpeTrain.oracleCtes("documents", "text", 1)
+      .contains("error('graft bpe oracle"))
+    assert(graft.operators.BpeTrain.oracleApplyCtes("documents", "text", 1)
+      .contains("error('graft bpe oracle"))
+  }
 }

@@ -227,4 +227,44 @@ class RankingSpec extends SparkSpec {
     assert(p.contains("partial_collect_top_k") || p.contains("partial collect_top_k")
       || "ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
   }
+
+  test("autoHeapRoom=false leaves the session threshold untouched (r15 ADVICE)") {
+    val df = (1L to 50L).map(i => (i % 3, i, i * 0.1)).toDF("key", "id", "score")
+    spark.conf.unset(Ranking.FallbackThresholdKey)
+    spark.conf.set(Ranking.AutoHeapRoomKey, "false")
+    try {
+      val ranked = Ranking.topKByScore(df, "key", "id", "score", 5)
+      assert(ranked.count() === 15L) // 3 groups × k=5 — works, just un-raised
+      assert(spark.conf.get(Ranking.FallbackThresholdKey, "128") === "128",
+        "opt-out was ignored — the construction-time raise still fired")
+      // an explicit NON-default user setting also wins over the raise
+      spark.conf.set(Ranking.AutoHeapRoomKey, "true")
+      spark.conf.set(Ranking.FallbackThresholdKey, "4096")
+      Ranking.topKByScore(df, "key", "id", "score", 5).count()
+      assert(spark.conf.get(Ranking.FallbackThresholdKey) === "4096",
+        "an explicit user threshold was clobbered by the auto-raise")
+    } finally {
+      spark.conf.unset(Ranking.AutoHeapRoomKey)
+      spark.conf.unset(Ranking.FallbackThresholdKey)
+    }
+  }
+
+  test("keepSmallestKIds: a duplicated id that ranks into the kept set fails by name") {
+    // two rows share id 42 inside one group at k = 3 — both rank in, so
+    // the in-plan distinctness guard must raise instead of letting the
+    // semi-join return 4 rows for a 3-quota group
+    val df = ((1L to 10L).map(i => (1L, i, s"p$i")) :+ ((1L, 2L, "dup")))
+      .toDF("grp", "id", "body")
+    val ex = intercept[Exception] {
+      Ranking.keepSmallestKIds(df, "grp", Seq(col("id")), "id", 3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("not unique")),
+      s"expected the named uniqueness guard, got: ${msgs(ex).mkString(" | ")}")
+    // and a unique-id frame passes through the guard unchanged
+    val clean = (1L to 10L).map(i => (i % 2, i, s"p$i")).toDF("grp", "id", "body")
+    assert(Ranking.keepSmallestKIds(clean, "grp", Seq(col("id")), "id", 3)
+      .count() === 6L)
+  }
 }
