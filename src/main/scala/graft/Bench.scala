@@ -458,10 +458,17 @@ object Bench {
     val ivfpq = recallOf(graft.operators.Pq.ivfPqTopK(emb, "vec_id",
       "embedding", qpred, k, m = 8, numCentroids = 16, dim = 64,
       coarseK = 16, nProbe = 4))
+    // two-stage refinement (r15): the same serving config with an exact
+    // re-rank over the 4k ADC shortlist — the cheap recall lift every PQ
+    // deployment takes (Pq.ivfPqTopKRerank scaladoc)
+    val ivfpqRr = recallOf(graft.operators.Pq.ivfPqTopKRerank(emb, "vec_id",
+      "embedding", qpred, k, m = 8, numCentroids = 16, dim = 64,
+      coarseK = 16, nProbe = 4, shortlistFactor = 4))
     bf.unpersist()
     graft.operators.Caches.unpersistAll()
     (Map("q_ann_srp" -> srp, "q_ann_ivf" -> ivf, "q_ann_pq" -> pq,
-      "q_ann_ivfpq" -> ivfpq), curve.mkString("[", ",", "]"))
+      "q_ann_ivfpq" -> ivfpq, "q_ann_ivfpq_rerank" -> ivfpqRr),
+      curve.mkString("[", ",", "]"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -872,12 +879,20 @@ object Bench {
       if (!enabled("SPARK_GRAFT_ANN_SERVE") ||
           ((only.isDefined || sf1Only.isDefined) && !annServeForced)) ""
       else {
-        val names = Seq("q_ann_ivfpq")
+        // q_ann_filtered rides the same pre-built index (r15): its serve
+        // branch pre-filters the codes scan, so the phase also measures
+        // the predicate-pushed serving cost next to the unfiltered one
+        val names = Seq("q_ann_ivfpq", "q_ann_filtered")
         val r10 = scalePhase(10, "natural", names, math.min(iters, 2),
           withRecall = false, prebuildAnnIndex = true)
         val r20 = scalePhase(20, "natural", names, math.min(iters, 2),
           withRecall = false, prebuildAnnIndex = true)
-        s""","ann_serve":{"r10":$r10,"r20":$r20}"""
+        // the third scale point (r15, VERDICT ask): index build is
+        // untimed, so one more corpus size is cheap — three points turn
+        // "serve cost is flat in corpus size" from a ratio into a line
+        val r50 = scalePhase(50, "natural", names, math.min(iters, 2),
+          withRecall = false, prebuildAnnIndex = true)
+        s""","ann_serve":{"r10":$r10,"r20":$r20,"r50":$r50}"""
       }
 
     // Cross-phase inversion report (phaseMins scaladoc): every shared
@@ -953,7 +968,8 @@ object Bench {
     // engine query — or hide.
     val recallJson = lastRecall
       .map(m => s""","recall_srp":${m("q_ann_srp")},"recall_ivf":${m("q_ann_ivf")},""" +
-        s""""recall_pq":${m("q_ann_pq")},"recall_ivfpq":${m("q_ann_ivfpq")}""")
+        s""""recall_pq":${m("q_ann_pq")},"recall_ivfpq":${m("q_ann_ivfpq")},""" +
+        s""""recall_ivfpq_rr":${m("q_ann_ivfpq_rerank")}""")
       .getOrElse("")
     val nFailedOther = nFailedTotal - engine.nFailed
     println(s"""BENCH_SUMMARY: {"total":${r2(total)},"n_queries":${engine.nOk},""" +

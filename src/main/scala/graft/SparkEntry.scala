@@ -1957,6 +1957,46 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // FILTERED ANN serving (Pq.ivfPqServe candPred scaladoc, r15): the
+    // metadata-predicate + vector-search combination every real serving
+    // stack runs ("lang = 'en' AND similar to q"). The predicate
+    // restricts the candidate set BEFORE ADC scoring — pre-filtering, so
+    // a selective predicate still yields the true top-k among admitted
+    // rows where post-filtering an unfiltered top-k returns fewer
+    // (PqSpec pins the trade). Deterministic ADC chain + a deterministic
+    // id predicate keeps the whole composition under the ivfpq oracle
+    // with one extra WHERE. Serve-mode seam as q_ann_ivfpq: against the
+    // pre-built index, the timed work is probe + pre-filtered ADC + rank.
+    "q_ann_filtered" -> ((s, dir) => {
+      import graft.operators.Pq
+      val filt = Some(col("vid") % 3 === 0)
+      val prebuilt = s.conf.getOption("graft.bench.annIndex").contains("1")
+      val out =
+        if (prebuilt)
+          Pq.ivfPqServe(s.table("graft_ann_codes"),
+            s.table("graft_ann_centroids"), s.table("graft_ann_codebook"),
+            s.table("graft_ann_queries"), k = 5, m = 8, numCentroids = 16,
+            dim = 64, nProbe = 4, candPred = filt)
+        else Pq.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          col("query_id") % 20 === 0, k = 5, m = 8, numCentroids = 16,
+          dim = 64, coarseK = 16, nProbe = 4, candPred = filt)
+      out.withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // Two-stage retrieval (Pq.ivfPqTopKRerank scaladoc, r15): IVF-PQ
+    // shortlist at k' = 4k, then EXACT cosine over only the shortlist's
+    // true vectors (a broadcast id-grain probe of the corpus — the one
+    // float read), re-ranked to k. Both stages are deterministic, so the
+    // oracle replays shortlist AND refinement under one SQL.
+    "q_ann_ivfpq_rerank" -> ((s, dir) =>
+      graft.operators.Pq.ivfPqTopKRerank(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("query_id") % 20 === 0, k = 5, m = 8,
+        numCentroids = 16, dim = 64, coarseK = 16, nProbe = 4,
+        shortlistFactor = 4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))),
+
     // Reciprocal-rank fusion (Ranking.rrfFuse scaladoc) — hybrid-search
     // ensemble over two oracle-exact rankers of the SAME query set: the
     // exhaustive exact-cosine list (probe-ALL IVF) fused with the
@@ -2789,8 +2829,12 @@ object SparkEntry {
     * fusion oracle that composes it cannot drift; `qMod` is the query
     * predicate's modulus (`vid % qMod = 0`) — 20 for the ANN corpus
     * probe set, 97 for the hybrid retrieval query set shared with
-    * BM25. */
-  private def ivfPqOracleCtes(qMod: Int): String = {
+    * BM25. `candAnd` (r15) appends a candidate pre-filter to the ADC
+    * scoring stage's WHERE — the oracle mirror of `Pq.ivfPqServe`'s
+    * `candPred` (candidates restricted BEFORE scoring, so the output is
+    * the true ADC top-k among admitted rows); it must reference the
+    * candidate as `f` (e.g. " AND f.vid % 3 = 0"). */
+  private def ivfPqOracleCtes(qMod: Int, candAnd: String = ""): String = {
     def ivfAssignSql(name: String, cents: String) =
       s"""$name AS (
          |  SELECT vid, vec, ccid FROM (
@@ -2900,7 +2944,7 @@ object SparkEntry {
        |  JOIN dptab d ON d.j = f.j AND d.cid = f.cid
        |  JOIN probes p ON p.query_id = d.query_id AND p.ccid = v.ccid
        |  JOIN rrtab r ON r.j = f.j AND r.cid = f.cid
-       |  WHERE f.vid != d.query_id
+       |  WHERE f.vid != d.query_id$candAnd
        |  GROUP BY d.query_id, f.vid),
        |ivfpq_scored AS (
        |  SELECT s.query_id, s.vid AS neighbor_id,
@@ -5273,6 +5317,48 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY query_id
            |      ORDER BY pq_cosine DESC, neighbor_id) AS rnk
            |  FROM ivfpq_scored)
+           |WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin,
+
+      // filtered serving: the same factored chain, candidates admitted
+      // by the pre-filter before ADC scoring (candAnd — the Pq.ivfPqServe
+      // candPred mirror)
+      "q_ann_filtered" ->
+        s"""WITH ${ivfPqOracleCtes(20, " AND f.vid % 3 = 0")}
+           |SELECT query_id, neighbor_id, pq_cosine,
+           |  CAST(rnk AS BIGINT) AS rnk FROM (
+           |  SELECT query_id, neighbor_id, pq_cosine,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY pq_cosine DESC, neighbor_id) AS rnk
+           |  FROM ivfpq_scored)
+           |WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin,
+
+      // two-stage retrieval: the factored IVF-PQ chain ranked to the
+      // k' = 20 shortlist, then exact cosine on the shortlist's TRUE
+      // vectors (corpus join at id grain), re-ranked to 5 — the textual
+      // mirror of Pq.ivfPqTopKRerank's refinement
+      "q_ann_ivfpq_rerank" ->
+        s"""WITH ${ivfPqOracleCtes(20)},
+           |shortlist AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY pq_cosine DESC, neighbor_id) AS rn
+           |    FROM ivfpq_scored) WHERE rn <= 20),
+           |rr AS (
+           |  SELECT s.query_id, s.neighbor_id,
+           |    round(list_cosine_similarity(q.vec::DOUBLE[], c.vec::DOUBLE[]), 5)
+           |      AS cosine
+           |  FROM shortlist s
+           |  JOIN corpus q ON q.vid = s.query_id
+           |  JOIN corpus c ON c.vid = s.neighbor_id)
+           |SELECT query_id, neighbor_id, cosine,
+           |  CAST(rnk AS BIGINT) AS rnk FROM (
+           |  SELECT query_id, neighbor_id, cosine,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, neighbor_id) AS rnk
+           |  FROM rr)
            |WHERE rnk <= 5
            |ORDER BY query_id, rnk""".stripMargin,
 

@@ -335,14 +335,68 @@ object Pq {
   def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
                 queryPred: Column, k: Int, m: Int, numCentroids: Int,
                 dim: Int, coarseK: Int, nProbe: Int, iters: Int = 2,
-                roundTo: Int = 5): DataFrame = {
+                roundTo: Int = 5, candPred: Option[Column] = None): DataFrame = {
     val (_, centroids) = Ivf.build(emb, idCol, vecCol, coarseK, iters)
     val codebook = build(emb, idCol, vecCol, m, numCentroids, dim, iters)
     val codes = servingCodes(emb, idCol, vecCol, codebook, centroids, m, dim)
     val queries = emb.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .filter(queryPred)
     ivfPqServe(codes, centroids, codebook, queries, k, m, numCentroids,
-      dim, nProbe, roundTo)
+      dim, nProbe, roundTo, candPred)
+  }
+
+  /** Two-stage retrieval — ADC shortlist, then EXACT re-rank (r15): the
+    * standard refinement step every production PQ deployment runs
+    * (Jégou et al. 2011 §V calls it re-ranking with source coding): take
+    * the IVF-PQ shortlist at `k · shortlistFactor`, fetch ONLY those
+    * candidates' true float vectors, score exact cosine against the
+    * exact query, and keep the top `k`. Quantization error then only has
+    * to keep a true neighbor inside the 4k shortlist, not rank it
+    * correctly — recall@k moves from the ADC ladder's ~0.90 toward 1.0
+    * for a per-query cost of `k · shortlistFactor` exact O(dim) scores.
+    *
+    * Scale shape: the shortlist is (queries × 4k) id pairs — broadcast
+    * ephemera — so the refinement reads the corpus's float vectors ONCE,
+    * via a broadcast-hash semi-join at id grain (no corpus shuffle, no
+    * all-pairs anything); everything after is per-shortlist-row map
+    * work plus the bounded heap rank. With `nProbe = coarseK` and a
+    * shortlist covering the whole corpus this is EXACTLY brute force
+    * (PqSpec pins that identity); the recall<1 serving configuration is
+    * driver-checked end-to-end as `q_ann_ivfpq_rerank` — the ADC chain
+    * and the exact-cosine refinement are both deterministic, so the
+    * whole two-stage pipeline sits under one DuckDB oracle. */
+  def ivfPqTopKRerank(emb: DataFrame, idCol: String, vecCol: String,
+                      queryPred: Column, k: Int, m: Int, numCentroids: Int,
+                      dim: Int, coarseK: Int, nProbe: Int,
+                      shortlistFactor: Int = 4, iters: Int = 2,
+                      roundTo: Int = 5): DataFrame = {
+    require(shortlistFactor >= 1,
+      s"shortlistFactor must be >= 1 (got $shortlistFactor)")
+    val shortlist = ivfPqTopK(emb, idCol, vecCol, queryPred,
+      k * shortlistFactor, m, numCentroids, dim, coarseK, nProbe, iters,
+      roundTo)
+    rerankExact(shortlist, emb, idCol, vecCol, queryPred, k, roundTo)
+  }
+
+  /** The exact refinement stage of [[ivfPqTopKRerank]], reusable against
+    * any (query_id, neighbor_id) shortlist (a persisted serve result, a
+    * fused hybrid list): join the candidates' TRUE vectors back at id
+    * grain, exact cosine against the exact query, heap-rank top `k`.
+    * Output: (query_id, neighbor_id, cosine, rank) — the same shape and
+    * rounding as [[Similarity.bruteForceTopK]]. */
+  def rerankExact(shortlist: DataFrame, emb: DataFrame, idCol: String,
+                  vecCol: String, queryPred: Column, k: Int,
+                  roundTo: Int = 5): DataFrame = {
+    val queries = emb.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .filter(queryPred)
+    val cand = shortlist.select(col("query_id"), col("neighbor_id"))
+    val exact = emb
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .join(broadcast(cand), Seq("neighbor_id")) // id-grain corpus probe
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cosine", round(cosineSim(col("qvec"), col("nvec")), roundTo))
+    Ranking.topKByScore(exact, "query_id", "neighbor_id", "cosine", k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
   /** The persistent IVF-PQ serving INDEX: ONE map-only pass emits
@@ -370,10 +424,27 @@ object Pq {
     * read, the codes table is the only big input, and everything that
     * joins it broadcasts. `codes`/`centroids`/`codebook` are
     * [[servingCodes]] / [[Ivf.build]] / [[build]] outputs (or their
-    * persisted parquet); `queries` is (query_id, qvec). */
+    * persisted parquet); `queries` is (query_id, qvec).
+    *
+    * FILTERED serving (r15): `candPred` — a predicate over the codes
+    * table's columns (id-derived attributes, or any metadata columns a
+    * deployment stored alongside (vid, codes, centroid_id)) — restricts
+    * the candidate set BEFORE ADC scoring. This is PRE-filtering, the
+    * semantics real retrieval needs for `WHERE lang = 'en' AND …` +
+    * vector search: the output is the true ADC top-k AMONG the rows the
+    * predicate admits, so a selective predicate still yields k results.
+    * The cheap alternative — post-filtering an unfiltered top-k — keeps
+    * only the survivors of k already-chosen rows and returns
+    * arbitrarily FEWER than k as selectivity grows (PqSpec pins the
+    * difference on a planted corpus). Cost model: the predicate applies
+    * at the codes SCAN, under the cell-pruning join — on a codes table
+    * partitioned/bucketed by centroid_id with the predicate column in
+    * the file layout it prunes files before anything is scored, and it
+    * always shrinks (never grows) the scoring and ranking stages. */
   def ivfPqServe(codes: DataFrame, centroids: DataFrame, codebook: DataFrame,
                  queries: DataFrame, k: Int, m: Int, numCentroids: Int,
-                 dim: Int, nProbe: Int, roundTo: Int = 5): DataFrame = {
+                 dim: Int, nProbe: Int, roundTo: Int = 5,
+                 candPred: Option[Column] = None): DataFrame = {
     // nProbe nearest cells per query (same probe rule as Ivf.topK)
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(desc("csim"), col("centroid_id"))
@@ -384,7 +455,8 @@ object Pq {
       .select(col("query_id"), col("centroid_id"))
     val qTab = queryTables(queries, codebook, m, numCentroids, dim)
       .join(probes, Seq("query_id")) // nProbe rows per query, still tiny
-    val scored = codes.join(broadcast(qTab), Seq("centroid_id"))
+    val cands = candPred.fold(codes)(codes.filter) // pre-filter the scan
+    val scored = cands.join(broadcast(qTab), Seq("centroid_id"))
       .filter(col("vid") =!= col("query_id"))
       .withColumn("pq_cosine", adcCosine(col("codes"), roundTo))
     Ranking.topKByScore(scored, "query_id", "vid", "pq_cosine", k)

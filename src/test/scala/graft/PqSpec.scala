@@ -137,18 +137,92 @@ class PqSpec extends SparkSpec {
     graft.sources.Sinks.bucketedTableOn(
       Pq.servingCodes(emb, "vec_id", "embedding", cb, cents, m = 8, dim = 64),
       "graft_ann_codes", Seq("centroid_id"), 4)
+    // the fixed query set lands in its own prebuilt table too (r15) —
+    // mirroring Bench's prebuild exactly
+    emb.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .filter(col("query_id") % 20 === 0 && col("query_id") < 500)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("graft_ann_queries")
     spark.conf.set("graft.bench.annIndex", "1")
     try {
       val served = SparkEntry.queries("q_ann_ivfpq")(spark, sf0001).collect()
+      val servedF = SparkEntry.queries("q_ann_filtered")(spark, sf0001).collect()
       spark.conf.unset("graft.bench.annIndex")
       val inline = SparkEntry.queries("q_ann_ivfpq")(spark, sf0001).collect()
+      val inlineF = SparkEntry.queries("q_ann_filtered")(spark, sf0001).collect()
       assert(served.length == inline.length && served.length > 0)
       assert(served.map(_.toString).sameElements(inline.map(_.toString)))
+      // the filtered serving branch rides the same seam
+      assert(servedF.length == inlineF.length && servedF.length > 0)
+      assert(servedF.map(_.toString).sameElements(inlineF.map(_.toString)))
     } finally {
       spark.conf.unset("graft.bench.annIndex")
       spark.sql("DROP TABLE IF EXISTS graft_ann_codes")
       spark.sql("DROP TABLE IF EXISTS graft_ann_centroids")
       spark.sql("DROP TABLE IF EXISTS graft_ann_codebook")
+      spark.sql("DROP TABLE IF EXISTS graft_ann_queries")
     }
+  }
+
+  test("filtered serving: pre-filter keeps the quota where post-filter starves") {
+    val q = col("query_id") % 20 === 0
+    val preF = Pq.ivfPqTopK(emb, "vec_id", "embedding", q, k = 5, m = 8,
+      numCentroids = 16, dim = 64, coarseK = 16, nProbe = 16,
+      candPred = Some(col("vid") % 3 === 0))
+      .select("query_id", "neighbor_id", "rank").collect()
+    // every returned candidate satisfies the predicate…
+    assert(preF.nonEmpty && preF.forall(_.getAs[Long]("neighbor_id") % 3 == 0))
+    // …and every query still fills its k = 5 quota (probe-ALL, and the
+    // admitted set is ~a third of the corpus — far more than k)
+    val perQuery = preF.groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ == 5), perQuery.toMap.toString)
+    // POST-filtering the unfiltered top-5 keeps only the admitted
+    // survivors of 5 already-chosen rows: a strict subset of the
+    // pre-filtered ranking (the globally-best admitted rows are the
+    // pre-filter ranking's prefix), and it starves somewhere
+    val unfiltered = Pq.ivfPqTopK(emb, "vec_id", "embedding", q, k = 5,
+      m = 8, numCentroids = 16, dim = 64, coarseK = 16, nProbe = 16)
+      .select("query_id", "neighbor_id").collect()
+    val post = unfiltered.filter(_.getAs[Long]("neighbor_id") % 3 == 0)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pre = preF.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    assert(post.subsetOf(pre), (post -- pre).toString)
+    assert(post.size < pre.size,
+      s"post-filter kept ${post.size} of ${pre.size} — expected starvation " +
+        "on a ~1/3-selective predicate")
+  }
+
+  test("rerank with an exhaustive shortlist IS brute force; serving config lifts recall") {
+    val q = col("query_id") % 20 === 0
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bruteForceTopK's predicate sees the pre-rename (vid, vec) frame
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vid") % 20 === 0, k = 5)
+    // probe-ALL + a shortlist wider than the corpus → the refinement
+    // scores every candidate exactly: output must BE brute force (rows,
+    // scores, ranks — same rounding, same tie order)
+    val exhaustive = Pq.ivfPqTopKRerank(emb, "vec_id", "embedding", q, k = 5,
+      m = 8, numCentroids = 16, dim = 64, coarseK = 16, nProbe = 16,
+      shortlistFactor = 1000)
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine", "rank").collect()
+        .map(_.toString).sorted.toSeq
+    assert(full(exhaustive) == full(bf))
+    // at the serving config (nProbe=4, shortlist 4k) the exact
+    // refinement recovers brute-force neighbors the raw ADC ranking
+    // misplaces: recall@5 must not drop, and measurably rises on this
+    // fixture (quantization error re-ranked away)
+    val bfPairs = pairs(bf)
+    def recall(df: org.apache.spark.sql.DataFrame) =
+      (pairs(df) & bfPairs).size.toDouble / bfPairs.size
+    val adc = recall(Pq.ivfPqTopK(emb, "vec_id", "embedding", q, k = 5,
+      m = 8, numCentroids = 16, dim = 64, coarseK = 16, nProbe = 4))
+    val rr = recall(Pq.ivfPqTopKRerank(emb, "vec_id", "embedding", q, k = 5,
+      m = 8, numCentroids = 16, dim = 64, coarseK = 16, nProbe = 4,
+      shortlistFactor = 4))
+    assert(rr >= adc, s"rerank recall $rr fell below ADC recall $adc")
   }
 }
