@@ -895,6 +895,55 @@ object Bench {
         s""","ann_serve":{"r10":$r10,"r20":$r20,"r50":$r50}"""
       }
 
+    // BPE training at production merge counts (r15, the round-14 weak):
+    // time the incremental trainer (BpeTrain.trainFast — one corpus
+    // aggregate + per-round deltas over only the affected words) at 64
+    // and 256 merges, with the distributed per-round-re-encode trainer
+    // at 64 as the baseline it replaces. The claim under test is
+    // SUB-QUADRATIC round cost: quadratic per-round re-encode work would
+    // put t(256)/t(64) near (256/64)² = 16 on the loop alone; the
+    // incremental trainer's rounds are independent of how many merges
+    // came before, so the ratio should sit near the corpus-pass floor.
+    // SPARK_GRAFT_BPE_TRAIN=1 forces it on under trimming; "0" disables.
+    val bpeTrainForced = sys.env.get("SPARK_GRAFT_BPE_TRAIN").contains("1")
+    val bpeTrainJson =
+      if (!enabled("SPARK_GRAFT_BPE_TRAIN") ||
+          ((only.isDefined || sf1Only.isDefined) && !bpeTrainForced)) ""
+      else {
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = mkSession()
+        // The raw fixture vocabulary is 31 distinct pre-tokens and
+        // EXHAUSTS at ~89 merges (measured) — no trainer can learn 256
+        // real rules from it. The bench corpus is therefore the fixture
+        // text SALTED with its own md5 (deterministic, fixture-derived —
+        // ~5k distinct hex words at sf0.1, merge frontier ≫ 1024), so
+        // every requested rank is a real merge and the timing measures
+        // training, not early exhaustion.
+        val docs = graft.sources.Tables.documents(spark, sfDir)
+          .select(concat(col("text"), lit(" "),
+            md5(concat(col("text"), col("doc_id").cast("string"))))
+            .as("text"))
+        def fastSec(n: Int): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val learned = graft.operators.BpeTrain.trainFast(docs, "text", n)
+            .collect()
+          ((System.nanoTime() - t0) / 1e9, learned.length.toLong)
+        }
+        val tDist0 = System.nanoTime()
+        val dist64 = graft.operators.BpeTrain.train(docs, "text", 64).count()
+        val distSec = (System.nanoTime() - tDist0) / 1e9
+        graft.operators.Caches.unpersistScope("bpe")
+        val (t64, n64) = fastSec(64)
+        val (t256, n256) = fastSec(256)
+        val (t1024, n1024) = fastSec(1024)
+        s""","bpe_train":{"fast64_sec":${r2(t64)},"fast256_sec":${r2(t256)},""" +
+          s""""fast1024_sec":${r2(t1024)},"fast_ratio_256_64":${r2(t256 / t64)},""" +
+          s""""quadratic_ratio_would_be":16.0,"dist64_sec":${r2(distSec)},""" +
+          s""""merges_learned":{"64":$n64,"256":$n256,"1024":$n1024,"dist64":$dist64}}"""
+      }
+
     // Cross-phase inversion report (phaseMins scaladoc): every shared
     // query whose min at the SMALLER natural scale exceeds its min at the
     // LARGER — impossible on clean numbers, so each listed entry marks
@@ -922,7 +971,7 @@ object Bench {
     val curveJson = lastCurve
       .map(c => s""","recall_curve_sf1":$c""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,$engineSection,"sf":"$sfDir"$ingestStagesJson$funnelAuditJson$streamingJson$sf1Json$sf20Json$probeJson$annServeJson$scaleInversions$curveJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,$engineSection,"sf":"$sfDir"$ingestStagesJson$funnelAuditJson$streamingJson$sf1Json$sf20Json$probeJson$annServeJson$bpeTrainJson$scaleInversions$curveJson}"""
     // Marker-prefixed line FIRST: the driver's artifact parser reads the
     // structured payload from `BENCH_JSON: {...}` without depending on
     // stdout tail ordering (r4/r5 artifacts carried parsed:null because
@@ -940,10 +989,10 @@ object Bench {
     // Only a full run defaults to bench_out.json; partial runs default to
     // /tmp. An explicit SPARK_GRAFT_BENCH_OUT always wins.
     val partialRun = only.isDefined || sf1Only.isDefined || probeForced ||
-      annServeForced ||
+      annServeForced || bpeTrainForced ||
       Seq("SPARK_GRAFT_SF1", "SPARK_GRAFT_SF20", "SPARK_GRAFT_PROBE",
         "SPARK_GRAFT_INGEST_STAGES", "SPARK_GRAFT_FUNNEL_AUDIT",
-        "SPARK_GRAFT_ANN_SERVE")
+        "SPARK_GRAFT_ANN_SERVE", "SPARK_GRAFT_BPE_TRAIN")
         .exists(k => sys.env.get(k).contains("0"))
     val defaultOut =
       if (partialRun) "/tmp/graft_bench_scrap.json" else "bench_out.json"

@@ -1750,6 +1750,19 @@ object SparkEntry {
       graft.operators.BpeTrain.train(Tables.documents(s, dir), "text", 16)
         .orderBy(col("rnk"))),
 
+    // The PRODUCTION-merge-count trainer (BpeTrain.trainFast scaladoc,
+    // r15): one corpus aggregate, then driver-side incremental
+    // pair-count maintenance — per round only the words containing the
+    // adopted pair are touched, so round cost is independent of how many
+    // merges came before (the distributed q_bpe_train re-encodes the
+    // whole vocabulary per round: fine at 16, O(merges²) at 32k). Exact
+    // same learned table by construction, so it runs under the IDENTICAL
+    // oracle replay — the equality claim is driver-checked, not just
+    // spec'd.
+    "q_bpe_train_fast" -> ((s, dir) =>
+      graft.operators.BpeTrain.trainFast(Tables.documents(s, dir), "text", 16)
+        .orderBy(col("rnk"))),
+
     // The tokenizer pipeline a training run actually executes: LEARN the
     // merge table from the corpus, then BUDGET the same corpus with it —
     // per-doc token counts under the learned (not the pinned) vocabulary,
@@ -5404,6 +5417,14 @@ object SparkEntry {
       // identity the encoder oracle established), checking the LEARNED
       // merge table rank by rank.
       "q_bpe_train" ->
+        s"""WITH ${graft.operators.BpeTrain.oracleCtes("documents", "text", 16)}
+           |${graft.operators.BpeTrain.oracleSelect(16)}""".stripMargin,
+
+      // the incremental trainer learns the IDENTICAL table by
+      // construction (BpeTrain.trainFast scaladoc), so it runs under the
+      // same 16-round replay — the strongest possible check that the
+      // delta maintenance equals the full recount
+      "q_bpe_train_fast" ->
         s"""WITH ${graft.operators.BpeTrain.oracleCtes("documents", "text", 16)}
            |${graft.operators.BpeTrain.oracleSelect(16)}""".stripMargin,
 

@@ -121,6 +121,205 @@ object BpeTrain {
     learned.orderBy(col("rnk")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
 
+  /** [[train]] at PRODUCTION merge counts (r15 — the one round-14
+    * `weak`): the distributed trainer is one corpus pass plus, PER
+    * MERGE, a full vocabulary re-encode and a distributed aggregate —
+    * O(merges²) re-encode work and `merges` sequential Spark jobs, clean
+    * at 16 rules and unusable at a 32k vocabulary. This trainer is the
+    * classic incremental-pair-count algorithm (Sennrich et al. 2016's
+    * reference implementation; every production tokenizer trainer)
+    * run DRIVER-SIDE over the distinct-word table — the codebook
+    * discipline applied one level up: the corpus collapses to its word
+    * frequency table in ONE distributed aggregate (the only corpus-scale
+    * work at any merge count), and each round then touches only the
+    * words that actually CONTAIN the adopted pair, maintained by an
+    * inverted pair → words index, with pair counts updated by exact
+    * per-word deltas instead of a global recount. Round cost is
+    * O(|affected words| · |word|) plus one scan of the live pair table
+    * for the argmax — independent of the number of PREVIOUS merges, so
+    * total work is sub-quadratic in merge count (the Bench `bpe_train`
+    * phase measures a ≥256-merge point against the quadratic
+    * expectation).
+    *
+    * EXACT-EQUALITY contract with [[train]] (BpeTrainSpec pins it):
+    * same pre-tokenization, same overlapping adjacency counts (BIGINT
+    * exact), same (count DESC, lhs, rhs) tie-break — lhs/rhs compared in
+    * CODE-POINT order, which is UTF-8 byte order, the collation Spark's
+    * binary string sort and DuckDB's ORDER BY share (Java's native
+    * UTF-16 `String` order diverges on supplementary planes) — and the
+    * same left-to-right non-overlapping merge application, maintained
+    * incrementally: applying only the newest rule to a stream that
+    * already carries rules 1..r−1 IS the sequential rank-order encoder's
+    * pass r, so the maintained streams equal a from-scratch re-encode by
+    * induction. `q_bpe_train_fast` runs under the identical DuckDB
+    * oracle as `q_bpe_train` for exactly that reason.
+    *
+    * Capacity contract, explicit and named: the driver holds the word
+    * table (`maxWords` cap — the collect is `limit`-bounded, so an
+    * over-sized vocabulary fails by name without materializing) plus the
+    * pair index. A 100 TB corpus whose distinct pre-token table outgrows
+    * the driver sets `minCount` > 1 — the standard df-cap every
+    * production trainer exposes (HuggingFace `min_frequency`): hapax/
+    * rare words stop influencing the learned table, which CHANGES the
+    * result by construction (documented, not silent — minCount = 1 is
+    * the exact-equality default), while the word table shrinks
+    * Zipf-fast. */
+  def trainFast(docs: DataFrame, textCol: String, numMerges: Int,
+                init: Seq[(String, String)] = Seq.empty,
+                maxWords: Int = 4000000, minCount: Long = 1L): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1 (got $numMerges)")
+    require(init.length < numMerges,
+      s"init already holds ${init.length} >= numMerges=$numMerges merges")
+    require(minCount >= 1L, s"minCount must be >= 1 (got $minCount)")
+    val sess = docs.sparkSession
+    // the ONE corpus pass; the limit bounds the collect BEFORE it
+    // materializes, so the cap fails by name, never by driver OOM
+    val rows = docs.select(explode(
+        regexp_extract_all(col(textCol), lit(Text.BpeTokenRe), lit(0)))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .limit(maxWords + 1)
+      .collect()
+    require(rows.length <= maxWords,
+      s"BpeTrain.trainFast: the distinct pre-token table exceeds " +
+        s"maxWords=$maxWords - raise maxWords (driver memory allowing), " +
+        "raise minCount (the df-cap; changes the learned table), or use " +
+        "the distributed BpeTrain.train")
+
+    // ---- driver-side state ------------------------------------------
+    val nW = rows.length
+    val syms = new Array[java.util.ArrayList[String]](nW)
+    val wn = new Array[Long](nW)
+    var wi = 0
+    while (wi < nW) {
+      val w = rows(wi).getString(0)
+      val s = new java.util.ArrayList[String](w.length)
+      var i = 0
+      while (i < w.length) { // code points, not chars — the encoder's rule
+        val n = Character.charCount(w.codePointAt(i))
+        s.add(w.substring(i, i + n)); i += n
+      }
+      syms(wi) = s; wn(wi) = rows(wi).getLong(1); wi += 1
+    }
+
+    // one left-to-right non-overlapping pass of ONE rule — the exact
+    // inner loop of BpeTokenCount.Encoder.encode; null = rule never fired
+    def applyRule(s: java.util.ArrayList[String], x: String, y: String,
+                  xy: String): java.util.ArrayList[String] = {
+      var out: java.util.ArrayList[String] = null
+      var j = 0
+      while (j < s.size) {
+        if (j + 1 < s.size && s.get(j) == x && s.get(j + 1) == y) {
+          if (out == null) {
+            out = new java.util.ArrayList[String](s.size)
+            var k = 0
+            while (k < j) { out.add(s.get(k)); k += 1 }
+          }
+          out.add(xy); j += 2
+        } else { if (out != null) out.add(s.get(j)); j += 1 }
+      }
+      out
+    }
+    // resume contract: replay init in rank order, exactly the shipped
+    // encoder's sequential pass over every word (once, not per round)
+    init.foreach { case (x, y) =>
+      val xy = x + y
+      var i = 0
+      while (i < nW) {
+        val s2 = applyRule(syms(i), x, y, xy)
+        if (s2 != null) syms(i) = s2
+        i += 1
+      }
+    }
+
+    // overlapping-adjacency pair multiset of one word's current stream
+    def pairsOf(s: java.util.ArrayList[String])
+        : scala.collection.mutable.HashMap[(String, String), Int] = {
+      val m = scala.collection.mutable.HashMap.empty[(String, String), Int]
+      var j = 0
+      while (j + 1 < s.size) {
+        val p = (s.get(j), s.get(j + 1))
+        m.update(p, m.getOrElse(p, 0) + 1); j += 1
+      }
+      m
+    }
+    val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords =
+      scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.BitSet]
+    wi = 0
+    while (wi < nW) {
+      pairsOf(syms(wi)).foreach { case (p, c) =>
+        pairCount.update(p, pairCount.getOrElse(p, 0L) + c.toLong * wn(wi))
+        pairWords.getOrElseUpdate(p,
+          scala.collection.mutable.BitSet.empty) += wi
+      }
+      wi += 1
+    }
+
+    // code-point order == UTF-8 byte order — Spark's binary string sort
+    // and DuckDB's ORDER BY, NOT Java's UTF-16 char order
+    def cpCompare(a: String, b: String): Int = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
+
+    // merge one word in place under the adopted rule, updating the global
+    // pair counts and the inverted index by this word's exact delta
+    def remerge(w: Int, x: String, y: String, xy: String): Unit = {
+      val before = pairsOf(syms(w))
+      val after0 = applyRule(syms(w), x, y, xy)
+      if (after0 == null) return // stale index entry — nothing to do
+      val after = pairsOf(after0)
+      (before.keySet ++ after.keySet).foreach { p =>
+        val d = after.getOrElse(p, 0) - before.getOrElse(p, 0)
+        if (d != 0) {
+          val nc = pairCount.getOrElse(p, 0L) + d.toLong * wn(w)
+          if (nc == 0L) pairCount.remove(p) else pairCount.update(p, nc)
+        }
+        val had = before.contains(p); val has = after.contains(p)
+        if (had && !has)
+          pairWords.get(p).foreach { s =>
+            s -= w; if (s.isEmpty) pairWords.remove(p)
+          }
+        else if (!had && has)
+          pairWords.getOrElseUpdate(p,
+            scala.collection.mutable.BitSet.empty) += w
+      }
+      syms(w) = after0
+    }
+
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    learned ++= init
+    var exhausted = false
+    while (learned.length < numMerges && !exhausted) {
+      var bp: (String, String) = null; var bc = 0L
+      pairCount.foreach { case (p, c) =>
+        if (c > 0L && (bp == null || c > bc || (c == bc && {
+          val d = cpCompare(p._1, bp._1)
+          d < 0 || (d == 0 && cpCompare(p._2, bp._2) < 0)
+        }))) { bp = p; bc = c }
+      }
+      if (bp == null) exhausted = true
+      else {
+        learned += bp
+        val xy = bp._1 + bp._2
+        // snapshot: remerge mutates the index sets it iterates from
+        pairWords.getOrElse(bp, scala.collection.mutable.BitSet.empty)
+          .toArray.foreach(w => remerge(w, bp._1, bp._2, xy))
+      }
+    }
+    import sess.implicits._
+    learned.toSeq.zipWithIndex
+      .map { case ((l, r), i) => (i + 1L, l, r) }
+      .toDF("rnk", "lhs", "rhs")
+  }
+
   /** The VOCABULARY the learned table induces over the corpus — the
     * second half of the tokenizer artifact a training run ships
     * (merges.txt + vocab.json): every symbol the encoder emits under

@@ -95,6 +95,84 @@ class BpeTrainSpec extends SparkSpec {
     graft.operators.Caches.unpersistScope("bpe")
   }
 
+  // ---- trainFast (r15): the driver-side incremental trainer must equal
+  // the distributed one EXACTLY — same adjacency counts, tie-breaks, and
+  // merge application — or its shared oracle is a lie.
+
+  private def table(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("rnk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  test("trainFast == train: hand corpus, run-chaining corpus, and a random one (delta == full recount)") {
+    // the hand corpus (exact expected table, same as the train test)
+    val hand = Seq("aaab aaab aab").toDF("text")
+    assert(table(BpeTrain.trainFast(hand, "text", 3)) ===
+      Seq((1L, "a", "a"), (2L, "a", "b"), (3L, "aa", "ab")))
+    // run-chaining stress: long same-symbol runs exercise the
+    // left-to-right non-overlapping pass and the overlapping adjacency
+    // counts ("aaaa" counts (a,a) three times, merges to [aa,aa])
+    val runs = Seq("aaaa aaa aaaaa bbbb abab baba",
+      "aaab bbba abba baab aaaa").toDF("text")
+    assert(table(BpeTrain.trainFast(runs, "text", 8)) ===
+      table(BpeTrain.train(runs, "text", 8)))
+    // seeded pseudo-random corpus over a tiny alphabet: deep merges where
+    // composites merge with composites, many exact count ties
+    val rnd = new scala.util.Random(42)
+    val docs = (1 to 60).map { _ =>
+      (1 to 12).map(_ =>
+        (1 to (2 + rnd.nextInt(6))).map(_ => "abcd" (rnd.nextInt(4))).mkString)
+        .mkString(" ")
+    }.toDF("text")
+    assert(table(BpeTrain.trainFast(docs, "text", 24)) ===
+      table(BpeTrain.train(docs, "text", 24)))
+    graft.operators.Caches.unpersistScope("bpe")
+  }
+
+  test("trainFast: resume == uninterrupted, exhaustion stops early, guards fail by name") {
+    val docs = Seq(
+      "the cat sat on the mat", "the cat ate the rat",
+      "that cat, that hat!", "rates of cats and hats").toDF("text")
+    val full = table(BpeTrain.trainFast(docs, "text", 6))
+    assert(full === table(BpeTrain.train(docs, "text", 6)))
+    val first4 = BpeTrain.merges(BpeTrain.trainFast(docs, "text", 4))
+    assert(table(BpeTrain.trainFast(docs, "text", 6, init = first4)) === full)
+    // exhaustion: one distinct word "ab" → exactly one merge, no loop
+    assert(table(BpeTrain.trainFast(Seq("ab ab ab").toDF("text"), "text", 5))
+      === Seq((1L, "a", "b")))
+    // the bounded-collect cap fails by name, not by driver OOM
+    val ex = intercept[IllegalArgumentException] {
+      BpeTrain.trainFast(docs, "text", 2, maxWords = 3)
+    }
+    assert(ex.getMessage.contains("maxWords"), ex.getMessage)
+    graft.operators.Caches.unpersistScope("bpe")
+  }
+
+  test("trainFast minCount: the df-cap trains as if rare words were absent") {
+    // 'zq' is a hapax — with minCount=2 the capped run must equal
+    // training on the corpus with the hapax removed (the documented
+    // semantics change: rare words stop influencing the table)
+    val withHapax = Seq("the cat sat zq", "the cat sat", "the hat").toDF("text")
+    val without = Seq("the cat sat", "the cat sat", "the hat").toDF("text")
+    // NOTE: word FREQUENCIES differ between the two corpora ('the cat
+    // sat' appears once vs twice) — so compare against the df-capped
+    // table computed the slow way instead: train on withHapax restricted
+    // by hand is not expressible; assert instead that (a) minCount=1
+    // equals train exactly and (b) minCount=2 learns no merge involving
+    // a symbol only 'zq' provides
+    assert(table(BpeTrain.trainFast(withHapax, "text", 4)) ===
+      table(BpeTrain.train(withHapax, "text", 4)))
+    val capped = BpeTrain.merges(
+      BpeTrain.trainFast(withHapax, "text", 4, minCount = 2L))
+    assert(capped.nonEmpty)
+    assert(!capped.exists { case (l, r) =>
+      (l + r).contains("z") || (l + r).contains("q") },
+      s"hapax-only symbols leaked into the df-capped table: $capped")
+    graft.operators.Caches.unpersistScope("bpe")
+    // `without` kept for reading symmetry — df-capping withHapax at 2
+    // drops exactly the zq row from the WORD table, not doc rows
+    assert(without.count() == 3)
+  }
+
   test("oracle replay SQL mirrors the engine on the hand corpus (DuckDB-shaped CTEs are generated, not hand-kept)") {
     // not a DuckDB run (the driver does that) — pin the generated SQL's
     // structural invariants so oracle edits can't silently drop a round
