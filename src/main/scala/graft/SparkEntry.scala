@@ -1810,6 +1810,22 @@ object SparkEntry {
       LinearProbe.score(feats, "doc_id", w, b).orderBy(col("doc_id"))
     }),
 
+    // Gate distillation at HASHED-FEATURE scale (LinearProbe.fitBow
+    // scaladoc, r15): the same squared-loss GD, but over a 32-bucket
+    // hashed bag-of-words (Vectors.hashedBow) instead of 5 hand signals —
+    // the real distillation shape, whose gradient is one aggregate over
+    // exploded (bucket, value) pairs (d+1 rows out at ANY d, where the
+    // wide-accumulator form stops at wide-row limits). Oracle replays all
+    // 8 rounds over the same hashed features and scores every document.
+    "q_quality_probe_bow" -> ((s, dir) => {
+      import graft.operators.{Caches, LinearProbe}
+      val feats = Caches.tracked(LinearProbe.bowFeatures(
+        Tables.documents(s, dir), "doc_id", "text", "lang", dim = 32),
+        "probe")
+      val (w, b) = LinearProbe.fitBow(feats, dim = 32, iters = 8, lr = 0.25)
+      LinearProbe.scoreBow(feats, "doc_id", w, b).orderBy(col("doc_id"))
+    }),
+
     // Feature-hashed bag of words (hashing trick): text → fixed-dim signed
     // BIGINT vector, no vocabulary pass, map-only, exact in any engine.
     "q_feature_hash" -> ((s, dir) =>
@@ -5471,6 +5487,43 @@ object SparkEntry {
            |  FROM judged),
            |${graft.operators.LinearProbe.oracleCtes(8)}
            |${graft.operators.LinearProbe.oracleScoreSelect(8)}""".stripMargin,
+
+      // hashed-BoW gate distillation: the q_feature_hash bucket chain
+      // builds the 32-dim z lists, the gate CTEs supply y, and
+      // LinearProbe.oracleBowCtes replays the 8 exploded-gradient rounds
+      // (per-bucket sums, re-assembled weight lists) — the learned model
+      // checked through every document's fixed-point score
+      "q_quality_probe_bow" ->
+        s"""WITH ${qualityCtesOver("documents")},
+           |btoks AS (
+           |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+           |  FROM documents),
+           |bsums AS (
+           |  SELECT doc_id,
+           |    ('0x' || substring(md5(tok), 1, 8))::BIGINT % 32 AS b,
+           |    CAST(sum(CASE WHEN ('0x' || substring(md5(tok), 9, 1))::BIGINT % 2 = 0
+           |      THEN 1 ELSE -1 END) AS BIGINT) AS v
+           |  FROM (SELECT doc_id, unnest(t) AS tok FROM btoks)
+           |  GROUP BY 1, 2),
+           |bgrid AS (
+           |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           |    unnest(generate_series(0, 31)) AS pos
+           |  FROM btoks),
+           |feats AS MATERIALIZED (
+           |  SELECT z.doc_id, z.z,
+           |    CASE WHEN len(j.reasons) = 0 THEN CAST(1 AS DOUBLE)
+           |      ELSE CAST(0 AS DOUBLE) END AS y
+           |  FROM (
+           |    SELECT g.doc_id,
+           |      list(CAST(coalesce(s.v, 0) AS DOUBLE)
+           |        / CAST(greatest(g.n_tokens, 1) AS DOUBLE) ORDER BY g.pos)
+           |        AS z
+           |    FROM bgrid g LEFT JOIN bsums s
+           |      ON g.doc_id = s.doc_id AND g.pos = s.b
+           |    GROUP BY g.doc_id) z
+           |  JOIN judged j USING (doc_id)),
+           |${graft.operators.LinearProbe.oracleBowCtes(32, 8)}
+           |${graft.operators.LinearProbe.oracleBowScoreSelect(8)}""".stripMargin,
 
       // probe-ALL IVF is exhaustive → identical oracle to brute force
       "q_ann_ivf_full" ->

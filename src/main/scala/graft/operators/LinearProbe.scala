@@ -109,6 +109,128 @@ object LinearProbe {
       floor(pred * lit(Scale)).cast("long").as("score_c"))
   }
 
+  // ---- hashed-feature probe (r15) -----------------------------------
+  // The real gate-distillation shape: a linear model over HASHED
+  // bag-of-words features (Vectors.hashedBow — Weinberger et al. 2009)
+  // instead of 5 hand signals. Same squared loss, same fixed-point
+  // gradient discipline; what changes is the gradient's SHAPE — d+1 sums
+  // don't fit a wide-accumulator agg once d grows, so each round is ONE
+  // aggregate over exploded (bucket, value) pairs, keyed by bucket:
+  // d+1 output rows whatever d is, the layout that survives d = 2^18.
+
+  /** Hashed-BoW features + the gate label: (idCol, z ARRAY<DOUBLE>, y).
+    * z_j = signed bucket count / max(n_tokens, 1) — |z|₁ ≤ 1 by
+    * construction, which also bounds the GD spectral constant (row
+    * ‖x‖² ≤ 2 with the bias, so any lr < 1 is stable). Every value is a
+    * fixed chain: exact BIGINT counts, one exact division. The
+    * label join is id-grain between two map-only derivations of the
+    * same scan — ephemera next to the corpus read. */
+  def bowFeatures(docs: DataFrame, idCol: String, textCol: String,
+                  langCol: String, dim: Int = 32): DataFrame = {
+    val gate = QualityFilter(docs, idCol, textCol, langCol).select(
+      col(idCol),
+      when(col("keep"), lit(1.0d)).otherwise(lit(0.0d)).as("y"))
+    Vectors.hashedBow(docs, idCol, textCol, dim)
+      .select(col(idCol),
+        transform(col("vec"), v => v.cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double")).as("z"))
+      .join(gate, Seq(idCol))
+  }
+
+  /** `iters` full-batch GD steps from w = 0 over (z ARRAY<DOUBLE>, y).
+    * The per-row prediction is the in-row left fold
+    * `((b + w₀z₀) + w₁z₁) + …` against the weight LITERAL (the codebook
+    * discipline); the gradient is one aggregate over
+    * `posexplode(z ++ [1])` keyed by bucket — bucket `dim` is the bias —
+    * collected as d+1 BIGINT rows. Fixed-point, partition-invariant,
+    * plans constant-size across iterations: [[fit]]'s contract at any
+    * dimensionality. */
+  def fitBow(feats: DataFrame, dim: Int, iters: Int = 8, lr: Double = 0.25)
+      : (Seq[Double], Double) = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val n = feats.count().toDouble
+    require(n > 0, "LinearProbe.fitBow: empty features frame")
+    var w = Seq.fill(dim)(0.0d)
+    var b = 0.0d
+    for (_ <- 1 to iters) {
+      val err = (bowPred(w, b) - col("y")).as("err")
+      val g = feats.select(err,
+          posexplode(concat(col("z"), array(lit(1.0d)))))
+        .groupBy(col("pos"))
+        .agg(sum(floor(col("err") * col("col") * lit(Scale)).cast("long"))
+          .as("g"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      w = w.zipWithIndex.map { case (wj, j) =>
+        wj - lr * (g.getOrElse(j, 0L).toDouble / Scale / n)
+      }
+      b = b - lr * (g.getOrElse(dim, 0L).toDouble / Scale / n)
+    }
+    (w, b)
+  }
+
+  /** The in-row prediction fold shared by [[fitBow]] and [[scoreBow]]. */
+  private def bowPred(w: Seq[Double], b: Double): org.apache.spark.sql.Column =
+    aggregate(zip_with(col("z"), typedLit(w), (zj, wj) => zj * wj),
+      lit(b), (acc, t) => acc + t)
+
+  /** Map-only scoring with a trained BoW probe — [[score]]'s shape:
+    * (idCol, gate_keep, score_c fixed-point BIGINT). */
+  def scoreBow(feats: DataFrame, idCol: String, w: Seq[Double], b: Double)
+      : DataFrame =
+    feats.select(col(idCol),
+      (col("y") === 1.0d).as("gate_keep"),
+      floor(bowPred(w, b) * lit(Scale)).cast("long").as("score_c"))
+
+  /** The BoW oracle's training replay over a `feats` CTE exposing
+    * (doc_id, z LIST(DOUBLE) of length `dim`, y): per round one
+    * bucket-keyed gradient CTE over the aligned double-unnest of
+    * `list_append(z, 1)` (bucket `dim` = bias), one per-bucket update,
+    * and the re-assembled weight list — mirroring [[fitBow]]'s chains
+    * textually (`list_prepend(b, …)` reduce == the seeded left fold). */
+  def oracleBowCtes(dim: Int, iters: Int, lr: Double = 0.25): String = {
+    def predSql(w: String) =
+      s"list_reduce(list_prepend($w.b, list_transform(list_zip(z, $w.w), " +
+        "p -> p[1] * p[2])), (a, x) -> a + x)"
+    val wt0 =
+      s"""wt0 AS MATERIALIZED (
+         |  SELECT list_transform(generate_series(1, $dim),
+         |    i -> CAST(0 AS DOUBLE)) AS w, CAST(0 AS DOUBLE) AS b)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      val p = predSql("w")
+      s"""g$t AS MATERIALIZED (
+         |  SELECT pos,
+         |    CAST(sum(CAST(floor(err * zv * 1048576.0) AS BIGINT)) AS BIGINT)
+         |      AS g,
+         |    count(*) AS cnt
+         |  FROM (
+         |    SELECT ($p - y) AS err,
+         |      unnest(generate_series(0, $dim)) AS pos,
+         |      unnest(list_append(z, CAST(1 AS DOUBLE))) AS zv
+         |    FROM feats CROSS JOIN wt${t - 1} w)
+         |  GROUP BY pos),
+         |wu$t AS MATERIALIZED (
+         |  SELECT g.pos,
+         |    (CASE WHEN g.pos < $dim THEN w.w[g.pos + 1] ELSE w.b END)
+         |      - (CAST($lr AS DOUBLE) * ((CAST(g.g AS DOUBLE) / 1048576.0)
+         |        / CAST(g.cnt AS DOUBLE))) AS nv
+         |  FROM g$t g CROSS JOIN wt${t - 1} w),
+         |wt$t AS MATERIALIZED (
+         |  SELECT (SELECT list(nv ORDER BY pos) FROM wu$t WHERE pos < $dim)
+         |    AS w,
+         |    (SELECT nv FROM wu$t WHERE pos = $dim) AS b)""".stripMargin
+    }
+    (wt0 +: rounds).mkString(",\n")
+  }
+
+  /** Final BoW oracle projection: every doc scored by wt$iters. */
+  def oracleBowScoreSelect(iters: Int): String =
+    s"""SELECT doc_id, y = CAST(1 AS DOUBLE) AS gate_keep,
+       |  CAST(floor((list_reduce(list_prepend(w.b,
+       |    list_transform(list_zip(z, w.w), p -> p[1] * p[2])),
+       |    (a, x) -> a + x)) * 1048576.0) AS BIGINT) AS score_c
+       |FROM feats CROSS JOIN wt$iters w
+       |ORDER BY doc_id""".stripMargin
+
   /** The oracle's training replay over a `feats` CTE exposing
     * (doc_id, z0..z4, y): T MATERIALIZED (g$t, wt$t) CTE pairs starting
     * from the zero-weight wt0 — the caller appends a final projection

@@ -82,4 +82,57 @@ class LinearProbeSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       LinearProbe.fit(feats.filter(col("y") > 2.0d), iters = 2))
   }
+
+  // ---- hashed-BoW probe (r15) ---------------------------------------
+
+  test("BoW training == sequential replay bitwise, and is partition-invariant") {
+    val dim = 32
+    val feats = LinearProbe.bowFeatures(docs, "doc_id", "text", "lang", dim)
+    val (w, b) = LinearProbe.fitBow(feats, dim, iters = 6, lr = 0.25)
+    val rows = feats.select("z", "y").collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+    val n = rows.length.toDouble
+    var rw = Array.fill(dim)(0.0d); var rb = 0.0d
+    for (_ <- 1 to 6) {
+      val g = Array.fill(dim + 1)(0L)
+      rows.foreach { case (z, y) =>
+        var pred = rb
+        var j = 0
+        while (j < dim) { pred = pred + z(j) * rw(j); j += 1 }
+        val err = pred - y
+        j = 0
+        while (j < dim) {
+          g(j) += math.floor(err * z(j) * 1048576.0d).toLong; j += 1
+        }
+        g(dim) += math.floor(err * 1.0d * 1048576.0d).toLong
+      }
+      rw = rw.zipWithIndex.map { case (wj, j) =>
+        wj - 0.25d * (g(j).toDouble / 1048576.0d / n)
+      }
+      rb = rb - 0.25d * (g(dim).toDouble / 1048576.0d / n)
+    }
+    assert(w.toArray.sameElements(rw), s"w=$w rw=${rw.toSeq}")
+    assert(b === rb)
+    val (w13, b13) = LinearProbe.fitBow(
+      LinearProbe.bowFeatures(docs.repartition(13), "doc_id", "text", "lang",
+        dim), dim, iters = 6, lr = 0.25)
+    assert(w13 === w && b13 === b)
+  }
+
+  test("BoW probe separates planted good docs from bad ones completely") {
+    // the hashed features SEE the words themselves (prose tokens land in
+    // different buckets than the junk glyphs), so on this crisply-planted
+    // corpus the separation bar is total: min kept score > max dropped
+    val dim = 32
+    val feats = LinearProbe.bowFeatures(docs, "doc_id", "text", "lang", dim)
+    val (w, b) = LinearProbe.fitBow(feats, dim, iters = 8, lr = 0.25)
+    val scored = LinearProbe.scoreBow(feats, "doc_id", w, b)
+    val minKept = scored.filter(col("gate_keep"))
+      .agg(min("score_c")).head.getLong(0)
+    val maxDropped = scored.filter(!col("gate_keep"))
+      .agg(max("score_c")).head.getLong(0)
+    assert(minKept > maxDropped,
+      s"BoW probe failed to separate: min kept $minKept <= max dropped $maxDropped")
+    assert(scored.filter(col("gate_keep")).count() === 12L)
+  }
 }
