@@ -464,10 +464,19 @@ object Bench {
     val ivfpqRr = recallOf(graft.operators.Pq.ivfPqTopKRerank(emb, "vec_id",
       "embedding", qpred, k, m = 8, numCentroids = 16, dim = 64,
       coarseK = 16, nProbe = 4, shortlistFactor = 4))
+    // factor-16 point: as the shortlist widens, rerank converges to the
+    // exact-within-probed-cells ceiling (= the IVF-exact recall above) —
+    // measured EQUAL at sf0.01 — showing the residual is cell coverage
+    // (nProbe), not quantization: the refinement recovers everything
+    // ADC lost inside the probed cells
+    val ivfpqRr16 = recallOf(graft.operators.Pq.ivfPqTopKRerank(emb, "vec_id",
+      "embedding", qpred, k, m = 8, numCentroids = 16, dim = 64,
+      coarseK = 16, nProbe = 4, shortlistFactor = 16))
     bf.unpersist()
     graft.operators.Caches.unpersistAll()
     (Map("q_ann_srp" -> srp, "q_ann_ivf" -> ivf, "q_ann_pq" -> pq,
-      "q_ann_ivfpq" -> ivfpq, "q_ann_ivfpq_rerank" -> ivfpqRr),
+      "q_ann_ivfpq" -> ivfpq, "q_ann_ivfpq_rerank" -> ivfpqRr,
+      "q_ann_ivfpq_rerank16" -> ivfpqRr16),
       curve.mkString("[", ",", "]"))
   }
 
@@ -1018,7 +1027,8 @@ object Bench {
     val recallJson = lastRecall
       .map(m => s""","recall_srp":${m("q_ann_srp")},"recall_ivf":${m("q_ann_ivf")},""" +
         s""""recall_pq":${m("q_ann_pq")},"recall_ivfpq":${m("q_ann_ivfpq")},""" +
-        s""""recall_ivfpq_rr":${m("q_ann_ivfpq_rerank")}""")
+        s""""recall_ivfpq_rr":${m("q_ann_ivfpq_rerank")},""" +
+        s""""recall_ivfpq_rr16":${m("q_ann_ivfpq_rerank16")}""")
       .getOrElse("")
     val nFailedOther = nFailedTotal - engine.nFailed
     println(s"""BENCH_SUMMARY: {"total":${r2(total)},"n_queries":${engine.nOk},""" +
