@@ -91,15 +91,17 @@ object Pq {
           .otherwise(acc))
       .getField("cid")
 
-  /** MAP-ONLY corpus quantization against the literal codebook:
-    * (vid, vec, codes ARRAY<INT> in subspace order). */
+  /** MAP-ONLY corpus quantization against the literal codebook: the
+    * input frame plus a `codes ARRAY<INT>` column (subspace order) —
+    * extra input columns ride through untouched, which is what lets
+    * [[servingCodes]] carry metadata into the index for free. */
   private def assignCodes(vecs: DataFrame, cbLit: Column,
                           m: Int, dim: Int): DataFrame = {
     val d = dim / m
-    vecs.select(col("vid"), col("vec"),
+    vecs.withColumn("codes",
       transform(sequence(lit(0), lit(m - 1)),
         j => argminCid(slice(col("vec"), j * d + 1, lit(d)),
-          element_at(cbLit, j + 1))).as("codes"))
+          element_at(cbLit, j + 1))))
   }
 
   /** Per-(subspace, centroid) element-wise mean in exact fixed-point —
@@ -410,12 +412,27 @@ object Pq {
   def servingCodes(emb: DataFrame, idCol: String, vecCol: String,
                    codebook: DataFrame, centroids: DataFrame,
                    m: Int, dim: Int): DataFrame =
+    servingCodes(emb, idCol, vecCol, codebook, centroids, m, dim, Seq.empty)
+
+  /** [[servingCodes]] carrying metadata columns into the index (r15):
+    * `carry` names columns of `emb` copied onto each (vid, codes,
+    * centroid_id) row — still ONE map-only pass, no join, no shuffle.
+    * This is how FILTERED serving gets its predicate columns: a codes
+    * table persisted with (say) `lang`/`label` in its file layout lets
+    * [[ivfPqServe]]'s `candPred` push to the parquet scan as a real
+    * PushedFilter (an id-arithmetic predicate cannot push; an equality
+    * on a carried column does — PlanAuditSpec pins it), so a selective
+    * metadata filter skips row groups before a single ADC lookup runs. */
+  def servingCodes(emb: DataFrame, idCol: String, vecCol: String,
+                   codebook: DataFrame, centroids: DataFrame,
+                   m: Int, dim: Int, carry: Seq[String]): DataFrame =
     assignCodes(
-        emb.select(col(idCol).as("vid"), col(vecCol).as("vec")),
+        emb.select(col(idCol).as("vid") +: col(vecCol).as("vec") +:
+          carry.map(col): _*),
         codebookLit(codebook, m), m, dim)
-      .select(col("vid"), col("codes"),
+      .select(col("vid") +: col("codes") +:
         Ivf.nearestCid(col("vec"), Ivf.centroidLitOf(centroids))
-          .as("centroid_id"))
+          .as("centroid_id") +: carry.map(col): _*)
 
   /** SERVE against a pre-built index: probe selection (queries ×
     * broadcast centroids), per-query ADC tables restricted to probed
@@ -453,8 +470,12 @@ object Pq {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("centroid_id"))
+    // nProbe rows per query — broadcast by construction, and HINTED so
+    // the STATIC plan already hash-joins it (stats are unknown before
+    // the aggregates run, so unhinted planning picked a sort-merge join
+    // that AQE then had to convert at runtime — r15 plan audit)
     val qTab = queryTables(queries, codebook, m, numCentroids, dim)
-      .join(probes, Seq("query_id")) // nProbe rows per query, still tiny
+      .join(broadcast(probes), Seq("query_id"))
     val cands = candPred.fold(codes)(codes.filter) // pre-filter the scan
     val scored = cands.join(broadcast(qTab), Seq("centroid_id"))
       .filter(col("vid") =!= col("query_id"))

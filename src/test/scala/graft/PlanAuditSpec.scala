@@ -717,6 +717,60 @@ class PlanAuditSpec extends SparkSpec {
     graft.operators.Caches.unpersistAll()
   }
 
+  test("rerank refinement: id-grain corpus probe stays broadcast — no sort-merge, no product join") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = plan(graft.operators.Pq.ivfPqTopKRerank(emb, "vec_id",
+      "embedding", col("query_id") % 20 === 0, k = 5, m = 8,
+      numCentroids = 16, dim = 64, coarseK = 16, nProbe = 4))
+    // the exact refinement must read the corpus ONCE via broadcast hash
+    // joins against the (queries × 4k)-row shortlist — never shuffle it
+    // (the 1-row rr_tab rider's BroadcastNestedLoopJoin is the
+    // documented exception; a CartesianProduct or a corpus-side
+    // SortMergeJoin is not)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    graft.operators.Caches.unpersistAll()
+  }
+
+  test("filtered serving: a carried-metadata predicate reaches the codes scan as a PushedFilter") {
+    import graft.operators.{Ivf, Pq}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (_, cents) = Ivf.build(emb, "vec_id", "embedding", k = 16, iters = 2)
+    val cb = Pq.build(emb, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+    spark.sql("DROP TABLE IF EXISTS graft_plan_codes")
+    try {
+      // index persisted WITH the metadata column in its layout — the
+      // servingCodes carry seam (one map-only pass, no join)
+      Pq.servingCodes(emb, "vec_id", "embedding", cb, cents, m = 8,
+          dim = 64, carry = Seq("label"))
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable("graft_plan_codes")
+      val queries = emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qvec")).filter(col("query_id") % 20 === 0)
+      val served = Pq.ivfPqServe(spark.table("graft_plan_codes"), cents, cb,
+        queries, k = 5, m = 8, numCentroids = 16, dim = 64, nProbe = 4,
+        candPred = Some(col("label") === 3))
+      val p = plan(served)
+      // the equality predicate must land in the parquet scan's
+      // PushedFilters — row groups skip before any ADC lookup runs
+      // (an id-arithmetic predicate like vid % 3 cannot push; this is
+      // exactly why the index carries the metadata column)
+      assert(p.contains("PushedFilters") &&
+        "PushedFilters: \\[[^\\]]*EqualTo\\(label,3\\)".r
+          .findFirstIn(p).isDefined, p)
+      // and the served rows are correct: quota filled, only label-3
+      // neighbors (checked against the raw table)
+      val rows = served.collect()
+      assert(rows.nonEmpty)
+      val allowed = emb.filter(col("label") === 3)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(rows.forall(r => allowed(r.getAs[Long]("neighbor_id"))))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_plan_codes")
+      graft.operators.Caches.unpersistAll()
+    }
+  }
+
   test("semantic dedup pairs via equi-join on the cluster id, never a product join") {
     val emb = (1 to 40).map(i =>
       (i.toLong, Seq.fill(8)((i % 5).toFloat + 1f))).toDF("vec_id", "embedding")
