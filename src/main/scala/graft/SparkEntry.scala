@@ -2013,6 +2013,38 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // Index APPEND without rebuild (r15) — the rolling-ingest story the
+    // minhash store proved, applied to ANN serving: codebooks/centroids
+    // train ONCE on the existing corpus; a new batch is encoded with
+    // those frozen codebooks in one map-only servingCodes pass and
+    // UNIONED onto the codes table (per-row encoding makes old ∪ batch
+    // literally identical to a full re-encode — PqSpec pins the
+    // identity); serving spans the union. At 100 TB this is the only
+    // viable ingest path: appending a day's batch costs one pass over
+    // the batch, never a corpus retrain or re-encode. Oracle: the
+    // factored ivfpq chain with its BUILDS restricted to the old corpus
+    // (buildWhere) while encoding/probing/serving span everything.
+    "q_ann_index_append" -> ((s, dir) => {
+      import graft.operators.{Ivf, Pq}
+      val emb = Tables.embeddings(s, dir)
+      val old = emb.filter(col("vec_id") % 10 =!= 9)
+      val batch = emb.filter(col("vec_id") % 10 === 9)
+      val (_, cents) = Ivf.build(old, "vec_id", "embedding", k = 16,
+        iters = 2)
+      val cb = Pq.build(old, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+      val codes = Pq.servingCodes(old, "vec_id", "embedding", cb, cents,
+          m = 8, dim = 64)
+        .unionByName(Pq.servingCodes(batch, "vec_id", "embedding", cb,
+          cents, m = 8, dim = 64))
+      val queries = emb.select(col("vec_id").as("query_id"),
+          col("embedding").as("qvec"))
+        .filter(col("query_id") % 20 === 0)
+      Pq.ivfPqServe(codes, cents, cb, queries, k = 5, m = 8,
+          numCentroids = 16, dim = 64, nProbe = 4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // Two-stage retrieval (Pq.ivfPqTopKRerank scaladoc, r15): IVF-PQ
     // shortlist at k' = 4k, then EXACT cosine over only the shortlist's
     // true vectors (a broadcast id-grain probe of the corpus — the one
@@ -2862,16 +2894,30 @@ object SparkEntry {
     * scoring stage's WHERE — the oracle mirror of `Pq.ivfPqServe`'s
     * `candPred` (candidates restricted BEFORE scoring, so the output is
     * the true ADC top-k among admitted rows); it must reference the
-    * candidate as `f` (e.g. " AND f.vid % 3 = 0"). */
-  private def ivfPqOracleCtes(qMod: Int, candAnd: String = ""): String = {
-    def ivfAssignSql(name: String, cents: String) =
+    * candidate as `f` (e.g. " AND f.vid % 3 = 0"). `buildWhere` (r15)
+    * restricts the corpus the LLOYD BUILDS train on (seeds, both
+    * assignment/update rounds of the coarse quantizer AND the
+    * per-subspace codebooks) while encoding, probe selection, and
+    * serving still span the FULL corpus — the oracle mirror of the
+    * index-APPEND composition (q_ann_index_append): a new batch encoded
+    * against codebooks trained before it existed. Empty (the default)
+    * generates byte-identical SQL to the ungeneralized chain. */
+  private def ivfPqOracleCtes(qMod: Int, candAnd: String = "",
+                              buildWhere: String = ""): String = {
+    val bcorpus =
+      if (buildWhere.isEmpty) "corpus"
+      else s"(SELECT * FROM corpus WHERE $buildWhere)"
+    val bsubs =
+      if (buildWhere.isEmpty) "subs"
+      else s"(SELECT * FROM subs WHERE $buildWhere)"
+    def ivfAssignSql(name: String, cents: String, src: String = "corpus") =
       s"""$name AS (
          |  SELECT vid, vec, ccid FROM (
          |    SELECT c.vid, c.vec, t.ccid,
          |      row_number() OVER (PARTITION BY c.vid
          |        ORDER BY list_cosine_similarity(c.vec::DOUBLE[], t.cvec::DOUBLE[]) DESC,
          |          t.ccid) AS rn
-         |    FROM corpus c CROSS JOIN $cents t) WHERE rn = 1)"""
+         |    FROM $src c CROSS JOIN $cents t) WHERE rn = 1)"""
     def ivfUpdateSql(exName: String, updName: String, centsName: String, from: String) =
       s"""$exName AS (
          |  SELECT ccid, unnest(generate_series(1, len(vec))) AS pos,
@@ -2887,7 +2933,7 @@ object SparkEntry {
          |    list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS FLOAT)
          |      ORDER BY pos) AS cvec
          |  FROM $updName GROUP BY ccid)"""
-    def pqAssignSql(name: String, cb: String) =
+    def pqAssignSql(name: String, cb: String, src: String = "subs") =
       s"""$name AS (
          |  SELECT vid, j, sub, cid FROM (
          |    SELECT s.vid, s.j, s.sub, t.cid,
@@ -2896,7 +2942,7 @@ object SparkEntry {
          |          i -> (CAST(s.sub[i] AS DOUBLE) - CAST(t.cvec[i] AS DOUBLE))
          |             * (CAST(s.sub[i] AS DOUBLE) - CAST(t.cvec[i] AS DOUBLE)))),
          |        t.cid) AS rn
-         |    FROM subs s JOIN $cb t ON s.j = t.j) WHERE rn = 1)"""
+         |    FROM $src s JOIN $cb t ON s.j = t.j) WHERE rn = 1)"""
     def pqUpdateSql(exName: String, updName: String, cbName: String, from: String) =
       s"""$exName AS (
          |  SELECT j, cid, unnest(generate_series(1, 8)) AS pos,
@@ -2917,10 +2963,10 @@ object SparkEntry {
        |ivf_seeds AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vid) AS INTEGER) AS ccid,
        |    vec AS cvec
-       |  FROM (SELECT vid, vec FROM corpus ORDER BY vid LIMIT 16)),
-       |${ivfAssignSql("ivf_a0", "ivf_seeds")},
+       |  FROM (SELECT vid, vec FROM $bcorpus ORDER BY vid LIMIT 16)),
+       |${ivfAssignSql("ivf_a0", "ivf_seeds", bcorpus)},
        |${ivfUpdateSql("ivf_ex0", "ivf_upd0", "ivf_cents1", "ivf_a0")},
-       |${ivfAssignSql("ivf_a1", "ivf_cents1")},
+       |${ivfAssignSql("ivf_a1", "ivf_cents1", bcorpus)},
        |${ivfUpdateSql("ivf_ex1", "ivf_upd1", "ivf_cents2", "ivf_a1")},
        |${ivfAssignSql("ivf_fin", "ivf_cents2")},
        |probes AS (
@@ -2941,10 +2987,10 @@ object SparkEntry {
        |      AS cid,
        |    sub AS cvec
        |  FROM subs
-       |  WHERE vid IN (SELECT vid FROM corpus ORDER BY vid LIMIT 16)),
-       |${pqAssignSql("pq_a0", "pq_seeds")},
+       |  WHERE vid IN (SELECT vid FROM $bcorpus ORDER BY vid LIMIT 16)),
+       |${pqAssignSql("pq_a0", "pq_seeds", bsubs)},
        |${pqUpdateSql("pq_ex0", "pq_upd0", "cb1", "pq_a0")},
-       |${pqAssignSql("pq_a1", "cb1")},
+       |${pqAssignSql("pq_a1", "cb1", bsubs)},
        |${pqUpdateSql("pq_ex1", "pq_upd1", "cb2", "pq_a1")},
        |${pqAssignSql("afin", "cb2")},
        |qq AS (
@@ -5354,6 +5400,21 @@ object SparkEntry {
       // candPred mirror)
       "q_ann_filtered" ->
         s"""WITH ${ivfPqOracleCtes(20, " AND f.vid % 3 = 0")}
+           |SELECT query_id, neighbor_id, pq_cosine,
+           |  CAST(rnk AS BIGINT) AS rnk FROM (
+           |  SELECT query_id, neighbor_id, pq_cosine,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY pq_cosine DESC, neighbor_id) AS rnk
+           |  FROM ivfpq_scored)
+           |WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin,
+
+      // index append: the same chain with the LLOYD BUILDS restricted to
+      // the pre-append corpus (buildWhere) — encoding, probe selection,
+      // and serving span old ∪ batch, exactly the frozen-codebook
+      // composition the engine runs
+      "q_ann_index_append" ->
+        s"""WITH ${ivfPqOracleCtes(20, "", "vid % 10 != 9")}
            |SELECT query_id, neighbor_id, pq_cosine,
            |  CAST(rnk AS BIGINT) AS rnk FROM (
            |  SELECT query_id, neighbor_id, pq_cosine,

@@ -320,6 +320,48 @@ object BpeTrain {
       .toDF("rnk", "lhs", "rhs")
   }
 
+  /** Ship the trained tokenizer as the standard two-file artifact
+    * (r15): `merges.txt` in exactly the format [[graft.functions.Bpe
+    * .loadMerges]] parses and validates (one "lhs rhs" line per rule in
+    * rank order, `#` header), and `vocab.json` mapping every COMPOSITE
+    * symbol to its deterministic id under [[graft.functions.Bpe
+    * .vocabIds]] (single-code-point symbols map to their code point by
+    * construction and are implicit — the id scheme the encoder and its
+    * oracle already share). Atomic: both files write to `.tmp` siblings
+    * and move into place, so a crashed export never leaves a
+    * half-written vocabulary for a later run to load. Round-trip is the
+    * contract — `loadMerges(artifactDir/merges.txt)` re-validates and
+    * reproduces the table (spec'd), which makes a multi-day training
+    * run's output consumable by every [[graft.plans.BpeTokenCount]]
+    * call site without any format shim. */
+  def writeArtifact(mergesTable: Seq[(String, String)], dir: String): Unit = {
+    graft.functions.Bpe.validate(mergesTable)
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    def atomically(name: String, content: String): Unit = {
+      val tmp = d.resolve(name + ".tmp")
+      java.nio.file.Files.writeString(tmp, content)
+      java.nio.file.Files.move(tmp, d.resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    atomically("merges.txt",
+      "# graft bpe merges (rank order)\n" +
+        mergesTable.map { case (l, r) => s"$l $r" }.mkString("", "\n", "\n"))
+    def jstr(s: String) =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val ids = graft.functions.Bpe.vocabIds(mergesTable)
+    atomically("vocab.json",
+      mergesTable.map { case (l, r) => l + r }.distinct
+        .map(s => s"  ${jstr(s)}: ${ids(s)}")
+        .mkString("{\n", ",\n", "\n}\n"))
+  }
+
   /** The VOCABULARY the learned table induces over the corpus — the
     * second half of the tokenizer artifact a training run ships
     * (merges.txt + vocab.json): every symbol the encoder emits under

@@ -173,6 +173,36 @@ class BpeTrainSpec extends SparkSpec {
     assert(without.count() == 3)
   }
 
+  test("writeArtifact round-trips through loadMerges and carries the encoder's id scheme") {
+    val docs = Seq(
+      "the cat sat on the mat", "the cat ate the rat",
+      "that cat, that hat!", "rates of cats and hats").toDF("text")
+    val learned = BpeTrain.merges(BpeTrain.trainFast(docs, "text", 8))
+    val dir = java.nio.file.Files.createTempDirectory("bpe_artifact").toString
+    try {
+      BpeTrain.writeArtifact(learned, dir)
+      // merges.txt parses, re-validates, and reproduces the table
+      val back = graft.functions.Bpe.loadMerges(s"$dir/merges.txt")
+      assert(back === learned, s"round-trip drift: $back vs $learned")
+      // vocab.json carries exactly the composite ids the encoder uses
+      val json = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/vocab.json"))
+      graft.functions.Bpe.vocabIds(learned).foreach { case (sym, id) =>
+        assert(json.contains(s"\"$sym\": $id"), s"missing $sym -> $id in $json")
+      }
+      // no .tmp residue — both writes were atomic moves
+      import scala.jdk.CollectionConverters._
+      val leftovers = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .iterator().asScala.map(_.getFileName.toString).filter(_.endsWith(".tmp"))
+      assert(leftovers.isEmpty)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    graft.operators.Caches.unpersistScope("bpe")
+  }
+
   test("oracle replay SQL mirrors the engine on the hand corpus (DuckDB-shaped CTEs are generated, not hand-kept)") {
     // not a DuckDB run (the driver does that) — pin the generated SQL's
     // structural invariants so oracle edits can't silently drop a round

@@ -193,6 +193,31 @@ class PqSpec extends SparkSpec {
         "on a ~1/3-selective predicate")
   }
 
+  test("index append: frozen-codebook batch encode ∪ old codes == one-shot full encode") {
+    // the q_ann_index_append composition's load-bearing identity:
+    // servingCodes is PER-ROW against literal codebooks, so encoding the
+    // old corpus and a new batch separately (the rolling-ingest path)
+    // yields byte-identical rows to encoding everything at once — no
+    // rebuild, no drift, appending is one pass over the batch
+    import graft.operators.Ivf
+    val old = emb.filter(col("vec_id") % 10 =!= 9)
+    val batch = emb.filter(col("vec_id") % 10 === 9)
+    val (_, cents) = Ivf.build(old, "vec_id", "embedding", k = 16, iters = 2)
+    val cb = Pq.build(old, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        r.getSeq[Int](1).toSeq, r.getInt(2))).sortBy(_._1).toSeq
+    val appended = rowsOf(
+      Pq.servingCodes(old, "vec_id", "embedding", cb, cents, m = 8, dim = 64)
+        .unionByName(Pq.servingCodes(batch, "vec_id", "embedding", cb, cents,
+          m = 8, dim = 64)))
+    val oneShot = rowsOf(
+      Pq.servingCodes(emb, "vec_id", "embedding", cb, cents, m = 8, dim = 64))
+    assert(appended == oneShot)
+    assert(appended.map(_._1).toSet ==
+      emb.select("vec_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("rerank with an exhaustive shortlist IS brute force; serving config lifts recall") {
     val q = col("query_id") % 20 === 0
     def pairs(df: org.apache.spark.sql.DataFrame) =
