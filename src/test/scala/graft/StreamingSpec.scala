@@ -204,6 +204,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ANN index ingest: micro-batch encode == batch encode (map-only, no state)") {
+    // the q_ann_index_append composition's STREAMING twin: servingCodes
+    // is one stateless map-only pass against literal codebooks, so it
+    // runs under Structured Streaming unchanged — a vector firehose
+    // appends straight into the serving index with no watermark, no
+    // state store, and per-row identity with the batch encoder
+    import graft.operators.{Ivf, Pq}
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val old = emb.filter(col("vec_id") % 10 =!= 9)
+    val (_, cents) = Ivf.build(old, "vec_id", "embedding", k = 16, iters = 2)
+    val cb = Pq.build(old, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Pq.servingCodes(input.toDS().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cb, cents, m = 8, dim = 64)
+      .writeStream.format("memory").queryName("ann_codes_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val batchRows = emb.filter(col("vec_id") % 10 === 9)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+      val (b1, b2) = batchRows.splitAt(batchRows.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq,
+          r.getInt(2))).sortBy(_._1).toSeq
+      val got = norm(spark.table("ann_codes_stream"))
+      val want = norm(Pq.servingCodes(emb.filter(col("vec_id") % 10 === 9),
+        "vec_id", "embedding", cb, cents, m = 8, dim = 64))
+      assert(got.nonEmpty && got == want)
+    } finally {
+      q.stop()
+      graft.operators.Caches.unpersistScope("pq")
+      graft.operators.Caches.unpersistScope("ivf")
+    }
+  }
+
   test("ingestion replaying an epoch keeps the same set and appends no duplicate signatures") {
     import graft.operators.Dedup
     val sigT = "ingest_sigs_replay"
