@@ -642,7 +642,8 @@ object Bench {
                    fixedJoin: Boolean = false,
                    jaccardStages: Boolean = false,
                    prebuildIncrStore: Boolean = false,
-                   prebuildAnnIndex: Boolean = false): String = {
+                   prebuildAnnIndex: Boolean = false,
+                   prebuildSparseIndex: Boolean = false): String = {
       // PHASE ISOLATION (r6): each scale phase gets a fresh SparkSession.
       // Sharing one session across the whole run let the engine phase's
       // ~330 executions degrade the sf1 tail — calibration (pure-CPU
@@ -743,6 +744,39 @@ object Bench {
           spark.conf.set("graft.bench.annIndex", "1")
           s""","ann_index_build_sec":${r2((System.nanoTime() - t0) / 1e9)}"""
         }
+      // Pre-build the BM25 serving index OUTSIDE the timed window — the
+      // sparse-retrieval twin of the ANN seam above: one corpus pass
+      // lands postings (term, doc, tf, dl) in a term-bucketed table (the
+      // serving join key, so a query's vocabulary prunes at the scan),
+      // plus the vocabulary df table and the 1-row corpus totals. The
+      // conf gate makes q_bm25_served read the tables and a FIXED
+      // ~52-query set (base %97 ids, built here too); what the timed
+      // window then measures is the amortized sparse-serving claim:
+      // query cost is explode + postings probe + score + rank, never a
+      // corpus text read or index rebuild.
+      val sparseBuildJson =
+        if (!prebuildSparseIndex) ""
+        else {
+          import graft.operators.Tfidf
+          val t0 = System.nanoTime()
+          val docs = graft.sources.Tables.documents(spark, scaledDir)
+          val idx = Tfidf.buildBm25Index(docs, "doc_id", "text")
+          graft.sources.Sinks.bucketedTableOn(idx.postings,
+            "graft_bm25_postings", Seq("term"), cpus.toInt)
+          idx.termStats.write.mode("overwrite").format("parquet")
+            .saveAsTable("graft_bm25_termstats")
+          idx.corpusStats.write.mode("overwrite").format("parquet")
+            .saveAsTable("graft_bm25_corpusstats")
+          docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000)
+            .select(col("doc_id").as("query_id"),
+              array_join(slice(graft.functions.Text.tokens(
+                lower(col("text"))), 1, 3), " ").as("qtext"))
+            .write.mode("overwrite").format("parquet")
+            .saveAsTable("graft_bm25_queries")
+          graft.operators.Caches.unpersistAll()
+          spark.conf.set("graft.bench.sparseIndex", "1")
+          s""","sparse_index_build_sec":${r2((System.nanoTime() - t0) / 1e9)}"""
+        }
       val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       if (fixedJoin) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val timedAndCal =
@@ -763,6 +797,13 @@ object Bench {
             spark.sql("DROP TABLE IF EXISTS graft_ann_codebook")
             spark.sql("DROP TABLE IF EXISTS graft_ann_queries")
           }
+          if (prebuildSparseIndex) {
+            spark.conf.unset("graft.bench.sparseIndex")
+            spark.sql("DROP TABLE IF EXISTS graft_bm25_postings")
+            spark.sql("DROP TABLE IF EXISTS graft_bm25_termstats")
+            spark.sql("DROP TABLE IF EXISTS graft_bm25_corpusstats")
+            spark.sql("DROP TABLE IF EXISTS graft_bm25_queries")
+          }
         }
       // Failed queries are excluded here too: r7's "q_session_stats
       // inversion" was a crash latency at one scale beating real work at
@@ -773,7 +814,8 @@ object Bench {
       // would REPLACE the sf1 phase's whole min map and corrupt the
       // cross-phase inversion report
       phaseMins(s"x${replicas}_$mode" +
-          (if (prebuildAnnIndex) "_annserve" else "")) =
+          (if (prebuildAnnIndex) "_annserve" else "") +
+          (if (prebuildSparseIndex) "_sparseserve" else "")) =
         timedAndCal._1.filter(_.error.isEmpty)
           .map(t => t.name -> t.times.min).toMap
       val section = record(sectionJson(timedAndCal, calThreshold = 1.5)).json
@@ -809,7 +851,7 @@ object Bench {
           s""","recall_at10":$rj,"recall_curve":$curve"""
         }
       val strategyJson = if (fixedJoin) ""","join_strategy":"fixed"""" else ""
-      s"""{"dir":"$scaledDir","replicas":$replicas,"mode":"$mode"$strategyJson,"build_sec":${r2(buildSec)}$storeBuildJson$annBuildJson,"warm_sec":${r2(warmSec)},"iters":$phaseIters,$section$stagesJson$recallJson}"""
+      s"""{"dir":"$scaledDir","replicas":$replicas,"mode":"$mode"$strategyJson,"build_sec":${r2(buildSec)}$storeBuildJson$annBuildJson$sparseBuildJson,"warm_sec":${r2(warmSec)},"iters":$phaseIters,$section$stagesJson$recallJson}"""
     }
 
     // SPARK_GRAFT_SF1_ONLY=q_a,q_b: iterate on a subset of the sf1 phase
@@ -904,6 +946,31 @@ object Bench {
         s""","ann_serve":{"r10":$r10,"r20":$r20,"r50":$r50}"""
       }
 
+    // BM25 serve/build split (r15): the sparse-retrieval twin of
+    // ann_serve — q_bm25_served timed against a PRE-BUILT term-bucketed
+    // postings index over a FIXED ~52-query set at three corpus sizes,
+    // with index construction in the untimed prebuild. The claim under
+    // test: sparse serving cost is the query-side work (explode + probe
+    // + score + rank), flat-band in corpus size, while the build grows
+    // with the corpus — together with ann_serve this measures the FULL
+    // hybrid retrieval serving stack's amortized shape.
+    // SPARK_GRAFT_SPARSE_SERVE=1 forces it on under trimming; "0"
+    // disables.
+    val sparseServeForced = sys.env.get("SPARK_GRAFT_SPARSE_SERVE").contains("1")
+    val sparseServeJson =
+      if (!enabled("SPARK_GRAFT_SPARSE_SERVE") ||
+          ((only.isDefined || sf1Only.isDefined) && !sparseServeForced)) ""
+      else {
+        val names = Seq("q_bm25_served")
+        val r10 = scalePhase(10, "natural", names, math.min(iters, 2),
+          withRecall = false, prebuildSparseIndex = true)
+        val r20 = scalePhase(20, "natural", names, math.min(iters, 2),
+          withRecall = false, prebuildSparseIndex = true)
+        val r50 = scalePhase(50, "natural", names, math.min(iters, 2),
+          withRecall = false, prebuildSparseIndex = true)
+        s""","sparse_serve":{"r10":$r10,"r20":$r20,"r50":$r50}"""
+      }
+
     // BPE training at production merge counts (r15, the round-14 weak):
     // time the incremental trainer (BpeTrain.trainFast — one corpus
     // aggregate + per-round deltas over only the affected words) at 64
@@ -980,7 +1047,7 @@ object Bench {
     val curveJson = lastCurve
       .map(c => s""","recall_curve_sf1":$c""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,$engineSection,"sf":"$sfDir"$ingestStagesJson$funnelAuditJson$streamingJson$sf1Json$sf20Json$probeJson$annServeJson$bpeTrainJson$scaleInversions$curveJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,$engineSection,"sf":"$sfDir"$ingestStagesJson$funnelAuditJson$streamingJson$sf1Json$sf20Json$probeJson$annServeJson$sparseServeJson$bpeTrainJson$scaleInversions$curveJson}"""
     // Marker-prefixed line FIRST: the driver's artifact parser reads the
     // structured payload from `BENCH_JSON: {...}` without depending on
     // stdout tail ordering (r4/r5 artifacts carried parsed:null because
@@ -998,10 +1065,11 @@ object Bench {
     // Only a full run defaults to bench_out.json; partial runs default to
     // /tmp. An explicit SPARK_GRAFT_BENCH_OUT always wins.
     val partialRun = only.isDefined || sf1Only.isDefined || probeForced ||
-      annServeForced || bpeTrainForced ||
+      annServeForced || bpeTrainForced || sparseServeForced ||
       Seq("SPARK_GRAFT_SF1", "SPARK_GRAFT_SF20", "SPARK_GRAFT_PROBE",
         "SPARK_GRAFT_INGEST_STAGES", "SPARK_GRAFT_FUNNEL_AUDIT",
-        "SPARK_GRAFT_ANN_SERVE", "SPARK_GRAFT_BPE_TRAIN")
+        "SPARK_GRAFT_ANN_SERVE", "SPARK_GRAFT_BPE_TRAIN",
+        "SPARK_GRAFT_SPARSE_SERVE")
         .exists(k => sys.env.get(k).contains("0"))
     val defaultOut =
       if (partialRun) "/tmp/graft_bench_scrap.json" else "bench_out.json"

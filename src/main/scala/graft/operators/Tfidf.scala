@@ -44,6 +44,29 @@ import org.apache.spark.sql.functions._
   * itself never broadcasts and never sorts globally. */
 object Tfidf {
 
+  /** A pre-built BM25 serving index — the sparse-retrieval twin of the
+    * IVF-PQ serving tables ([[Pq.ivfPqServe]]): build once over the
+    * corpus, serve query strings against it without touching the raw
+    * text again.
+    *
+    *  - `postings`: (term, doc, tf, dl) — one row per distinct
+    *    (document, term) pair, with the document length DENORMALIZED on
+    *    so serving needs no per-doc join. On disk, bucket it by `term`
+    *    (the serving join key) so a query's terms prune at the scan.
+    *  - `termStats`: (term, df) — vocabulary-sized.
+    *  - `corpusStats`: ONE row (n_docs, sum_dl), both exact BIGINTs;
+    *    avgdl is derived at serve time by the same single IEEE division
+    *    the inline path performs, so served scores are bit-identical.
+    *
+    * Every field is an exact integer, which is what makes
+    * [[mergeBm25Index]] exact: over DISJOINT document sets, df and the
+    * corpus sums are additive and postings/dl rows are per-doc, so
+    * (build A) ⊕ (build B) == build(A ∪ B) rank-for-rank — appending a
+    * day's batch to a 100 TB index is one pass over the batch plus a
+    * vocabulary-sized stats merge, never a corpus rebuild. */
+  final case class Bm25Index(postings: DataFrame, termStats: DataFrame,
+                             corpusStats: DataFrame)
+
   /** Top `k` terms per document by `tf/df`, ties broken by term.
     * Output: (doc, rnk, term, tf, df, score). */
   def topTerms(docs: DataFrame, idCol: String, textCol: String,
@@ -165,5 +188,102 @@ object Tfidf {
       .filter(col("rnk") <= k)
       .select(col("doc"), col("rnk"), col("term"), col("tf"), col("df"),
         col("dl"), col("score"))
+  }
+
+  /** Build a [[Bm25Index]] over `docs` — the index-construction half of
+    * the sparse serve/build split. ONE corpus shuffle of (doc, term)
+    * pairs (the persisted tf frame feeds df, dl, the postings join AND
+    * the corpus totals), then vocabulary- and doc-sized aggregates. The
+    * serving caller persists the three frames (postings bucketed by
+    * `term`) and pays this cost once per corpus, not per query. */
+  def buildBm25Index(docs: DataFrame, idCol: String,
+                     textCol: String): Bm25Index = {
+    val pairs = docs.select(col(idCol).as("doc"),
+      explode(Text.tokens(lower(col(textCol)))).as("term"))
+    val tf = Caches.tracked(
+      pairs.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf")),
+      "tfidf")
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+    val postings = tf.join(dl, Seq("doc"))
+      .select(col("term"), col("doc"), col("tf"), col("dl"))
+    val corpusStats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    Bm25Index(postings, df_, corpusStats)
+  }
+
+  /** Postings rows (term, doc, tf, dl) computed ROW-LOCALLY — no shuffle,
+    * no aggregation state: tf per (doc, term) is a within-row count over
+    * the doc's own token array, dl its length. Identical rows to
+    * [[buildBm25Index]]'s postings by construction (tf is a per-document
+    * quantity), which is what makes the STREAMING index-append twin
+    * trivially correct: a stateless map over a micro-batch of new docs
+    * emits exactly the batch's postings, no watermark or state store
+    * (the [[Pq.servingCodes]] argument applied to the sparse index).
+    * Per-row cost is O(distinct terms × tokens) — bounded by document
+    * length, not corpus size. */
+  def postingsRowLocal(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+      Text.tokens(lower(col(textCol))).as("toks"))
+    toks.select(col("doc"), size(col("toks")).cast("long").as("dl"),
+        explode(array_distinct(col("toks"))).as("term"), col("toks"))
+      .select(col("term"), col("doc"),
+        size(filter(col("toks"), t => t === col("term")))
+          .cast("long").as("tf"),
+        col("dl"))
+  }
+
+  /** Merge two [[Bm25Index]]es built over DISJOINT document sets into
+    * the index a single build over the union would produce — EXACTLY
+    * (postings and dl are per-doc; df and the corpus totals are
+    * additive over disjoint doc sets; everything is BIGINT). The
+    * incremental-ingest path: `merge(existing, buildBm25Index(batch))`
+    * costs one pass over the batch plus a vocabulary-keyed stats
+    * aggregate; the existing postings never reshuffle (union is
+    * partition-preserving). Disjointness is the caller's contract — a
+    * doc present in both sides would double its postings rows and skew
+    * df/dl, silently; dedupe the batch against the index's doc ids
+    * first (a left_anti on the postings' doc column) if unsure. */
+  def mergeBm25Index(a: Bm25Index, b: Bm25Index): Bm25Index = {
+    val postings = a.postings.unionByName(b.postings)
+    val termStats = a.termStats.unionByName(b.termStats)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val corpusStats = a.corpusStats.unionByName(b.corpusStats)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    Bm25Index(postings, termStats, corpusStats)
+  }
+
+  /** BM25 serving against a pre-built [[Bm25Index]] — bit-identical
+    * output to [[searchBm25]] over the same corpus (same exact-integer
+    * inputs, same IEEE weight chain, same order-free fixed-point sum),
+    * but the timed work is ONLY: explode the query strings, join the
+    * (tiny) query-term set against the postings table, score, heap-rank.
+    * The corpus text is never read. Scale shape: the query side is
+    * queries × terms rows — Catalyst broadcasts it unhinted — so the
+    * postings join is a map-side probe of the index scan; with postings
+    * bucketed/partitioned by term, a query's vocabulary prunes row
+    * groups before any scoring. Output: (query_id, doc, score_c, rank). */
+  def searchBm25Served(index: Bm25Index, queries: DataFrame, qidCol: String,
+                       qtextCol: String, k: Int = 5, k1: Double = 1.2,
+                       b: Double = 0.75): DataFrame = {
+    val qterms = queries.select(col(qidCol).as("query_id"),
+      explode(array_distinct(Text.tokens(lower(col(qtextCol))))).as("term"))
+    val avgdl = index.corpusStats.select(
+      (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+        .as("avgdl"))
+    val satTf = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) +
+          lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    val scored = qterms.join(index.termStats, Seq("term"))
+      .join(index.postings, Seq("term"))
+      .crossJoin(broadcast(avgdl))
+      .select(col("query_id"), col("doc"),
+        floor(satTf / col("df").cast("double") * lit(1048576.0d))
+          .cast("long").as("w_c"))
+      .groupBy(col("query_id"), col("doc"))
+      .agg(sum(col("w_c")).as("score_c"))
+    Ranking.topKByScore(scored, "query_id", "doc", "score_c", k)
   }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.Tfidf
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[Tfidf.Bm25Index]] — the sparse-retrieval serve/build split. The
+  * load-bearing properties: serving a pre-built index is BIT-IDENTICAL
+  * to the inline search (same exact-integer inputs, same IEEE chain);
+  * merging indexes built over disjoint doc sets equals the full rebuild
+  * component-by-component AND rank-by-rank; and the row-local postings
+  * path (the streaming twin's map-only shape) emits exactly the
+  * shuffle-built postings. */
+class Bm25IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // repeated terms (tf > 1), shared vocabulary (df > 1), length spread
+  // (dl variation drives the BM25 normalization), and a term unique to
+  // one doc — the corners the weight chain has to get right
+  private def corpus: DataFrame = Seq(
+    (1L, "red fox red fox red dog"),
+    (2L, "red dog jumps over the lazy dog"),
+    (3L, "lazy fox sleeps"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again"),
+    (5L, "unique sentinel phrase"),
+    (6L, "dog dog dog dog red")).toDF("doc_id", "text")
+
+  private def queries: DataFrame = Seq(
+    (10L, "red fox"), (20L, "lazy dog"), (30L, "unique sentinel"),
+    (40L, "absent terms only zzz")).toDF("query_id", "qtext")
+
+  private def ranked(df: DataFrame): Seq[(Long, Long, Long, Long)] =
+    df.select("query_id", "doc", "score_c", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+
+  test("served == inline: byte-identical ranks, scores, and rows") {
+    val inline = Tfidf.searchBm25(corpus, "doc_id", "text",
+      queries, "query_id", "qtext", k = 3)
+    val served = Tfidf.searchBm25Served(
+      Tfidf.buildBm25Index(corpus, "doc_id", "text"),
+      queries, "query_id", "qtext", k = 3)
+    val got = ranked(served)
+    assert(got.nonEmpty && got == ranked(inline), got.mkString("\n"))
+    // the query whose terms are absent from the corpus returns nothing
+    assert(!got.exists(_._1 == 40L))
+  }
+
+  test("merge over disjoint doc sets == full rebuild, component by component") {
+    val a = Tfidf.buildBm25Index(corpus.filter(col("doc_id") <= 3),
+      "doc_id", "text")
+    val b = Tfidf.buildBm25Index(corpus.filter(col("doc_id") > 3),
+      "doc_id", "text")
+    val merged = Tfidf.mergeBm25Index(a, b)
+    val full = Tfidf.buildBm25Index(corpus, "doc_id", "text")
+    def postings(i: Tfidf.Bm25Index) = i.postings.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    def stats(i: Tfidf.Bm25Index) = i.termStats.collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    def totals(i: Tfidf.Bm25Index) = i.corpusStats.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(postings(merged) == postings(full))
+    assert(stats(merged) == stats(full))
+    assert(totals(merged) == totals(full))
+    // and the serve path over the merged index is rank-identical
+    val overMerged = ranked(Tfidf.searchBm25Served(merged, queries,
+      "query_id", "qtext", k = 3))
+    val overFull = ranked(Tfidf.searchBm25Served(full, queries,
+      "query_id", "qtext", k = 3))
+    assert(overMerged.nonEmpty && overMerged == overFull)
+  }
+
+  test("empty-batch merge is the identity (null-safe corpus totals)") {
+    val full = Tfidf.buildBm25Index(corpus, "doc_id", "text")
+    // an empty build's corpusStats row is (0, NULL) — sum over no rows —
+    // and merge must absorb it without nulling the real totals
+    val empty = Tfidf.buildBm25Index(corpus.filter(lit(false)),
+      "doc_id", "text")
+    val merged = Tfidf.mergeBm25Index(full, empty)
+    val t = merged.corpusStats.collect().head
+    assert(!t.isNullAt(0) && !t.isNullAt(1))
+    assert(t.getLong(0) == 6L)
+    val got = ranked(Tfidf.searchBm25Served(merged, queries,
+      "query_id", "qtext", k = 3))
+    assert(got == ranked(Tfidf.searchBm25Served(full, queries,
+      "query_id", "qtext", k = 3)))
+  }
+
+  test("row-local postings == shuffle-built postings (the streaming shape)") {
+    val rowLocal = Tfidf.postingsRowLocal(corpus, "doc_id", "text")
+    val built = Tfidf.buildBm25Index(corpus, "doc_id", "text").postings
+    def norm(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val got = norm(rowLocal)
+    assert(got.nonEmpty && got == norm(built), got.mkString("\n"))
+    // tf > 1 rows exist, so the within-row count is really counting
+    assert(got.exists(_._3 > 1L))
+  }
+}

@@ -243,6 +243,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming BM25 postings ingest: micro-batch postings == batch postings") {
+    // the sparse index's streaming-append twin (Tfidf.postingsRowLocal
+    // scaladoc): tf is a per-document quantity computed within the row,
+    // so a document firehose appends straight into the postings table —
+    // stateless map-only, no watermark, no state store, per-row identity
+    // with the batch build's shuffle-aggregated postings
+    import graft.operators.Tfidf
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = Tfidf.postingsRowLocal(input.toDS().toDF("doc_id", "text"),
+        "doc_id", "text")
+      .writeStream.format("memory").queryName("bm25_postings_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val docs = Seq((1L, "red fox red fox dog"), (2L, "lazy dog"),
+        (3L, "dog dog dog"), (4L, "quick brown fox"))
+      val (b1, b2) = docs.splitAt(2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      val got = norm(spark.table("bm25_postings_stream"))
+      import spark.implicits._
+      val want = norm(Tfidf.buildBm25Index(
+        docs.toDF("doc_id", "text"), "doc_id", "text").postings)
+      assert(got.nonEmpty && got == want, got.mkString("\n"))
+    } finally {
+      q.stop()
+      graft.operators.Caches.unpersistScope("tfidf")
+    }
+  }
+
   test("ingestion replaying an epoch keeps the same set and appends no duplicate signatures") {
     import graft.operators.Dedup
     val sigT = "ingest_sigs_replay"
