@@ -1901,6 +1901,25 @@ object SparkEntry {
           col("pos").cast("long").as("pos"), col("col").as("v"))
         .orderBy(col("doc_id"), col("pos"))),
 
+    // Z-ORDER layout clustering (sources.Layout scaladoc, r15): the
+    // Morton interleave that gives every output file a small RECTANGLE
+    // of (event_id, user_id) space, so min/max footer stats prune scans
+    // on EITHER dimension — the storage-side scan-efficiency lever at
+    // 100 TB (single-column sort layouts prune the secondary dimension
+    // not at all; ZCurveSpec measures the difference on real parquet
+    // footers). The z-values themselves are exact BIGINT shift/mask
+    // chains on builtins, mirrored textually by the oracle — bit-for-bit
+    // cross-engine, no transcendentals, no UDF.
+    "q_zorder_cluster" -> ((s, dir) => {
+      import graft.sources.Layout
+      val ev = Tables.events(s, dir)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"))
+      ev.withColumn("zval", Layout.zValueFor(ev, "event_id", "user_id"))
+        .filter(col("event_id") % 97 === 0)
+        .orderBy(col("event_id"))
+    }),
+
     // Per-source quota: at most 10 docs per source, picked by the
     // deterministic md5 order — the "cap any single domain" mixing rule.
     "q_group_cap" -> ((s, dir) =>
@@ -5255,6 +5274,27 @@ object SparkEntry {
            |  FROM bm25_scored)
            |WHERE rn <= 5
            |ORDER BY query_id, rnk""".stripMargin,
+
+      // z-order: the identical normalize-shift + magic-number interleave
+      // chain, bounds from one min/max CTE — every op is exact BIGINT
+      // bit arithmetic both engines define identically
+      "q_zorder_cluster" -> {
+        val z = graft.sources.Layout.duckdbZValueSql(
+          "CAST(event_id AS BIGINT)", "CAST(user_id AS BIGINT)",
+          "alo", "ahi", "blo", "bhi")
+        s"""WITH bounds AS (
+           |  SELECT CAST(min(event_id) AS BIGINT) AS alo,
+           |    CAST(max(event_id) AS BIGINT) AS ahi,
+           |    CAST(min(user_id) AS BIGINT) AS blo,
+           |    CAST(max(user_id) AS BIGINT) AS bhi
+           |  FROM events)
+           |SELECT CAST(event_id AS BIGINT) AS event_id,
+           |  CAST(user_id AS BIGINT) AS user_id,
+           |  CAST($z AS BIGINT) AS zval
+           |FROM events CROSS JOIN bounds
+           |WHERE event_id % 97 = 0
+           |ORDER BY event_id""".stripMargin
+      },
 
       // hashing trick: same md5 bucket + 9th-nibble sign rule; DuckDB
       // aggregates per (doc, bucket) then left-joins a dense (doc, pos)
