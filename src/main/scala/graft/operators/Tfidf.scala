@@ -260,15 +260,27 @@ object Tfidf {
     * but the timed work is ONLY: explode the query strings, join the
     * (tiny) query-term set against the postings table, score, heap-rank.
     * The corpus text is never read. Scale shape: the query side is
-    * queries × terms rows — Catalyst broadcasts it unhinted — so the
-    * postings join is a map-side probe of the index scan; with postings
-    * bucketed/partitioned by term, a query's vocabulary prunes row
-    * groups before any scoring. Output: (query_id, doc, score_c, rank). */
+    * queries × terms rows — Catalyst broadcasts it unhinted — AND the
+    * batch's distinct terms are collected (driver-bounded ephemera, the
+    * codebook-literal discipline) into an `IN` literal on the postings
+    * scan, because a broadcast join by itself prunes NOTHING at the
+    * scan: only a literal predicate reaches parquet as a PushedFilter
+    * and prunes buckets/row groups before a single posting is read
+    * (PlanAuditSpec pins both). The filter is on the join key, so
+    * results are unchanged; batches with a vocabulary above
+    * `maxPushTerms` skip the push (an IN list that big stops being a
+    * cheap footer check) and fall back to the plain probe. Output:
+    * (query_id, doc, score_c, rank). */
   def searchBm25Served(index: Bm25Index, queries: DataFrame, qidCol: String,
                        qtextCol: String, k: Int = 5, k1: Double = 1.2,
-                       b: Double = 0.75): DataFrame = {
+                       b: Double = 0.75, maxPushTerms: Int = 4096): DataFrame = {
     val qterms = queries.select(col(qidCol).as("query_id"),
       explode(array_distinct(Text.tokens(lower(col(qtextCol))))).as("term"))
+    val pushTerms = qterms.select(col("term")).distinct()
+      .limit(maxPushTerms + 1).collect().map(_.getString(0)).toSeq
+    val postings =
+      if (pushTerms.size > maxPushTerms) index.postings
+      else index.postings.filter(col("term").isin(pushTerms: _*))
     val avgdl = index.corpusStats.select(
       (col("sum_dl").cast("double") / col("n_docs").cast("double"))
         .as("avgdl"))
@@ -277,7 +289,7 @@ object Tfidf {
         lit(k1) * (lit(1.0 - b) +
           lit(b) * (col("dl").cast("double") / col("avgdl"))))
     val scored = qterms.join(index.termStats, Seq("term"))
-      .join(index.postings, Seq("term"))
+      .join(postings, Seq("term"))
       .crossJoin(broadcast(avgdl))
       .select(col("query_id"), col("doc"),
         floor(satTf / col("df").cast("double") * lit(1048576.0d))

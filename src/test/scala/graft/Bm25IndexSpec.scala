@@ -87,6 +87,40 @@ class Bm25IndexSpec extends SparkSpec {
       "query_id", "qtext", k = 3)))
   }
 
+  test("bench serve seam: q_bm25_served over prebuilt tables == inline mode") {
+    // the graft.bench.sparseIndex conf flips SparkEntry's q_bm25_served
+    // onto pre-built graft_bm25_* tables — the timed serve path must
+    // return exactly what the inline (Verify/oracle) mode returns
+    val dir = "/root/testdata/sf0.001"
+    Seq("postings", "termstats", "corpusstats", "queries").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_bm25_$t"))
+    try {
+      val inline = SparkEntry.queries("q_bm25_served")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      val docs = graft.sources.Tables.documents(spark, dir)
+      val idx = Tfidf.buildBm25Index(docs, "doc_id", "text")
+      graft.sources.Sinks.bucketedTableOn(idx.postings,
+        "graft_bm25_postings", Seq("term"), 8)
+      idx.termStats.write.format("parquet").saveAsTable("graft_bm25_termstats")
+      idx.corpusStats.write.format("parquet")
+        .saveAsTable("graft_bm25_corpusstats")
+      docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(graft.functions.Text.tokens(
+            lower(col("text"))), 1, 3), " ").as("qtext"))
+        .write.format("parquet").saveAsTable("graft_bm25_queries")
+      spark.conf.set("graft.bench.sparseIndex", "1")
+      val served = SparkEntry.queries("q_bm25_served")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(served.nonEmpty && served == inline)
+    } finally {
+      spark.conf.unset("graft.bench.sparseIndex")
+      Seq("postings", "termstats", "corpusstats", "queries").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_bm25_$t"))
+      graft.operators.Caches.unpersistAll()
+    }
+  }
+
   test("row-local postings == shuffle-built postings (the streaming shape)") {
     val rowLocal = Tfidf.postingsRowLocal(corpus, "doc_id", "text")
     val built = Tfidf.buildBm25Index(corpus, "doc_id", "text").postings

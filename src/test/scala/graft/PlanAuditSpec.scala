@@ -771,6 +771,42 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("sparse serving: the query vocabulary prunes the postings scan (pushed In + bucket pruning)") {
+    import graft.operators.Tfidf
+    val corpus = (1 to 200).map(i =>
+      (i.toLong, s"word$i alpha beta shared${i % 7} tail")).toDF("doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS graft_plan_postings")
+    try {
+      val idx = Tfidf.buildBm25Index(corpus, "doc_id", "text")
+      graft.sources.Sinks.bucketedTableOn(idx.postings,
+        "graft_plan_postings", Seq("term"), 8)
+      val queries = Seq((1L, "alpha shared3")).toDF("query_id", "qtext")
+      val served = Tfidf.searchBm25Served(
+        Tfidf.Bm25Index(spark.table("graft_plan_postings"), idx.termStats,
+          idx.corpusStats),
+        queries, "query_id", "qtext", k = 5)
+      val p = plan(served)
+      // a broadcast join alone prunes nothing at the scan — the batch's
+      // term literals must land in the postings scan as a PushedFilter
+      // AND select a bucket subset, so footers skip before any posting
+      // is read
+      assert("PushedFilters: \\[[^\\]]*In\\(term".r.findFirstIn(p).isDefined, p)
+      val buckets = "SelectedBucketsCount: (\\d+) out of 8".r
+        .findFirstMatchIn(p).map(_.group(1).toInt)
+      assert(buckets.exists(_ < 8), s"buckets=$buckets\n$p")
+      // the probe itself stays a hash join — no sort-merge, no product
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+      // and the filter changed nothing: served == inline on the rows
+      val inline = Tfidf.searchBm25(corpus, "doc_id", "text", queries,
+        "query_id", "qtext", k = 5).collect().map(_.toSeq).toSet
+      assert(served.collect().map(_.toSeq).toSet == inline && inline.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_plan_postings")
+      graft.operators.Caches.unpersistAll()
+    }
+  }
+
   test("semantic dedup pairs via equi-join on the cluster id, never a product join") {
     val emb = (1 to 40).map(i =>
       (i.toLong, Seq.fill(8)((i % 5).toFloat + 1f))).toDF("vec_id", "embedding")
