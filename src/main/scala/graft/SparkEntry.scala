@@ -2129,6 +2129,34 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // Index DELETE without rebuild (Pq.excludeTombstones scaladoc, r15)
+    // — the remaining quarter of the lifecycle after q_ann_index_append:
+    // deleted ids land in a tombstone table; serving anti-joins it above
+    // the codes scan (Catalyst broadcasts the small side unhinted), so a
+    // delete costs one tombstone row at write time and one hash probe
+    // per candidate at query time — never a retrain, re-encode, or
+    // rebuild; compaction later folds the anti-join into the stored
+    // table. Exclusion is per-row, so the whole composition runs under
+    // the ivfpq oracle with one extra WHERE on the scoring stage.
+    "q_ann_index_delete" -> ((s, dir) => {
+      import graft.operators.{Ivf, Pq}
+      val emb = Tables.embeddings(s, dir)
+      val (_, cents) = Ivf.build(emb, "vec_id", "embedding", k = 16,
+        iters = 2)
+      val cb = Pq.build(emb, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+      val codes = Pq.servingCodes(emb, "vec_id", "embedding", cb, cents,
+        m = 8, dim = 64)
+      val tombs = emb.select(col("vec_id")).filter(col("vec_id") % 7 === 0)
+      val queries = emb.select(col("vec_id").as("query_id"),
+          col("embedding").as("qvec"))
+        .filter(col("query_id") % 20 === 0)
+      Pq.ivfPqServe(Pq.excludeTombstones(codes, tombs, "vec_id"), cents,
+          cb, queries, k = 5, m = 8, numCentroids = 16, dim = 64,
+          nProbe = 4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // Two-stage retrieval (Pq.ivfPqTopKRerank scaladoc, r15): IVF-PQ
     // shortlist at k' = 4k, then EXACT cosine over only the shortlist's
     // true vectors (a broadcast id-grain probe of the corpus — the one
@@ -5585,6 +5613,20 @@ object SparkEntry {
       // composition the engine runs
       "q_ann_index_append" ->
         s"""WITH ${ivfPqOracleCtes(20, "", "vid % 10 != 9")}
+           |SELECT query_id, neighbor_id, pq_cosine,
+           |  CAST(rnk AS BIGINT) AS rnk FROM (
+           |  SELECT query_id, neighbor_id, pq_cosine,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY pq_cosine DESC, neighbor_id) AS rnk
+           |  FROM ivfpq_scored)
+           |WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin,
+
+      // index delete: tombstoned rows vanish from the scoring stage —
+      // per-row exclusion makes the anti-joined serve identical to a
+      // scoring WHERE, so the same factored chain carries the check
+      "q_ann_index_delete" ->
+        s"""WITH ${ivfPqOracleCtes(20, " AND f.vid % 7 != 0")}
            |SELECT query_id, neighbor_id, pq_cosine,
            |  CAST(rnk AS BIGINT) AS rnk FROM (
            |  SELECT query_id, neighbor_id, pq_cosine,

@@ -434,6 +434,28 @@ object Pq {
         Ivf.nearestCid(col("vec"), Ivf.centroidLitOf(centroids))
           .as("centroid_id") +: carry.map(col): _*)
 
+  /** Tombstone DELETE from the serving index (r15) — the remaining
+    * quarter of the index lifecycle (build / append / delete / compact):
+    * deletions land as id rows in a tombstone table, and serving
+    * excludes them with ONE left_anti probe above the codes scan. The
+    * tombstone side is NOT hinted — Catalyst broadcasts it unhinted
+    * while it is small (the common case: deletions trickle), and when it
+    * grows past the broadcast threshold the join degrades safely to a
+    * shuffle instead of OOMing the executors — which is also the signal
+    * to COMPACT: materialize this same frame once (one anti-join pass
+    * rewriting the codes table without the deleted rows), after which
+    * serving carries no tombstone join at all. Exclusion is per-row, so
+    * serving the excluded frame is byte-identical to serving a codes
+    * table that never contained those rows (PqSpec pins it, and
+    * `q_ann_index_delete` driver-checks the whole composition under the
+    * ivfpq oracle with one extra WHERE); at 100 TB a delete therefore
+    * costs one tombstone row now and amortizes into the next compaction
+    * pass — never a retrain, re-encode, or index rebuild. */
+  def excludeTombstones(codes: DataFrame, tombstones: DataFrame,
+                        idCol: String): DataFrame =
+    codes.join(tombstones.select(col(idCol).as("vid")).distinct(),
+      Seq("vid"), "left_anti")
+
   /** SERVE against a pre-built index: probe selection (queries ×
     * broadcast centroids), per-query ADC tables restricted to probed
     * cells, lookup scoring over the cell-pruned codes, heap rank. The

@@ -218,6 +218,46 @@ class PqSpec extends SparkSpec {
       emb.select("vec_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("index delete: tombstone-excluded serve == never-indexed serve; compaction drops the join") {
+    // the q_ann_index_delete composition's load-bearing identities:
+    // exclusion is per-row, so (1) serving the anti-joined frame is
+    // byte-identical to serving a codes table that never contained the
+    // deleted rows, and (2) compacting (materializing the anti-join
+    // once) changes the PLAN — no tombstone join left — but never the
+    // rows; deleted ids can never surface
+    import graft.operators.Ivf
+    val (_, cents) = Ivf.build(emb, "vec_id", "embedding", k = 16, iters = 2)
+    val cb = Pq.build(emb, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+    val codes = Pq.servingCodes(emb, "vec_id", "embedding", cb, cents,
+      m = 8, dim = 64)
+    val tombs = emb.select(col("vec_id")).filter(col("vec_id") % 7 === 0)
+    val queries = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("qvec")).filter(col("query_id") % 20 === 0)
+    def serve(c: org.apache.spark.sql.DataFrame) =
+      Pq.ivfPqServe(c, cents, cb, queries, k = 5, m = 8, numCentroids = 16,
+        dim = 64, nProbe = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val excluded = serve(Pq.excludeTombstones(codes, tombs, "vec_id"))
+    val neverIndexed = serve(codes.filter(col("vid") % 7 =!= 0))
+    val got = rows(excluded)
+    assert(got.nonEmpty && got == rows(neverIndexed))
+    // deleted ids never surface
+    assert(excluded.filter(col("neighbor_id") % 7 === 0).isEmpty)
+    // the tombstone probe broadcasts (no corpus-side shuffle for it) …
+    val pDel = excluded.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(pDel).isDefined, pDel)
+    // … and COMPACTION removes it outright: one materialized anti-join
+    // pass, after which the serve plan carries no anti-join at all
+    val dir = java.nio.file.Files.createTempDirectory("pqcompact").toString
+    Pq.excludeTombstones(codes, tombs, "vec_id")
+      .write.mode("overwrite").parquet(dir)
+    val compactServe = serve(spark.read.parquet(dir))
+    val pCompact = compactServe.queryExecution.executedPlan.toString
+    assert(!pCompact.contains("LeftAnti"), pCompact)
+    assert(rows(compactServe) == got)
+  }
+
   test("rerank with an exhaustive shortlist IS brute force; serving config lifts recall") {
     val q = col("query_id") % 20 === 0
     def pairs(df: org.apache.spark.sql.DataFrame) =
