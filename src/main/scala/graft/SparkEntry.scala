@@ -1805,6 +1805,28 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // PHRASE search over the positional inverted index (Tfidf
+    // .phraseSearch scaladoc, r15): exact phrase matching answered by
+    // postings-list intersection — explode the phrase to (offset, term),
+    // probe the positional postings (term literals pushed to the scan),
+    // shift positions back by offset, and a start seen under ALL offsets
+    // is a match. The corpus text is never read at query time. Every
+    // step is exact integer algebra; the oracle mirrors the identical
+    // chain (the %97 first-3-token phrases are each their source doc's
+    // own prefix, so self-retrieval is structural).
+    "q_phrase_search" -> ((s, dir) => {
+      import graft.functions.Text
+      import graft.operators.Tfidf
+      val docs = Tables.documents(s, dir)
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          array_join(slice(Text.tokens(lower(col("text"))), 1, 3), " ")
+            .as("qtext"))
+      Tfidf.phraseSearch(Tfidf.positionalPostings(docs, "doc_id", "text"),
+          queries, "doc_id", "qtext")
+        .orderBy(col("query_id"), col("doc"))
+    }),
+
     // BPE tokenizer TRAINING (BpeTrain scaladoc): learn 16 merges from
     // the corpus — exact integer pair counts, pinned (count DESC, lhs,
     // rhs) tie-break, application via the SHIPPED encoder expression —
@@ -5736,6 +5758,35 @@ object SparkEntry {
            |  FROM fused)
            |WHERE rn <= 5
            |ORDER BY query_id, rnk""".stripMargin,
+
+      // phrase search: the identical positional-intersection algebra —
+      // (offset, term) pairs from a lateral index unnest, postings
+      // positions the same way, start = pos - ofs, a start under all m
+      // distinct offsets is a match; exact integers end to end
+      "q_phrase_search" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+          |  FROM documents),
+          |qt AS (
+          |  SELECT query_id, CAST(len(q) AS BIGINT) AS m, i - 1 AS ofs,
+          |    q[i] AS term
+          |  FROM (SELECT doc_id AS query_id, t[1:3] AS q FROM toks
+          |        WHERE doc_id % 97 = 0),
+          |    unnest(range(1, len(q) + 1)) AS u(i)),
+          |pos AS (
+          |  SELECT t[i] AS term, doc_id AS doc, i - 1 AS p
+          |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+          |starts AS (
+          |  SELECT q.query_id, q.m, p.doc, q.ofs, p.p - q.ofs AS strt
+          |  FROM qt q JOIN pos p USING (term)),
+          |hits AS (
+          |  SELECT query_id, m, doc, strt,
+          |    CAST(count(DISTINCT ofs) AS BIGINT) AS nofs
+          |  FROM starts GROUP BY 1, 2, 3, 4)
+          |SELECT query_id, doc, CAST(count(*) AS BIGINT) AS n_matches
+          |FROM hits WHERE nofs = m
+          |GROUP BY 1, 2
+          |ORDER BY query_id, doc""".stripMargin,
 
       // BPE training replay: 16 rounds of pair-count / argmax /
       // SEP-replace CTEs (BpeTrain.oracleCtes — the chr(1)-join replace

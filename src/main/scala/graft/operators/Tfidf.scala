@@ -234,6 +234,75 @@ object Tfidf {
         col("dl"))
   }
 
+  /** POSITIONAL postings (term, doc, tf, dl, positions) — the full
+    * inverted-index row: where [[postingsRowLocal]] records that a term
+    * occurs, this also records WHERE (0-based token indexes), which is
+    * what phrase queries intersect ([[phraseSearch]]). Still computed
+    * ROW-LOCALLY (the token array is zipped with its own index space
+    * in-row, then filtered per distinct term), so it shares the
+    * streaming-append story: a stateless map over new docs emits exactly
+    * their positional postings, no shuffle, no state. Positions are the
+    * heavy column (Σ positions == dl per doc vs one tf integer) — the
+    * classic inverted-index trade; persist it only when phrase/proximity
+    * queries are actually served. */
+  def positionalPostings(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+      Text.tokens(lower(col(textCol))).as("toks"))
+    val zipped = toks.select(col("doc"),
+      size(col("toks")).cast("long").as("dl"),
+      col("toks"),
+      zip_with(col("toks"), sequence(lit(0), size(col("toks")) - 1),
+        (t, i) => struct(t.as("t"), i.as("i"))).as("ti"))
+    zipped.select(col("doc"), col("dl"), col("ti"),
+        explode(array_distinct(col("toks"))).as("term"))
+      .select(col("term"), col("doc"),
+        transform(filter(col("ti"), p => p.getField("t") === col("term")),
+          p => p.getField("i")).as("positions"),
+        col("dl"))
+      .withColumn("tf", size(col("positions")).cast("long"))
+      .select(col("term"), col("doc"), col("tf"), col("dl"),
+        col("positions"))
+  }
+
+  /** PHRASE search against a positional postings index — the classic
+    * inverted-index intersection: a phrase [t0 … tm-1] matches doc d at
+    * start s iff every ti occurs at position s+i. The algebra: explode
+    * the phrase into (offset, term) pairs, probe the postings on term
+    * (the batch's terms are pushed as an `IN` literal — same scan
+    * pruning as [[searchBm25Served]]), shift each hit's positions back
+    * by its offset, and a start position seen under ALL m offsets is a
+    * match. Every step is exact integer arithmetic, so the whole chain
+    * sits under the driver oracle (`q_phrase_search`). Handles repeated
+    * phrase terms (offsets are distinct even when terms are not) and
+    * any phrase length per query. The corpus text is never read —
+    * phrase queries at 100 TB touch only the probed postings rows.
+    * Output: (query_id, doc, n_matches), one row per matching doc. */
+  def phraseSearch(postings: DataFrame, queries: DataFrame, qidCol: String,
+                   qtextCol: String, maxPushTerms: Int = 4096): DataFrame = {
+    val qt = queries.select(col(qidCol).as("query_id"),
+        Text.tokens(lower(col(qtextCol))).as("qtoks"))
+      .select(col("query_id"), size(col("qtoks")).cast("long").as("m"),
+        posexplode(col("qtoks")))
+      .select(col("query_id"), col("m"), col("pos").as("ofs"),
+        col("col").as("term"))
+    val pushTerms = qt.select(col("term")).distinct()
+      .limit(maxPushTerms + 1).collect().map(_.getString(0)).toSeq
+    val probed =
+      if (pushTerms.size > maxPushTerms) postings
+      else postings.filter(col("term").isin(pushTerms: _*))
+    val starts = qt.join(probed, Seq("term"))
+      .select(col("query_id"), col("m"), col("doc"), col("ofs"),
+        explode(col("positions")).as("p"))
+      .select(col("query_id"), col("m"), col("doc"), col("ofs"),
+        (col("p") - col("ofs")).as("start"))
+    starts.groupBy(col("query_id"), col("m"), col("doc"), col("start"))
+      .agg(count_distinct(col("ofs")).as("nofs"))
+      .filter(col("nofs") === col("m"))
+      .groupBy(col("query_id"), col("doc"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Merge two [[Bm25Index]]es built over DISJOINT document sets into
     * the index a single build over the union would produce — EXACTLY
     * (postings and dl are per-doc; df and the corpus totals are

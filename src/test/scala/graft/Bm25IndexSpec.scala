@@ -121,6 +121,55 @@ class Bm25IndexSpec extends SparkSpec {
     }
   }
 
+  test("positional postings: hand-checked positions; tf == |positions|; Σtf == dl") {
+    val docs = Seq((1L, "red fox red fox red dog")).toDF("doc_id", "text")
+    val got = Tfidf.positionalPostings(docs, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(2),
+        r.getSeq[Int](4).toSeq, r.getLong(3))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("dog", 1L, Seq(5), 6L),
+      ("fox", 2L, Seq(1, 3), 6L),
+      ("red", 3L, Seq(0, 2, 4), 6L)), got.mkString("\n"))
+    assert(got.map(_._2).sum == 6L) // Σtf == dl
+    // dropping positions recovers the plain postings row exactly
+    val plain = Tfidf.postingsRowLocal(docs, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val viaPositional = Tfidf.positionalPostings(docs, "doc_id", "text")
+      .select("term", "doc", "tf", "dl").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(plain == viaPositional)
+  }
+
+  test("phrase search: overlap, repeated terms, cross-doc, absent, single-term") {
+    val docs = Seq(
+      (1L, "the dog dog dog barks"),    // "dog dog" overlaps twice
+      (2L, "a red fox and a red fox"),  // "red fox" twice, non-adjacent
+      (3L, "red dog fox"),              // terms present, phrase absent
+      (4L, "dog")).toDF("doc_id", "text")
+    val postings = Tfidf.positionalPostings(docs, "doc_id", "text")
+    def search(qs: Seq[(Long, String)]) =
+      Tfidf.phraseSearch(postings, qs.toDF("query_id", "qtext"),
+          "query_id", "qtext")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+    // overlapping matches count individually; repeated phrase terms work
+    assert(search(Seq((10L, "dog dog"))) == Seq((10L, 1L, 2L)))
+    // multi-doc retrieval with per-doc counts
+    assert(search(Seq((11L, "red fox"))) == Seq((11L, 2L, 2L)))
+    // order matters: "fox and" matches doc 2, its reversal matches nothing
+    assert(search(Seq((12L, "fox and"))) == Seq((12L, 2L, 1L)))
+    assert(search(Seq((16L, "and fox"))).isEmpty)
+    // all terms present somewhere but never consecutive -> no row
+    assert(search(Seq((13L, "dog barks red"))).isEmpty)
+    // single-term phrase degenerates to term lookup: n_matches == tf
+    assert(search(Seq((14L, "dog"))) ==
+      Seq((14L, 1L, 3L), (14L, 3L, 1L), (14L, 4L, 1L)))
+    // absent vocabulary -> empty, not an error
+    assert(search(Seq((15L, "zzz yyy"))).isEmpty)
+  }
+
   test("row-local postings == shuffle-built postings (the streaming shape)") {
     val rowLocal = Tfidf.postingsRowLocal(corpus, "doc_id", "text")
     val built = Tfidf.buildBm25Index(corpus, "doc_id", "text").postings
