@@ -1827,6 +1827,32 @@ object SparkEntry {
         .orderBy(col("query_id"), col("doc"))
     }),
 
+    // PHRASE-FILTERED ranking (r15) — the query a search stack actually
+    // serves: "docs containing this exact phrase, ranked by relevance".
+    // phraseSearch's (query, doc) matches feed searchBm25Served's
+    // candidate PRE-filter (the sparse twin of ivfPqServe's candPred:
+    // restricting before scoring keeps the true top-k among admitted
+    // docs where post-filtering starves). Phrase = each query's first
+    // TWO tokens (a wider candidate set), ranked by the full 3-token
+    // BM25 — both stages exact, one composed oracle.
+    "q_phrase_ranked" -> ((s, dir) => {
+      import graft.functions.Text
+      import graft.operators.Tfidf
+      val docs = Tables.documents(s, dir)
+      def prefixQ(n: Int) = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          array_join(slice(Text.tokens(lower(col("text"))), 1, n), " ")
+            .as("qtext"))
+      val matches = Tfidf.phraseSearch(
+        Tfidf.positionalPostings(docs, "doc_id", "text"),
+        prefixQ(2), "doc_id", "qtext")
+      Tfidf.searchBm25Served(Tfidf.buildBm25Index(docs, "doc_id", "text"),
+          prefixQ(3), "doc_id", "qtext", k = 5,
+          candidates = Some(matches))
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // BPE tokenizer TRAINING (BpeTrain scaladoc): learn 16 merges from
     // the corpus — exact integer pair counts, pinned (count DESC, lhs,
     // rhs) tie-break, application via the SHIPPED encoder expression —
@@ -5787,6 +5813,42 @@ object SparkEntry {
           |FROM hits WHERE nofs = m
           |GROUP BY 1, 2
           |ORDER BY query_id, doc""".stripMargin,
+
+      // phrase-filtered ranking: the BM25 scored chain gated by the
+      // 2-token phrase chain's (query, doc) matches via EXISTS — the
+      // pre-filter semantics (admitted docs ranked, quota filled)
+      "q_phrase_ranked" ->
+        s"""WITH $bm25SearchScoredCtes,
+           |ptoks AS (
+           |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+           |  FROM documents),
+           |pqt AS (
+           |  SELECT query_id, CAST(len(q) AS BIGINT) AS m, i - 1 AS ofs,
+           |    q[i] AS term
+           |  FROM (SELECT doc_id AS query_id, t[1:2] AS q FROM ptoks
+           |        WHERE doc_id % 97 = 0),
+           |    unnest(range(1, len(q) + 1)) AS u(i)),
+           |ppos AS (
+           |  SELECT t[i] AS term, doc_id AS doc, i - 1 AS p
+           |  FROM ptoks, unnest(range(1, len(t) + 1)) AS u(i)),
+           |pstarts AS (
+           |  SELECT q.query_id, q.m, p.doc, q.ofs, p.p - q.ofs AS strt
+           |  FROM pqt q JOIN ppos p USING (term)),
+           |phr AS (
+           |  SELECT DISTINCT query_id, doc FROM (
+           |    SELECT query_id, m, doc, strt,
+           |      CAST(count(DISTINCT ofs) AS BIGINT) AS nofs
+           |    FROM pstarts GROUP BY 1, 2, 3, 4) WHERE nofs = m)
+           |SELECT query_id, doc, score_c, CAST(rn AS BIGINT) AS rnk FROM (
+           |  SELECT s.query_id, s.doc, s.score_c,
+           |    row_number() OVER (PARTITION BY s.query_id
+           |      ORDER BY s.score_c DESC, s.doc) AS rn
+           |  FROM bm25_scored s
+           |  WHERE EXISTS (SELECT 1 FROM phr
+           |                WHERE phr.query_id = s.query_id
+           |                  AND phr.doc = s.doc))
+           |WHERE rn <= 5
+           |ORDER BY query_id, rnk""".stripMargin,
 
       // BPE training replay: 16 rounds of pair-count / argmax /
       // SEP-replace CTEs (BpeTrain.oracleCtes — the chr(1)-join replace

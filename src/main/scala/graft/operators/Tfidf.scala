@@ -342,7 +342,8 @@ object Tfidf {
     * (query_id, doc, score_c, rank). */
   def searchBm25Served(index: Bm25Index, queries: DataFrame, qidCol: String,
                        qtextCol: String, k: Int = 5, k1: Double = 1.2,
-                       b: Double = 0.75, maxPushTerms: Int = 4096): DataFrame = {
+                       b: Double = 0.75, maxPushTerms: Int = 4096,
+                       candidates: Option[DataFrame] = None): DataFrame = {
     val qterms = queries.select(col(qidCol).as("query_id"),
       explode(array_distinct(Text.tokens(lower(col(qtextCol))))).as("term"))
     val pushTerms = qterms.select(col("term")).distinct()
@@ -357,8 +358,19 @@ object Tfidf {
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) +
           lit(b) * (col("dl").cast("double") / col("avgdl"))))
-    val scored = qterms.join(index.termStats, Seq("term"))
+    val probed = qterms.join(index.termStats, Seq("term"))
       .join(postings, Seq("term"))
+    // candidate PRE-filter (the sparse twin of Pq.ivfPqServe's candPred,
+    // same semantics argument): restricting (query_id, doc) pairs BEFORE
+    // scoring keeps the output the true BM25 top-k among admitted docs —
+    // post-filtering an unfiltered top-k starves as selectivity grows.
+    // The candidate frame is (query_id, doc) pairs — e.g. phraseSearch's
+    // matches for "exact phrase, ranked by relevance" — joined while the
+    // frame is still per-term rows, so the aggregate shrinks too.
+    val admitted = candidates.fold(probed)(c =>
+      probed.join(c.select(col("query_id"), col("doc")).distinct(),
+        Seq("query_id", "doc"), "left_semi"))
+    val scored = admitted
       .crossJoin(broadcast(avgdl))
       .select(col("query_id"), col("doc"),
         floor(satTf / col("df").cast("double") * lit(1048576.0d))

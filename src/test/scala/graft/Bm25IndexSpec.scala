@@ -170,6 +170,37 @@ class Bm25IndexSpec extends SparkSpec {
     assert(search(Seq((15L, "zzz yyy"))).isEmpty)
   }
 
+  test("candidate pre-filter keeps the quota where post-filtering starves") {
+    // six docs all share the query's terms; candidates admit three. The
+    // PRE-filter must return the BM25 top-k AMONG the admitted three;
+    // post-filtering an unfiltered top-2 can keep at most the admitted
+    // subset of 2 already-chosen rows — fewer when selectivity bites
+    val corpus = Seq(
+      (1L, "red fox one"), (2L, "red fox two two"), (3L, "red fox three"),
+      (4L, "red fox four"), (5L, "red fox five"), (6L, "red fox six"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "red fox")).toDF("query_id", "qtext")
+    val idx = Tfidf.buildBm25Index(corpus, "doc_id", "text")
+    val cands = Seq((10L, 2L), (10L, 4L), (10L, 6L)).toDF("query_id", "doc")
+    val pre = Tfidf.searchBm25Served(idx, qs, "query_id", "qtext", k = 2,
+      candidates = Some(cands))
+    val preDocs = pre.collect().map(_.getAs[Long]("doc")).toSet
+    // quota filled from admitted docs only
+    assert(preDocs.size == 2 && preDocs.subsetOf(Set(2L, 4L, 6L)), preDocs)
+    // post-filter starves: the unfiltered top-2 ranks by score then id —
+    // intersecting it with the admitted set keeps fewer than k
+    val unfiltered = Tfidf.searchBm25Served(idx, qs, "query_id", "qtext",
+      k = 2).collect().map(_.getAs[Long]("doc")).toSet
+    assert((unfiltered & Set(2L, 4L, 6L)).size < 2, unfiltered)
+    // and pre-filtered scores equal the unrestricted scores of the same
+    // docs (the filter admits rows, never changes arithmetic)
+    val all = Tfidf.searchBm25Served(idx, qs, "query_id", "qtext", k = 6)
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("score_c"))
+      .toMap
+    pre.collect().foreach(r =>
+      assert(r.getAs[Long]("score_c") == all(r.getAs[Long]("doc"))))
+  }
+
   test("row-local postings == shuffle-built postings (the streaming shape)") {
     val rowLocal = Tfidf.postingsRowLocal(corpus, "doc_id", "text")
     val built = Tfidf.buildBm25Index(corpus, "doc_id", "text").postings
