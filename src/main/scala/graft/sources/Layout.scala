@@ -68,6 +68,25 @@ object Layout {
   def zValue2(a: Column, b: Column): Column =
     spreadBits2(a).bitwiseOR(shiftleft(spreadBits2(b), 1))
 
+  /** Spread the low 21 bits of `x` so source bit i lands at position 3i
+    * (the 3-D magic-number chain; 3 × 21 = 63 bits keeps the sign bit
+    * clear, so BIGINT ordering stays the curve ordering). */
+  def spreadBits3(x: Column): Column = {
+    val s32 = shiftleft(x, 32).bitwiseOR(x).bitwiseAND(lit(0x001F00000000FFFFL))
+    val s16 = shiftleft(s32, 16).bitwiseOR(s32).bitwiseAND(lit(0x001F0000FF0000FFL))
+    val s8 = shiftleft(s16, 8).bitwiseOR(s16).bitwiseAND(lit(0x100F00F00F00F00FL))
+    val s4 = shiftleft(s8, 4).bitwiseOR(s8).bitwiseAND(lit(0x10C30C30C30C30C3L))
+    shiftleft(s4, 2).bitwiseOR(s4).bitwiseAND(lit(0x1249249249249249L))
+  }
+
+  /** 3-D Morton interleave of three already-normalized (< 2^21)
+    * columns — the generalization a (time, tenant, key) or (lang,
+    * source, length-band) layout clusters on. Bits land at positions
+    * 3i / 3i+1 / 3i+2 for a / b / c respectively. */
+  def zValue3(a: Column, b: Column, c: Column): Column =
+    spreadBits3(a).bitwiseOR(shiftleft(spreadBits3(b), 1))
+      .bitwiseOR(shiftleft(spreadBits3(c), 2))
+
   /** The z-value column for `df`'s (aCol, bCol) under their OBSERVED
     * min/max (one cheap driver-bounded aggregate — the codebook-literal
     * discipline; at production scale pass known domain bounds instead

@@ -34,6 +34,28 @@ class ZCurveSpec extends SparkSpec {
     assert(bad.isEmpty, bad.take(5).mkString("\n"))
   }
 
+  private def morton3Ref(a: Long, b: Long, c: Long): Long =
+    (0 until Layout.BitsPerDim).foldLeft(0L) { (acc, i) =>
+      acc | (((a >> i) & 1L) << (3 * i)) | (((b >> i) & 1L) << (3 * i + 1)) |
+        (((c >> i) & 1L) << (3 * i + 2))
+    }
+
+  test("zValue3 == bit-by-bit 3-D Morton reference; sign bit stays clear") {
+    val edge = Seq(0L, 1L, (1L << 20) - 1, (1L << 21) - 1)
+    val rnd = (1L to 300L).map(i => (i * 2654435761L) & ((1L << 21) - 1))
+    val triples = (for (a <- edge; b <- edge; c <- edge) yield (a, b, c)) ++
+      rnd.indices.map(i => (rnd(i), rnd((i + 7) % rnd.size),
+        rnd((i + 13) % rnd.size)))
+    val df = triples.toDF("a", "b", "c")
+      .withColumn("z", Layout.zValue3(col("a"), col("b"), col("c")))
+    val rows = df.collect()
+    val bad = rows.filter(r =>
+      r.getLong(3) != morton3Ref(r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bad.isEmpty, bad.take(5).mkString("\n"))
+    // 3 × 21 = 63 bits: the sign bit never sets, BIGINT order == curve order
+    assert(rows.forall(_.getLong(3) >= 0L))
+  }
+
   test("shiftFor + normalizeShift map any range onto < 2^21 monotonically") {
     val cases = Seq((0L, 0L), (0L, 100L), (-50L, 50L), (0L, (1L << 21) - 1),
       (0L, 1L << 21), (5L, 5L + (1L << 40)), (Long.MinValue / 4, Long.MaxValue / 4))
