@@ -773,6 +773,10 @@ object Bench {
                 lower(col("text"))), 1, 3), " ").as("qtext"))
             .write.mode("overwrite").format("parquet")
             .saveAsTable("graft_bm25_queries")
+          // the positional index for phrase serving, same bucketing
+          graft.sources.Sinks.bucketedTableOn(
+            Tfidf.positionalPostings(docs, "doc_id", "text"),
+            "graft_bm25_positional", Seq("term"), cpus.toInt)
           graft.operators.Caches.unpersistAll()
           spark.conf.set("graft.bench.sparseIndex", "1")
           s""","sparse_index_build_sec":${r2((System.nanoTime() - t0) / 1e9)}"""
@@ -803,6 +807,7 @@ object Bench {
             spark.sql("DROP TABLE IF EXISTS graft_bm25_termstats")
             spark.sql("DROP TABLE IF EXISTS graft_bm25_corpusstats")
             spark.sql("DROP TABLE IF EXISTS graft_bm25_queries")
+            spark.sql("DROP TABLE IF EXISTS graft_bm25_positional")
           }
         }
       // Failed queries are excluded here too: r7's "q_session_stats
@@ -961,7 +966,10 @@ object Bench {
       if (!enabled("SPARK_GRAFT_SPARSE_SERVE") ||
           ((only.isDefined || sf1Only.isDefined) && !sparseServeForced)) ""
       else {
-        val names = Seq("q_bm25_served")
+        // q_phrase_search rides the same pre-built index (its serve
+        // branch probes the positional table), so the phase measures
+        // phrase-intersection serving beside BM25 ranking serving
+        val names = Seq("q_bm25_served", "q_phrase_search")
         val r10 = scalePhase(10, "natural", names, math.min(iters, 2),
           withRecall = false, prebuildSparseIndex = true)
         val r20 = scalePhase(20, "natural", names, math.min(iters, 2),

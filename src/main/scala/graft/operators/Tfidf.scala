@@ -323,6 +323,20 @@ object Tfidf {
     Bm25Index(postings, termStats, corpusStats)
   }
 
+  /** The SAFE append entry: drop batch docs already in the index (one
+    * left_anti against the index's doc ids — at-least-once ingestion
+    * replays a batch without double-counting), build the survivors'
+    * index, merge. This wraps [[mergeBm25Index]]'s disjointness contract
+    * so callers cannot violate it: `append(append(idx, b), b) ==
+    * append(idx, b)` exactly (spec'd), the idempotence property every
+    * at-least-once pipeline needs. */
+  def appendBm25Index(existing: Bm25Index, batch: DataFrame, idCol: String,
+                      textCol: String): Bm25Index = {
+    val known = existing.postings.select(col("doc")).distinct()
+    val fresh = batch.join(known, batch(idCol) === known("doc"), "left_anti")
+    mergeBm25Index(existing, buildBm25Index(fresh, idCol, textCol))
+  }
+
   /** BM25 serving against a pre-built [[Bm25Index]] — bit-identical
     * output to [[searchBm25]] over the same corpus (same exact-integer
     * inputs, same IEEE weight chain, same order-free fixed-point sum),

@@ -71,6 +71,24 @@ class Bm25IndexSpec extends SparkSpec {
     assert(overMerged.nonEmpty && overMerged == overFull)
   }
 
+  test("appendBm25Index is idempotent: a replayed batch never double-counts") {
+    val old = corpus.filter(col("doc_id") <= 4)
+    // the batch OVERLAPS the index (docs 3-4 already indexed) — the
+    // at-least-once shape mergeBm25Index's raw contract forbids
+    val batch = corpus.filter(col("doc_id") >= 3)
+    val once = Tfidf.appendBm25Index(
+      Tfidf.buildBm25Index(old, "doc_id", "text"), batch, "doc_id", "text")
+    val twice = Tfidf.appendBm25Index(once, batch, "doc_id", "text")
+    val full = Tfidf.buildBm25Index(corpus, "doc_id", "text")
+    def stats(i: Tfidf.Bm25Index) = i.corpusStats.collect().head
+    assert(stats(once).getLong(0) == 6L && stats(twice).getLong(0) == 6L)
+    def serveRows(i: Tfidf.Bm25Index) = ranked(
+      Tfidf.searchBm25Served(i, queries, "query_id", "qtext", k = 3))
+    val want = serveRows(full)
+    assert(want.nonEmpty && serveRows(once) == want &&
+      serveRows(twice) == want)
+  }
+
   test("empty-batch merge is the identity (null-safe corpus totals)") {
     val full = Tfidf.buildBm25Index(corpus, "doc_id", "text")
     // an empty build's corpusStats row is (0, NULL) — sum over no rows —
@@ -92,10 +110,13 @@ class Bm25IndexSpec extends SparkSpec {
     // onto pre-built graft_bm25_* tables — the timed serve path must
     // return exactly what the inline (Verify/oracle) mode returns
     val dir = "/root/testdata/sf0.001"
-    Seq("postings", "termstats", "corpusstats", "queries").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS graft_bm25_$t"))
+    val tables = Seq("postings", "termstats", "corpusstats", "queries",
+      "positional")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft_bm25_$t"))
     try {
       val inline = SparkEntry.queries("q_bm25_served")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      val inlinePhrase = SparkEntry.queries("q_phrase_search")(spark, dir)
         .collect().map(_.toSeq).toSeq
       val docs = graft.sources.Tables.documents(spark, dir)
       val idx = Tfidf.buildBm25Index(docs, "doc_id", "text")
@@ -109,14 +130,20 @@ class Bm25IndexSpec extends SparkSpec {
           array_join(slice(graft.functions.Text.tokens(
             lower(col("text"))), 1, 3), " ").as("qtext"))
         .write.format("parquet").saveAsTable("graft_bm25_queries")
+      graft.sources.Sinks.bucketedTableOn(
+        Tfidf.positionalPostings(docs, "doc_id", "text"),
+        "graft_bm25_positional", Seq("term"), 8)
       spark.conf.set("graft.bench.sparseIndex", "1")
       val served = SparkEntry.queries("q_bm25_served")(spark, dir)
         .collect().map(_.toSeq).toSeq
       assert(served.nonEmpty && served == inline)
+      // the phrase query rides the same seam against the positional table
+      val servedPhrase = SparkEntry.queries("q_phrase_search")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(servedPhrase.nonEmpty && servedPhrase == inlinePhrase)
     } finally {
       spark.conf.unset("graft.bench.sparseIndex")
-      Seq("postings", "termstats", "corpusstats", "queries").foreach(t =>
-        spark.sql(s"DROP TABLE IF EXISTS graft_bm25_$t"))
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft_bm25_$t"))
       graft.operators.Caches.unpersistAll()
     }
   }
