@@ -2275,6 +2275,35 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // HYBRID + EXACT RERANK (r15) — the full modern retrieval stack:
+    // sparse BM25 and dense IVF-PQ each rank, RRF fuses the two lists
+    // into a 10-deep shortlist, and Pq.rerankExact (its scaladoc names
+    // exactly this reuse) refines the shortlist by TRUE cosine — one
+    // id-grain broadcast probe of the corpus floats, the same cost shape
+    // as q_ann_ivfpq_rerank. Rank fusion orders by agreement; the exact
+    // rerank restores a true geometric ordering on the survivors. All
+    // three stages deterministic ⇒ one composed oracle.
+    "q_hybrid_rerank" -> ((s, dir) => {
+      import graft.functions.Text
+      val docs = Tables.documents(s, dir)
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          array_join(slice(Text.tokens(lower(col("text"))), 1, 3), " ")
+            .as("qtext"))
+      val sparse = graft.operators.Tfidf.searchBm25(docs, "doc_id", "text",
+          queries, "doc_id", "qtext", k = 5)
+        .withColumnRenamed("doc", "neighbor_id")
+      val emb = Tables.embeddings(s, dir)
+      val dense = graft.operators.Pq.ivfPqTopK(emb, "vec_id", "embedding",
+        col("query_id") % 97 === 0, k = 5, m = 8, numCentroids = 16,
+        dim = 64, coarseK = 16, nProbe = 4)
+      val shortlist = graft.operators.Ranking.rrfFuse(sparse, dense, k = 10)
+      graft.operators.Pq.rerankExact(shortlist, emb, "vec_id", "embedding",
+          col("query_id") % 97 === 0, k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // HYBRID retrieval SERVED end-to-end (r15): the same fusion as
     // q_hybrid_search, but BOTH halves run their serving paths against
     // pre-built indexes — BM25 via buildBm25Index → searchBm25Served,
@@ -5759,6 +5788,54 @@ object SparkEntry {
            |      ORDER BY rrf_score DESC, neighbor_id) AS rn
            |  FROM fused)
            |WHERE rn <= 5
+           |ORDER BY query_id, rnk""".stripMargin,
+
+      // hybrid + exact rerank: the fused chain truncated at 10 as the
+      // shortlist, then the q_ann_ivfpq_rerank refinement verbatim —
+      // true cosine against the corpus at id grain, re-ranked to 5
+      "q_hybrid_rerank" ->
+        s"""WITH $bm25SearchScoredCtes,
+           |${ivfPqOracleCtes(97)},
+           |bm25r AS (
+           |  SELECT query_id, doc AS neighbor_id, rn FROM (
+           |    SELECT query_id, doc,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY score_c DESC, doc) AS rn
+           |    FROM bm25_scored) WHERE rn <= 5),
+           |ivfpqr AS (
+           |  SELECT query_id, neighbor_id, rn FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY pq_cosine DESC, neighbor_id) AS rn
+           |    FROM ivfpq_scored) WHERE rn <= 5),
+           |fused AS (
+           |  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+           |    COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+           |    COALESCE(CAST(1 AS DOUBLE) / CAST(a.rn + 60 AS DOUBLE), CAST(0 AS DOUBLE))
+           |      + COALESCE(CAST(1 AS DOUBLE) / CAST(b.rn + 60 AS DOUBLE), CAST(0 AS DOUBLE))
+           |      AS rrf_score
+           |  FROM bm25r a FULL JOIN ivfpqr b
+           |    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id),
+           |short AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY rrf_score DESC, neighbor_id) AS rn
+           |    FROM fused) WHERE rn <= 10),
+           |rr AS (
+           |  SELECT s.query_id, s.neighbor_id,
+           |    round(list_cosine_similarity(q.vec::DOUBLE[], c.vec::DOUBLE[]), 5)
+           |      AS cosine
+           |  FROM short s
+           |  JOIN corpus q ON q.vid = s.query_id
+           |  JOIN corpus c ON c.vid = s.neighbor_id)
+           |SELECT query_id, neighbor_id, cosine,
+           |  CAST(rnk AS BIGINT) AS rnk FROM (
+           |  SELECT query_id, neighbor_id, cosine,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, neighbor_id) AS rnk
+           |  FROM rr)
+           |WHERE rnk <= 5
            |ORDER BY query_id, rnk""".stripMargin,
 
       // hybrid SERVING: both halves' serve paths are bit-identical to
