@@ -779,7 +779,25 @@ object Bench {
             "graft_bm25_positional", Seq("term"), cpus.toInt)
           graft.operators.Caches.unpersistAll()
           spark.conf.set("graft.bench.sparseIndex", "1")
-          s""","sparse_index_build_sec":${r2((System.nanoTime() - t0) / 1e9)}"""
+          // candidate-volume accounting (the jaccard-stages precedent):
+          // under natural replication every replica of a matching doc is
+          // a TRUE candidate, so serve work grows with replicas BY
+          // CENSUS, not by operator superlinearity — emit the fixed
+          // query set's candidate row count (Σ df over query (q, ofs)
+          // terms = the doc-grain rows the BM25/phrase probes move) and
+          // position hits (Σ tf = the phrase aggregate's input rows) so
+          // time-per-candidate is readable across scale points
+          val qo = spark.table("graft_bm25_queries")
+            .select(col("query_id"), explode(graft.functions.Text.tokens(
+              lower(col("qtext")))).as("term"))
+          val candDocs = qo.join(spark.table("graft_bm25_termstats"),
+            Seq("term")).agg(sum(col("df"))).collect()(0).getLong(0)
+          val candPos = qo.join(
+            spark.table("graft_bm25_postings").groupBy(col("term"))
+              .agg(sum(col("tf")).as("tfsum")), Seq("term"))
+            .agg(sum(col("tfsum"))).collect()(0).getLong(0)
+          s""","sparse_index_build_sec":${r2((System.nanoTime() - t0) / 1e9)},""" +
+            s""""cand_doc_rows":$candDocs,"cand_pos_rows":$candPos"""
         }
       val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       if (fixedJoin) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

