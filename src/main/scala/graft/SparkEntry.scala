@@ -1805,6 +1805,32 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // Sparse-index DELETE with exact statistics maintenance (Tfidf
+    // .deleteBm25Index scaladoc, r15): unlike the ANN side's tombstone
+    // exclusion, a BM25 delete must decrement df and the corpus totals
+    // or survivors keep scoring with stale weights. The deltas come
+    // from the deleted docs' own postings rows — the corpus text is
+    // never re-read — and the result equals a full rebuild over the
+    // remaining corpus EXACTLY, so the oracle IS that rebuild: the
+    // factored search chain over `documents WHERE doc_id % 10 != 3`,
+    // queries still drawn from the full table (external queries
+    // survive a corpus delete).
+    "q_bm25_index_delete" -> ((s, dir) => {
+      import graft.functions.Text
+      import graft.operators.Tfidf
+      val docs = Tables.documents(s, dir)
+      val idx = Tfidf.buildBm25Index(docs, "doc_id", "text")
+      val tombs = docs.select(col("doc_id")).filter(col("doc_id") % 10 === 3)
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          array_join(slice(Text.tokens(lower(col("text"))), 1, 3), " ")
+            .as("qtext"))
+      Tfidf.searchBm25Served(Tfidf.deleteBm25Index(idx, tombs, "doc_id"),
+          queries, "doc_id", "qtext", k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // PHRASE search over the positional inverted index (Tfidf
     // .phraseSearch scaladoc, r15): exact phrase matching answered by
     // postings-list intersection — explode the phrase to (offset, term),
@@ -3269,12 +3295,18 @@ object SparkEntry {
     * %97 first-3-token query set, the q_bm25_topk term-weight chain and
     * the 2^-20 fixed-point cross-term sum — ending in
     * `bm25_scored(query_id, doc, score_c)`. Factored so the standalone
-    * search oracle and the hybrid fusion oracle share one definition. */
-  private def bm25SearchScoredCtes: String =
-    """pairs AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+    * search oracle, the hybrid fusion oracle, and the index-lifecycle
+    * oracles share one definition; `src` parameterizes the CORPUS
+    * relation (the delete oracle scores over the post-delete corpus
+    * while the query set stays drawn from the full table — external
+    * queries survive a corpus delete). */
+  private def bm25SearchScoredCtes: String = bm25SearchScoredCtesOver("documents")
+
+  private def bm25SearchScoredCtesOver(src: String): String =
+    s"""pairs AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+'))
       |    AS term
-      |  FROM documents),
+      |  FROM $src),
       |tf AS (
       |  SELECT doc_id AS doc, term, CAST(count(*) AS BIGINT) AS tf
       |  FROM pairs GROUP BY 1, 2),
@@ -3285,7 +3317,7 @@ object SparkEntry {
       |qt AS (
       |  SELECT doc_id AS query_id,
       |    unnest(list_distinct(
-      |      string_split_regex(trim(lower(text)), '\s+')[1:3])) AS term
+      |      string_split_regex(trim(lower(text)), '\\s+')[1:3])) AS term
       |  FROM documents WHERE doc_id % 97 = 0),
       |bm25_scored AS (
       |  SELECT q.query_id, t.doc,
@@ -5871,6 +5903,22 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY query_id
            |      ORDER BY rrf_score DESC, neighbor_id) AS rn
            |  FROM fused)
+           |WHERE rn <= 5
+           |ORDER BY query_id, rnk""".stripMargin,
+
+      // sparse-index delete == full rebuild over the remaining corpus
+      // (delete maintains df/totals exactly), so the oracle IS the
+      // rebuild: the factored chain over the post-delete corpus with
+      // the query set still drawn from the full table
+      "q_bm25_index_delete" ->
+        s"""WITH remaining AS (
+           |  SELECT * FROM documents WHERE doc_id % 10 != 3),
+           |${bm25SearchScoredCtesOver("remaining")}
+           |SELECT query_id, doc, score_c, CAST(rn AS BIGINT) AS rnk FROM (
+           |  SELECT query_id, doc, score_c,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score_c DESC, doc) AS rn
+           |  FROM bm25_scored)
            |WHERE rn <= 5
            |ORDER BY query_id, rnk""".stripMargin,
 

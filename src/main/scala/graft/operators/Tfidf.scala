@@ -354,6 +354,46 @@ object Tfidf {
     mergeBm25Index(existing, buildBm25Index(fresh, idCol, textCol))
   }
 
+  /** DELETE documents from a [[Bm25Index]] — the remaining quarter of
+    * the sparse lifecycle (build / serve / append / delete), and unlike
+    * the ANN side's tombstone exclusion this must TOUCH THE STATISTICS:
+    * removing a doc changes df for every term it contained and the
+    * corpus totals BM25 normalizes by, so a stats-blind tombstone
+    * anti-join would keep scoring the survivors with stale weights. The
+    * deltas come from the index itself — the deleted docs' own postings
+    * rows give exact per-term df decrements and per-doc lengths — so
+    * deletion never touches the corpus text and
+    * `delete(build(all), tombs) == build(all minus tombs)` EXACTLY,
+    * component by component (all BIGINTs; spec'd, and
+    * `q_bm25_index_delete` driver-checks serving over the deleted index
+    * against the oracle's full rebuild over the remaining corpus).
+    * Idempotent: deleting ids already gone is a no-op (their postings
+    * rows no longer exist, so every delta is zero). Cost: one semi/anti
+    * pass over the postings at tombstone-join grain plus a
+    * vocabulary-sized stats aggregate — never a corpus rebuild. */
+  def deleteBm25Index(index: Bm25Index, tombstones: DataFrame,
+                      idCol: String): Bm25Index = {
+    val tombs = tombstones.select(col(idCol).as("doc")).distinct()
+    val removed = Caches.tracked(
+      index.postings.join(tombs, Seq("doc"), "left_semi"), "tfidf")
+    // the join moves its key first; restore the canonical postings order
+    val kept = index.postings.join(tombs, Seq("doc"), "left_anti")
+      .select(col("term"), col("doc"), col("tf"), col("dl"))
+    val dfDelta = removed.groupBy(col("term"))
+      .agg(count(lit(1)).as("ddf"))
+    val termStats = index.termStats.join(dfDelta, Seq("term"), "left")
+      .select(col("term"),
+        (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    // one (doc, dl) row per removed doc (dl rides every posting row)
+    val removedDocs = removed.groupBy(col("doc")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("dn"), sum(col("dl")).as("dsum"))
+    val corpusStats = index.corpusStats.crossJoin(removedDocs)
+      .select((col("n_docs") - col("dn")).as("n_docs"),
+        (col("sum_dl") - coalesce(col("dsum"), lit(0L))).as("sum_dl"))
+    Bm25Index(kept, termStats, corpusStats)
+  }
+
   /** BM25 serving against a pre-built [[Bm25Index]] — bit-identical
     * output to [[searchBm25]] over the same corpus (same exact-integer
     * inputs, same IEEE weight chain, same order-free fixed-point sum),

@@ -89,6 +89,39 @@ class Bm25IndexSpec extends SparkSpec {
       serveRows(twice) == want)
   }
 
+  test("deleteBm25Index == rebuild over the remaining corpus; idempotent; total delete") {
+    def postings(i: Tfidf.Bm25Index) = i.postings.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    def stats(i: Tfidf.Bm25Index) = i.termStats.collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    def totals(i: Tfidf.Bm25Index) = i.corpusStats.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = Tfidf.buildBm25Index(corpus, "doc_id", "text")
+    val tombs = corpus.filter(col("doc_id") % 2 === 0).select("doc_id")
+    val deleted = Tfidf.deleteBm25Index(full, tombs, "doc_id")
+    val rebuilt = Tfidf.buildBm25Index(
+      corpus.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+    // delete == rebuild EXACTLY: postings, per-term df (terms whose df
+    // hits zero vanish), and the corpus totals BM25 normalizes by
+    assert(postings(deleted) == postings(rebuilt))
+    assert(stats(deleted) == stats(rebuilt))
+    assert(totals(deleted) == totals(rebuilt))
+    // …and so does serving (stale-stats bugs would surface here)
+    val overDeleted = ranked(Tfidf.searchBm25Served(deleted, queries,
+      "query_id", "qtext", k = 3))
+    assert(overDeleted.nonEmpty && overDeleted == ranked(
+      Tfidf.searchBm25Served(rebuilt, queries, "query_id", "qtext", k = 3)))
+    // idempotent: deleting already-gone ids is a no-op (zero deltas)
+    val again = Tfidf.deleteBm25Index(deleted, tombs, "doc_id")
+    assert(postings(again) == postings(deleted) &&
+      stats(again) == stats(deleted) && totals(again) == totals(deleted))
+    // deleting everything leaves a structurally empty index
+    val none = Tfidf.deleteBm25Index(full, corpus.select("doc_id"), "doc_id")
+    assert(postings(none).isEmpty && stats(none).isEmpty &&
+      totals(none) == Seq((0L, 0L)))
+  }
+
   test("empty-batch merge is the identity (null-safe corpus totals)") {
     val full = Tfidf.buildBm25Index(corpus, "doc_id", "text")
     // an empty build's corpusStats row is (0, NULL) — sum over no rows —
