@@ -807,6 +807,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("phrase search: codegen hash aggregates, no distinct expand, no sort-merge") {
+    import graft.operators.Tfidf
+    val corpus = (1 to 100).map(i =>
+      (i.toLong, s"alpha beta w$i gamma alpha")).toDF("doc_id", "text")
+    val queries = Seq((1L, "alpha beta")).toDF("query_id", "qtext")
+    val p = plan(Tfidf.phraseSearch(
+      Tfidf.positionalPostings(corpus, "doc_id", "text"),
+      queries, "query_id", "qtext"))
+    // the match aggregate is the hot stage at serve scale: it must be
+    // the codegen'd primitive HashAggregate — no ObjectHashAggregate
+    // buffers, no Expand (the count_distinct the r15 redesign removed
+    // would plan one) — and the probe joins hash, never sort-merge
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("ObjectHashAggregate") && !p.contains("Expand"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    graft.operators.Caches.unpersistAll()
+  }
+
   test("semantic dedup pairs via equi-join on the cluster id, never a product join") {
     val emb = (1 to 40).map(i =>
       (i.toLong, Seq.fill(8)((i % 5).toFloat + 1f))).toDF("vec_id", "embedding")
