@@ -721,14 +721,10 @@ object Bench {
             iters = 2)
           val cb = Pq.build(emb, "vec_id", "embedding", m = 8, k = 16,
             dim = 64, iters = 2)
-          cents.write.mode("overwrite").format("parquet")
-            .saveAsTable("graft_ann_centroids")
-          cb.write.mode("overwrite").format("parquet")
-            .saveAsTable("graft_ann_codebook")
-          graft.sources.Sinks.bucketedTableOn(
+          Pq.saveServingIndex(
             Pq.servingCodes(emb, "vec_id", "embedding", cb, cents,
               m = 8, dim = 64),
-            "graft_ann_codes", Seq("centroid_id"), cpus.toInt)
+            cents, cb, "graft_ann", cpus.toInt)
           // the FIXED query set, materialized here too (r15, ADVICE):
           // rebuilding it from Tables.embeddings inside the timed window
           // re-scanned a corpus embedding column the "serve-only"
@@ -761,12 +757,7 @@ object Bench {
           val t0 = System.nanoTime()
           val docs = graft.sources.Tables.documents(spark, scaledDir)
           val idx = Tfidf.buildBm25Index(docs, "doc_id", "text")
-          graft.sources.Sinks.bucketedTableOn(idx.postings,
-            "graft_bm25_postings", Seq("term"), cpus.toInt)
-          idx.termStats.write.mode("overwrite").format("parquet")
-            .saveAsTable("graft_bm25_termstats")
-          idx.corpusStats.write.mode("overwrite").format("parquet")
-            .saveAsTable("graft_bm25_corpusstats")
+          Tfidf.saveBm25Index(idx, "graft_bm25", cpus.toInt)
           docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000)
             .select(col("doc_id").as("query_id"),
               array_join(slice(graft.functions.Text.tokens(

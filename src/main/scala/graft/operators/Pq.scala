@@ -434,6 +434,33 @@ object Pq {
         Ivf.nearestCid(col("vec"), Ivf.centroidLitOf(centroids))
           .as("centroid_id") +: carry.map(col): _*)
 
+  /** Persist a full IVF-PQ serving index as catalog tables under
+    * `prefix` — codes bucketed by `centroid_id` (the cell-pruning join
+    * key, so the timed serve plans no Exchange above the index scan;
+    * pass metadata columns through [[servingCodes]]'s `carry` first if
+    * filtered serving needs them in the file layout) plus the centroid
+    * and codebook literal sources. One call instead of the bench
+    * prebuild's three ad-hoc writes; [[loadServingIndex]] is the
+    * inverse, and serving a round-tripped index is bit-identical to
+    * serving the in-memory frames (spec'd). */
+  def saveServingIndex(codes: DataFrame, centroids: DataFrame,
+                       codebook: DataFrame, prefix: String,
+                       buckets: Int): Unit = {
+    graft.sources.Sinks.bucketedTableOn(codes, s"${prefix}_codes",
+      Seq("centroid_id"), buckets)
+    centroids.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${prefix}_centroids")
+    codebook.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${prefix}_codebook")
+  }
+
+  /** Re-open a persisted serving index written by [[saveServingIndex]]:
+    * (codes, centroids, codebook), ready for [[ivfPqServe]]. */
+  def loadServingIndex(spark: org.apache.spark.sql.SparkSession,
+                       prefix: String): (DataFrame, DataFrame, DataFrame) =
+    (spark.table(s"${prefix}_codes"), spark.table(s"${prefix}_centroids"),
+      spark.table(s"${prefix}_codebook"))
+
   /** Tombstone DELETE from the serving index (r15) — the remaining
     * quarter of the index lifecycle (build / append / delete / compact):
     * deletions land as id rows in a tombstone table, and serving

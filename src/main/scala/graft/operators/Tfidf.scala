@@ -354,6 +354,29 @@ object Tfidf {
     mergeBm25Index(existing, buildBm25Index(fresh, idCol, textCol))
   }
 
+  /** Persist a [[Bm25Index]] as three catalog tables under `prefix` —
+    * postings bucketed by `term` (the serving join key: the pushed
+    * term literals then prune buckets at the scan, PlanAuditSpec) and
+    * the two stats tables plain. One call instead of the three ad-hoc
+    * writes the bench prebuild used to carry; [[loadBm25Index]] is the
+    * inverse, and serving over a round-tripped index is bit-identical
+    * to serving the in-memory build (spec'd). */
+  def saveBm25Index(index: Bm25Index, prefix: String, buckets: Int): Unit = {
+    graft.sources.Sinks.bucketedTableOn(index.postings,
+      s"${prefix}_postings", Seq("term"), buckets)
+    index.termStats.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${prefix}_termstats")
+    index.corpusStats.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${prefix}_corpusstats")
+  }
+
+  /** Re-open a persisted [[Bm25Index]] written by [[saveBm25Index]]. */
+  def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
+                    prefix: String): Bm25Index =
+    Bm25Index(spark.table(s"${prefix}_postings"),
+      spark.table(s"${prefix}_termstats"),
+      spark.table(s"${prefix}_corpusstats"))
+
   /** DELETE documents from a [[Bm25Index]] — the remaining quarter of
     * the sparse lifecycle (build / serve / append / delete), and unlike
     * the ANN side's tombstone exclusion this must TOUCH THE STATISTICS:

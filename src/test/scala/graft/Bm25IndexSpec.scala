@@ -261,6 +261,25 @@ class Bm25IndexSpec extends SparkSpec {
       assert(r.getAs[Long]("score_c") == all(r.getAs[Long]("doc"))))
   }
 
+  test("saveBm25Index / loadBm25Index round-trip serves bit-identically") {
+    val pfx = "bm25_rt_test"
+    Seq("postings", "termstats", "corpusstats").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${pfx}_$t"))
+    try {
+      val built = Tfidf.buildBm25Index(corpus, "doc_id", "text")
+      Tfidf.saveBm25Index(built, pfx, buckets = 4)
+      val loaded = Tfidf.loadBm25Index(spark, pfx)
+      val got = ranked(Tfidf.searchBm25Served(loaded, queries,
+        "query_id", "qtext", k = 3))
+      assert(got.nonEmpty && got == ranked(Tfidf.searchBm25Served(built,
+        queries, "query_id", "qtext", k = 3)))
+    } finally {
+      Seq("postings", "termstats", "corpusstats").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${pfx}_$t"))
+      graft.operators.Caches.unpersistAll()
+    }
+  }
+
   test("row-local postings == shuffle-built postings (the streaming shape)") {
     val rowLocal = Tfidf.postingsRowLocal(corpus, "doc_id", "text")
     val built = Tfidf.buildBm25Index(corpus, "doc_id", "text").postings

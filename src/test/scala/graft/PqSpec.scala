@@ -258,6 +258,35 @@ class PqSpec extends SparkSpec {
     assert(rows(compactServe) == got)
   }
 
+  test("saveServingIndex / loadServingIndex round-trip serves bit-identically") {
+    import graft.operators.Ivf
+    val pfx = "ann_rt_test"
+    Seq("codes", "centroids", "codebook").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${pfx}_$t"))
+    try {
+      val (_, cents) = Ivf.build(emb, "vec_id", "embedding", k = 16, iters = 2)
+      val cb = Pq.build(emb, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+      val codes = Pq.servingCodes(emb, "vec_id", "embedding", cb, cents,
+        m = 8, dim = 64)
+      Pq.saveServingIndex(codes, cents, cb, pfx, buckets = 4)
+      val (lc, lcent, lcb) = Pq.loadServingIndex(spark, pfx)
+      val queries = emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qvec")).filter(col("query_id") % 20 === 0)
+      def serve(c: org.apache.spark.sql.DataFrame,
+                ce: org.apache.spark.sql.DataFrame,
+                b: org.apache.spark.sql.DataFrame) =
+        Pq.ivfPqServe(c, ce, b, queries, k = 5, m = 8, numCentroids = 16,
+          dim = 64, nProbe = 4).collect().map(_.toString).sorted.toSeq
+      val got = serve(lc, lcent, lcb)
+      assert(got.nonEmpty && got == serve(codes, cents, cb))
+    } finally {
+      Seq("codes", "centroids", "codebook").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${pfx}_$t"))
+      Caches.unpersistScope("pq")
+      Caches.unpersistScope("ivf")
+    }
+  }
+
   test("rerank with an exhaustive shortlist IS brute force; serving config lifts recall") {
     val q = col("query_id") % 20 === 0
     def pairs(df: org.apache.spark.sql.DataFrame) =
