@@ -690,10 +690,10 @@ object Bench {
         else {
           val t0 = System.nanoTime()
           val (storeD, _) = SparkEntry.incrMinhashCorpus(spark, scaledDir)
-          graft.operators.Dedup.minhashSignatures(storeD, "doc_id", "text",
-              numHashes = 32, shingleN = 5)
-            .write.mode("overwrite").format("parquet")
-            .saveAsTable("graft_incr_sigs")
+          graft.sources.Sinks.replaceTable(
+            graft.operators.Dedup.minhashSignatures(storeD, "doc_id", "text",
+              numHashes = 32, shingleN = 5),
+            "graft_incr_sigs")
           graft.sources.Sinks.bucketedTableOn(
             graft.operators.Dedup.bandedXxhash(
               spark.table("graft_incr_sigs"), 32, 8),
@@ -731,11 +731,11 @@ object Bench {
           // measurement claims is never read (row-group pruning on the
           // id predicate is not guaranteed) — serve now reads a 25-row
           // table built in the same untimed prebuild as the index
-          emb.select(col("vec_id").as("query_id"),
-              col("embedding").as("qvec"))
-            .filter(col("query_id") % 20 === 0 && col("query_id") < 500)
-            .write.mode("overwrite").format("parquet")
-            .saveAsTable("graft_ann_queries")
+          graft.sources.Sinks.replaceTable(
+            emb.select(col("vec_id").as("query_id"),
+                col("embedding").as("qvec"))
+              .filter(col("query_id") % 20 === 0 && col("query_id") < 500),
+            "graft_ann_queries")
           graft.operators.Caches.unpersistAll()
           spark.conf.set("graft.bench.annIndex", "1")
           s""","ann_index_build_sec":${r2((System.nanoTime() - t0) / 1e9)}"""
@@ -758,12 +758,12 @@ object Bench {
           val docs = graft.sources.Tables.documents(spark, scaledDir)
           val idx = Tfidf.buildBm25Index(docs, "doc_id", "text")
           Tfidf.saveBm25Index(idx, "graft_bm25", cpus.toInt)
-          docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000)
-            .select(col("doc_id").as("query_id"),
-              array_join(slice(graft.functions.Text.tokens(
-                lower(col("text"))), 1, 3), " ").as("qtext"))
-            .write.mode("overwrite").format("parquet")
-            .saveAsTable("graft_bm25_queries")
+          graft.sources.Sinks.replaceTable(
+            docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000)
+              .select(col("doc_id").as("query_id"),
+                array_join(slice(graft.functions.Text.tokens(
+                  lower(col("text"))), 1, 3), " ").as("qtext")),
+            "graft_bm25_queries")
           // the positional index for phrase serving, same bucketing
           graft.sources.Sinks.bucketedTableOn(
             Tfidf.positionalPostings(docs, "doc_id", "text"),

@@ -990,8 +990,14 @@ object Dedup {
       // partition count is bounded by the number of micro-batches since
       // the last [[compactSignatureStore]].
       val stamped = sigRows.withColumn("epoch", lit(epochId.getOrElse(-1L)))
-      if (!exists)
+      if (!exists) {
+        // crash-debris guard (Sinks.ensureWritableTable scaladoc): a prior
+        // run killed mid-create can leave the managed location on disk
+        // with no catalog entry, and the fresh create would then die with
+        // LOCATION_ALREADY_EXISTS instead of starting the store over
+        graft.sources.Sinks.ensureWritableTable(spark, sigTable)
         stamped.write.partitionBy("epoch").saveAsTable(sigTable)
+      }
       else epochId match {
         case Some(e) =>
           // The overwrite path is safe ONLY on the layout ingestCore

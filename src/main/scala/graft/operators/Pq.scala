@@ -448,10 +448,8 @@ object Pq {
                        buckets: Int): Unit = {
     graft.sources.Sinks.bucketedTableOn(codes, s"${prefix}_codes",
       Seq("centroid_id"), buckets)
-    centroids.write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${prefix}_centroids")
-    codebook.write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${prefix}_codebook")
+    graft.sources.Sinks.replaceTable(centroids, s"${prefix}_centroids")
+    graft.sources.Sinks.replaceTable(codebook, s"${prefix}_codebook")
   }
 
   /** Re-open a persisted serving index written by [[saveServingIndex]]:

@@ -364,10 +364,9 @@ object Tfidf {
   def saveBm25Index(index: Bm25Index, prefix: String, buckets: Int): Unit = {
     graft.sources.Sinks.bucketedTableOn(index.postings,
       s"${prefix}_postings", Seq("term"), buckets)
-    index.termStats.write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${prefix}_termstats")
-    index.corpusStats.write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${prefix}_corpusstats")
+    graft.sources.Sinks.replaceTable(index.termStats, s"${prefix}_termstats")
+    graft.sources.Sinks.replaceTable(index.corpusStats,
+      s"${prefix}_corpusstats")
   }
 
   /** Re-open a persisted [[Bm25Index]] written by [[saveBm25Index]]. */

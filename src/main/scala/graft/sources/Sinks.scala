@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Output side of the engine. The reference's only sinks are its SQLite
@@ -10,6 +10,37 @@ import org.apache.spark.sql.functions._
   * write is where downstream read performance is decided.
   */
 object Sinks {
+
+  /** Make a managed table name safely (re)creatable even after a CRASH:
+    * `saveAsTable` with `mode("overwrite")` replaces a table the CATALOG
+    * knows about, but a run killed mid-write (SIGKILL during a bench, a
+    * lost executor during CI) can leave the managed LOCATION on disk with
+    * no catalog entry — and the next create then fails with
+    * LOCATION_ALREADY_EXISTS, poisoning every later run in the same
+    * warehouse (the r15 postmortem: one killed bench run broke the whole
+    * test suite). This drops any catalog entry AND deletes the orphaned
+    * managed directory, so every table-creating write in the engine is
+    * idempotent against its own crashes. Only the CURRENT database's
+    * managed location is touched — external/path-based tables are the
+    * caller's layout, not ours. */
+  def ensureWritableTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val dbLoc = spark.catalog.getDatabase(spark.catalog.currentDatabase)
+      .locationUri
+    val loc = new org.apache.hadoop.fs.Path(dbLoc,
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Replace a managed parquet table, crash-debris-proof: the overwrite
+    * every persistence API in the engine routes through (BM25 stats, ANN
+    * centroid/codebook tables, bench prebuilds) so no call site can hit
+    * the orphaned-location failure [[ensureWritableTable]] exists for. */
+  def replaceTable(df: DataFrame, table: String): Unit = {
+    ensureWritableTable(df.sparkSession, table)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
 
   /** Hive-style partitioned parquet, laid out for downstream pruning:
     *
@@ -95,6 +126,7 @@ object Sinks {
   def bucketedTableOn(df: DataFrame, table: String, bucketCols: Seq[String],
                       numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    ensureWritableTable(df.sparkSession, table) // crash-debris-proof (above)
     val w = df.repartition(numBuckets, bucketCols.map(col): _*)
       .write.mode("overwrite")
     val b = w.bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)

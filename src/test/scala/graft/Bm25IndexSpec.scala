@@ -155,14 +155,15 @@ class Bm25IndexSpec extends SparkSpec {
       val idx = Tfidf.buildBm25Index(docs, "doc_id", "text")
       graft.sources.Sinks.bucketedTableOn(idx.postings,
         "graft_bm25_postings", Seq("term"), 8)
-      idx.termStats.write.format("parquet").saveAsTable("graft_bm25_termstats")
-      idx.corpusStats.write.format("parquet")
-        .saveAsTable("graft_bm25_corpusstats")
-      docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000)
-        .select(col("doc_id").as("query_id"),
-          array_join(slice(graft.functions.Text.tokens(
-            lower(col("text"))), 1, 3), " ").as("qtext"))
-        .write.format("parquet").saveAsTable("graft_bm25_queries")
+      graft.sources.Sinks.replaceTable(idx.termStats, "graft_bm25_termstats")
+      graft.sources.Sinks.replaceTable(idx.corpusStats,
+        "graft_bm25_corpusstats")
+      graft.sources.Sinks.replaceTable(
+        docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(graft.functions.Text.tokens(
+              lower(col("text"))), 1, 3), " ").as("qtext")),
+        "graft_bm25_queries")
       graft.sources.Sinks.bucketedTableOn(
         Tfidf.positionalPostings(docs, "doc_id", "text"),
         "graft_bm25_positional", Seq("term"), 8)

@@ -33,6 +33,46 @@ class SinksSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("lang"), plan)
   }
 
+  test("crash debris: orphaned managed locations never poison the next write") {
+    // the r15 failure mode: a SIGKILLed bench left
+    // spark-warehouse/graft_bm25_postings on disk with NO catalog entry,
+    // and every later saveAsTable died with LOCATION_ALREADY_EXISTS.
+    // Plant exactly that debris for every table the save paths create,
+    // then prove both persistence APIs write through it.
+    val dbLoc = spark.catalog.getDatabase(spark.catalog.currentDatabase)
+      .locationUri
+    def plant(table: String): java.nio.file.Path = {
+      spark.sql(s"DROP TABLE IF EXISTS $table") // catalog must NOT know it
+      val dir = java.nio.file.Paths.get(
+        new java.net.URI(dbLoc).getPath, table.toLowerCase)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("stale.parquet"), "debris")
+      dir
+    }
+    val tables = Seq("graft_bm25_postings", "graft_bm25_termstats",
+      "graft_bm25_corpusstats")
+    tables.foreach(plant)
+    try {
+      val corpus = Seq((1L, "red fox"), (2L, "lazy dog red"))
+        .toDF("doc_id", "text")
+      val idx = graft.operators.Tfidf.buildBm25Index(corpus, "doc_id", "text")
+      graft.operators.Tfidf.saveBm25Index(idx, "graft_bm25", buckets = 2)
+      // the round-trip reads real data, not the planted junk
+      val back = graft.operators.Tfidf.loadBm25Index(spark, "graft_bm25")
+      assert(back.corpusStats.collect().head.getLong(0) == 2L)
+      // and a second overwrite over the NOW-CATALOGED tables still works
+      graft.operators.Tfidf.saveBm25Index(idx, "graft_bm25", buckets = 2)
+      // replaceTable alone survives debris too
+      plant("graft_debris_plain")
+      Sinks.replaceTable(corpus, "graft_debris_plain")
+      assert(spark.table("graft_debris_plain").count() == 2L)
+    } finally {
+      (tables :+ "graft_debris_plain").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.operators.Caches.unpersistAll()
+    }
+  }
+
   test("bucketed tables: same-key same-count join plans with ZERO exchanges") {
     val left = (1 to 100).map(i => (i.toLong, s"text$i")).toDF("doc_id", "text")
     val right = (1 to 100).map(i => (i.toLong, i % 7)).toDF("doc_id", "score")
