@@ -483,7 +483,38 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+    // Default 2 (r16; was 3): min-of-iters already de-noises, the engine
+    // phase is ~150 queries × (warmup + iters) executions, and r15's run
+    // outgrew the driver's wall-clock window entirely (rc=124) — a third
+    // sample is worth less than fitting the window at all.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
+    // WALL-CLOCK BUDGET (r16): the driver kills the bench at a fixed
+    // window (~45 min observed; r15's grown phase list blew past it and
+    // published rc=124/parsed:null — no evidence at all). Optional phases
+    // now check remaining budget before starting and SKIP BY NAME when
+    // it would not fit (each gate carries that phase's measured sf0.1
+    // cost), so a full run always ends with rc=0 and the artifact records
+    // exactly which evidence was traded away. Engine + streaming are
+    // never skipped — they are the round's primary gate — and phases are
+    // COMPUTED in priority order (sf1 → sparse_serve → ann_serve → probe
+    // → sf20 → bpe_train → ingest_stages → funnel_audit), so when budget
+    // runs short it is the lowest-priority evidence that drops first.
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "2250").toDouble
+    val t0Run = System.nanoTime()
+    def budgetLeft: Double = budgetSec - (System.nanoTime() - t0Run) / 1e9
+    val skippedPhases = Seq.newBuilder[String]
+    // returns body() when `needSec` still fits the budget; else records
+    // the skip and returns the empty JSON fragment
+    def phaseGate(name: String, needSec: Double)(body: => String): String =
+      if (budgetLeft >= needSec) body
+      else {
+        System.err.println(
+          f"[bench] budget: skipping $name (need ~${needSec}%.0f s, " +
+            f"${budgetLeft}%.0f s left)")
+        skippedPhases += name
+        ""
+      }
     def mkSession(): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
@@ -520,6 +551,21 @@ object Bench {
     val engine = record(sectionJson(timeQueries(spark, sfDir, engineNames,
       iters, gcBetween = true, warmup = true)))
     val (total, engineSection) = (engine.total, engine.json)
+    // EARLY FLUSH (r16): the engine section is the round's headline — emit
+    // a parseable metric line the moment it exists, BEFORE any scale
+    // phase, so a run killed later still leaves adjudicable evidence in
+    // the stdout tail (BENCH_r15.json was rc=124 with parsed:null: 40+
+    // minutes of clean engine numbers, zero of them published). The final
+    // end-of-run lines below re-emit the complete record and win the tail
+    // when the run survives.
+    val engineHeadline = engine.mins.sortBy(-_._2).take(12)
+      .map { case (n, v) => s""""$n":${r2(v)}""" }.mkString(",")
+    println(s"""{"metric":"engine_total","value":${r2(total)},"unit":"sec",""" +
+      s""""queries":{$engineHeadline},"sf":"$sfDir","n_queries":${engine.nOk},""" +
+      s""""n_failed":${engine.nFailed},"n_failed_other":0,""" +
+      s""""contaminated_n":${engine.nContaminated},"iters":$iters,""" +
+      s""""partial":"engine_phase_only"}""")
+    System.out.flush()
     // Streaming: micro-batch scheduling dominates, one iteration is enough
     // and medians would just re-measure the scheduler (class doc).
     val streamingJson =
@@ -530,73 +576,6 @@ object Bench {
       }
 
     def enabled(envKey: String): Boolean = !sys.env.get(envKey).contains("0")
-
-    // Per-stage wall-time breakdown of the incremental near-dup ingestion
-    // pair (Dedup.ingestStageTimes) — the profiling evidence behind the
-    // md5-vs-xxhash64 family gap: which stage dominates, and whether it is
-    // family-dependent (signature build) or shared topology (store join,
-    // within-batch candidates, component collapse). Runs once, untimed
-    // relative to the engine section. Disable with
-    // SPARK_GRAFT_INGEST_STAGES=0.
-    val ingestStagesJson =
-      if (!enabled("SPARK_GRAFT_INGEST_STAGES") ||
-          only.exists(o => !o.exists(_.startsWith("q_dedup_minhash_incr")))) ""
-      else {
-        def fmt(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
-          .map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
-        val (storeD, batchD) = SparkEntry.incrMinhashCorpus(spark, sfDir)
-        // Two passes per family, report the second: the first pass pays
-        // whole-stage-codegen compilation for the instrument's own plan
-        // shapes (each stage is forced separately, so its generated
-        // classes differ from the engine queries'), which is compile
-        // bias, not stage cost — the same reasoning as the scale phases'
-        // untimed warm-up.
-        def run(portable: Boolean, n: Int) =
-          graft.operators.Dedup.ingestStageTimes(batchD, "doc_id", "text",
-            storeD, numHashes = n, bands = 8, shingleN = 5,
-            minEstJaccard = 0.3, portable = portable)
-        run(portable = false, 32); run(portable = true, 16)
-        val fast = run(portable = false, 32)
-        val md5 = run(portable = true, 16)
-        s""","ingest_stages":{"fast":${fmt(fast)},"portable":${fmt(md5)}}"""
-      }
-
-    // Funnel→audit sharing instrument (r11): both operators build through
-    // ONE curationFrames core — tracked frames substitute through the
-    // CacheManager and the components result memoizes under the
-    // canonicalized pair-plan key — so a caller running funnel THEN audit
-    // pays the pipeline once. Measure exactly that claim: funnel cold,
-    // audit WITHOUT releasing the shared caches (should cost a small
-    // fraction of cold), audit cold for reference. The engine section's
-    // per-query numbers are unaffected (it releases everything between
-    // queries — this instrument runs outside it, untimed relative to the
-    // section). Disable with SPARK_GRAFT_FUNNEL_AUDIT=0.
-    val funnelAuditJson =
-      if (!enabled("SPARK_GRAFT_FUNNEL_AUDIT") ||
-          only.exists(o => !o.contains("q_corpus_drop_audit"))) ""
-      else {
-        def run(name: String): Double = {
-          val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        def release(): Unit = {
-          spark.catalog.clearCache()
-          graft.operators.Caches.unpersistAll()
-          System.gc()
-        }
-        // untimed warm pass: codegen/JIT of both plans is compile bias
-        run("q_corpus_funnel_neardup"); run("q_corpus_drop_audit"); release()
-        val funnelSec = run("q_corpus_funnel_neardup")
-        val auditSharedSec = run("q_corpus_drop_audit") // caches NOT released
-        release()
-        val auditColdSec = run("q_corpus_drop_audit")
-        release()
-        s""","funnel_then_audit":{"funnel_sec":${r2(funnelSec)},""" +
-          s""""audit_shared_sec":${r2(auditSharedSec)},""" +
-          s""""audit_cold_sec":${r2(auditColdSec)}}"""
-      }
 
     // cache key includes the source SF so an sf0.01 iteration run can't
     // poison the driver's sf0.1 bench with a stale small copy
@@ -770,6 +749,10 @@ object Bench {
             "graft_bm25_positional", Seq("term"), cpus.toInt)
           graft.operators.Caches.unpersistAll()
           spark.conf.set("graft.bench.sparseIndex", "1")
+          // index construction ends HERE — capture it before the census
+          // jobs below, which are accounting, not building (r15 ADVICE:
+          // the old interpolation charged them to the build)
+          val buildSecSparse = r2((System.nanoTime() - t0) / 1e9)
           // candidate-volume accounting (the jaccard-stages precedent):
           // under natural replication every replica of a matching doc is
           // a TRUE candidate, so serve work grows with replicas BY
@@ -787,7 +770,7 @@ object Bench {
             spark.table("graft_bm25_postings").groupBy(col("term"))
               .agg(sum(col("tf")).as("tfsum")), Seq("term"))
             .agg(sum(col("tfsum"))).collect()(0).getLong(0)
-          s""","sparse_index_build_sec":${r2((System.nanoTime() - t0) / 1e9)},""" +
+          s""","sparse_index_build_sec":$buildSecSparse,""" +
             s""""cand_doc_rows":$candDocs,"cand_pos_rows":$candPos"""
         }
       val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -874,11 +857,71 @@ object Bench {
     val sf1Only = sys.env.get("SPARK_GRAFT_SF1_ONLY").map(_.split(',').toSet)
     val sf1Json =
       if (!enabled("SPARK_GRAFT_SF1") || (only.isDefined && sf1Only.isEmpty)) ""
-      else {
+      else phaseGate("sf1", 500) {
         // SPARK_GRAFT_SF1_REPLICAS widens the base scale probe
         val replicas = sys.env.getOrElse("SPARK_GRAFT_SF1_REPLICAS", "10").toInt
         val names = Sf1Queries.filter(n => sf1Only.forall(_.contains(n)))
         s""","sf1":${scalePhase(replicas, "natural", names, iters, withRecall = true)}"""
+      }
+
+    // BM25 serve/build split (r15): the sparse-retrieval twin of
+    // ann_serve — q_bm25_served timed against a PRE-BUILT term-bucketed
+    // postings index over a FIXED ~52-query set at three corpus sizes,
+    // with index construction in the untimed prebuild. The claim under
+    // test: sparse serving cost is the query-side work (explode + probe
+    // + score + rank), flat-band in corpus size, while the build grows
+    // with the corpus — together with ann_serve this measures the FULL
+    // hybrid retrieval serving stack's amortized shape.
+    // SPARK_GRAFT_SPARSE_SERVE=1 forces it on under trimming; "0"
+    // disables.
+    val sparseServeForced = sys.env.get("SPARK_GRAFT_SPARSE_SERVE").contains("1")
+    val sparseServeJson =
+      if (!enabled("SPARK_GRAFT_SPARSE_SERVE") ||
+          ((only.isDefined || sf1Only.isDefined) && !sparseServeForced)) ""
+      else phaseGate("sparse_serve", 400) {
+        // q_phrase_search rides the same pre-built index (its serve
+        // branch probes the positional table), so the phase measures
+        // phrase-intersection serving beside BM25 ranking serving
+        val names = Seq("q_bm25_served", "q_phrase_search")
+        val r10 = scalePhase(10, "natural", names, math.min(iters, 2),
+          withRecall = false, prebuildSparseIndex = true)
+        val r20 = scalePhase(20, "natural", names, math.min(iters, 2),
+          withRecall = false, prebuildSparseIndex = true)
+        val r50 = scalePhase(50, "natural", names, math.min(iters, 2),
+          withRecall = false, prebuildSparseIndex = true)
+        s""","sparse_serve":{"r10":$r10,"r20":$r20,"r50":$r50}"""
+      }
+
+    // IVF-PQ serve/build split (r14): the ×10/×20 q_ann_ivfpq points in
+    // the natural scale phases conflate index CONSTRUCTION (two Lloyd
+    // builds + encode, proportional to corpus) with SERVING (probe + ADC
+    // + rank, the amortized per-query cost the 100 TB claim is actually
+    // about). This phase times q_ann_ivfpq against a PRE-BUILT index
+    // (scalePhase's prebuildAnnIndex seam, mirroring the ingestion
+    // store's) over a FIXED 25-query set at two corpus sizes — the
+    // r10→r20 serve ratio isolates how query cost scales with the
+    // indexed corpus when nothing rebuilds. SPARK_GRAFT_ANN_SERVE=1
+    // forces it on under trimming (the probe-phase ABBA convention);
+    // "0" disables.
+    val annServeForced = sys.env.get("SPARK_GRAFT_ANN_SERVE").contains("1")
+    val annServeJson =
+      if (!enabled("SPARK_GRAFT_ANN_SERVE") ||
+          ((only.isDefined || sf1Only.isDefined) && !annServeForced)) ""
+      else phaseGate("ann_serve", 400) {
+        // q_ann_filtered rides the same pre-built index (r15): its serve
+        // branch pre-filters the codes scan, so the phase also measures
+        // the predicate-pushed serving cost next to the unfiltered one
+        val names = Seq("q_ann_ivfpq", "q_ann_filtered")
+        val r10 = scalePhase(10, "natural", names, math.min(iters, 2),
+          withRecall = false, prebuildAnnIndex = true)
+        val r20 = scalePhase(20, "natural", names, math.min(iters, 2),
+          withRecall = false, prebuildAnnIndex = true)
+        // the third scale point (r15, VERDICT ask): index build is
+        // untimed, so one more corpus size is cheap — three points turn
+        // "serve cost is flat in corpus size" from a ratio into a line
+        val r50 = scalePhase(50, "natural", names, math.min(iters, 2),
+          withRecall = false, prebuildAnnIndex = true)
+        s""","ann_serve":{"r10":$r10,"r20":$r20,"r50":$r50}"""
       }
 
     // 20× second scaling point (class doc). Full iteration count (r6):
@@ -889,7 +932,8 @@ object Bench {
     // is smaller than the noise band.
     val sf20Json =
       if (!enabled("SPARK_GRAFT_SF20") || only.isDefined || sf1Only.isDefined) ""
-      else s""","sf20":${scalePhase(20, "natural", Sf20Queries, iters, withRecall = false)}"""
+      else phaseGate("sf20", 400)(
+        s""","sf20":${scalePhase(20, "natural", Sf20Queries, iters, withRecall = false)}""")
 
     // Controlled-pair-volume linearity probe (class doc): jaccard under
     // O(replicas) true pair volume, minhash as the known-linear control,
@@ -906,7 +950,7 @@ object Bench {
     val probeJson =
       if (!enabled("SPARK_GRAFT_PROBE") ||
           ((only.isDefined || sf1Only.isDefined) && !probeForced)) ""
-      else {
+      else phaseGate("probe_controlled", 350) {
         // q_dedup_minhash_incr_fast joins the probe (NOT the natural
         // sf1/sf20 phases) for the same census reason jaccard does: under
         // natural replication every replica of a batch doc is a near-dup
@@ -928,66 +972,6 @@ object Bench {
         s""","probe_controlled":{"r10":$r10,"r20":$r20}"""
       }
 
-    // IVF-PQ serve/build split (r14): the ×10/×20 q_ann_ivfpq points in
-    // the natural scale phases conflate index CONSTRUCTION (two Lloyd
-    // builds + encode, proportional to corpus) with SERVING (probe + ADC
-    // + rank, the amortized per-query cost the 100 TB claim is actually
-    // about). This phase times q_ann_ivfpq against a PRE-BUILT index
-    // (scalePhase's prebuildAnnIndex seam, mirroring the ingestion
-    // store's) over a FIXED 25-query set at two corpus sizes — the
-    // r10→r20 serve ratio isolates how query cost scales with the
-    // indexed corpus when nothing rebuilds. SPARK_GRAFT_ANN_SERVE=1
-    // forces it on under trimming (the probe-phase ABBA convention);
-    // "0" disables.
-    val annServeForced = sys.env.get("SPARK_GRAFT_ANN_SERVE").contains("1")
-    val annServeJson =
-      if (!enabled("SPARK_GRAFT_ANN_SERVE") ||
-          ((only.isDefined || sf1Only.isDefined) && !annServeForced)) ""
-      else {
-        // q_ann_filtered rides the same pre-built index (r15): its serve
-        // branch pre-filters the codes scan, so the phase also measures
-        // the predicate-pushed serving cost next to the unfiltered one
-        val names = Seq("q_ann_ivfpq", "q_ann_filtered")
-        val r10 = scalePhase(10, "natural", names, math.min(iters, 2),
-          withRecall = false, prebuildAnnIndex = true)
-        val r20 = scalePhase(20, "natural", names, math.min(iters, 2),
-          withRecall = false, prebuildAnnIndex = true)
-        // the third scale point (r15, VERDICT ask): index build is
-        // untimed, so one more corpus size is cheap — three points turn
-        // "serve cost is flat in corpus size" from a ratio into a line
-        val r50 = scalePhase(50, "natural", names, math.min(iters, 2),
-          withRecall = false, prebuildAnnIndex = true)
-        s""","ann_serve":{"r10":$r10,"r20":$r20,"r50":$r50}"""
-      }
-
-    // BM25 serve/build split (r15): the sparse-retrieval twin of
-    // ann_serve — q_bm25_served timed against a PRE-BUILT term-bucketed
-    // postings index over a FIXED ~52-query set at three corpus sizes,
-    // with index construction in the untimed prebuild. The claim under
-    // test: sparse serving cost is the query-side work (explode + probe
-    // + score + rank), flat-band in corpus size, while the build grows
-    // with the corpus — together with ann_serve this measures the FULL
-    // hybrid retrieval serving stack's amortized shape.
-    // SPARK_GRAFT_SPARSE_SERVE=1 forces it on under trimming; "0"
-    // disables.
-    val sparseServeForced = sys.env.get("SPARK_GRAFT_SPARSE_SERVE").contains("1")
-    val sparseServeJson =
-      if (!enabled("SPARK_GRAFT_SPARSE_SERVE") ||
-          ((only.isDefined || sf1Only.isDefined) && !sparseServeForced)) ""
-      else {
-        // q_phrase_search rides the same pre-built index (its serve
-        // branch probes the positional table), so the phase measures
-        // phrase-intersection serving beside BM25 ranking serving
-        val names = Seq("q_bm25_served", "q_phrase_search")
-        val r10 = scalePhase(10, "natural", names, math.min(iters, 2),
-          withRecall = false, prebuildSparseIndex = true)
-        val r20 = scalePhase(20, "natural", names, math.min(iters, 2),
-          withRecall = false, prebuildSparseIndex = true)
-        val r50 = scalePhase(50, "natural", names, math.min(iters, 2),
-          withRecall = false, prebuildSparseIndex = true)
-        s""","sparse_serve":{"r10":$r10,"r20":$r20,"r50":$r50}"""
-      }
-
     // BPE training at production merge counts (r15, the round-14 weak):
     // time the incremental trainer (BpeTrain.trainFast — one corpus
     // aggregate + per-round deltas over only the affected words) at 64
@@ -1002,7 +986,7 @@ object Bench {
     val bpeTrainJson =
       if (!enabled("SPARK_GRAFT_BPE_TRAIN") ||
           ((only.isDefined || sf1Only.isDefined) && !bpeTrainForced)) ""
-      else {
+      else phaseGate("bpe_train", 120) {
         spark.stop()
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
@@ -1037,6 +1021,73 @@ object Bench {
           s""""merges_learned":{"64":$n64,"256":$n256,"1024":$n1024,"dist64":$dist64}}"""
       }
 
+    // Per-stage wall-time breakdown of the incremental near-dup ingestion
+    // pair (Dedup.ingestStageTimes) — the profiling evidence behind the
+    // md5-vs-xxhash64 family gap: which stage dominates, and whether it is
+    // family-dependent (signature build) or shared topology (store join,
+    // within-batch candidates, component collapse). Runs once, untimed
+    // relative to the engine section. Disable with
+    // SPARK_GRAFT_INGEST_STAGES=0.
+    val ingestStagesJson =
+      if (!enabled("SPARK_GRAFT_INGEST_STAGES") ||
+          only.exists(o => !o.exists(_.startsWith("q_dedup_minhash_incr")))) ""
+      else phaseGate("ingest_stages", 150) {
+        def fmt(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+        val (storeD, batchD) = SparkEntry.incrMinhashCorpus(spark, sfDir)
+        // Two passes per family, report the second: the first pass pays
+        // whole-stage-codegen compilation for the instrument's own plan
+        // shapes (each stage is forced separately, so its generated
+        // classes differ from the engine queries'), which is compile
+        // bias, not stage cost — the same reasoning as the scale phases'
+        // untimed warm-up.
+        def run(portable: Boolean, n: Int) =
+          graft.operators.Dedup.ingestStageTimes(batchD, "doc_id", "text",
+            storeD, numHashes = n, bands = 8, shingleN = 5,
+            minEstJaccard = 0.3, portable = portable)
+        run(portable = false, 32); run(portable = true, 16)
+        val fast = run(portable = false, 32)
+        val md5 = run(portable = true, 16)
+        s""","ingest_stages":{"fast":${fmt(fast)},"portable":${fmt(md5)}}"""
+      }
+
+    // Funnel→audit sharing instrument (r11): both operators build through
+    // ONE curationFrames core — tracked frames substitute through the
+    // CacheManager and the components result memoizes under the
+    // canonicalized pair-plan key — so a caller running funnel THEN audit
+    // pays the pipeline once. Measure exactly that claim: funnel cold,
+    // audit WITHOUT releasing the shared caches (should cost a small
+    // fraction of cold), audit cold for reference. The engine section's
+    // per-query numbers are unaffected (it releases everything between
+    // queries — this instrument runs outside it, untimed relative to the
+    // section). Disable with SPARK_GRAFT_FUNNEL_AUDIT=0.
+    val funnelAuditJson =
+      if (!enabled("SPARK_GRAFT_FUNNEL_AUDIT") ||
+          only.exists(o => !o.contains("q_corpus_drop_audit"))) ""
+      else phaseGate("funnel_then_audit", 120) {
+        def run(name: String): Double = {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        def release(): Unit = {
+          spark.catalog.clearCache()
+          graft.operators.Caches.unpersistAll()
+          System.gc()
+        }
+        // untimed warm pass: codegen/JIT of both plans is compile bias
+        run("q_corpus_funnel_neardup"); run("q_corpus_drop_audit"); release()
+        val funnelSec = run("q_corpus_funnel_neardup")
+        val auditSharedSec = run("q_corpus_drop_audit") // caches NOT released
+        release()
+        val auditColdSec = run("q_corpus_drop_audit")
+        release()
+        s""","funnel_then_audit":{"funnel_sec":${r2(funnelSec)},""" +
+          s""""audit_shared_sec":${r2(auditSharedSec)},""" +
+          s""""audit_cold_sec":${r2(auditColdSec)}}"""
+      }
+
     // Cross-phase inversion report (phaseMins scaladoc): every shared
     // query whose min at the SMALLER natural scale exceeds its min at the
     // LARGER — impossible on clean numbers, so each listed entry marks
@@ -1063,8 +1114,12 @@ object Bench {
 
     val curveJson = lastCurve
       .map(c => s""","recall_curve_sf1":$c""").getOrElse("")
+    val skipped = skippedPhases.result()
+    val budgetJson =
+      s""","budget_sec":${r2(budgetSec)},"elapsed_sec":${r2(budgetSec - budgetLeft)},""" +
+        s""""skipped_phases":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,$engineSection,"sf":"$sfDir"$ingestStagesJson$funnelAuditJson$streamingJson$sf1Json$sf20Json$probeJson$annServeJson$sparseServeJson$bpeTrainJson$scaleInversions$curveJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,$engineSection,"sf":"$sfDir"$ingestStagesJson$funnelAuditJson$streamingJson$sf1Json$sf20Json$probeJson$annServeJson$sparseServeJson$bpeTrainJson$scaleInversions$curveJson$budgetJson}"""
     // Marker-prefixed line FIRST: the driver's artifact parser reads the
     // structured payload from `BENCH_JSON: {...}` without depending on
     // stdout tail ordering (r4/r5 artifacts carried parsed:null because
@@ -1119,6 +1174,7 @@ object Bench {
     println(s"""BENCH_SUMMARY: {"total":${r2(total)},"n_queries":${engine.nOk},""" +
       s""""n_failed":${engine.nFailed},"n_failed_other":$nFailedOther,""" +
       s""""contaminated_n":${engine.nContaminated},""" +
+      s""""skipped_phases_n":${skipped.size},""" +
       s""""inversions_n":$nInversions$recallJson,"sf":"$sfDir"}""")
     // Bare spec-shaped JSON as the final program line (<2 KB): the
     // driver's artifact parser reads a 2 KB stdout tail, and every prior
