@@ -770,8 +770,34 @@ object Bench {
             spark.table("graft_bm25_postings").groupBy(col("term"))
               .agg(sum(col("tf")).as("tfsum")), Seq("term"))
             .agg(sum(col("tfsum"))).collect()(0).getLong(0)
+          // r16 pruning census, both optimizations measured by volume:
+          // cand_phrase_docs = (query, doc) pairs the positions-last
+          // intersection admits (the explode's input grain, vs
+          // cand_pos_rows = every position of every phrase term — the
+          // r15 explode volume); bm25_wand_full/admitted = weight rows
+          // entering the serve aggregate without/with WAND.
+          val phraseCands = Tfidf.phraseCandidates(
+            spark.table("graft_bm25_positional"),
+            spark.table("graft_bm25_queries"), "query_id", "qtext")
+          val candPhrase = phraseCands.count()
+          // position rows actually exploded after the intersection (vs
+          // cand_pos_rows = the r15 explode volume): Σtf over candidate
+          // (query, term, doc) triples
+          val candPosPruned = qo.join(
+              spark.table("graft_bm25_postings")
+                .select(col("term"), col("doc"), col("tf")), Seq("term"))
+            .join(phraseCands, Seq("query_id", "doc"), "left_semi")
+            .agg(coalesce(sum(col("tf")), lit(0L))).collect()(0).getLong(0)
+          val (wandFull, wandAdmitted, wandFlagged) = Tfidf.bm25WandCensus(
+            Tfidf.loadBm25Index(spark, "graft_bm25"),
+            spark.table("graft_bm25_queries"), "query_id", "qtext", k = 5)
+          graft.operators.Caches.unpersistAll()
           s""","sparse_index_build_sec":$buildSecSparse,""" +
-            s""""cand_doc_rows":$candDocs,"cand_pos_rows":$candPos"""
+            s""""cand_doc_rows":$candDocs,"cand_pos_rows":$candPos,""" +
+            s""""cand_phrase_docs":$candPhrase,""" +
+            s""""cand_pos_pruned":$candPosPruned,""" +
+            s""""bm25_wand_full":$wandFull,"bm25_wand_admitted":$wandAdmitted,""" +
+            s""""bm25_wand_pruned_queries":$wandFlagged"""
         }
       val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       if (fixedJoin) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -278,37 +278,36 @@ object Tfidf {
     * phrase terms (offsets are distinct even when terms are not) and
     * any phrase length per query.
     *
-    * Scale shape: the expensive stage is one codegen'd primitive-key
-    * hash aggregate over the exploded (query, doc, start) hits. No
+    * Scale shape (r16, the positions-last rewrite of the r15 `weak`):
+    * FIRST intersect at doc grain — (query, doc) pairs whose doc
+    * contains every distinct phrase term, computed over the LIGHT
+    * (term, doc) projection so the heavy positions column never enters
+    * that scan — THEN explode positions only for intersected candidates
+    * ([[phraseFrames]]). The expensive stage stays one codegen'd
+    * primitive-key hash aggregate over the exploded (query, doc, start)
+    * hits, but its input is now per-candidate, not per-posting. No
     * DISTINCT machinery rides it — a (query, doc, start, ofs) hit row
     * is unique BY CONSTRUCTION (offsets are distinct within a phrase,
     * and a term's positions within a doc are distinct), so a plain
     * count equals the distinct-offset count; the r15 first cut paid a
     * count_distinct expand here for nothing. An ObjectHashAggregate
     * fold form (collect the m shifted position sets per candidate,
-    * array_intersect in-row) was built and MEASURED against this one
-    * at the ×10/×20/×50 serve points: 6.8/11.9/25.8 s vs 3.7/5.9/25.6
-    * — the codegen primitive aggregate wins; candidate volume itself is
-    * the census (under natural replication every replica of a matching
-    * doc is a true match, so hits ∝ replicas — the jaccard census
-    * argument, documented in the sparse_serve phase notes). The corpus
-    * text is never read — phrase queries at 100 TB touch only the
-    * probed postings rows. Output: (query_id, doc, n_matches), one row
-    * per matching doc. */
+    * array_intersect in-row) was built and MEASURED against the plain
+    * aggregate at the ×10/×20/×50 serve points: 6.8/11.9/25.8 s vs
+    * 3.7/5.9/25.6 — the codegen primitive aggregate wins; the census
+    * (`cand_phrase_*` in the sparse_serve phase) reads the
+    * intersection's pruning directly. The corpus text is never read —
+    * phrase queries at 100 TB touch only the probed postings rows.
+    * Output: (query_id, doc, n_matches), one row per matching doc. */
   def phraseSearch(postings: DataFrame, queries: DataFrame, qidCol: String,
                    qtextCol: String, maxPushTerms: Int = 4096): DataFrame = {
-    val qt = queries.select(col(qidCol).as("query_id"),
-        Text.tokens(lower(col(qtextCol))).as("qtoks"))
-      .select(col("query_id"), size(col("qtoks")).cast("long").as("m"),
-        posexplode(col("qtoks")))
-      .select(col("query_id"), col("m"), col("pos").as("ofs"),
-        col("col").as("term"))
-    val pushTerms = qt.select(col("term")).distinct()
-      .limit(maxPushTerms + 1).collect().map(_.getString(0)).toSeq
-    val probed =
-      if (pushTerms.size > maxPushTerms) postings
-      else postings.filter(col("term").isin(pushTerms: _*))
+    val (qt, probed, candDocs) =
+      phraseFrames(postings, queries, qidCol, qtextCol, maxPushTerms)
     val starts = qt.join(probed, Seq("term"))
+      // POSITIONS-LAST (r16): restrict to intersected candidate docs
+      // while positions are still PACKED arrays — the explode below, the
+      // expensive stage, then touches only docs that can possibly match
+      .join(candDocs, Seq("query_id", "doc"), "left_semi")
       .select(col("query_id"), col("m"), col("doc"), col("ofs"),
         explode(col("positions")).as("p"))
       .select(col("query_id"), col("m"), col("doc"), col("ofs"),
@@ -318,6 +317,69 @@ object Tfidf {
       .filter(col("nofs") === col("m"))
       .groupBy(col("query_id"), col("doc"))
       .agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** The shared front half of [[phraseSearch]] / [[phraseSlopSearch]]:
+    * the exploded (query, offset, term) frame, the term-pushed postings
+    * probe, and the DOC-GRAIN CANDIDATE INTERSECTION — (query, doc)
+    * pairs where the doc contains EVERY distinct phrase term. This is
+    * the positions-last rewrite of the r15 `weak`: the candidate pass
+    * reads ONLY (term, doc) — parquet column-prunes the heavy positions
+    * column out of its scan — so the position explode that follows is
+    * paid per true candidate, not per posting of any phrase term
+    * (measured at the ×50 serve point: the r15 form exploded 70.3M
+    * position rows and shuffled 1.22 GB for a 52-query batch; docs
+    * containing all m terms are a small fraction of docs containing any
+    * one). Queries are DISTINCT'd up front (r15 ADVICE: an exact
+    * duplicate query row doubled every plain count and silently dropped
+    * all of that query's matches); distinct ids with DIFFERENT text
+    * remain the caller's contract, mirroring mergeBm25Index's
+    * disjointness note. */
+  private def phraseFrames(postings: DataFrame, queries: DataFrame,
+                           qidCol: String, qtextCol: String,
+                           maxPushTerms: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val qt = queries.select(col(qidCol).as("query_id"),
+        col(qtextCol).as("qtext")).distinct()
+      .select(col("query_id"), Text.tokens(lower(col("qtext"))).as("qtoks"))
+      .select(col("query_id"), size(col("qtoks")).cast("long").as("m"),
+        posexplode(col("qtoks")))
+      .select(col("query_id"), col("m"), col("pos").as("ofs"),
+        col("col").as("term"))
+    val pushTerms = qt.select(col("term")).distinct()
+      .limit(maxPushTerms + 1).collect().map(_.getString(0)).toSeq
+    val probed =
+      if (pushTerms.size > maxPushTerms) postings
+      else postings.filter(col("term").isin(pushTerms: _*))
+    (qt, probed, phraseCandidateDocs(qt, probed))
+  }
+
+  /** Doc-grain AND-intersection of the phrase's distinct terms: one
+    * (query, term, doc) join over the LIGHT (term, doc) projection of
+    * the postings, counted against the query's distinct-term total.
+    * Exposed for the bench's candidate-volume census. */
+  private[graft] def phraseCandidateDocs(qt: DataFrame,
+                                         probed: DataFrame): DataFrame = {
+    val qdist = qt.select(col("query_id"), col("term")).distinct()
+    val mdist = qdist.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("m_distinct"))
+    qdist.join(probed.select(col("term"), col("doc")), Seq("term"))
+      .groupBy(col("query_id"), col("doc"))
+      .agg(count(lit(1)).as("n_terms"))
+      .join(mdist, Seq("query_id"))
+      .filter(col("n_terms") === col("m_distinct"))
+      .select(col("query_id"), col("doc"))
+  }
+
+  /** The (query_id, doc) candidate pairs [[phraseSearch]] explodes
+    * positions for — the bench census instrument (count these against
+    * the raw Σdf candidate volume to read the intersection's pruning). */
+  def phraseCandidates(postings: DataFrame, queries: DataFrame,
+                       qidCol: String, qtextCol: String,
+                       maxPushTerms: Int = 4096): DataFrame = {
+    val (_, _, candDocs) =
+      phraseFrames(postings, queries, qidCol, qtextCol, maxPushTerms)
+    candDocs
   }
 
   /** Merge two [[Bm25Index]]es built over DISJOINT document sets into
@@ -350,7 +412,13 @@ object Tfidf {
   def appendBm25Index(existing: Bm25Index, batch: DataFrame, idCol: String,
                       textCol: String): Bm25Index = {
     val known = existing.postings.select(col("doc")).distinct()
-    val fresh = batch.join(known, batch(idCol) === known("doc"), "left_anti")
+    // dedupe WITHIN the batch too (r15 ADVICE): an at-least-once source
+    // can replay a doc inside one batch just as easily as across batches,
+    // and a doubled doc would double postings, df and the corpus totals.
+    // Rows sharing an id are interchangeable under the id contract (same
+    // doc), so dropDuplicates' arbitrary pick is safe.
+    val fresh = batch.dropDuplicates(Seq(idCol))
+      .join(known, batch(idCol) === known("doc"), "left_anti")
     mergeBm25Index(existing, buildBm25Index(fresh, idCol, textCol))
   }
 
@@ -436,7 +504,82 @@ object Tfidf {
   def searchBm25Served(index: Bm25Index, queries: DataFrame, qidCol: String,
                        qtextCol: String, k: Int = 5, k1: Double = 1.2,
                        b: Double = 0.75, maxPushTerms: Int = 4096,
-                       candidates: Option[DataFrame] = None): DataFrame = {
+                       candidates: Option[DataFrame] = None,
+                       wandPrune: Boolean = true): DataFrame = {
+    val scored = servedWeights(index, queries, qidCol, qtextCol, k, k1, b,
+        maxPushTerms, candidates, wandPrune)
+      .groupBy(col("query_id"), col("doc"))
+      .agg(sum(col("w_c")).as("score_c"))
+    Ranking.topKByScore(scored, "query_id", "doc", "score_c", k)
+  }
+
+  /** The shared serving core: the per-(query, term, doc) fixed-point
+    * weight frame, plus — when WAND pruning applies — the admitted
+    * (query, doc) candidate set the final aggregate is restricted to.
+    *
+    * WAND/MaxScore EARLY TERMINATION (r16, the builder-named residual;
+    * Broder et al. CIKM'03, the MaxScore family): most candidate docs of
+    * a disjunctive top-k query cannot reach the k-th best score, and an
+    * upper bound per query term proves it without scoring them. The
+    * set-oriented form here (document-at-a-time pointer walks don't
+    * exist in a scan-based engine) is a THREE-STEP exact prune over ONE
+    * persisted weight frame — the postings are scanned once, exactly as
+    * before:
+    *
+    *  1. SEED a lower bound θ on the true k-th score: fully score the
+    *     docs of each query's RAREST term (fewest postings — the
+    *     cheapest non-trivial candidate set with the highest-signal
+    *     term) and take the k-th seed score. A k-th best over a SUBSET
+    *     of docs can only understate the true k-th, so θ is a certified
+    *     lower bound.
+    *  2. Per-term upper bounds from the frame itself: ub(q, t) =
+    *     max(w_c) over the term's actual probed postings — an exact
+    *     integer, no float monotonicity hazard, and valid under any
+    *     append/delete (a precomputed termStats-side bound would need
+    *     exact max-maintenance on every index mutation).
+    *  3. ESSENTIAL terms: sort each query's terms by rising ub; the
+    *     longest prefix with cumulative Σub < θ (strict) is
+    *     NON-ESSENTIAL — a doc containing only those terms scores
+    *     ≤ Σub < θ ≤ true k-th, so it cannot enter the top-k even on
+    *     ties. Admitted docs = docs matching at least one essential
+    *     term; the final aggregate and heap rank run over those alone.
+    *
+    * Every quantity is an exact BIGINT (the fixed-point w_c discipline),
+    * every exclusion is strict-inequality-certified, so the pruned
+    * result is IDENTICAL to the unpruned one — `q_bm25_served`'s oracle
+    * is unchanged and `Bm25IndexSpec` asserts pruned == unpruned row-
+    * for-row on corpora engineered to prune. Queries with fewer than k
+    * seed docs get no θ and skip pruning (correct, no gain); an
+    * explicit `candidates` frame (the phrase-ranked path) already
+    * prunes harder and bypasses WAND.
+    *
+    * ADAPTIVE PRE-FLIGHT (the jaccard pair-budget discipline applied to
+    * pruning): WAND only pays when term selectivities are SKEWED — a
+    * rare high-bound term to seed a tight θ and common low-bound terms
+    * to rule non-essential. A query whose terms all carry similar df
+    * (the uniform-vocabulary worst case) gets a θ that certifies almost
+    * nothing while the seed pass re-scores most of the candidate set:
+    * MEASURED on the 31-word synthetic fixture at the ×50 serve point,
+    * forced-on WAND was 20.6 s vs 7.5 s unpruned with only 12% of rows
+    * pruned. So each query is flagged from termStats alone — prune iff
+    * its rarest term's df ≤ `wandSeedFrac` (default 0.1) of its Σdf —
+    * and the machinery runs ONLY over flagged queries' rows (a mixed
+    * batch splits, serves each half its own way, and unions before the
+    * rank; a batch with no flagged query plans the r15 pipeline
+    * verbatim, zero overhead beyond the vocabulary-sized flag
+    * aggregate). The refusal is by name in the bench census
+    * (`bm25_wand_pruned_queries` = 0 on this fixture — uniform df is
+    * the printed reason). Cost shape when engaged: the weight frame
+    * persists once (it was the aggregate's input anyway); seeds add one
+    * rarest-term-sized aggregate; the win is the final (query, doc)
+    * aggregate + rank shrinking from every-candidate to admitted-only
+    * (`bm25_wand_*` census fields). */
+  private def servedWeights(index: Bm25Index, queries: DataFrame,
+                            qidCol: String, qtextCol: String, k: Int,
+                            k1: Double, b: Double, maxPushTerms: Int,
+                            candidates: Option[DataFrame],
+                            wandPrune: Boolean,
+                            wandSeedFrac: Double = 0.1): DataFrame = {
     val qterms = queries.select(col(qidCol).as("query_id"),
       explode(array_distinct(Text.tokens(lower(col(qtextCol))))).as("term"))
     val pushTerms = qterms.select(col("term")).distinct()
@@ -463,13 +606,87 @@ object Tfidf {
     val admitted = candidates.fold(probed)(c =>
       probed.join(c.select(col("query_id"), col("doc")).distinct(),
         Seq("query_id", "doc"), "left_semi"))
-    val scored = admitted
+    val weightedRaw = admitted
       .crossJoin(broadcast(avgdl))
-      .select(col("query_id"), col("doc"),
+      .select(col("query_id"), col("term"), col("df"), col("doc"),
         floor(satTf / col("df").cast("double") * lit(1048576.0d))
           .cast("long").as("w_c"))
+    if (!wandPrune || candidates.isDefined) return weightedRaw
+    // the pre-flight (class doc): flag queries whose df spread says
+    // pruning can pay. One vocabulary-sized aggregate over the TINY
+    // (query, term, df) frame — the postings are not touched.
+    val flagged = qterms.join(index.termStats, Seq("term"))
+      .groupBy(col("query_id"))
+      .agg(min(col("df")).as("mindf"), sum(col("df")).as("sumdf"))
+      .filter(col("mindf").cast("double") <=
+        col("sumdf").cast("double") * lit(wandSeedFrac))
+      .select(col("query_id"))
+    // driver-bounded scalar (the pushTerms collect discipline): an empty
+    // flag set short-circuits to the exact r15 plan, no persist, no join
+    if (flagged.limit(1).count() == 0L) return weightedRaw
+    // persisted: the frame feeds ub, seed scoring, the admitted set
+    // AND the final aggregate — four readers of one postings scan
+    val weighted = Caches.tracked(weightedRaw, "tfidf")
+    val wFlagged = weighted.join(broadcast(flagged), Seq("query_id"),
+      "left_semi")
+    // (1) θ: k-th full score over the rarest term's docs
+    val seedW = Window.partitionBy(col("query_id"))
+      .orderBy(col("df"), col("term"))
+    val seedTerm = wFlagged.select(col("query_id"), col("term"), col("df"))
+      .distinct()
+      .withColumn("rn", row_number().over(seedW)).filter(col("rn") === 1)
+      .select(col("query_id"), col("term"))
+    val seedDocs = wFlagged.join(seedTerm, Seq("query_id", "term"),
+      "left_semi").select(col("query_id"), col("doc"))
+    val thetaW = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_c").desc, col("doc"))
+    val theta = wFlagged.join(seedDocs, Seq("query_id", "doc"), "left_semi")
       .groupBy(col("query_id"), col("doc"))
       .agg(sum(col("w_c")).as("score_c"))
-    Ranking.topKByScore(scored, "query_id", "doc", "score_c", k)
+      .withColumn("rn", row_number().over(thetaW))
+      .filter(col("rn") === k)
+      .select(col("query_id"), col("score_c").as("theta"))
+    // (2)+(3) essential terms under exact per-term max-weight bounds
+    val cumW = Window.partitionBy(col("query_id"))
+      .orderBy(col("ub_c"), col("term"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val essential = wFlagged.groupBy(col("query_id"), col("term"))
+      .agg(max(col("w_c")).as("ub_c"))
+      .withColumn("cum_ub", sum(col("ub_c")).over(cumW))
+      .join(theta, Seq("query_id"), "left")
+      .filter(col("theta").isNull || col("cum_ub") >= col("theta"))
+      .select(col("query_id"), col("term"))
+    val wandDocs = wFlagged.join(essential, Seq("query_id", "term"),
+        "left_semi")
+      .select(col("query_id"), col("doc")).distinct()
+    // unflagged queries' rows pass straight to the aggregate — they never
+    // pay the admitted semi-join's (query, doc) shuffle; flagged queries
+    // keep only rows of docs matching at least one essential term
+    weighted.join(broadcast(flagged), Seq("query_id"), "left_anti")
+      .unionByName(wFlagged.join(wandDocs, Seq("query_id", "doc"),
+        "left_semi"))
+  }
+
+  /** Census instrument for the bench's sparse_serve phase: (candidate
+    * weight rows without pruning, rows entering the final aggregate with
+    * WAND, queries the adaptive pre-flight flagged for pruning) for the
+    * same serve call [[searchBm25Served]] would run. full == pruned with
+    * 0 flagged queries is the pre-flight refusing by name (uniform df). */
+  def bm25WandCensus(index: Bm25Index, queries: DataFrame, qidCol: String,
+                     qtextCol: String, k: Int = 5, k1: Double = 1.2,
+                     b: Double = 0.75): (Long, Long, Long) = {
+    val full = servedWeights(index, queries, qidCol, qtextCol, k, k1, b,
+      4096, None, wandPrune = false).count()
+    val pruned = servedWeights(index, queries, qidCol, qtextCol, k, k1, b,
+      4096, None, wandPrune = true).count()
+    val qterms = queries.select(col(qidCol).as("query_id"),
+      explode(array_distinct(Text.tokens(lower(col(qtextCol))))).as("term"))
+    val nFlagged = qterms.join(index.termStats, Seq("term"))
+      .groupBy(col("query_id"))
+      .agg(min(col("df")).as("mindf"), sum(col("df")).as("sumdf"))
+      .filter(col("mindf").cast("double") <=
+        col("sumdf").cast("double") * lit(0.1))
+      .count()
+    (full, pruned, nFlagged)
   }
 }

@@ -55,8 +55,20 @@ object Layout {
   def normalizeShift(x: Column, lo: Long, shift: Int): Column =
     shiftright(x - lit(lo), shift).bitwiseAND(lit((1L << BitsPerDim) - 1))
 
-  /** The right-shift that brings range [lo, hi] under 2^21. */
+  /** The right-shift that brings range [lo, hi] under 2^21. Bounds must
+    * span LESS than 2^63 (r15 ADVICE): `hi - lo` on a wider domain
+    * overflows Long silently here (yielding shift 0 and mask-wrapped
+    * z-values) while the DuckDB mirror raises on BIGINT overflow —
+    * a cross-engine divergence. Refuse it by name instead. */
   def shiftFor(lo: Long, hi: Long): Int = {
+    if (hi > lo)
+      try Math.subtractExact(hi, lo)
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"zorder bounds [$lo, $hi] span >= 2^63; Long bit arithmetic " +
+            "(and the DuckDB BIGINT mirror) cannot represent the range — " +
+            "pre-scale the column or pass tighter known-domain bounds")
+      }
     val range = math.max(hi - lo, 0L)
     math.max(0, 64 - BitsPerDim - java.lang.Long.numberOfLeadingZeros(range))
   }

@@ -262,6 +262,58 @@ class Bm25IndexSpec extends SparkSpec {
       assert(r.getAs[Long]("score_c") == all(r.getAs[Long]("doc"))))
   }
 
+  test("WAND pruning: identical results, measurably fewer scored rows") {
+    // corpus engineered so MaxScore bites: "common" appears everywhere
+    // (low ub, long postings), "sentinel" in few docs (high ub). For
+    // query "sentinel common" with k=2, θ from the rarest term's seeds
+    // certifies common-only docs can't enter the top-k — they must be
+    // pruned, and the result must not change.
+    val docs = (1L to 60L).map { i =>
+      if (i <= 3) (i, "sentinel common word extra")
+      else (i, "common word filler text " + ("pad " * (i % 5).toInt))
+    }.toDF("doc_id", "text")
+    val qs = Seq((1L, "sentinel common")).toDF("query_id", "qtext")
+    val idx = Tfidf.buildBm25Index(docs, "doc_id", "text")
+    val pruned = ranked(Tfidf.searchBm25Served(idx, qs, "query_id", "qtext",
+      k = 2, wandPrune = true))
+    val unpruned = ranked(Tfidf.searchBm25Served(idx, qs, "query_id", "qtext",
+      k = 2, wandPrune = false))
+    assert(pruned.nonEmpty && pruned == unpruned,
+      s"pruned=$pruned unpruned=$unpruned")
+    val (full, admitted, nFlagged) = Tfidf.bm25WandCensus(idx, qs,
+      "query_id", "qtext", k = 2)
+    // the pre-flight flags the query (sentinel df=3 vs Σdf=63: skewed),
+    // every doc matches "common" (60 rows) + 3 sentinel rows = 63 full,
+    // and admitted must collapse to the sentinel docs' rows only
+    assert(nFlagged == 1L, s"nFlagged=$nFlagged")
+    assert(full == 63L, s"full=$full")
+    assert(admitted < full && admitted <= 6L, s"admitted=$admitted of $full")
+    // a uniform-df batch is REFUSED by the pre-flight: identical rows in,
+    // identical rows out, no seed pass (the measured ×50 pathology)
+    val uniformQ = Seq((3L, "common word")).toDF("query_id", "qtext")
+    val (uf, up, un) = Tfidf.bm25WandCensus(idx, uniformQ,
+      "query_id", "qtext", k = 2)
+    assert(un == 0L && uf == up, s"uniform: full=$uf pruned=$up flagged=$un")
+    // mixed batch: the flagged query prunes, the uniform one passes
+    // through, and BOTH return exactly the unpruned results
+    val mixed = Seq((1L, "sentinel common"), (3L, "common word"))
+      .toDF("query_id", "qtext")
+    val mp = ranked(Tfidf.searchBm25Served(idx, mixed, "query_id", "qtext",
+      k = 2, wandPrune = true))
+    val mu = ranked(Tfidf.searchBm25Served(idx, mixed, "query_id", "qtext",
+      k = 2, wandPrune = false))
+    assert(mp.nonEmpty && mp == mu, s"mixed pruned=$mp unpruned=$mu")
+    // and on a query where θ can't certify anything (fewer than k seed
+    // docs), pruning is a no-op, not a wrong answer
+    val qsNoSeed = Seq((2L, "sentinel")).toDF("query_id", "qtext")
+    val a = ranked(Tfidf.searchBm25Served(idx, qsNoSeed, "query_id", "qtext",
+      k = 5, wandPrune = true))
+    val b2 = ranked(Tfidf.searchBm25Served(idx, qsNoSeed, "query_id", "qtext",
+      k = 5, wandPrune = false))
+    assert(a == b2 && a.size == 3)
+    graft.operators.Caches.unpersistAll()
+  }
+
   test("saveBm25Index / loadBm25Index round-trip serves bit-identically") {
     val pfx = "bm25_rt_test"
     Seq("postings", "termstats", "corpusstats").foreach(t =>
