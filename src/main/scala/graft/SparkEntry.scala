@@ -1869,6 +1869,30 @@ object SparkEntry {
         .orderBy(col("query_id"), col("doc"))
     }),
 
+    // PROXIMITY phrase search (Tfidf.phraseSlopSearch scaladoc, r16):
+    // the same positional index answers "these words NEAR each other" —
+    // offset-shifted positions must fit a window of width `slop` instead
+    // of coinciding exactly. Window existence is certified per anchor
+    // (a shifted hit value with every offset represented in [a, a+1]),
+    // all exact integer algebra, so the whole chain — candidate
+    // intersection, bounded anchor fan-out, coverage count — sits under
+    // one oracle. slop=1 over the 3-token prefixes: every exact match
+    // qualifies plus one-gap/transposed variants, a strict superset the
+    // oracle verifies row-for-row.
+    "q_phrase_slop" -> ((s, dir) => {
+      import graft.functions.Text
+      import graft.operators.Tfidf
+      val docs = Tables.documents(s, dir)
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          array_join(slice(Text.tokens(lower(col("text"))), 1, 3), " ")
+            .as("qtext"))
+      Tfidf.phraseSlopSearch(
+          Tfidf.positionalPostings(docs, "doc_id", "text"),
+          queries, "doc_id", "qtext", slop = 1)
+        .orderBy(col("query_id"), col("doc"))
+    }),
+
     // PHRASE-FILTERED ranking (r15) — the query a search stack actually
     // serves: "docs containing this exact phrase, ranked by relevance".
     // phraseSearch's (query, doc) matches feed searchBm25Served's
@@ -5954,6 +5978,45 @@ object SparkEntry {
           |  FROM starts GROUP BY 1, 2, 3, 4)
           |SELECT query_id, doc, CAST(count(*) AS BIGINT) AS n_matches
           |FROM hits WHERE nofs = m
+          |GROUP BY 1, 2
+          |ORDER BY query_id, doc""".stripMargin,
+
+      // proximity phrase: the same shifted-position algebra with window
+      // membership instead of equality — anchors are shifted hit values,
+      // an anchor covered by every offset within [a, a+slop] certifies a
+      // window, n_windows counts certifying anchors; exact integers end
+      // to end (generate_series mirrors Spark's sequence fan-out)
+      "q_phrase_slop" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+          |  FROM documents),
+          |qt AS (
+          |  SELECT query_id, CAST(len(q) AS BIGINT) AS m, i - 1 AS ofs,
+          |    q[i] AS term
+          |  FROM (SELECT doc_id AS query_id, t[1:3] AS q FROM toks
+          |        WHERE doc_id % 97 = 0),
+          |    unnest(range(1, len(q) + 1)) AS u(i)),
+          |pos AS (
+          |  SELECT t[i] AS term, doc_id AS doc, i - 1 AS p
+          |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+          |hits AS (
+          |  SELECT q.query_id, q.m, p.doc, q.ofs, p.p - q.ofs AS x
+          |  FROM qt q JOIN pos p USING (term)),
+          |anchors AS (
+          |  SELECT DISTINCT query_id, doc, x AS a FROM hits),
+          |cover AS (
+          |  SELECT DISTINCT h.query_id, h.m, h.doc, h.ofs, u.a
+          |  FROM hits h, unnest(generate_series(h.x - 1, h.x)) AS u(a)),
+          |valid AS (
+          |  SELECT c.query_id, c.m, c.doc, c.a,
+          |    CAST(count(*) AS BIGINT) AS nofs
+          |  FROM cover c
+          |  WHERE EXISTS (SELECT 1 FROM anchors n
+          |                WHERE n.query_id = c.query_id
+          |                  AND n.doc = c.doc AND n.a = c.a)
+          |  GROUP BY 1, 2, 3, 4)
+          |SELECT query_id, doc, CAST(count(*) AS BIGINT) AS n_windows
+          |FROM valid WHERE nofs = m
           |GROUP BY 1, 2
           |ORDER BY query_id, doc""".stripMargin,
 

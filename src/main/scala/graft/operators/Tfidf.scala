@@ -319,6 +319,68 @@ object Tfidf {
       .agg(count(lit(1)).as("n_matches"))
   }
 
+  /** PROXIMITY (slop) phrase search — the retrieval feature exact
+    * adjacency can't express: "these words, near each other, roughly in
+    * order". A doc matches with slop `k` iff one position can be chosen
+    * per phrase offset whose OFFSET-SHIFTED values (x = position −
+    * offset, the same shift [[phraseSearch]] intersects) all fit in a
+    * window of width k — i.e. max(x) − min(x) ≤ k over the choice;
+    * k = 0 degenerates to the exact phrase. The window-existence test
+    * runs on ANCHORS: a shifted window [a, a+k] containing one x per
+    * offset exists iff some anchor a FROM THE SHIFTED-HIT SET has every
+    * offset represented in [a, a+k] (take a = min of a valid choice and
+    * the covering points stay in range; conversely any covered anchor
+    * certifies a choice). `n_windows` counts the distinct certifying
+    * anchors per (query, doc) — at k = 0 it equals [[phraseSearch]]'s
+    * n_matches exactly (spec'd).
+    *
+    * Semantics note, deliberate and oracle-mirrored: offsets choose
+    * positions INDEPENDENTLY, so with repeated phrase terms one token
+    * occurrence may serve two offsets whose shifted values both land in
+    * the window (interval arithmetic has no token-consumption notion;
+    * Lucene's sloppy matcher differs here). Everything is exact integer
+    * algebra under the driver oracle (`q_phrase_slop`).
+    *
+    * Scale shape: the same positions-last discipline as
+    * [[phraseSearch]] — doc-grain candidate intersection first, then
+    * positions explode only for candidates — plus one bounded
+    * `sequence(x−k, x)` fan-out (k+1 anchor rows per hit; slop is a
+    * small constant in any real proximity query) into the same
+    * codegen'd primitive-key hash aggregate. The corpus text is never
+    * read. Output: (query_id, doc, n_windows). */
+  def phraseSlopSearch(postings: DataFrame, queries: DataFrame,
+                       qidCol: String, qtextCol: String, slop: Int,
+                       maxPushTerms: Int = 4096): DataFrame = {
+    require(slop >= 0 && slop <= 64,
+      s"slop must be in [0, 64], got $slop — a wider window stops being " +
+        "a proximity query and the (slop+1)-way anchor fan-out stops " +
+        "being a constant")
+    val (qt, probed, candDocs) =
+      phraseFrames(postings, queries, qidCol, qtextCol, maxPushTerms)
+    val hits = qt.join(probed, Seq("term"))
+      .join(candDocs, Seq("query_id", "doc"), "left_semi")
+      .select(col("query_id"), col("m"), col("doc"), col("ofs"),
+        explode(col("positions")).as("p"))
+      .select(col("query_id"), col("m"), col("doc"), col("ofs"),
+        (col("p") - col("ofs")).as("x"))
+    val anchors = hits.select(col("query_id"), col("doc"), col("x").as("a"))
+      .distinct()
+    // every anchor in [x−k, x] this hit can cover; DISTINCT because two
+    // positions of one offset may cover the same anchor, and the plain
+    // count below must equal the distinct-offset count (the phraseSearch
+    // uniqueness argument restored by construction)
+    val cover = hits.select(col("query_id"), col("m"), col("doc"),
+        col("ofs"),
+        explode(sequence(col("x") - slop, col("x"))).as("a"))
+      .distinct()
+    cover.join(anchors, Seq("query_id", "doc", "a"), "left_semi")
+      .groupBy(col("query_id"), col("m"), col("doc"), col("a"))
+      .agg(count(lit(1)).as("nofs"))
+      .filter(col("nofs") === col("m"))
+      .groupBy(col("query_id"), col("doc"))
+      .agg(count(lit(1)).as("n_windows"))
+  }
+
   /** The shared front half of [[phraseSearch]] / [[phraseSlopSearch]]:
     * the exploded (query, offset, term) frame, the term-pushed postings
     * probe, and the DOC-GRAIN CANDIDATE INTERSECTION — (query, doc)

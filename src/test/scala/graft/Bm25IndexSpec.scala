@@ -231,6 +231,37 @@ class Bm25IndexSpec extends SparkSpec {
     assert(search(Seq((15L, "zzz yyy"))).isEmpty)
   }
 
+  test("slop search: window semantics, k=0 == exact phrase, hand-checked cases") {
+    val docs = Seq(
+      (1L, "red big fox"),       // one insertion between the terms
+      (2L, "red fox"),           // exact adjacency
+      (3L, "fox red"),           // transposed: x values {1-0=1? no: red@1-0, fox@0-1}
+      (4L, "red far away fox"),  // gap of two
+      (5L, "fox alone")).toDF("doc_id", "text")
+    val postings = Tfidf.positionalPostings(docs, "doc_id", "text")
+    def slop(k: Int, qs: Seq[(Long, String)]) =
+      Tfidf.phraseSlopSearch(postings, qs.toDF("query_id", "qtext"),
+          "query_id", "qtext", slop = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+    val q = Seq((10L, "red fox"))
+    // slop 0 == exact phrase, row for row (including counts)
+    val exact = Tfidf.phraseSearch(postings, q.toDF("query_id", "qtext"),
+        "query_id", "qtext")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(slop(0, q) == exact && exact.map(_._2) == Seq(2L))
+    // slop 1 additionally admits one insertion ("red big fox": x = {0, 1})
+    // and the transposition ("fox red": x = {1, -1}? no — red@1→x=1,
+    // fox@0→x=-1, window width 2 > 1, so doc 3 stays out)
+    assert(slop(1, q).map(_._2) == Seq(1L, 2L))
+    // slop 2 admits the transposition and the two-token gap
+    assert(slop(2, q).map(_._2) == Seq(1L, 2L, 3L, 4L))
+    // absent vocabulary -> empty, not an error
+    assert(slop(3, Seq((11L, "zzz yyy"))).isEmpty)
+    graft.operators.Caches.unpersistAll()
+  }
+
   test("candidate pre-filter keeps the quota where post-filtering starves") {
     // six docs all share the query's terms; candidates admit three. The
     // PRE-filter must return the BM25 top-k AMONG the admitted three;
