@@ -472,11 +472,20 @@ object Bench {
     val ivfpqRr16 = recallOf(graft.operators.Pq.ivfPqTopKRerank(emb, "vec_id",
       "embedding", qpred, k, m = 8, numCentroids = 16, dim = 64,
       coarseK = 16, nProbe = 4, shortlistFactor = 16))
+    // OPQ permutation rung (r16): cosine is permutation-invariant so the
+    // brute-force ground truth is shared; the rung reads how much the
+    // energy-balanced allocation moves ADC recall at unchanged bytes —
+    // ~nothing on this isotropic fixture (per-dim variance ratio 1.2,
+    // the Pq.balancedPermutation scaladoc), real lift on skewed-variance
+    // corpora
+    val opq = recallOf(graft.operators.Pq.ivfPqTopKOpq(emb, "vec_id",
+      "embedding", qpred, k, m = 8, numCentroids = 16, dim = 64,
+      coarseK = 16, nProbe = 4))
     bf.unpersist()
     graft.operators.Caches.unpersistAll()
     (Map("q_ann_srp" -> srp, "q_ann_ivf" -> ivf, "q_ann_pq" -> pq,
       "q_ann_ivfpq" -> ivfpq, "q_ann_ivfpq_rerank" -> ivfpqRr,
-      "q_ann_ivfpq_rerank16" -> ivfpqRr16),
+      "q_ann_ivfpq_rerank16" -> ivfpqRr16, "q_ann_opq" -> opq),
       curve.mkString("[", ",", "]"))
   }
 
@@ -1194,7 +1203,8 @@ object Bench {
       .map(m => s""","recall_srp":${m("q_ann_srp")},"recall_ivf":${m("q_ann_ivf")},""" +
         s""""recall_pq":${m("q_ann_pq")},"recall_ivfpq":${m("q_ann_ivfpq")},""" +
         s""""recall_ivfpq_rr":${m("q_ann_ivfpq_rerank")},""" +
-        s""""recall_ivfpq_rr16":${m("q_ann_ivfpq_rerank16")}""")
+        s""""recall_ivfpq_rr16":${m("q_ann_ivfpq_rerank16")},""" +
+        s""""recall_opq":${m("q_ann_opq")}""")
       .getOrElse("")
     val nFailedOther = nFailedTotal - engine.nFailed
     println(s"""BENCH_SUMMARY: {"total":${r2(total)},"n_queries":${engine.nOk},""" +

@@ -2284,6 +2284,21 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))),
 
+    // OPQ-rotated IVF-PQ (Pq.balancedPermutation scaladoc, r16): the
+    // arXiv-standard recall-per-byte upgrade — an orthogonal rotation
+    // ahead of codebook training, here the exact-integer permutation
+    // variant (energy-ranked serpentine dimension allocation). The
+    // oracle replays the ENTIRE composition: per-dimension fixed-point
+    // energies, the rank/serpentine arithmetic, the permuted corpus,
+    // both Lloyd builds and ADC — one more rung earned by the
+    // byte-reproducible-build discipline.
+    "q_ann_opq" -> ((s, dir) =>
+      graft.operators.Pq.ivfPqTopKOpq(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("query_id") % 20 === 0, k = 5, m = 8,
+        numCentroids = 16, dim = 64, coarseK = 16, nProbe = 4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))),
+
     // Reciprocal-rank fusion (Ranking.rrfFuse scaladoc) — hybrid-search
     // ensemble over two oracle-exact rankers of the SAME query set: the
     // exhaustive exact-cosine list (probe-ALL IVF) fused with the
@@ -3195,7 +3210,10 @@ object SparkEntry {
     * against codebooks trained before it existed. Empty (the default)
     * generates byte-identical SQL to the ungeneralized chain. */
   private def ivfPqOracleCtes(qMod: Int, candAnd: String = "",
-                              buildWhere: String = ""): String = {
+                              buildWhere: String = "",
+                              corpusSql: String =
+                                "SELECT vec_id AS vid, embedding AS vec " +
+                                  "FROM embeddings"): String = {
     val bcorpus =
       if (buildWhere.isEmpty) "corpus"
       else s"(SELECT * FROM corpus WHERE $buildWhere)"
@@ -3251,7 +3269,7 @@ object SparkEntry {
          |      ORDER BY pos) AS cvec
          |  FROM $updName GROUP BY j, cid)"""
     s"""corpus AS (
-       |  SELECT vec_id AS vid, embedding AS vec FROM embeddings),
+       |  $corpusSql),
        |ivf_seeds AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vid) AS INTEGER) AS ccid,
        |    vec AS cvec
@@ -5812,6 +5830,41 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY query_id
            |      ORDER BY cosine DESC, neighbor_id) AS rnk
            |  FROM rr)
+           |WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin,
+
+      // OPQ permutation rotation: per-dim fixed-point energies, rank by
+      // (energy DESC, dim), serpentine tier allocation (tier r//8, slot
+      // r%8 → subspace, dst = subspace*8 + tier), then the UNCHANGED
+      // factored IVF-PQ chain over the permuted corpus — exact integer
+      // arithmetic decides the permutation, so the rotation composes
+      // into the oracle like any other build stage
+      "q_ann_opq" ->
+        s"""WITH dim_e AS (
+           |  SELECT i, sum(CAST(floor(CAST(embedding[i] AS DOUBLE)
+           |      * CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT))
+           |    AS e
+           |  FROM embeddings,
+           |    (SELECT unnest(generate_series(1, 64)) AS i) dd
+           |  GROUP BY i),
+           |dim_perm AS (
+           |  SELECT i AS src,
+           |    (CASE WHEN ((r // 8) % 2) = 0 THEN r % 8
+           |          ELSE 7 - (r % 8) END) * 8 + r // 8 AS dst
+           |  FROM (SELECT i, row_number() OVER (ORDER BY e DESC, i) - 1
+           |          AS r
+           |        FROM dim_e)),
+           |perm_list AS (SELECT list(src ORDER BY dst) AS p FROM dim_perm),
+           |${ivfPqOracleCtes(20, corpusSql =
+               "SELECT e.vec_id AS vid, " +
+                 "list_transform((SELECT p FROM perm_list), " +
+                 "q -> e.embedding[q]) AS vec FROM embeddings e")}
+           |SELECT query_id, neighbor_id, pq_cosine,
+           |  CAST(rnk AS BIGINT) AS rnk FROM (
+           |  SELECT query_id, neighbor_id, pq_cosine,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY pq_cosine DESC, neighbor_id) AS rnk
+           |  FROM ivfpq_scored)
            |WHERE rnk <= 5
            |ORDER BY query_id, rnk""".stripMargin,
 

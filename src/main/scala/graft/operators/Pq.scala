@@ -401,6 +401,87 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** OPQ-style ORTHOGONAL PRE-ROTATION, permutation variant (Ge et al.,
+    * "Optimized Product Quantization", CVPR'13 — the initialization its
+    * §4 derives: allocate dimensions to subspaces so per-subspace
+    * variance balances; a permutation matrix IS an orthogonal rotation,
+    * just one with a single 1 per row). Full OPQ alternates SVD-derived
+    * dense rotations with codebook fits — float-unstable across engines
+    * — while the permutation variant is EXACT integer algebra end to
+    * end, so the whole rotated build stays under the driver oracle (the
+    * byte-reproducible-build discipline that earned every other rung
+    * its oracle):
+    *
+    *  - per-dimension energy = Σ floor(x²·2^20) over the corpus, exact
+    *    BIGINTs (the fixed-point centroid-update discipline);
+    *  - dimensions rank by (energy DESC, index ASC);
+    *  - rank r lands in tier b = r/m, slot q = r%m; subspace = q on
+    *    even tiers, m−1−q on odd (SERPENTINE: each subspace receives
+    *    exactly one dimension per energy tier, so subspace energy sums
+    *    balance to first order — the OPQ objective's allocation step);
+    *  - the permutation applies in-row as a literal (`transform` over
+    *    index literals — map-only, no shuffle, like the codebook).
+    *
+    * Cosine is invariant under any permutation of BOTH vectors, so
+    * ground truth (exact brute force) is unchanged; what moves is the
+    * QUANTIZER's fit — balanced subspace energy is worth real recall
+    * when input dimensions carry skewed variance (PCA-projected or
+    * whitened embeddings). On this fixture's isotropic synthetic
+    * embeddings (per-dim variance ratio max/min = 1.20, measured) the
+    * allocation is recall-neutral by construction — the ladder entry
+    * records that honestly; the operator exists for the skewed-variance
+    * corpora real deployments embed.
+    *
+    * Returns perm with perm(dst) = src (0-based): output position dst
+    * holds input dimension src. */
+  def balancedPermutation(emb: DataFrame, idCol: String, vecCol: String,
+                          m: Int, dim: Int): Seq[Int] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m subspaces")
+    val scale = 1048576.0d
+    val sums = (0 until dim).map { i =>
+      val x = element_at(col(vecCol), i + 1).cast("double")
+      sum(floor(x * x * scale).cast("long")).as(s"e$i")
+    }
+    // one wide-accumulator aggregate (the updateCodebook shape): dim
+    // BIGINT sums over one corpus pass, collected as a driver-bounded
+    // 64-long row (the codebook-literal discipline)
+    val row = emb.agg(sums.head, sums.tail: _*).collect().head
+    val d = dim / m
+    val perm = new Array[Int](dim)
+    (0 until dim).map(i => (row.getLong(i), i))
+      .sortBy { case (e, i) => (-e, i) }
+      .zipWithIndex.foreach { case ((_, src), r) =>
+        val b = r / m
+        val q = r % m
+        val subspace = if (b % 2 == 0) q else m - 1 - q
+        perm(subspace * d + b) = src
+      }
+    perm.toSeq
+  }
+
+  /** Apply a [[balancedPermutation]] in-row: same id/vector column
+    * names out, vector elements reordered. Map-only — the permutation
+    * rides as a literal, exactly like the codebook. */
+  def permuteVecs(emb: DataFrame, idCol: String, vecCol: String,
+                  perm: Seq[Int]): DataFrame =
+    emb.withColumn(vecCol,
+      transform(typedLit(perm), p => element_at(col(vecCol), p + 1)))
+
+  /** [[ivfPqTopK]] behind the OPQ permutation: learn the allocation from
+    * the corpus (one pass), permute corpus and queries (map-only), run
+    * the identical IVF-PQ build/serve in rotated space. Unchanged bytes
+    * per vector; `q_ann_opq` drives the whole composition — energy
+    * ranking, serpentine allocation, both Lloyd builds, ADC — under one
+    * DuckDB oracle. */
+  def ivfPqTopKOpq(emb: DataFrame, idCol: String, vecCol: String,
+                   queryPred: Column, k: Int, m: Int, numCentroids: Int,
+                   dim: Int, coarseK: Int, nProbe: Int, iters: Int = 2,
+                   roundTo: Int = 5): DataFrame = {
+    val perm = balancedPermutation(emb, idCol, vecCol, m, dim)
+    ivfPqTopK(permuteVecs(emb, idCol, vecCol, perm), idCol, vecCol,
+      queryPred, k, m, numCentroids, dim, coarseK, nProbe, iters, roundTo)
+  }
+
   /** The persistent IVF-PQ serving INDEX: ONE map-only pass emits
     * (vid, codes, centroid_id) — PQ codes and the coarse cell are both
     * in-row computations against literals, so building the index never
