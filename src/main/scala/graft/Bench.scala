@@ -753,9 +753,10 @@ object Bench {
                   lower(col("text"))), 1, 3), " ").as("qtext")),
             "graft_bm25_queries")
           // the positional index for phrase serving, same bucketing
-          graft.sources.Sinks.bucketedTableOn(
+          // (dogfooding the library's own persistence call)
+          Tfidf.savePositionalIndex(
             Tfidf.positionalPostings(docs, "doc_id", "text"),
-            "graft_bm25_positional", Seq("term"), cpus.toInt)
+            "graft_bm25", cpus.toInt)
           graft.operators.Caches.unpersistAll()
           spark.conf.set("graft.bench.sparseIndex", "1")
           // index construction ends HERE — capture it before the census
@@ -797,11 +798,75 @@ object Bench {
                 .select(col("term"), col("doc"), col("tf")), Seq("term"))
             .join(phraseCands, Seq("query_id", "doc"), "left_semi")
             .agg(coalesce(sum(col("tf")), lit(0L))).collect()(0).getLong(0)
+          val sIdx = Tfidf.loadBm25Index(spark, "graft_bm25")
           val (wandFull, wandAdmitted, wandFlagged) = Tfidf.bm25WandCensus(
-            Tfidf.loadBm25Index(spark, "graft_bm25"),
-            spark.table("graft_bm25_queries"), "query_id", "qtext", k = 5)
+            sIdx, spark.table("graft_bm25_queries"), "query_id", "qtext",
+            k = 5)
           graft.operators.Caches.unpersistAll()
-          s""","sparse_index_build_sec":$buildSecSparse,""" +
+          // WAND-ENGAGED serving demo (r16): the natural %97 query set is
+          // uniform-df (31-word fixture vocabulary) so the adaptive
+          // pre-flight correctly refuses pruning on it — this instrument
+          // measures the engaged case on the SAME index with a SKEWED
+          // query set: each query leads with the corpus's one rare token
+          // ('dup', df ≈ 2% of the common terms'), the Zipfian shape real
+          // queries have. Same queries served with pruning on vs off
+          // (min of 2, cache-cleared), plus the volume census — the
+          // direct evidence that WAND pays exactly when the pre-flight
+          // says it does.
+          val skewJson = if (replicas == 20) "" else {
+            graft.sources.Sinks.replaceTable(
+              docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000)
+                .select(col("doc_id").as("query_id"),
+                  concat(lit("dup "), array_join(slice(
+                    graft.functions.Text.tokens(lower(col("text"))), 1, 2),
+                    " ")).as("qtext")),
+              "graft_bm25_queries_skew")
+            val skewQ = spark.table("graft_bm25_queries_skew")
+            def skewServe(wand: Boolean): Double = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              Tfidf.searchBm25Served(sIdx, skewQ, "query_id", "qtext",
+                  k = 5, wandPrune = wand)
+                .write.mode("overwrite").format("noop").save()
+              val dt = (System.nanoTime() - t0) / 1e9
+              spark.catalog.clearCache()
+              graft.operators.Caches.unpersistAll()
+              dt
+            }.min
+            skewServe(wand = true) // untimed codegen/JIT warm pass
+            val skewOn = skewServe(wand = true)
+            val skewOff = skewServe(wand = false)
+            val (skF, skP, skQn) = Tfidf.bm25WandCensus(sIdx, skewQ,
+              "query_id", "qtext", k = 5)
+            graft.operators.Caches.unpersistAll()
+            // the positions-last twin of the same experiment: the skewed
+            // phrases flag, so the doc-grain intersection engages and the
+            // explode touches only true candidates; off = the direct
+            // probe-and-explode plan the uniform %97 set keeps
+            def skewPhrase(stats: Option[org.apache.spark.sql.DataFrame])
+                : Double = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              Tfidf.phraseSearch(spark.table("graft_bm25_positional"),
+                  skewQ, "query_id", "qtext", dfStats = stats)
+                .write.mode("overwrite").format("noop").save()
+              val dt = (System.nanoTime() - t0) / 1e9
+              spark.catalog.clearCache()
+              graft.operators.Caches.unpersistAll()
+              dt
+            }.min
+            val stats = Some(spark.table("graft_bm25_termstats"))
+            skewPhrase(stats) // untimed warm pass
+            val phOn = skewPhrase(stats)
+            val phOff = skewPhrase(None)
+            val phCand = Tfidf.phraseCandidates(
+              spark.table("graft_bm25_positional"), skewQ,
+              "query_id", "qtext").count()
+            graft.operators.Caches.unpersistAll()
+            s""""wand_skew":{"on_sec":${r2(skewOn)},"off_sec":${r2(skewOff)},""" +
+              s""""full":$skF,"admitted":$skP,"flagged_queries":$skQn,""" +
+              s""""phrase_on_sec":${r2(phOn)},"phrase_off_sec":${r2(phOff)},""" +
+              s""""phrase_cand_docs":$phCand},"""
+          }
+          s""","sparse_index_build_sec":$buildSecSparse,$skewJson""" +
             s""""cand_doc_rows":$candDocs,"cand_pos_rows":$candPos,""" +
             s""""cand_phrase_docs":$candPhrase,""" +
             s""""cand_pos_pruned":$candPosPruned,""" +
@@ -834,6 +899,7 @@ object Bench {
             spark.sql("DROP TABLE IF EXISTS graft_bm25_termstats")
             spark.sql("DROP TABLE IF EXISTS graft_bm25_corpusstats")
             spark.sql("DROP TABLE IF EXISTS graft_bm25_queries")
+            spark.sql("DROP TABLE IF EXISTS graft_bm25_queries_skew")
             spark.sql("DROP TABLE IF EXISTS graft_bm25_positional")
           }
         }
@@ -914,10 +980,10 @@ object Bench {
       if (!enabled("SPARK_GRAFT_SPARSE_SERVE") ||
           ((only.isDefined || sf1Only.isDefined) && !sparseServeForced)) ""
       else phaseGate("sparse_serve", 400) {
-        // q_phrase_search rides the same pre-built index (its serve
-        // branch probes the positional table), so the phase measures
-        // phrase-intersection serving beside BM25 ranking serving
-        val names = Seq("q_bm25_served", "q_phrase_search")
+        // q_phrase_search and q_phrase_slop ride the same pre-built index
+        // (their serve branches probe the positional table), so the phase
+        // measures exact-phrase AND proximity serving beside BM25 ranking
+        val names = Seq("q_bm25_served", "q_phrase_search", "q_phrase_slop")
         val r10 = scalePhase(10, "natural", names, math.min(iters, 2),
           withRecall = false, prebuildSparseIndex = true)
         val r20 = scalePhase(20, "natural", names, math.min(iters, 2),

@@ -1852,10 +1852,14 @@ object SparkEntry {
       import graft.functions.Text
       import graft.operators.Tfidf
       val prebuilt = s.conf.getOption("graft.bench.sparseIndex").contains("1")
-      val (postings, queries, qid) =
+      // serve mode hands the vocabulary-sized termStats to the adaptive
+      // positions-last pre-flight (phraseHits scaladoc); inline/oracle
+      // mode has no index at hand and keeps the direct plan — results
+      // identical either way, the seam spec pins it
+      val (postings, queries, qid, dfStats) =
         if (prebuilt)
           (s.table("graft_bm25_positional"), s.table("graft_bm25_queries"),
-            "query_id")
+            "query_id", Some(s.table("graft_bm25_termstats")))
         else {
           val docs = Tables.documents(s, dir)
           (Tfidf.positionalPostings(docs, "doc_id", "text"),
@@ -1863,9 +1867,9 @@ object SparkEntry {
               .select(col("doc_id"),
                 array_join(slice(Text.tokens(lower(col("text"))), 1, 3), " ")
                   .as("qtext")),
-            "doc_id")
+            "doc_id", None)
         }
-      Tfidf.phraseSearch(postings, queries, qid, "qtext")
+      Tfidf.phraseSearch(postings, queries, qid, "qtext", dfStats = dfStats)
         .orderBy(col("query_id"), col("doc"))
     }),
 
@@ -1882,14 +1886,24 @@ object SparkEntry {
     "q_phrase_slop" -> ((s, dir) => {
       import graft.functions.Text
       import graft.operators.Tfidf
-      val docs = Tables.documents(s, dir)
-      val queries = docs.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id"),
-          array_join(slice(Text.tokens(lower(col("text"))), 1, 3), " ")
-            .as("qtext"))
-      Tfidf.phraseSlopSearch(
-          Tfidf.positionalPostings(docs, "doc_id", "text"),
-          queries, "doc_id", "qtext", slop = 1)
+      // serve-mode seam as q_phrase_search: the same pre-built positional
+      // table answers proximity queries too
+      val prebuilt = s.conf.getOption("graft.bench.sparseIndex").contains("1")
+      val (postings, queries, qid, dfStats) =
+        if (prebuilt)
+          (s.table("graft_bm25_positional"), s.table("graft_bm25_queries"),
+            "query_id", Some(s.table("graft_bm25_termstats")))
+        else {
+          val docs = Tables.documents(s, dir)
+          (Tfidf.positionalPostings(docs, "doc_id", "text"),
+            docs.filter(col("doc_id") % 97 === 0)
+              .select(col("doc_id"),
+                array_join(slice(Text.tokens(lower(col("text"))), 1, 3), " ")
+                  .as("qtext")),
+            "doc_id", None)
+        }
+      Tfidf.phraseSlopSearch(postings, queries, qid, "qtext", slop = 1,
+          dfStats = dfStats)
         .orderBy(col("query_id"), col("doc"))
     }),
 

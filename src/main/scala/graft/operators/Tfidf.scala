@@ -278,14 +278,17 @@ object Tfidf {
     * phrase terms (offsets are distinct even when terms are not) and
     * any phrase length per query.
     *
-    * Scale shape (r16, the positions-last rewrite of the r15 `weak`):
-    * FIRST intersect at doc grain — (query, doc) pairs whose doc
-    * contains every distinct phrase term, computed over the LIGHT
-    * (term, doc) projection so the heavy positions column never enters
-    * that scan — THEN explode positions only for intersected candidates
-    * ([[phraseFrames]]). The expensive stage stays one codegen'd
-    * primitive-key hash aggregate over the exploded (query, doc, start)
-    * hits, but its input is now per-candidate, not per-posting. No
+    * Scale shape (r16, the positions-last answer to the r15 `weak`):
+    * when `dfStats` (the BM25 termStats) marks a query's term
+    * selectivities as SKEWED, intersect at doc grain first — (query,
+    * doc) pairs whose doc contains every distinct phrase term, computed
+    * over the LIGHT (term, doc) projection so the heavy positions
+    * column never enters that scan — then explode positions only for
+    * intersected candidates; uniform-df queries (and calls without
+    * dfStats) keep the direct probe-and-explode plan ([[phraseHits]]
+    * has the measured adjudication). The expensive stage stays one
+    * codegen'd primitive-key hash aggregate over the exploded
+    * (query, doc, start) hits. No
     * DISTINCT machinery rides it — a (query, doc, start, ofs) hit row
     * is unique BY CONSTRUCTION (offsets are distinct within a phrase,
     * and a term's positions within a doc are distinct), so a plain
@@ -300,14 +303,10 @@ object Tfidf {
     * phrase queries at 100 TB touch only the probed postings rows.
     * Output: (query_id, doc, n_matches), one row per matching doc. */
   def phraseSearch(postings: DataFrame, queries: DataFrame, qidCol: String,
-                   qtextCol: String, maxPushTerms: Int = 4096): DataFrame = {
-    val (qt, probed, candDocs) =
-      phraseFrames(postings, queries, qidCol, qtextCol, maxPushTerms)
-    val starts = qt.join(probed, Seq("term"))
-      // POSITIONS-LAST (r16): restrict to intersected candidate docs
-      // while positions are still PACKED arrays — the explode below, the
-      // expensive stage, then touches only docs that can possibly match
-      .join(candDocs, Seq("query_id", "doc"), "left_semi")
+                   qtextCol: String, maxPushTerms: Int = 4096,
+                   dfStats: Option[DataFrame] = None): DataFrame = {
+    val starts = phraseHits(postings, queries, qidCol, qtextCol,
+        maxPushTerms, dfStats)
       .select(col("query_id"), col("m"), col("doc"), col("ofs"),
         explode(col("positions")).as("p"))
       .select(col("query_id"), col("m"), col("doc"), col("ofs"),
@@ -350,15 +349,14 @@ object Tfidf {
     * read. Output: (query_id, doc, n_windows). */
   def phraseSlopSearch(postings: DataFrame, queries: DataFrame,
                        qidCol: String, qtextCol: String, slop: Int,
-                       maxPushTerms: Int = 4096): DataFrame = {
+                       maxPushTerms: Int = 4096,
+                       dfStats: Option[DataFrame] = None): DataFrame = {
     require(slop >= 0 && slop <= 64,
       s"slop must be in [0, 64], got $slop — a wider window stops being " +
         "a proximity query and the (slop+1)-way anchor fan-out stops " +
         "being a constant")
-    val (qt, probed, candDocs) =
-      phraseFrames(postings, queries, qidCol, qtextCol, maxPushTerms)
-    val hits = qt.join(probed, Seq("term"))
-      .join(candDocs, Seq("query_id", "doc"), "left_semi")
+    val hits = phraseHits(postings, queries, qidCol, qtextCol,
+        maxPushTerms, dfStats)
       .select(col("query_id"), col("m"), col("doc"), col("ofs"),
         explode(col("positions")).as("p"))
       .select(col("query_id"), col("m"), col("doc"), col("ofs"),
@@ -382,25 +380,69 @@ object Tfidf {
   }
 
   /** The shared front half of [[phraseSearch]] / [[phraseSlopSearch]]:
-    * the exploded (query, offset, term) frame, the term-pushed postings
-    * probe, and the DOC-GRAIN CANDIDATE INTERSECTION — (query, doc)
-    * pairs where the doc contains EVERY distinct phrase term. This is
-    * the positions-last rewrite of the r15 `weak`: the candidate pass
-    * reads ONLY (term, doc) — parquet column-prunes the heavy positions
-    * column out of its scan — so the position explode that follows is
-    * paid per true candidate, not per posting of any phrase term
-    * (measured at the ×50 serve point: the r15 form exploded 70.3M
-    * position rows and shuffled 1.22 GB for a 52-query batch; docs
-    * containing all m terms are a small fraction of docs containing any
-    * one). Queries are DISTINCT'd up front (r15 ADVICE: an exact
-    * duplicate query row doubled every plain count and silently dropped
-    * all of that query's matches); distinct ids with DIFFERENT text
-    * remain the caller's contract, mirroring mergeBm25Index's
-    * disjointness note. */
-  private def phraseFrames(postings: DataFrame, queries: DataFrame,
-                           qidCol: String, qtextCol: String,
-                           maxPushTerms: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+    * the exploded (query, offset, term) frame joined onto the
+    * term-pushed postings probe — with positions still PACKED — plus,
+    * where the pre-flight engages, the positions-last DOC-GRAIN
+    * CANDIDATE INTERSECTION: (query, doc) pairs whose doc contains
+    * EVERY distinct phrase term, computed over the column-pruned
+    * (term, doc) projection, so the position explode downstream is paid
+    * per true candidate, not per posting of any phrase term.
+    *
+    * ADAPTIVE, like the WAND pre-flight and for the same measured
+    * reason: the intersection is a full extra aggregate over the light
+    * postings rows plus a (query, doc) semi-join shuffle, which pays
+    * hugely when the phrase's rarest term culls hard (Zipfian text —
+    * phrase words rarely co-occur) and pays NOTHING on a uniform
+    * vocabulary where most docs contain most phrase words (this
+    * fixture: unconditional intersection took the ×50 serve point
+    * 13.0 → 24.2 s while pruning only 24% of explode volume —
+    * cand_pos_pruned 53.2M of 70.3M). So: with `dfStats` (the BM25
+    * termStats, vocabulary-sized) each query is flagged by the same
+    * df-spread rule as WAND — rarest df ≤ 10% of the query's Σdf — and
+    * only flagged queries' rows pass through the intersection; a batch
+    * with no flagged query (or no dfStats at hand) keeps the direct
+    * probe-and-explode plan verbatim. Flag ids are collected
+    * driver-side (the query batch is the serving contract's small
+    * side) and applied as literals, so the split costs no extra join.
+    *
+    * Queries are DISTINCT'd up front (r15 ADVICE: an exact duplicate
+    * query row doubled every plain count and silently dropped all of
+    * that query's matches); distinct ids with DIFFERENT text remain
+    * the caller's contract, mirroring mergeBm25Index's disjointness
+    * note. */
+  private def phraseHits(postings: DataFrame, queries: DataFrame,
+                         qidCol: String, qtextCol: String,
+                         maxPushTerms: Int,
+                         dfStats: Option[DataFrame]): DataFrame = {
+    val (qt, probed) =
+      phraseProbe(postings, queries, qidCol, qtextCol, maxPushTerms)
+    val base = qt.join(probed, Seq("term"))
+    dfStats match {
+      case None => base
+      case Some(stats) =>
+        val flaggedIds = qt
+          .join(stats.select(col("term"), col("df")), Seq("term"))
+          .groupBy(col("query_id"))
+          .agg(min(col("df")).as("mindf"), sum(col("df")).as("sumdf"))
+          .filter(col("mindf").cast("double") <=
+            col("sumdf").cast("double") * lit(0.1))
+          .collect().map(_.get(0)).toSeq
+        if (flaggedIds.isEmpty) base
+        else {
+          val isFlagged = col("query_id").isin(flaggedIds: _*)
+          val cand = phraseCandidateDocs(qt.filter(isFlagged), probed)
+          base.filter(!isFlagged)
+            .unionByName(base.filter(isFlagged)
+              .join(cand, Seq("query_id", "doc"), "left_semi"))
+        }
+    }
+  }
+
+  /** The query tokenization + term-pushed probe shared by every phrase
+    * entry point (and the census). */
+  private def phraseProbe(postings: DataFrame, queries: DataFrame,
+                          qidCol: String, qtextCol: String,
+                          maxPushTerms: Int): (DataFrame, DataFrame) = {
     val qt = queries.select(col(qidCol).as("query_id"),
         col(qtextCol).as("qtext")).distinct()
       .select(col("query_id"), Text.tokens(lower(col("qtext"))).as("qtoks"))
@@ -413,7 +455,7 @@ object Tfidf {
     val probed =
       if (pushTerms.size > maxPushTerms) postings
       else postings.filter(col("term").isin(pushTerms: _*))
-    (qt, probed, phraseCandidateDocs(qt, probed))
+    (qt, probed)
   }
 
   /** Doc-grain AND-intersection of the phrase's distinct terms: one
@@ -433,15 +475,16 @@ object Tfidf {
       .select(col("query_id"), col("doc"))
   }
 
-  /** The (query_id, doc) candidate pairs [[phraseSearch]] explodes
-    * positions for — the bench census instrument (count these against
-    * the raw Σdf candidate volume to read the intersection's pruning). */
+  /** The (query_id, doc) candidate pairs the positions-last intersection
+    * admits (unconditional — the census instrument: count these against
+    * the raw Σdf candidate volume to read the intersection's pruning,
+    * whether or not the pre-flight would engage it). */
   def phraseCandidates(postings: DataFrame, queries: DataFrame,
                        qidCol: String, qtextCol: String,
                        maxPushTerms: Int = 4096): DataFrame = {
-    val (_, _, candDocs) =
-      phraseFrames(postings, queries, qidCol, qtextCol, maxPushTerms)
-    candDocs
+    val (qt, probed) =
+      phraseProbe(postings, queries, qidCol, qtextCol, maxPushTerms)
+    phraseCandidateDocs(qt, probed)
   }
 
   /** Merge two [[Bm25Index]]es built over DISJOINT document sets into
@@ -505,6 +548,23 @@ object Tfidf {
     Bm25Index(spark.table(s"${prefix}_postings"),
       spark.table(s"${prefix}_termstats"),
       spark.table(s"${prefix}_corpusstats"))
+
+  /** Persist a POSITIONAL postings frame ([[positionalPostings]]) as the
+    * phrase-serving table — term-bucketed like the plain postings (the
+    * probe key; the pushed term literals prune buckets at the scan).
+    * The [[saveBm25Index]] symmetry call for deployments that serve
+    * phrase/proximity queries; [[loadPositionalIndex]] is the inverse. */
+  def savePositionalIndex(postings: DataFrame, prefix: String,
+                          buckets: Int): Unit =
+    graft.sources.Sinks.bucketedTableOn(postings, s"${prefix}_positional",
+      Seq("term"), buckets)
+
+  /** Re-open a persisted positional index written by
+    * [[savePositionalIndex]], ready for [[phraseSearch]] /
+    * [[phraseSlopSearch]]. */
+  def loadPositionalIndex(spark: org.apache.spark.sql.SparkSession,
+                          prefix: String): DataFrame =
+    spark.table(s"${prefix}_positional")
 
   /** DELETE documents from a [[Bm25Index]] — the remaining quarter of
     * the sparse lifecycle (build / serve / append / delete), and unlike
@@ -628,8 +688,9 @@ object Tfidf {
     * and the machinery runs ONLY over flagged queries' rows (a mixed
     * batch splits, serves each half its own way, and unions before the
     * rank; a batch with no flagged query plans the r15 pipeline
-    * verbatim, zero overhead beyond the vocabulary-sized flag
-    * aggregate). The refusal is by name in the bench census
+    * verbatim, zero extra jobs — the df spread rides the one pushTerms
+    * collect every serve call already pays). The refusal is by name in
+    * the bench census
     * (`bm25_wand_pruned_queries` = 0 on this fixture — uniform df is
     * the printed reason). Cost shape when engaged: the weight frame
     * persists once (it was the aggregate's input anyway); seeds add one
@@ -644,8 +705,21 @@ object Tfidf {
                             wandSeedFrac: Double = 0.1): DataFrame = {
     val qterms = queries.select(col(qidCol).as("query_id"),
       explode(array_distinct(Text.tokens(lower(col(qtextCol))))).as("term"))
-    val pushTerms = qterms.select(col("term")).distinct()
-      .limit(maxPushTerms + 1).collect().map(_.getString(0)).toSeq
+    // ONE driver-bounded collect per serve call (the r15 pushTerms job,
+    // now also carrying the WAND pre-flight's per-query df spread — a
+    // separate flags job measurably added ~0.3-0.6 s of fixed scheduling
+    // cost per call): the query batch is the serving contract's small
+    // side, so queries-grain driver rows are the same bound the
+    // broadcast design already assumes. Terms absent from termStats
+    // drop out of the IN literal — they have no postings rows to prune.
+    val qstats = qterms
+      .join(index.termStats.select(col("term"), col("df")), Seq("term"))
+      .groupBy(col("query_id"))
+      .agg(min(col("df")).as("mindf"), sum(col("df")).as("sumdf"),
+        collect_set(col("term")).as("terms"))
+      .collect()
+    val pushTerms = qstats.iterator.flatMap(_.getSeq[String](3))
+      .toSeq.distinct
     val postings =
       if (pushTerms.size > maxPushTerms) index.postings
       else index.postings.filter(col("term").isin(pushTerms: _*))
@@ -674,23 +748,18 @@ object Tfidf {
         floor(satTf / col("df").cast("double") * lit(1048576.0d))
           .cast("long").as("w_c"))
     if (!wandPrune || candidates.isDefined) return weightedRaw
-    // the pre-flight (class doc): flag queries whose df spread says
-    // pruning can pay. One vocabulary-sized aggregate over the TINY
-    // (query, term, df) frame — the postings are not touched.
-    val flagged = qterms.join(index.termStats, Seq("term"))
-      .groupBy(col("query_id"))
-      .agg(min(col("df")).as("mindf"), sum(col("df")).as("sumdf"))
-      .filter(col("mindf").cast("double") <=
-        col("sumdf").cast("double") * lit(wandSeedFrac))
-      .select(col("query_id"))
-    // driver-bounded scalar (the pushTerms collect discipline): an empty
+    // the pre-flight (class doc): queries whose df spread says pruning
+    // can pay, already computed in the single collect above — an empty
     // flag set short-circuits to the exact r15 plan, no persist, no join
-    if (flagged.limit(1).count() == 0L) return weightedRaw
+    val flaggedIds = qstats.iterator.filter(r =>
+        r.getLong(1).toDouble <= r.getLong(2).toDouble * wandSeedFrac)
+      .map(_.get(0)).toSeq
+    if (flaggedIds.isEmpty) return weightedRaw
+    val isFlagged = col("query_id").isin(flaggedIds: _*)
     // persisted: the frame feeds ub, seed scoring, the admitted set
     // AND the final aggregate — four readers of one postings scan
     val weighted = Caches.tracked(weightedRaw, "tfidf")
-    val wFlagged = weighted.join(broadcast(flagged), Seq("query_id"),
-      "left_semi")
+    val wFlagged = weighted.filter(isFlagged)
     // (1) θ: k-th full score over the rarest term's docs
     val seedW = Window.partitionBy(col("query_id"))
       .orderBy(col("df"), col("term"))
@@ -724,7 +793,7 @@ object Tfidf {
     // unflagged queries' rows pass straight to the aggregate — they never
     // pay the admitted semi-join's (query, doc) shuffle; flagged queries
     // keep only rows of docs matching at least one essential term
-    weighted.join(broadcast(flagged), Seq("query_id"), "left_anti")
+    weighted.filter(!isFlagged)
       .unionByName(wFlagged.join(wandDocs, Seq("query_id", "doc"),
         "left_semi"))
   }

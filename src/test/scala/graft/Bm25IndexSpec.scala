@@ -151,6 +151,8 @@ class Bm25IndexSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
       val inlinePhrase = SparkEntry.queries("q_phrase_search")(spark, dir)
         .collect().map(_.toSeq).toSeq
+      val inlineSlop = SparkEntry.queries("q_phrase_slop")(spark, dir)
+        .collect().map(_.toSeq).toSeq
       val docs = graft.sources.Tables.documents(spark, dir)
       val idx = Tfidf.buildBm25Index(docs, "doc_id", "text")
       graft.sources.Sinks.bucketedTableOn(idx.postings,
@@ -164,17 +166,22 @@ class Bm25IndexSpec extends SparkSpec {
             array_join(slice(graft.functions.Text.tokens(
               lower(col("text"))), 1, 3), " ").as("qtext")),
         "graft_bm25_queries")
-      graft.sources.Sinks.bucketedTableOn(
-        Tfidf.positionalPostings(docs, "doc_id", "text"),
-        "graft_bm25_positional", Seq("term"), 8)
+      Tfidf.savePositionalIndex(
+        Tfidf.positionalPostings(docs, "doc_id", "text"), "graft_bm25", 8)
       spark.conf.set("graft.bench.sparseIndex", "1")
       val served = SparkEntry.queries("q_bm25_served")(spark, dir)
         .collect().map(_.toSeq).toSeq
       assert(served.nonEmpty && served == inline)
-      // the phrase query rides the same seam against the positional table
+      // the phrase + slop queries ride the same seam against the
+      // positional table (loadPositionalIndex round-trip included)
+      assert(Tfidf.loadPositionalIndex(spark, "graft_bm25").columns
+        .contains("positions"))
       val servedPhrase = SparkEntry.queries("q_phrase_search")(spark, dir)
         .collect().map(_.toSeq).toSeq
       assert(servedPhrase.nonEmpty && servedPhrase == inlinePhrase)
+      val servedSlop = SparkEntry.queries("q_phrase_slop")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(servedSlop.nonEmpty && servedSlop == inlineSlop)
     } finally {
       spark.conf.unset("graft.bench.sparseIndex")
       tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft_bm25_$t"))
@@ -229,6 +236,36 @@ class Bm25IndexSpec extends SparkSpec {
       Seq((14L, 1L, 3L), (14L, 3L, 1L), (14L, 4L, 1L)))
     // absent vocabulary -> empty, not an error
     assert(search(Seq((15L, "zzz yyy"))).isEmpty)
+  }
+
+  test("adaptive phrase intersection: dfStats on == off, row for row") {
+    // one rare term ("needle", df=2) + common terms in every doc — the
+    // skewed query flags (2 <= 0.1 * (2+62+62)), the uniform one refuses;
+    // BOTH must return exactly what the direct plan returns
+    val docs = ((1L to 60L).map(i => (i, s"alpha beta filler$i")) ++
+      Seq((61L, "needle alpha beta"), (62L, "alpha needle beta")))
+      .toDF("doc_id", "text")
+    val postings = Tfidf.positionalPostings(docs, "doc_id", "text")
+    val stats = Tfidf.buildBm25Index(docs, "doc_id", "text").termStats
+    val qs = Seq((1L, "needle alpha"), (2L, "alpha beta"))
+      .toDF("query_id", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+    val direct = rows(Tfidf.phraseSearch(postings, qs, "query_id", "qtext"))
+    val adaptive = rows(Tfidf.phraseSearch(postings, qs, "query_id",
+      "qtext", dfStats = Some(stats)))
+    assert(direct.nonEmpty && adaptive == direct,
+      s"adaptive=$adaptive direct=$direct")
+    // both query shapes present in the result (skewed matched doc 61,
+    // uniform matched the whole corpus)
+    assert(direct.map(_._1).distinct == Seq(1L, 2L))
+    val directS = rows(Tfidf.phraseSlopSearch(postings, qs, "query_id",
+      "qtext", slop = 1))
+    val adaptiveS = rows(Tfidf.phraseSlopSearch(postings, qs, "query_id",
+      "qtext", slop = 1, dfStats = Some(stats)))
+    assert(directS.nonEmpty && adaptiveS == directS)
+    graft.operators.Caches.unpersistAll()
   }
 
   test("slop search: window semantics, k=0 == exact phrase, hand-checked cases") {
