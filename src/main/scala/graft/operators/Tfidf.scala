@@ -340,13 +340,11 @@ object Tfidf {
     * Lucene's sloppy matcher differs here). Everything is exact integer
     * algebra under the driver oracle (`q_phrase_slop`).
     *
-    * Scale shape: the same positions-last discipline as
-    * [[phraseSearch]] — doc-grain candidate intersection first, then
-    * positions explode only for candidates — plus one bounded
-    * `sequence(x−k, x)` fan-out (k+1 anchor rows per hit; slop is a
-    * small constant in any real proximity query) into the same
-    * codegen'd primitive-key hash aggregate. The corpus text is never
-    * read. Output: (query_id, doc, n_windows). */
+    * Scale shape: the same adaptive positions-last discipline as
+    * [[phraseSearch]], then ONE range-window pass over the hits (see
+    * the in-body comment for the measured adjudication against the
+    * explode-and-join first cut). The corpus text is never read.
+    * Output: (query_id, doc, n_windows). */
   def phraseSlopSearch(postings: DataFrame, queries: DataFrame,
                        qidCol: String, qtextCol: String, slop: Int,
                        maxPushTerms: Int = 4096,
@@ -361,22 +359,25 @@ object Tfidf {
         explode(col("positions")).as("p"))
       .select(col("query_id"), col("m"), col("doc"), col("ofs"),
         (col("p") - col("ofs")).as("x"))
-    val anchors = hits.select(col("query_id"), col("doc"), col("x").as("a"))
-      .distinct()
-    // every anchor in [x−k, x] this hit can cover; DISTINCT because two
-    // positions of one offset may cover the same anchor, and the plain
-    // count below must equal the distinct-offset count (the phraseSearch
-    // uniqueness argument restored by construction)
-    val cover = hits.select(col("query_id"), col("m"), col("doc"),
-        col("ofs"),
-        explode(sequence(col("x") - slop, col("x"))).as("a"))
-      .distinct()
-    cover.join(anchors, Seq("query_id", "doc", "a"), "left_semi")
-      .groupBy(col("query_id"), col("m"), col("doc"), col("a"))
-      .agg(count(lit(1)).as("nofs"))
+    // ONE pass: each hit row IS a potential anchor (a = its x), and its
+    // coverage test is a RANGE window frame [x, x+k] within the (query,
+    // doc) partition — collect_set(ofs) over the frame holds every
+    // offset with a shifted hit in the window, so size == m certifies
+    // the anchor. The first cut materialized anchors/cover/semi-join as
+    // separate distinct+join stages — four shuffles of (k+1)× the hit
+    // volume, measured 73.8 s at the ×50 serve point; this form pays one
+    // exchange + sort (the window) and a final small aggregate. Frames
+    // are position-list-sized per doc, so per-row set work is bounded by
+    // document length, never corpus size. Duplicate x values across
+    // offsets compute identical coverage; the final count DISTINCT x
+    // keeps anchor identity exact.
+    val w = Window.partitionBy(col("query_id"), col("m"), col("doc"))
+      .orderBy(col("x")).rangeBetween(Window.currentRow, slop)
+    hits.withColumn("nofs",
+        size(collect_set(col("ofs")).over(w)).cast("long"))
       .filter(col("nofs") === col("m"))
       .groupBy(col("query_id"), col("doc"))
-      .agg(count(lit(1)).as("n_windows"))
+      .agg(countDistinct(col("x")).as("n_windows"))
   }
 
   /** The shared front half of [[phraseSearch]] / [[phraseSlopSearch]]:
@@ -627,7 +628,7 @@ object Tfidf {
                        qtextCol: String, k: Int = 5, k1: Double = 1.2,
                        b: Double = 0.75, maxPushTerms: Int = 4096,
                        candidates: Option[DataFrame] = None,
-                       wandPrune: Boolean = true): DataFrame = {
+                       wandPrune: Boolean = false): DataFrame = {
     val scored = servedWeights(index, queries, qidCol, qtextCol, k, k1, b,
         maxPushTerms, candidates, wandPrune)
       .groupBy(col("query_id"), col("doc"))
@@ -696,7 +697,24 @@ object Tfidf {
     * persists once (it was the aggregate's input anyway); seeds add one
     * rarest-term-sized aggregate; the win is the final (query, doc)
     * aggregate + rank shrinking from every-candidate to admitted-only
-    * (`bm25_wand_*` census fields). */
+    * (`bm25_wand_*` census fields).
+    *
+    * DEFAULT OFF — the full adjudication (r16, the `wand_skew` bench
+    * instrument): even on a MAXIMALLY favorable skewed query set (every
+    * query led by the corpus's rarest term; 52/52 queries flagged, 92%
+    * of weight rows pruned), the engaged path measured 5.6 vs 1.5 s at
+    * ×10 and 12.5 vs 2.9 s at ×50 — summing w_c through the single
+    * codegen hash aggregate is so cheap per row that the multi-pass set
+    * algebra (persist + ub aggregate + seed scoring + essential window
+    * + admitted distinct + semi-join) costs more than every row it
+    * removes. Exact row-level pruning cannot beat this engine's
+    * aggregate without scan-level skipping, which exact scoring forbids
+    * (admitted docs still need their non-essential postings). The
+    * machinery stays available (`wandPrune = true`), exact and spec'd,
+    * and the instrument keeps publishing both timings per round so a
+    * workload where the trade flips (very large k, wide score payloads,
+    * candidate sets that spill the aggregate) shows up in the artifact
+    * rather than in an assumption. */
   private def servedWeights(index: Bm25Index, queries: DataFrame,
                             qidCol: String, qtextCol: String, k: Int,
                             k1: Double, b: Double, maxPushTerms: Int,
@@ -705,21 +723,29 @@ object Tfidf {
                             wandSeedFrac: Double = 0.1): DataFrame = {
     val qterms = queries.select(col(qidCol).as("query_id"),
       explode(array_distinct(Text.tokens(lower(col(qtextCol))))).as("term"))
-    // ONE driver-bounded collect per serve call (the r15 pushTerms job,
-    // now also carrying the WAND pre-flight's per-query df spread — a
-    // separate flags job measurably added ~0.3-0.6 s of fixed scheduling
-    // cost per call): the query batch is the serving contract's small
-    // side, so queries-grain driver rows are the same bound the
-    // broadcast design already assumes. Terms absent from termStats
-    // drop out of the IN literal — they have no postings rows to prune.
-    val qstats = qterms
-      .join(index.termStats.select(col("term"), col("df")), Seq("term"))
-      .groupBy(col("query_id"))
-      .agg(min(col("df")).as("mindf"), sum(col("df")).as("sumdf"),
-        collect_set(col("term")).as("terms"))
-      .collect()
-    val pushTerms = qstats.iterator.flatMap(_.getSeq[String](3))
-      .toSeq.distinct
+    val needFlags = wandPrune && candidates.isEmpty
+    // ONE driver-bounded collect per serve call either way: the plain
+    // r15 pushTerms job on the default path, or — when WAND is asked
+    // for — the same job joined with termStats so the pre-flight's
+    // per-query df spread rides along at zero extra jobs (a separate
+    // flags job measurably added ~0.3-0.6 s of fixed scheduling cost per
+    // call). The query batch is the serving contract's small side, so
+    // queries-grain driver rows are the same bound the broadcast design
+    // already assumes; terms absent from termStats drop out of the IN
+    // literal on the WAND path — they have no postings rows to prune.
+    val qstats =
+      if (!needFlags) Array.empty[org.apache.spark.sql.Row]
+      else qterms
+        .join(index.termStats.select(col("term"), col("df")), Seq("term"))
+        .groupBy(col("query_id"))
+        .agg(min(col("df")).as("mindf"), sum(col("df")).as("sumdf"),
+          collect_set(col("term")).as("terms"))
+        .collect()
+    val pushTerms =
+      if (!needFlags)
+        qterms.select(col("term")).distinct()
+          .limit(maxPushTerms + 1).collect().map(_.getString(0)).toSeq
+      else qstats.iterator.flatMap(_.getSeq[String](3)).toSeq.distinct
     val postings =
       if (pushTerms.size > maxPushTerms) index.postings
       else index.postings.filter(col("term").isin(pushTerms: _*))
@@ -747,7 +773,7 @@ object Tfidf {
       .select(col("query_id"), col("term"), col("df"), col("doc"),
         floor(satTf / col("df").cast("double") * lit(1048576.0d))
           .cast("long").as("w_c"))
-    if (!wandPrune || candidates.isDefined) return weightedRaw
+    if (!needFlags) return weightedRaw
     // the pre-flight (class doc): queries whose df spread says pruning
     // can pay, already computed in the single collect above — an empty
     // flag set short-circuits to the exact r15 plan, no persist, no join
