@@ -526,12 +526,15 @@ object Pq {
     * serving the in-memory frames (spec'd). */
   def saveServingIndex(codes: DataFrame, centroids: DataFrame,
                        codebook: DataFrame, prefix: String,
-                       buckets: Int): Unit = {
-    graft.sources.Sinks.bucketedTableOn(codes, s"${prefix}_codes",
-      Seq("centroid_id"), buckets)
-    graft.sources.Sinks.replaceTable(centroids, s"${prefix}_centroids")
-    graft.sources.Sinks.replaceTable(codebook, s"${prefix}_codebook")
-  }
+                       buckets: Int): Unit =
+    // grouped staged swap (Sinks.replaceTables): an append/compact
+    // lifecycle's codes frame reads the PREVIOUS codes table, so every
+    // stage writes while the old table set is still live
+    graft.sources.Sinks.replaceTables(codes.sparkSession, Seq(
+      s"${prefix}_codes" ->
+        graft.sources.Sinks.bucketedWriter(codes, Seq("centroid_id"), buckets),
+      s"${prefix}_centroids" -> graft.sources.Sinks.parquetWriter(centroids),
+      s"${prefix}_codebook" -> graft.sources.Sinks.parquetWriter(codebook)))
 
   /** Re-open a persisted serving index written by [[saveServingIndex]]:
     * (codes, centroids, codebook), ready for [[ivfPqServe]]. */

@@ -410,30 +410,53 @@ object Tfidf {
     * query row doubled every plain count and silently dropped all of
     * that query's matches); distinct ids with DIFFERENT text remain
     * the caller's contract, mirroring mergeBm25Index's disjointness
-    * note. */
+    * note.
+    *
+    * Two r16 ADVICE fixes ride here: (1) the df spread aggregates over
+    * DISTINCT (query_id, term) — qt is per-OFFSET rows, so a repeated
+    * phrase term would count its df once per occurrence, inflating sumdf
+    * and engaging the intersection on effectively uniform queries (the
+    * WAND pre-flight's array_distinct rule, now matched); (2) the
+    * flagged-id literals are CAPPED at `maxFlagIds` — the collect is
+    * limit-bounded, and a batch flagging more ids than that splits on a
+    * broadcast semi/anti-join of the flags frame instead of a
+    * plan-bloating giant `isin` (the maxPushTerms escape hatch applied
+    * to flags). The flag job itself still runs eagerly at plan
+    * construction — plan CHOICE depends on its result; the limit bounds
+    * what it can cost the driver. */
   private def phraseHits(postings: DataFrame, queries: DataFrame,
                          qidCol: String, qtextCol: String,
                          maxPushTerms: Int,
-                         dfStats: Option[DataFrame]): DataFrame = {
+                         dfStats: Option[DataFrame],
+                         maxFlagIds: Int = 4096): DataFrame = {
     val (qt, probed) =
       phraseProbe(postings, queries, qidCol, qtextCol, maxPushTerms)
     val base = qt.join(probed, Seq("term"))
     dfStats match {
       case None => base
       case Some(stats) =>
-        val flaggedIds = qt
+        val flagsF = qt.select(col("query_id"), col("term")).distinct()
           .join(stats.select(col("term"), col("df")), Seq("term"))
           .groupBy(col("query_id"))
           .agg(min(col("df")).as("mindf"), sum(col("df")).as("sumdf"))
           .filter(col("mindf").cast("double") <=
             col("sumdf").cast("double") * lit(0.1))
+          .select(col("query_id"))
+        val flaggedIds = flagsF.limit(maxFlagIds + 1)
           .collect().map(_.get(0)).toSeq
         if (flaggedIds.isEmpty) base
-        else {
+        else if (flaggedIds.size <= maxFlagIds) {
           val isFlagged = col("query_id").isin(flaggedIds: _*)
           val cand = phraseCandidateDocs(qt.filter(isFlagged), probed)
           base.filter(!isFlagged)
             .unionByName(base.filter(isFlagged)
+              .join(cand, Seq("query_id", "doc"), "left_semi"))
+        } else {
+          val flags = broadcast(flagsF)
+          val cand = phraseCandidateDocs(
+            qt.join(flags, Seq("query_id"), "left_semi"), probed)
+          base.join(flags, Seq("query_id"), "left_anti")
+            .unionByName(base.join(flags, Seq("query_id"), "left_semi")
               .join(cand, Seq("query_id", "doc"), "left_semi"))
         }
     }
@@ -536,11 +559,17 @@ object Tfidf {
     * inverse, and serving over a round-tripped index is bit-identical
     * to serving the in-memory build (spec'd). */
   def saveBm25Index(index: Bm25Index, prefix: String, buckets: Int): Unit = {
-    graft.sources.Sinks.bucketedTableOn(index.postings,
-      s"${prefix}_postings", Seq("term"), buckets)
-    graft.sources.Sinks.replaceTable(index.termStats, s"${prefix}_termstats")
-    graft.sources.Sinks.replaceTable(index.corpusStats,
-      s"${prefix}_corpusstats")
+    import graft.sources.Sinks
+    // grouped staged swap (Sinks.replaceTables): an appended index's
+    // termStats/corpusStats plans read the PREVIOUS postings table, so
+    // all three stages must write while every old table is still live —
+    // this is what makes save(append(load(p), batch), p) onto the same
+    // prefix safe end-to-end (SinksSpec's self-referential test)
+    Sinks.replaceTables(index.postings.sparkSession, Seq(
+      s"${prefix}_postings" ->
+        Sinks.bucketedWriter(index.postings, Seq("term"), buckets),
+      s"${prefix}_termstats" -> Sinks.parquetWriter(index.termStats),
+      s"${prefix}_corpusstats" -> Sinks.parquetWriter(index.corpusStats)))
   }
 
   /** Re-open a persisted [[Bm25Index]] written by [[saveBm25Index]]. */
@@ -781,11 +810,30 @@ object Tfidf {
         r.getLong(1).toDouble <= r.getLong(2).toDouble * wandSeedFrac)
       .map(_.get(0)).toSeq
     if (flaggedIds.isEmpty) return weightedRaw
+    // flagged-id literal cap (r16 ADVICE, the phraseHits rule): a batch
+    // flagging more than maxFlagIds ids splits on a broadcast semi/anti
+    // of the flags frame instead of a plan-bloating isin — the frame
+    // replays the same df-spread aggregate the collect above computed
+    val maxFlagIds = 4096
+    val useLiterals = flaggedIds.size <= maxFlagIds
+    lazy val flagsF = broadcast(qterms
+      .join(index.termStats.select(col("term"), col("df")), Seq("term"))
+      .groupBy(col("query_id"))
+      .agg(min(col("df")).as("mindf"), sum(col("df")).as("sumdf"))
+      .filter(col("mindf").cast("double") <=
+        col("sumdf").cast("double") * lit(wandSeedFrac))
+      .select(col("query_id")))
     val isFlagged = col("query_id").isin(flaggedIds: _*)
+    def semiFlag(df: DataFrame): DataFrame =
+      if (useLiterals) df.filter(isFlagged)
+      else df.join(flagsF, Seq("query_id"), "left_semi")
+    def antiFlag(df: DataFrame): DataFrame =
+      if (useLiterals) df.filter(!isFlagged)
+      else df.join(flagsF, Seq("query_id"), "left_anti")
     // persisted: the frame feeds ub, seed scoring, the admitted set
     // AND the final aggregate — four readers of one postings scan
     val weighted = Caches.tracked(weightedRaw, "tfidf")
-    val wFlagged = weighted.filter(isFlagged)
+    val wFlagged = semiFlag(weighted)
     // (1) θ: k-th full score over the rarest term's docs
     val seedW = Window.partitionBy(col("query_id"))
       .orderBy(col("df"), col("term"))
@@ -819,7 +867,7 @@ object Tfidf {
     // unflagged queries' rows pass straight to the aggregate — they never
     // pay the admitted semi-join's (query, doc) shuffle; flagged queries
     // keep only rows of docs matching at least one essential term
-    weighted.filter(!isFlagged)
+    antiFlag(weighted)
       .unionByName(wFlagged.join(wandDocs, Seq("query_id", "doc"),
         "left_semi"))
   }

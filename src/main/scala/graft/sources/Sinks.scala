@@ -24,6 +24,17 @@ object Sinks {
     * managed location is touched — external/path-based tables are the
     * caller's layout, not ours. */
   def ensureWritableTable(spark: SparkSession, table: String): Unit = {
+    // Unqualified, unquoted names only (r16 ADVICE): a 'db.tbl' string
+    // would be backticked into ONE identifier in the DROP below while the
+    // debris path derives from the CURRENT database — dropping one thing
+    // and deleting another is exactly the inconsistency this helper
+    // exists to prevent, so reject it outright.
+    require(!table.contains(".") && !table.contains("`"),
+      s"ensureWritableTable expects an unqualified table name, got '$table'")
+    // DROP first: a LIVE managed table's directory (wherever the catalog
+    // put it, including a custom LOCATION) is deleted by Spark's own drop
+    // semantics; the manual delete below then only ever removes ORPHANED
+    // debris at the default managed path — never a cataloged table's data.
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val dbLoc = spark.catalog.getDatabase(spark.catalog.currentDatabase)
       .locationUri
@@ -33,14 +44,80 @@ object Sinks {
     if (fs.exists(loc)) fs.delete(loc, true)
   }
 
-  /** Replace a managed parquet table, crash-debris-proof: the overwrite
-    * every persistence API in the engine routes through (BM25 stats, ANN
-    * centroid/codebook tables, bench prebuilds) so no call site can hit
-    * the orphaned-location failure [[ensureWritableTable]] exists for. */
-  def replaceTable(df: DataFrame, table: String): Unit = {
-    ensureWritableTable(df.sparkSession, table)
-    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  /** Write-then-swap replacement (r16 ADVICE): the new data lands in a
+    * STAGE table first, and only after that write SUCCEEDS is the old
+    * table dropped and the stage renamed into place. Two failure modes
+    * the old in-place overwrite had are gone:
+    *
+    *  - a failed write no longer destroys the previous table (the old
+    *    drop-then-write deleted the target before one replacement row
+    *    existed — any executor failure lost the index being replaced);
+    *  - SELF-REFERENTIAL replaces work: `saveBm25Index(appendBm25Index(
+    *    loadBm25Index(spark, p), batch), p)` onto the same prefix reads
+    *    the live table while writing the stage — the lifecycle the
+    *    append/delete APIs invite.
+    *
+    * The unprotected window shrinks from the whole write to the
+    * drop+rename metadata swap; a crash inside THAT window leaves the
+    * complete new table under `<table>__stage` (recoverable by hand),
+    * and the next write clears it via [[ensureWritableTable]]. Rename
+    * moves the managed directory with the catalog entry (bucketing spec
+    * included), so bucketed layouts survive the swap — SinksSpec pins
+    * the no-Exchange join on a swapped table. */
+  private def stagedSwap(spark: SparkSession, table: String)
+                        (write: String => Unit): Unit =
+    replaceTables(spark, Seq(table -> write))
+
+  /** MULTI-table staged replacement — the grouped form of [[stagedSwap]]
+    * for table SETS whose replacement plans read each other's previous
+    * versions (a BM25 index's termStats derive from a join against the
+    * previous postings when appending): every write lands in its stage
+    * table while ALL previous tables remain live, and only then do the
+    * drop+rename swaps run. Swapping table-by-table instead broke the
+    * append-then-save lifecycle mid-sequence: the second table's plan
+    * pinned the FIRST table's already-replaced file listing
+    * (FAILED_READ_FILE, measured in SinksSpec's self-referential test
+    * before this form existed). The swaps themselves are metadata+rename
+    * ops — no plan reads run inside the unprotected window. */
+  def replaceTables(spark: SparkSession,
+                    writes: Seq[(String, String => Unit)]): Unit = {
+    writes.foreach { case (table, write) =>
+      val stage = table + "__stage"
+      ensureWritableTable(spark, stage)
+      write(stage)
+    }
+    writes.foreach { case (table, _) =>
+      ensureWritableTable(spark, table)
+      spark.sql(s"ALTER TABLE `${table}__stage` RENAME TO `$table`")
+    }
   }
+
+  /** A plain-parquet stage writer for [[replaceTables]]. */
+  def parquetWriter(df: DataFrame): String => Unit =
+    stage => df.write.mode("overwrite").format("parquet").saveAsTable(stage)
+
+  /** A bucketed stage writer for [[replaceTables]] — same layout contract
+    * as [[bucketedTableOn]]. */
+  def bucketedWriter(df: DataFrame, bucketCols: Seq[String], numBuckets: Int,
+                     sortCols: Seq[String] = Nil): String => Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    stage => {
+      val w = df.repartition(numBuckets, bucketCols.map(col): _*)
+        .write.mode("overwrite")
+      val b = w.bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      (if (sortCols.nonEmpty) b.sortBy(sortCols.head, sortCols.tail: _*)
+       else b).format("parquet").saveAsTable(stage)
+    }
+  }
+
+  /** Replace a managed parquet table, crash-debris-proof AND
+    * failure-atomic (see [[stagedSwap]]): the overwrite every persistence
+    * API in the engine routes through (BM25 stats, ANN centroid/codebook
+    * tables, bench prebuilds) so no call site can hit the
+    * orphaned-location failure [[ensureWritableTable]] exists for, and a
+    * failed write leaves the previous table intact. */
+  def replaceTable(df: DataFrame, table: String): Unit =
+    stagedSwap(df.sparkSession, table)(parquetWriter(df))
 
   /** Hive-style partitioned parquet, laid out for downstream pruning:
     *
@@ -124,13 +201,8 @@ object Sinks {
     * the full composite — bucketing on a subset is "disabled by query
     * planner" at join time and silently shuffles. */
   def bucketedTableOn(df: DataFrame, table: String, bucketCols: Seq[String],
-                      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
-    ensureWritableTable(df.sparkSession, table) // crash-debris-proof (above)
-    val w = df.repartition(numBuckets, bucketCols.map(col): _*)
-      .write.mode("overwrite")
-    val b = w.bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
-    (if (sortCols.nonEmpty) b.sortBy(sortCols.head, sortCols.tail: _*) else b)
-      .format("parquet").saveAsTable(table)
-  }
+                      numBuckets: Int, sortCols: Seq[String] = Nil): Unit =
+    // crash-debris-proof + failure-atomic + self-read-safe (stagedSwap)
+    stagedSwap(df.sparkSession, table)(
+      bucketedWriter(df, bucketCols, numBuckets, sortCols))
 }

@@ -73,6 +73,68 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("staged swap: a FAILED replacement write leaves the old table intact") {
+    // r16 ADVICE (medium): the old drop-then-write destroyed the previous
+    // table before one replacement row existed. The staged write must
+    // fail WITHOUT touching the live table.
+    val old = Seq((1L, "keep me")).toDF("doc_id", "text")
+    Sinks.replaceTable(old, "graft_swap_fail")
+    val bad = Seq((2L, "boom")).toDF("doc_id", "text")
+      .withColumn("text", expr("assert_true(doc_id = 1)"))
+    try {
+      intercept[Throwable] { Sinks.replaceTable(bad, "graft_swap_fail") }
+      val back = spark.table("graft_swap_fail").collect()
+      assert(back.map(_.getLong(0)).toSeq == Seq(1L), back.mkString(","))
+      assert(back.head.getString(1) == "keep me")
+      // and the failed stage's debris never poisons the NEXT write
+      Sinks.replaceTable(Seq((3L, "new")).toDF("doc_id", "text"),
+        "graft_swap_fail")
+      assert(spark.table("graft_swap_fail").collect()
+        .map(_.getLong(0)).toSeq == Seq(3L))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_swap_fail")
+      spark.sql("DROP TABLE IF EXISTS graft_swap_fail__stage")
+    }
+  }
+
+  test("staged swap: SELF-REFERENTIAL replace (append a loaded index onto its own prefix)") {
+    // the lifecycle the advice named: load an index, append a batch,
+    // save back onto the SAME tables — the stage write reads the live
+    // table, so nothing is dropped until the new data exists
+    import graft.operators.Tfidf
+    val corpus = Seq((1L, "red fox jumps"), (2L, "lazy dog sleeps"))
+      .toDF("doc_id", "text")
+    try {
+      Tfidf.saveBm25Index(Tfidf.buildBm25Index(corpus, "doc_id", "text"),
+        "graft_selfref", buckets = 2)
+      val batch = Seq((3L, "red dog barks")).toDF("doc_id", "text")
+      Tfidf.saveBm25Index(
+        Tfidf.appendBm25Index(Tfidf.loadBm25Index(spark, "graft_selfref"),
+          batch, "doc_id", "text"),
+        "graft_selfref", buckets = 2)
+      val back = Tfidf.loadBm25Index(spark, "graft_selfref")
+      assert(back.corpusStats.collect().head.getLong(0) == 3L)
+      // bit-identical to a fresh build over the union (merge exactness)
+      val fresh = Tfidf.buildBm25Index(corpus.unionByName(batch),
+        "doc_id", "text")
+      def rows(idx: Tfidf.Bm25Index) = idx.postings
+        .orderBy("term", "doc").collect().map(_.toSeq).toSeq
+      assert(rows(back) == rows(fresh))
+    } finally {
+      Seq("postings", "termstats", "corpusstats").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_selfref_$t")
+        spark.sql(s"DROP TABLE IF EXISTS graft_selfref_${t}__stage")
+      }
+      graft.operators.Caches.unpersistAll()
+    }
+  }
+
+  test("ensureWritableTable rejects qualified names") {
+    intercept[IllegalArgumentException] {
+      Sinks.ensureWritableTable(spark, "somedb.sometable")
+    }
+  }
+
   test("bucketed tables: same-key same-count join plans with ZERO exchanges") {
     val left = (1 to 100).map(i => (i.toLong, s"text$i")).toDF("doc_id", "text")
     val right = (1 to 100).map(i => (i.toLong, i % 7)).toDF("doc_id", "score")
