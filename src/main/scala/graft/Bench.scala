@@ -11,11 +11,21 @@ import org.apache.spark.sql.functions._
   * whichever query happens to run first.
   *
   * Measurement hygiene (round-over-round comparability):
-  *  - each engine query runs SPARK_GRAFT_ITERS times (default 3); the
+  *  - each engine query runs SPARK_GRAFT_ITERS times (default 2); the
   *    artifact reports the per-query MEDIAN (in `queries`, the primary
   *    metric and the shape earlier rounds used) and MIN (`queries_min`,
   *    the box-noise floor). Single runs proved ±10× noisy on this box
   *    (round-3 postmortem: ~10 apparent regressions on unchanged code).
+  *    r17 exception: an engine query whose FIRST timed iteration ran
+  *    sub-second keeps that one sample (median == min for it) and skips
+  *    the forced GC — the absolute noise band of a sub-second query is
+  *    bounded by its own cost, and the saved wall time is what fits the
+  *    serving-scale phases inside the driver's 2250 s window (the r16
+  *    artifact lost them to budget). Expensive queries keep the full
+  *    min-of-iters protocol; round-over-round comparisons of SUB-SECOND
+  *    mins therefore carry a small single-sample upward bias from r17 on
+  *    (same class of bias as the r16 iters 3→2 move, same quotable
+  *    reason).
   *  - CONTENTION SENTINEL: a fixed calibration query (`range(5e8).sum`,
   *    pure codegen arithmetic — constant work) runs before every query
   *    and once at the end of each phase; its wall time is recorded per
@@ -251,6 +261,7 @@ object Bench {
                           names: Seq[String], iters: Int,
                           gcBetween: Boolean = false,
                           warmup: Boolean = false,
+                          cheapSingleIter: Boolean = false,
                           lookup: String => (SparkSession, String) => DataFrame =
                             SparkEntry.queries)
       : (Seq[QueryTiming], Seq[Double]) = {
@@ -277,11 +288,29 @@ object Bench {
         cal += calibrate(spark)
         var shuffle = (0.0, 0.0)
         var error: Option[String] = None
-        val times = (1 to iters).map { i =>
-          if (i == iters) {
-            org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
-            tally.reset()
-          }
+        // CHEAP-QUERY trim (r17, engine phase only): the r16 driver run
+        // spent ~30 of its 37.5 timed-window minutes on warm+2×timed
+        // executions and their forced GCs, and the budget gate dropped
+        // the two serving phases that carried the round's serving-scale
+        // claims. A query whose FIRST timed iteration ran sub-second
+        // stops there — one sample, no forced GC: its absolute noise band
+        // is bounded by its own sub-second cost, the calibration sentinel
+        // still brackets the window, and a query that cheap churns too
+        // little cache to bleed GC debt into a neighbor (the warm-up is
+        // not the test — it pays whole-stage-codegen and would flag
+        // almost nothing). Expensive queries keep the full min-of-iters
+        // + GC protocol; scale phases never set this flag (their
+        // sub-1.5 s queries are exactly where min-of-iters suppresses
+        // the cross-scale inversion noise, the r6 finding). The shuffle
+        // tally is reset per iteration so whichever iteration ends up
+        // last still reports its own traffic.
+        val buf = Seq.newBuilder[Double]
+        var i = 0
+        var stop = false
+        while (i < iters && !stop) {
+          i += 1
+          org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+          tally.reset()
           val t0 = System.nanoTime()
           try fn(spark, dir).write.mode("overwrite").format("noop").save()
           catch { case e: Throwable =>
@@ -291,25 +320,25 @@ object Bench {
                 .linesIterator.nextOption().getOrElse("").take(200))
           }
           val dt = (System.nanoTime() - t0) / 1e9
-          if (i == iters) {
-            org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
-            shuffle = tally.mb
-          }
+          org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+          shuffle = tally.mb
           // unpersistAll (not just the dedup scope): ivf/sources-scoped
           // entries otherwise keep plan references in Caches.registered
           // for the whole run — an unbounded registry leak
           spark.catalog.clearCache()
           graft.operators.Caches.unpersistAll()
+          val cheap = cheapSingleIter && error.isEmpty && dt <= 1.0
           // Scale phases force a full GC after each run: the r5 sf1 phase
           // measured a 10×-data query SLOWER than its own 20× point
           // because cache-churning neighbors bled GC pauses into later
           // windows — min-of-2 calibration can't subtract a pause that
           // lands inside the query itself. Draining the heap between
           // queries makes each window self-contained.
-          if (gcBetween) System.gc()
-          dt
+          if (gcBetween && !cheap) System.gc()
+          buf += dt
+          if (cheap) stop = true
         }
-        QueryTiming(name, times, shuffle, error)
+        QueryTiming(name, buf.result(), shuffle, error)
       }
       cal += calibrate(spark)
       (timed, cal.result())
@@ -505,9 +534,14 @@ object Bench {
     // cost), so a full run always ends with rc=0 and the artifact records
     // exactly which evidence was traded away. Engine + streaming are
     // never skipped — they are the round's primary gate — and phases are
-    // COMPUTED in priority order (sf1 → sparse_serve → ann_serve → probe
-    // → sf20 → bpe_train → ingest_stages → funnel_audit), so when budget
-    // runs short it is the lowest-priority evidence that drops first.
+    // COMPUTED in priority order (sparse_serve → ann_serve → opq_aniso →
+    // sf1 → sf20 → probe → bpe_train → ingest_stages → funnel_audit), so
+    // when budget runs short it is the lowest-priority evidence that
+    // drops first. The serve phases come BEFORE sf1 (r17, the r16
+    // verdict's top ask): the driver's 2250 s window ran out after sf1
+    // and dropped the two phases carrying the round's serving-scale
+    // claims, while sf1's recall ladder had been stable for three rounds
+    // — when something must drop on a slow box, it should be sf1.
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "2250").toDouble
     val t0Run = System.nanoTime()
@@ -558,7 +592,7 @@ object Bench {
     // 0.4 s post-churn sample. The GC lands after each iteration's dt is
     // captured, so measured times are unaffected; only wall clock grows.
     val engine = record(sectionJson(timeQueries(spark, sfDir, engineNames,
-      iters, gcBetween = true, warmup = true)))
+      iters, gcBetween = true, warmup = true, cheapSingleIter = true)))
     val (total, engineSection) = (engine.total, engine.json)
     // EARLY FLUSH (r16): the engine section is the round's headline — emit
     // a parseable metric line the moment it exists, BEFORE any scale
@@ -812,8 +846,13 @@ object Bench {
           // queries have. Same queries served with pruning on vs off
           // (min of 2, cache-cleared), plus the volume census — the
           // direct evidence that WAND pays exactly when the pre-flight
-          // says it does.
-          val skewJson = if (replicas == 20) "" else {
+          // says it does. ONE fixed point per round (r16 ADVICE: the old
+          // `replicas == 20` gate silently dropped the ×20 field with no
+          // recorded reason) — the ×50 point, where the refusal evidence
+          // carries the most scale weight; the other points emit a named
+          // marker instead of a vanishing field.
+          val skewJson = if (replicas != 50)
+            s""""wand_skew_skipped":"runs at the x50 point only",""" else {
             graft.sources.Sinks.replaceTable(
               docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000)
                 .select(col("doc_id").as("query_id"),
@@ -956,14 +995,6 @@ object Bench {
     // (forces the phase on even when SPARK_GRAFT_ONLY trimmed the engine
     // phase, so a single superlinear suspect can be re-measured alone).
     val sf1Only = sys.env.get("SPARK_GRAFT_SF1_ONLY").map(_.split(',').toSet)
-    val sf1Json =
-      if (!enabled("SPARK_GRAFT_SF1") || (only.isDefined && sf1Only.isEmpty)) ""
-      else phaseGate("sf1", 500) {
-        // SPARK_GRAFT_SF1_REPLICAS widens the base scale probe
-        val replicas = sys.env.getOrElse("SPARK_GRAFT_SF1_REPLICAS", "10").toInt
-        val names = Sf1Queries.filter(n => sf1Only.forall(_.contains(n)))
-        s""","sf1":${scalePhase(replicas, "natural", names, iters, withRecall = true)}"""
-      }
 
     // BM25 serve/build split (r15): the sparse-retrieval twin of
     // ann_serve — q_bm25_served timed against a PRE-BUILT term-bucketed
@@ -1023,6 +1054,64 @@ object Bench {
         val r50 = scalePhase(50, "natural", names, math.min(iters, 2),
           withRecall = false, prebuildAnnIndex = true)
         s""","ann_serve":{"r10":$r10,"r20":$r20,"r50":$r50}"""
+      }
+
+    // OPQ anisotropy probe (r17, the r16 verdict's ask #3): the fixture's
+    // embeddings are ISOTROPIC (per-dim variance ratio 1.20, the
+    // Pq.balancedPermutation scaladoc), so the sf1 recall ladder's OPQ
+    // rung is recall-neutral BY CONSTRUCTION there — it proves mechanics,
+    // not benefit. This probe gives the corpus the skewed per-dim energy
+    // real PCA-projected/whitened embeddings carry — dim i scaled by
+    // 0.88^i, deterministic and fixture-derived (the synthPng discipline:
+    // no RNG, same bytes every run) — and reads recall@10 of plain
+    // IVF-PQ vs the OPQ permutation against brute-force ground truth
+    // over the SAME scaled vectors. Under a geometric energy decay the
+    // contiguous subspace split concentrates every high-variance
+    // dimension in subspace 0 (the allocation pathology OPQ §4 exists
+    // for); the serpentine permutation spreads one per energy tier.
+    // SPARK_GRAFT_OPQ_ANISO=1 forces it on under trimming; "0" disables.
+    val opqAnisoForced = sys.env.get("SPARK_GRAFT_OPQ_ANISO").contains("1")
+    val opqAnisoJson =
+      if (!enabled("SPARK_GRAFT_OPQ_ANISO") ||
+          ((only.isDefined || sf1Only.isDefined) && !opqAnisoForced)) ""
+      else phaseGate("opq_aniso", 90) {
+        import graft.operators.{Pq, Similarity}
+        val emb = graft.sources.Tables.embeddings(spark, sfDir)
+          .withColumn("embedding", transform(col("embedding"),
+            (x, i) => (x.cast("double")
+              * pow(lit(0.88), i.cast("double"))).cast("float")))
+        val pred = col("vid") % 20 === 0
+        val qpred = col("query_id") % 20 === 0
+        val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+            pred, 10).select(col("query_id"), col("neighbor_id")).persist()
+        val nBf = bf.count().toDouble
+        def recallOf(approx: DataFrame): Double =
+          if (nBf == 0) 1.0
+          else r2(approx.select(col("query_id"), col("neighbor_id"))
+            .join(bf, Seq("query_id", "neighbor_id"), "left_semi")
+            .count() / nBf)
+        val plain = recallOf(Pq.ivfPqTopK(emb, "vec_id", "embedding",
+          qpred, 10, m = 8, numCentroids = 16, dim = 64, coarseK = 16,
+          nProbe = 4))
+        val opq = recallOf(Pq.ivfPqTopKOpq(emb, "vec_id", "embedding",
+          qpred, 10, m = 8, numCentroids = 16, dim = 64, coarseK = 16,
+          nProbe = 4))
+        bf.unpersist()
+        graft.operators.Caches.unpersistAll()
+        s""","opq_aniso":{"decay":0.88,"recall_ivfpq":$plain,""" +
+          s""""recall_opq":$opq}"""
+      }
+
+    // sf1 natural scale phase — AFTER the serve phases since r17 (class
+    // doc: when the driver's window runs short, the stable recall ladder
+    // is the evidence to trade away, not the serving claims).
+    val sf1Json =
+      if (!enabled("SPARK_GRAFT_SF1") || (only.isDefined && sf1Only.isEmpty)) ""
+      else phaseGate("sf1", 500) {
+        // SPARK_GRAFT_SF1_REPLICAS widens the base scale probe
+        val replicas = sys.env.getOrElse("SPARK_GRAFT_SF1_REPLICAS", "10").toInt
+        val names = Sf1Queries.filter(n => sf1Only.forall(_.contains(n)))
+        s""","sf1":${scalePhase(replicas, "natural", names, iters, withRecall = true)}"""
       }
 
     // 20× second scaling point (class doc). Full iteration count (r6):
@@ -1220,7 +1309,7 @@ object Bench {
       s""","budget_sec":${r2(budgetSec)},"elapsed_sec":${r2(budgetSec - budgetLeft)},""" +
         s""""skipped_phases":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,$engineSection,"sf":"$sfDir"$ingestStagesJson$funnelAuditJson$streamingJson$sf1Json$sf20Json$probeJson$annServeJson$sparseServeJson$bpeTrainJson$scaleInversions$curveJson$budgetJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,$engineSection,"sf":"$sfDir"$ingestStagesJson$funnelAuditJson$streamingJson$sf1Json$sf20Json$probeJson$annServeJson$sparseServeJson$opqAnisoJson$bpeTrainJson$scaleInversions$curveJson$budgetJson}"""
     // Marker-prefixed line FIRST: the driver's artifact parser reads the
     // structured payload from `BENCH_JSON: {...}` without depending on
     // stdout tail ordering (r4/r5 artifacts carried parsed:null because
@@ -1239,10 +1328,11 @@ object Bench {
     // /tmp. An explicit SPARK_GRAFT_BENCH_OUT always wins.
     val partialRun = only.isDefined || sf1Only.isDefined || probeForced ||
       annServeForced || bpeTrainForced || sparseServeForced ||
+      opqAnisoForced ||
       Seq("SPARK_GRAFT_SF1", "SPARK_GRAFT_SF20", "SPARK_GRAFT_PROBE",
         "SPARK_GRAFT_INGEST_STAGES", "SPARK_GRAFT_FUNNEL_AUDIT",
         "SPARK_GRAFT_ANN_SERVE", "SPARK_GRAFT_BPE_TRAIN",
-        "SPARK_GRAFT_SPARSE_SERVE")
+        "SPARK_GRAFT_SPARSE_SERVE", "SPARK_GRAFT_OPQ_ANISO")
         .exists(k => sys.env.get(k).contains("0"))
     val defaultOut =
       if (partialRun) "/tmp/graft_bench_scrap.json" else "bench_out.json"
