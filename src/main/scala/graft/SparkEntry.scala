@@ -882,6 +882,38 @@ object SparkEntry {
           expr("percentile(value, 0.95)").as("p95"))
         .orderBy(col("event_type"))),
 
+    // ERROR-BOUNDED approximate percentile (r17, the r16 verdict's ask
+    // #5): exact `percentile` buffers every distinct value per partition
+    // — the one remaining data-dependent-memory aggregate at 100 TB.
+    // This is the fixed-memory twin under the HLL-twin oracle pattern
+    // (q_approx_distinct): sketch internals differ across engines (Spark
+    // runs Greenwald-Khanna QuantileSummaries at accuracy 10000 ⇒
+    // certified rank error ≤ 1e-4·n; DuckDB runs a t-digest), so the
+    // approximate VALUE can't hash-match — instead each engine emits its
+    // exact percentiles (proving the grouping, hash-compared) plus a
+    // boolean that ITS OWN estimate landed inside a ±2% RANK band,
+    // converted to a value interval via exact percentiles at the shifted
+    // ranks (the only cross-engine-comparable form of a rank guarantee).
+    // The band is 200× Spark's certified error and far above t-digest's
+    // practical mid-quantile error, so the booleans are stable at any SF.
+    "q_quantiles_approx" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"),
+          expr("approx_percentile(value, 0.5, 10000)").as("a50"),
+          expr("approx_percentile(value, 0.95, 10000)").as("a95"),
+          expr("percentile(value, 0.48)").as("lo50"),
+          expr("percentile(value, 0.52)").as("hi50"),
+          expr("percentile(value, 0.93)").as("lo95"),
+          expr("percentile(value, 0.97)").as("hi95"))
+        .select(col("event_type"), col("p50"), col("p95"),
+          (col("a50") >= col("lo50") && col("a50") <= col("hi50"))
+            .as("a50_within_band"),
+          (col("a95") >= col("lo95") && col("a95") <= col("hi95"))
+            .as("a95_within_band"))
+        .orderBy(col("event_type"))),
+
     // Whole-row dedup (dropDuplicates) over a corpus with planted full
     // duplicates.
     "q_drop_duplicates" -> ((s, dir) => {
@@ -3796,6 +3828,21 @@ object SparkEntry {
         """SELECT event_type,
           |  quantile_cont(value, 0.5) AS p50,
           |  quantile_cont(value, 0.95) AS p95
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // HLL-twin pattern: exact percentiles hash-compare; each engine's
+      // own sketch (t-digest here, GK summaries in Spark) self-checks
+      // against a ±2% rank band expressed as exact-percentile values.
+      "q_quantiles_approx" ->
+        """SELECT event_type,
+          |  quantile_cont(value, 0.5) AS p50,
+          |  quantile_cont(value, 0.95) AS p95,
+          |  approx_quantile(value, 0.5)
+          |    BETWEEN quantile_cont(value, 0.48) AND quantile_cont(value, 0.52)
+          |    AS a50_within_band,
+          |  approx_quantile(value, 0.95)
+          |    BETWEEN quantile_cont(value, 0.93) AND quantile_cont(value, 0.97)
+          |    AS a95_within_band
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_drop_duplicates" ->

@@ -71,14 +71,30 @@ object QualityFilter {
     * Scale shape: thresholds come from ONE tiny aggregate (`percentile`
     * is a single-pass exact interpolated quantile, same value as DuckDB's
     * `quantile_cont`), broadcast back as a 1-row cross join — the corpus
-    * itself never shuffles, so the pass is scan-speed like the gate. */
+    * itself never shuffles, so the pass is scan-speed like the gate.
+    *
+    * The scale trade in that aggregate (r16 VERDICT): EXACT `percentile`
+    * buffers every distinct value per partition — its memory is
+    * data-dependent, the one aggregate shape in the engine that is. Here
+    * the buffered domain is TOKEN COUNTS (bounded by the longest
+    * document, thousands of distinct values at any corpus size), so
+    * exact is safe at 100 TB and keeps the oracle bit-exact. For
+    * unbounded-domain columns set `approx = true`: `approx_percentile`'s
+    * QuantileSummaries sketch is fixed-memory with a certified rank
+    * error ≤ 1/accuracy — a band boundary may then shift by at most that
+    * rank mass (`q_quantiles_approx` carries the self-check oracle
+    * pattern for exactly this substitution). */
   def lengthBand(docs: DataFrame, idCol: String, textCol: String,
-                 lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+                 lo: Double = 0.01, hi: Double = 0.99,
+                 approx: Boolean = false,
+                 accuracy: Int = 10000): DataFrame = {
     val counts = docs.select(col(idCol),
       Text.tokenCount(col(textCol)).as("n_tokens"))
-    val bounds = counts.agg(
-      expr(s"percentile(n_tokens, $lo)").as("lo_tokens"),
-      expr(s"percentile(n_tokens, $hi)").as("hi_tokens"))
+    def pct(p: Double, as: String) =
+      if (approx) expr(s"approx_percentile(n_tokens, $p, $accuracy)")
+        .cast("double").as(as)
+      else expr(s"percentile(n_tokens, $p)").as(as)
+    val bounds = counts.agg(pct(lo, "lo_tokens"), pct(hi, "hi_tokens"))
     counts.crossJoin(broadcast(bounds))
       .withColumn("keep",
         col("n_tokens") >= col("lo_tokens") && col("n_tokens") <= col("hi_tokens"))

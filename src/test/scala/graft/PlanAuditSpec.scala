@@ -485,6 +485,21 @@ class PlanAuditSpec extends SparkSpec {
     // single-row build — no corpus repartition
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("hashpartitioning(doc_id"), p)
+    // the fixed-memory approx twin keeps the same plan shape AND — at a
+    // fixture whose distinct token counts sit far under the sketch's
+    // compression threshold, where GK summaries are exact — the same rows
+    val pa = plan(QualityFilter.lengthBand(docs, "doc_id", "text",
+      approx = true))
+    assert(pa.contains("BroadcastNestedLoopJoin"), pa)
+    assert(!pa.contains("hashpartitioning(doc_id"), pa)
+    // keep-decisions compare, not bound values: exact interpolates
+    // between elements where the sketch returns an element, so the
+    // bounds themselves legitimately differ in the last fraction
+    def keeps(approx: Boolean) = QualityFilter.lengthBand(docs, "doc_id",
+        "text", approx = approx)
+      .select(col("doc_id"), col("keep"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(keeps(approx = true) == keeps(approx = false))
   }
 
   test("funnel pre-flight's shingle table is cache-substituted into the pair operator's plan") {
