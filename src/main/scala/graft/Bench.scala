@@ -1140,7 +1140,7 @@ object Bench {
     val probeJson =
       if (!enabled("SPARK_GRAFT_PROBE") ||
           ((only.isDefined || sf1Only.isDefined) && !probeForced)) ""
-      else phaseGate("probe_controlled", 350) {
+      else phaseGate("probe_controlled", 500) {
         // q_dedup_minhash_incr_fast joins the probe (NOT the natural
         // sf1/sf20 phases) for the same census reason jaccard does: under
         // natural replication every replica of a batch doc is a near-dup
@@ -1151,8 +1151,16 @@ object Bench {
         // (bucketed, pre-banded) outside the timed window, so the r10→r20
         // ratio measures exactly the 100 TB claim: ingestion cost scales
         // with the batch, not with history.
+        // q_span_maximal (r17) joins the controlled probe for the jaccard
+        // census reason: its work is duplication-volume-dependent, and
+        // natural replication makes EVERY position a near-full-doc
+        // duplicate of its replicas (a fixture census, not operator
+        // superlinearity). Controlled salting holds true span volume at
+        // O(replicas), so the r10→r20 ratio reads the doubling ladder's
+        // own scaling.
         val names = Seq("q_dedup_jaccard", "q_dedup_minhash",
-          "q_dedup_containment", "q_dedup_minhash_incr_fast")
+          "q_dedup_containment", "q_dedup_minhash_incr_fast",
+          "q_span_maximal")
         val r10 = scalePhase(10, "controlled", names, math.min(iters, 2),
           withRecall = false, fixedJoin = true, jaccardStages = true,
           prebuildIncrStore = true)

@@ -320,6 +320,22 @@ object SparkEntry {
     d.unionByName(excerpts)
   }
 
+  /** The maximal-span corpus: documents plus a 40-token mid-document
+    * excerpt of every 20th doc under a fresh id — guaranteed LONG
+    * duplicated spans (the excerpt's full body occurs in its source), so
+    * `q_span_maximal`'s doubling ladder provably runs past the seed
+    * round. The excerpt starts at token 6, so the source's maximal span
+    * starts mid-document (left-maximality is exercised, not just the
+    * trivial doc-start case). */
+  private[graft] def spanMaximalCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val excerpts = d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        array_join(slice(Text.tokens(col("text")), lit(6), lit(40)), " ")
+          .as("text"))
+    d.unionByName(excerpts)
+  }
+
   /** The jaccard near-dup corpus (documents + drop-last-token planted
     * copies) — shared by `q_dedup_jaccard` and the bench probe's
     * stage-count instrumentation so both measure the same population. */
@@ -1228,6 +1244,21 @@ object SparkEntry {
       Dedup.removeDuplicatedSpans(containmentCorpus(s, dir), "doc_id",
         "text", w = 8, maxDf = 64)
         .withColumnRenamed("doc", "doc_id")),
+
+    // MAXIMAL duplicated spans (r17, the r16 verdict's ask #6 — the
+    // exact Lee et al. suffix-array form duplicatedSpans approximates at
+    // fixed w grain): longest-any-length repeated token spans via the
+    // iterative doubling ladder + output-bounded resolve
+    // (Dedup.maximalDuplicatedSpans scaladoc). The oracle rebuilds the
+    // same answer the reference way — sort all token suffixes, take each
+    // position's max neighbor-LCP, apply the identical maximality filter
+    // — so the two INDEPENDENT algorithms (doubling vs suffix order)
+    // must agree row-for-row, span text included.
+    "q_span_maximal" -> ((s, dir) =>
+      Dedup.maximalDuplicatedSpans(spanMaximalCorpus(s, dir), "doc_id",
+          "text", minLen = 8)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"), col("pos"))),
 
     // CCNet-style cross-doc LINE dedup on the lined corpus: per-site
     // headers/footers (df 25 at sf0.01) vanish from every page including
@@ -5027,6 +5058,59 @@ object SparkEntry {
           |    i -> t.toks[i + 1]), ' '), '') END AS clean_text
           |FROM tok t LEFT JOIN rem r ON r.doc = t.doc
           |ORDER BY doc_id""".stripMargin,
+
+      // Maximal duplicated spans: the oracle is the SUFFIX-ARRAY form of
+      // the same definition — sort every token suffix (DuckDB orders
+      // lists lexicographically element-wise, exactly suffix order over
+      // the token alphabet), take each position's max LCP with its two
+      // sorted neighbors (the classic fact: the max LCP with ANY other
+      // suffix is attained at an adjacent one), filter >= 8, apply the
+      // identical left-maximality rule. Independent algorithm, same
+      // exact rows — the strongest oracle shape the suite has.
+      // list_position returns 0 (not NULL) when absent, hence nullif.
+      "q_span_maximal" ->
+        """WITH planted AS (
+          |  SELECT doc_id + 4000000 AS doc_id,
+          |    array_to_string(toks[6:45], ' ') AS text
+          |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          |        FROM documents WHERE doc_id % 20 = 0)),
+          |base AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id, text FROM planted),
+          |toks AS (
+          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+          |  FROM base),
+          |pos AS (
+          |  SELECT doc_id, i - 1 AS pos, t[i:] AS suf
+          |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+          |        FROM toks WHERE len(t) >= 8)),
+          |ord AS (
+          |  SELECT doc_id, pos, suf,
+          |    lag(suf) OVER (ORDER BY suf, doc_id, pos) AS psuf,
+          |    lead(suf) OVER (ORDER BY suf, doc_id, pos) AS nsuf
+          |  FROM pos),
+          |md AS (
+          |  SELECT doc_id, pos,
+          |    greatest(
+          |      CASE WHEN psuf IS NULL THEN 0 ELSE coalesce(
+          |        nullif(list_position(list_transform(
+          |          generate_series(1, least(len(suf), len(psuf))),
+          |          i -> suf[i] = psuf[i]), false), 0) - 1,
+          |        least(len(suf), len(psuf))) END,
+          |      CASE WHEN nsuf IS NULL THEN 0 ELSE coalesce(
+          |        nullif(list_position(list_transform(
+          |          generate_series(1, least(len(suf), len(nsuf))),
+          |          i -> suf[i] = nsuf[i]), false), 0) - 1,
+          |        least(len(suf), len(nsuf))) END) AS mlen
+          |  FROM ord)
+          |SELECT k.doc_id AS doc_id, CAST(k.pos AS BIGINT) AS pos,
+          |  CAST(k.mlen AS BIGINT) AS span_len,
+          |  array_to_string(t.t[k.pos + 1 : k.pos + k.mlen], ' ') AS span
+          |FROM (SELECT doc_id, pos, mlen FROM md WHERE mlen >= 8) k
+          |LEFT JOIN md p ON p.doc_id = k.doc_id AND p.pos = k.pos - 1
+          |JOIN toks t ON t.doc_id = k.doc_id
+          |WHERE p.mlen IS NULL OR p.mlen < k.mlen + 1
+          |ORDER BY 1, 2""".stripMargin,
 
       // Boilerplate-line dedup: the oracle rebuilds the lined corpus
       // textually, fingerprints each line with the same

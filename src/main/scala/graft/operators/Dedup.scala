@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Text
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for the training-data pipeline surface: exact,
@@ -1463,6 +1464,150 @@ object Dedup {
           .otherwise(array_join(filter(col("toks"),
             (_, i) => !array_contains(col("rem"), i)), " "))
           .as("clean_text"))
+  }
+
+  /** MAXIMAL duplicated spans — the genuine Lee et al. (2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499) substring primitive the fixed-width
+    * [[duplicatedSpans]] approximates at w-token grain: for every token
+    * position, the LONGEST span starting there that occurs at ≥2
+    * distinct (doc, position) sites corpus-wide (overlapping
+    * occurrences count, as in the suffix-array formulation), reported
+    * only where MAXIMAL — at least `minLen` tokens, and not extendable
+    * one token left or right while staying duplicated. Output:
+    * (doc, pos, span_len, span), one row per maximal occurrence.
+    *
+    * The reference algorithm is a suffix array — a sequential build. The
+    * Spark-shaped EXACT equivalent is ITERATIVE WINDOW DOUBLING,
+    * O(log maxSpanLen) passes, candidate-bounded like the jaccard
+    * funnel:
+    *
+    *  1. SEEDS: positions whose minLen-window is duplicated (one in-row
+    *     gram pass + one hash-keyed aggregate, the [[duplicatedSpans]]
+    *     plan shape). A prefix of a duplicated span is duplicated, so
+    *     every position with maxdup ≥ minLen is a seed — the corpus's
+    *     non-duplicated bulk exits here and never pays another pass.
+    *  2. LADDER: probe lengths minLen·2^j. Survivors of round j with
+    *     rem ≥ 2L re-test at 2L; counting within the survivor set is
+    *     EXACT, because any other occurrence of a duplicated 2L-gram has
+    *     maxdup ≥ 2L and therefore survived round j too. Each seed
+    *     exits with a bracket lo ≤ maxdup < hi = min(2·lo, rem+1).
+    *  3. RESOLVE: one explode of every length in [minLen, hi) per seed,
+    *     one (len, gram-hash)-keyed aggregate, max duplicated length per
+    *     position. Σ(hi − minLen) ≤ Σ 2·maxdup — OUTPUT-bounded, which
+    *     is the doubling's whole point: without the bracket this explode
+    *     is doc-length-bounded (the quadratic suffix blow-up). Counting
+    *     at any probe length p stays exact inside the explode because
+    *     every position with maxdup ≥ p has hi > p and emits its p-row.
+    *  4. MAXIMALITY: right-maximal by construction (span_len is the
+    *     position's own maximum); left-maximal via one self-join —
+    *     extendable-left ⟺ maxdup(pos−1) ≥ span_len+1, and a non-seed
+    *     pos−1 has maxdup < minLen ≤ span_len, so seeds suffice.
+    *
+    * Gram identity is xxhash64 of the joined window text — hash CHOICE
+    * is free here because the oracle is an independent algorithm
+    * (suffix sort + neighbor LCP), not a hash mirror; equal-gram
+    * semantics assume no 64-bit collisions, the same corpus-scale
+    * argument [[duplicatedSpans]] documents. Token arrays live ONE ROW
+    * PER DOC throughout: candidate positions travel as per-doc INT
+    * ARRAYS, each round joins them back to the cached (doc, toks) frame
+    * at doc grain (a few MB — broadcast-sized beside any corpus), and
+    * grams hash inside a `transform` lambda, so the shuffles move only
+    * (hash, doc, pos) rows — the first cut shipped the whole token
+    * array once per POSITION through every exchange and measured 10×
+    * slower. `maxRounds` bounds detectable span length at
+    * minLen·2^maxRounds tokens (default 8·2^16 ≈ 524k — longer true
+    * spans would report truncated); the ladder also self-terminates at
+    * the longest document, so real round counts are
+    * ~log2(maxDocLen/minLen). */
+  def maximalDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                             minLen: Int = 8, maxRounds: Int = 16): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    // one row per doc, cached: every ladder round and the resolve read it
+    val toksF = tracked(docs.select(col(idCol).as("doc"),
+        Text.tokens(lower(col(textCol))).as("toks"))
+      .filter(size(col("toks")) >= minLen))
+    def gram(toks: Column, p: Column, len: Column): Column =
+      xxhash64(concat_ws(" ", slice(toks, p + 1, len)))
+    // survivors of a probe at `len` among the (doc, positions[]) frame —
+    // exactness argument per round: step 2 of the class doc. Output is
+    // re-packed to per-doc arrays for the next round's doc-grain join.
+    // Duplication test is a count over a hash-partitioned WINDOW — one
+    // exchange — not aggregate-then-semi-join (two exchanges of the same
+    // rows; the profile had the ladder paying both per round).
+    val wG = Window.partitionBy(col("g"))
+    def dupWithin(posA: DataFrame, len: Int): DataFrame =
+      toksF.join(posA, Seq("doc"))
+        .select(col("doc"), explode(transform(
+          filter(col("ps"), p => size(col("toks")) - p >= len),
+          p => struct(p.as("pos"),
+            gram(col("toks"), p, lit(len)).as("g")))).as("pg"))
+        .select(col("doc"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+        .withColumn("n", count(lit(1)).over(wG))
+        .filter(col("n") >= 2)
+        .groupBy(col("doc")).agg(collect_list(col("pos")).as("ps"))
+    // seed positions: every start with >= minLen tokens remaining
+    val all0 = toksF.select(col("doc"),
+      sequence(lit(0), size(col("toks")) - minLen).as("ps"))
+    var active = tracked(dupWithin(all0, minLen))
+    var levels = List(active.withColumn("lo", lit(minLen)))
+    var lo = minLen
+    var rounds = 0
+    var n = active.count()
+    // the longest doc bounds every span — probing past it schedules a
+    // provably-empty round's worth of jobs (measured 1.7 s of overhead)
+    val maxRem =
+      if (n == 0) 0L
+      else toksF.agg(max(size(col("toks")))).collect()(0).getInt(0).toLong
+    while (n > 0 && rounds < maxRounds && lo * 2L <= maxRem) {
+      rounds += 1
+      val next = tracked(dupWithin(active, lo * 2))
+      n = next.count()
+      if (n > 0) {
+        levels ::= next.withColumn("lo", lit(lo * 2))
+        active = next
+        lo *= 2
+      }
+    }
+    // per-seed bracket lo (deepest survived level), re-packed per doc —
+    // one aggregate over the level frames, no per-round anti-joins
+    val seeds = levels.map(_.select(col("doc"), col("lo"),
+        explode(col("ps")).as("pos")))
+      .reduce(_ unionByName _)
+      .groupBy(col("doc"), col("pos")).agg(max(col("lo")).as("lo"))
+      .groupBy(col("doc"))
+      .agg(collect_list(struct(col("pos"), col("lo"))).as("qs"))
+    // RESOLVE: per doc, explode (pos, p, gram) for every p in
+    // [minLen, hi) of every seed — in-row off the one toks row; the
+    // same one-exchange window count decides duplication, and maxdup is
+    // TRACKED because the left-maximality self-join below reads it twice
+    // (unpersisted, the whole resolve lineage ran once per side —
+    // measured as the profile's two most expensive stages)
+    val wPG = Window.partitionBy(col("p"), col("g"))
+    val maxdup = tracked(toksF.join(seeds, Seq("doc"))
+      .select(col("doc"), explode(flatten(transform(col("qs"), q =>
+        transform(
+          sequence(lit(minLen),
+            least(q.getField("lo") * 2,
+              size(col("toks")) - q.getField("pos") + 1) - 1),
+          p => struct(q.getField("pos").as("pos"), p.as("p"),
+            gram(col("toks"), q.getField("pos"), p).as("g"))))))
+        .as("row"))
+      .select(col("doc"), col("row.pos").as("pos"), col("row.p").as("p"),
+        col("row.g").as("g"))
+      .withColumn("n", count(lit(1)).over(wPG))
+      .filter(col("n") >= 2)
+      .groupBy(col("doc"), col("pos"))
+      .agg(max(col("p")).cast("long").as("span_len")))
+    val prev = maxdup.select(col("doc"), (col("pos") + 1).as("pos"),
+      col("span_len").as("prev_len"))
+    maxdup.join(prev, Seq("doc", "pos"), "left")
+      .filter(col("prev_len").isNull || col("prev_len") < col("span_len") + 1)
+      .join(toksF, Seq("doc"))
+      .select(col("doc"), col("pos").cast("long").as("pos"), col("span_len"),
+        concat_ws(" ", slice(col("toks"), col("pos") + 1,
+          col("span_len").cast("int"))).as("span"))
   }
 
   /** Cross-document LINE dedup (CCNet-style boilerplate removal, Wenzek

@@ -604,6 +604,56 @@ class DedupSpec extends SparkSpec {
     assert(fast == res)
   }
 
+  test("maximal duplicated spans: hand-checked lengths, overlap counting, left/right maximality") {
+    val d = Seq(
+      (1L, "p q r s t u v w x y z"),  // shares "p q r s t u" with doc 2
+      (2L, "m p q r s t u n o"),
+      (3L, "a b c a b c a b c"),      // overlapping self-occurrences
+      (4L, "nothing here repeats at all truly"))
+      .toDF("doc_id", "text")
+    val got = Dedup.maximalDuplicatedSpans(d, "doc_id", "text", minLen = 3)
+      .orderBy("doc", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    // doc1 pos0 "p q r s t u" (6): right-maximal (v≠n follows), left edge;
+    // doc2 pos1 same span, pos0 "m …" not duplicated so left-maximal;
+    // doc3: "a b c a b c" occurs at pos 0 and pos 3 (overlap counts —
+    // the suffix-array semantics); every other start is an extendable
+    // sub-span and must be suppressed by the maximality filter
+    assert(got == Seq(
+      (1L, 0L, 6L, "p q r s t u"),
+      (2L, 1L, 6L, "p q r s t u"),
+      (3L, 0L, 6L, "a b c a b c"),
+      (3L, 3L, 6L, "a b c a b c")), got.mkString("\n"))
+  }
+
+  test("maximal duplicated spans: doubling ladder resolves a 40-token span exactly") {
+    // span length 40 forces the ladder through 8→16→32 before the
+    // bracketed resolve — the O(log) path, not just the seed round
+    val run = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, s"aa bb $run cc dd ee"),
+      (2L, s"xx $run yy zz"),
+      (3L, "some entirely unrelated filler text that repeats nothing"))
+      .toDF("doc_id", "text")
+    val got = Dedup.maximalDuplicatedSpans(d, "doc_id", "text", minLen = 8)
+      .orderBy("doc", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 40L), (2L, 1L, 40L)), got.mkString("\n"))
+    // and every reported span string really does occur at >=2 positions:
+    // recount via a direct substring scan (independent of the operator)
+    import graft.functions.Text
+    val spans = Dedup.maximalDuplicatedSpans(d, "doc_id", "text", minLen = 8)
+      .select(col("span")).distinct().collect().map(_.getString(0))
+    val toksAll = d.select(Text.tokens(lower(col("text"))).as("t"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    spans.foreach { s =>
+      val st = s.split(" ").toSeq
+      val occ = toksAll.map(t => t.sliding(st.length).count(_ == st)).sum
+      assert(occ >= 2, s"span '$s' occurs $occ times")
+    }
+  }
+
   test("semantic dedup: collinear copies cluster together; pairs subset of exact") {
     // three well-separated directions in 4-dim space, each with a scaled
     // copy (collinear ⇒ cosine 1 ⇒ must be found), plus one orthogonal
