@@ -1936,6 +1936,51 @@ object SparkEntry {
         .orderBy(col("query_id"), col("doc"))
     }),
 
+    // Positional-index APPEND (r17 — the phrase index's lifecycle beside
+    // the BM25/ANN quads): postings are per-doc row-local, so append over
+    // disjoint docs == full rebuild EXACTLY; the double-append here also
+    // drives the idempotence contract (the replayed batch anti-joins to
+    // nothing) under the same oracle — which is simply the full-corpus
+    // phrase search.
+    "q_phrase_index_append" -> ((s, dir) => {
+      import graft.functions.Text
+      import graft.operators.Tfidf
+      val docs = Tables.documents(s, dir)
+      val existing = Tfidf.positionalPostings(
+        docs.filter(col("doc_id") % 10 =!= 9), "doc_id", "text")
+      val batch = docs.filter(col("doc_id") % 10 === 9)
+      val idx = Tfidf.appendPositionalIndex(
+        Tfidf.appendPositionalIndex(existing, batch, "doc_id", "text"),
+        batch, "doc_id", "text")
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          array_join(slice(Text.tokens(lower(col("text"))), 1, 3), " ")
+            .as("qtext"))
+      Tfidf.phraseSearch(idx, queries, "doc_id", "qtext")
+        .orderBy(col("query_id"), col("doc"))
+    }),
+
+    // Positional-index DELETE: one anti-join, no statistics to maintain
+    // (phrase intersection reads only matching docs' own position
+    // lists), so the oracle IS the rebuild over the remaining corpus —
+    // queries still drawn from the full table (external queries survive
+    // a corpus delete, the q_bm25_index_delete convention).
+    "q_phrase_index_delete" -> ((s, dir) => {
+      import graft.functions.Text
+      import graft.operators.Tfidf
+      val docs = Tables.documents(s, dir)
+      val idx = Tfidf.deletePositionalIndex(
+        Tfidf.positionalPostings(docs, "doc_id", "text"),
+        docs.filter(col("doc_id") % 10 === 3).select(col("doc_id")),
+        "doc_id")
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          array_join(slice(Text.tokens(lower(col("text"))), 1, 3), " ")
+            .as("qtext"))
+      Tfidf.phraseSearch(idx, queries, "doc_id", "qtext")
+        .orderBy(col("query_id"), col("doc"))
+    }),
+
     // PROXIMITY phrase search (Tfidf.phraseSlopSearch scaladoc, r16):
     // the same positional index answers "these words NEAR each other" —
     // offset-shifted positions must fit a window of width `slop` instead
@@ -6167,6 +6212,63 @@ object SparkEntry {
           |pos AS (
           |  SELECT t[i] AS term, doc_id AS doc, i - 1 AS p
           |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+          |starts AS (
+          |  SELECT q.query_id, q.m, p.doc, q.ofs, p.p - q.ofs AS strt
+          |  FROM qt q JOIN pos p USING (term)),
+          |hits AS (
+          |  SELECT query_id, m, doc, strt,
+          |    CAST(count(DISTINCT ofs) AS BIGINT) AS nofs
+          |  FROM starts GROUP BY 1, 2, 3, 4)
+          |SELECT query_id, doc, CAST(count(*) AS BIGINT) AS n_matches
+          |FROM hits WHERE nofs = m
+          |GROUP BY 1, 2
+          |ORDER BY query_id, doc""".stripMargin,
+
+      // positional-index append == full rebuild (postings are per-doc
+      // row-local; the replayed batch anti-joins to nothing), so the
+      // oracle is the full-corpus phrase search verbatim
+      "q_phrase_index_append" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+          |  FROM documents),
+          |qt AS (
+          |  SELECT query_id, CAST(len(q) AS BIGINT) AS m, i - 1 AS ofs,
+          |    q[i] AS term
+          |  FROM (SELECT doc_id AS query_id, t[1:3] AS q FROM toks
+          |        WHERE doc_id % 97 = 0),
+          |    unnest(range(1, len(q) + 1)) AS u(i)),
+          |pos AS (
+          |  SELECT t[i] AS term, doc_id AS doc, i - 1 AS p
+          |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+          |starts AS (
+          |  SELECT q.query_id, q.m, p.doc, q.ofs, p.p - q.ofs AS strt
+          |  FROM qt q JOIN pos p USING (term)),
+          |hits AS (
+          |  SELECT query_id, m, doc, strt,
+          |    CAST(count(DISTINCT ofs) AS BIGINT) AS nofs
+          |  FROM starts GROUP BY 1, 2, 3, 4)
+          |SELECT query_id, doc, CAST(count(*) AS BIGINT) AS n_matches
+          |FROM hits WHERE nofs = m
+          |GROUP BY 1, 2
+          |ORDER BY query_id, doc""".stripMargin,
+
+      // positional-index delete == rebuild over the remaining corpus:
+      // the same chain with the postings side filtered to survivors,
+      // queries still drawn from the full table
+      "q_phrase_index_delete" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+          |  FROM documents),
+          |qt AS (
+          |  SELECT query_id, CAST(len(q) AS BIGINT) AS m, i - 1 AS ofs,
+          |    q[i] AS term
+          |  FROM (SELECT doc_id AS query_id, t[1:3] AS q FROM toks
+          |        WHERE doc_id % 97 = 0),
+          |    unnest(range(1, len(q) + 1)) AS u(i)),
+          |pos AS (
+          |  SELECT t[i] AS term, doc_id AS doc, i - 1 AS p
+          |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+          |  WHERE doc_id % 10 != 3),
           |starts AS (
           |  SELECT q.query_id, q.m, p.doc, q.ofs, p.p - q.ofs AS strt
           |  FROM qt q JOIN pos p USING (term)),

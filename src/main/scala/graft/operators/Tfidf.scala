@@ -596,6 +596,40 @@ object Tfidf {
                           prefix: String): DataFrame =
     spark.table(s"${prefix}_positional")
 
+  /** APPEND documents to a positional index (r17 — completes the phrase
+    * index's lifecycle beside the BM25 and ANN quads: build / serve /
+    * append / delete). Positional postings are PER-DOC row-local
+    * quantities ([[positionalPostings]] scaladoc) — no cross-doc
+    * statistics exist to maintain — so append over disjoint doc sets is
+    * a plain union and equals a full rebuild over the union EXACTLY.
+    * The [[appendBm25Index]] safety contract is wrapped on: the batch
+    * dedupes within itself and anti-joins the index's doc ids, so
+    * at-least-once replay is idempotent (`append(append(idx, b), b) ==
+    * append(idx, b)` row-for-row, spec'd and driver-checked). Cost: one
+    * map-only pass over the SURVIVING batch docs plus a doc-id
+    * distinct — the existing postings never reshuffle. */
+  def appendPositionalIndex(existing: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String): DataFrame = {
+    val known = existing.select(col("doc")).distinct()
+    val fresh = batch.dropDuplicates(Seq(idCol))
+      .join(known, batch(idCol) === known("doc"), "left_anti")
+    existing.unionByName(positionalPostings(fresh, idCol, textCol))
+  }
+
+  /** DELETE documents from a positional index — and unlike
+    * [[deleteBm25Index]] there are NO statistics to fix (phrase
+    * intersection reads only the matching docs' own position lists), so
+    * deletion is one anti-join at tombstone grain: `delete(build(all),
+    * tombs) == build(all minus tombs)` EXACTLY, and deleting absent ids
+    * is a no-op. The corpus text is never touched. */
+  def deletePositionalIndex(existing: DataFrame, tombstones: DataFrame,
+                            idCol: String): DataFrame =
+    existing.join(tombstones.select(col(idCol).as("doc")).distinct(),
+        Seq("doc"), "left_anti")
+      // the join moves its key first; restore the canonical postings order
+      .select(col("term"), col("doc"), col("tf"), col("dl"),
+        col("positions"))
+
   /** DELETE documents from a [[Bm25Index]] — the remaining quarter of
     * the sparse lifecycle (build / serve / append / delete), and unlike
     * the ANN side's tombstone exclusion this must TOUCH THE STATISTICS:

@@ -189,6 +189,35 @@ class Bm25IndexSpec extends SparkSpec {
     }
   }
 
+  test("positional index lifecycle: append == rebuild, idempotent; delete == rebuild, idempotent") {
+    import graft.operators.Tfidf
+    val a = Seq((1L, "red fox jumps high"), (2L, "lazy dog red fox"))
+      .toDF("doc_id", "text")
+    val b = Seq((3L, "red fox red fox"), (3L, "red fox red fox"))
+      .toDF("doc_id", "text") // in-batch duplicate: must not double postings
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("term", "doc").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[Int](4).toSeq)).toSeq
+    val idxA = Tfidf.positionalPostings(a, "doc_id", "text")
+    val appended = Tfidf.appendPositionalIndex(idxA, b, "doc_id", "text")
+    val rebuilt = Tfidf.positionalPostings(
+      a.unionByName(b.dropDuplicates("doc_id")), "doc_id", "text")
+    assert(rows(appended) == rows(rebuilt))
+    // replay idempotence: the whole batch anti-joins to nothing
+    assert(rows(Tfidf.appendPositionalIndex(appended, b, "doc_id", "text"))
+      == rows(appended))
+    // delete == rebuild over the remaining docs; absent ids are a no-op
+    val tombs = Seq(2L, 99L).toDF("doc_id")
+    val deleted = Tfidf.deletePositionalIndex(appended, tombs, "doc_id")
+    val remaining = Tfidf.positionalPostings(
+      a.filter(col("doc_id") =!= 2L).unionByName(b.dropDuplicates("doc_id")),
+      "doc_id", "text")
+    assert(rows(deleted) == rows(remaining))
+    assert(rows(Tfidf.deletePositionalIndex(deleted, tombs, "doc_id"))
+      == rows(deleted))
+  }
+
   test("positional postings: hand-checked positions; tf == |positions|; Σtf == dl") {
     val docs = Seq((1L, "red fox red fox red dog")).toDF("doc_id", "text")
     val got = Tfidf.positionalPostings(docs, "doc_id", "text").collect()
