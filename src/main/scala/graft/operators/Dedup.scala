@@ -1532,13 +1532,19 @@ object Dedup {
       xxhash64(concat_ws(" ", slice(toks, p + 1, len)))
     // survivors of a probe at `len` among the (doc, positions[]) frame —
     // exactness argument per round: step 2 of the class doc. Output is
-    // re-packed to per-doc arrays for the next round's doc-grain join.
-    // Duplication test is a count over a hash-partitioned WINDOW — one
-    // exchange — not aggregate-then-semi-join (two exchanges of the same
-    // rows; the profile had the ladder paying both per round).
+    // re-packed to per-doc arrays for the next round's doc-grain join
+    // (the survivor side is seed-sized, so Catalyst broadcasts it and
+    // the cached token frame streams map-side). The SEED round needs no
+    // join at all: every position probes, so its array derives in-row
+    // from the token frame itself. Duplication test is a count over a
+    // hash-partitioned WINDOW — one exchange — not
+    // aggregate-then-semi-join (two exchanges of the same rows; the
+    // profile had the ladder paying both per round).
     val wG = Window.partitionBy(col("g"))
-    def dupWithin(posA: DataFrame, len: Int): DataFrame =
-      toksF.join(posA, Seq("doc"))
+    def dupWithin(posA: Option[DataFrame], len: Int): DataFrame =
+      posA.fold(toksF.withColumn("ps",
+          sequence(lit(0), size(col("toks")) - minLen)))(
+          pa => toksF.join(pa, Seq("doc")))
         .select(col("doc"), explode(transform(
           filter(col("ps"), p => size(col("toks")) - p >= len),
           p => struct(p.as("pos"),
@@ -1547,10 +1553,7 @@ object Dedup {
         .withColumn("n", count(lit(1)).over(wG))
         .filter(col("n") >= 2)
         .groupBy(col("doc")).agg(collect_list(col("pos")).as("ps"))
-    // seed positions: every start with >= minLen tokens remaining
-    val all0 = toksF.select(col("doc"),
-      sequence(lit(0), size(col("toks")) - minLen).as("ps"))
-    var active = tracked(dupWithin(all0, minLen))
+    var active = tracked(dupWithin(None, minLen))
     var levels = List(active.withColumn("lo", lit(minLen)))
     var lo = minLen
     var rounds = 0
@@ -1562,7 +1565,7 @@ object Dedup {
       else toksF.agg(max(size(col("toks")))).collect()(0).getInt(0).toLong
     while (n > 0 && rounds < maxRounds && lo * 2L <= maxRem) {
       rounds += 1
-      val next = tracked(dupWithin(active, lo * 2))
+      val next = tracked(dupWithin(Some(active), lo * 2))
       n = next.count()
       if (n > 0) {
         levels ::= next.withColumn("lo", lit(lo * 2))
