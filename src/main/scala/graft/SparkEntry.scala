@@ -907,11 +907,15 @@ object SparkEntry {
     // certified rank error ≤ 1e-4·n; DuckDB runs a t-digest), so the
     // approximate VALUE can't hash-match — instead each engine emits its
     // exact percentiles (proving the grouping, hash-compared) plus a
-    // boolean that ITS OWN estimate landed inside a ±2% RANK band,
-    // converted to a value interval via exact percentiles at the shifted
-    // ranks (the only cross-engine-comparable form of a rank guarantee).
-    // The band is 200× Spark's certified error and far above t-digest's
-    // practical mid-quantile error, so the booleans are stable at any SF.
+    // boolean that ITS OWN estimate landed inside a ±5% RANK band (p95:
+    // −5/+4, bounded by rank 1.0), converted to a value interval via
+    // exact percentiles at the shifted ranks (the only cross-engine-
+    // comparable form of a rank guarantee). The band is 500× Spark's
+    // certified GK error; DuckDB's t-digest carries NO certified bound
+    // and its tail error is merge-order/parallelism-dependent (r17
+    // ADVICE: the original ±2% band could flake on a skewed tail even
+    // with both engines behaving), so the band is sized for t-digest's
+    // practical worst case, not for Spark's guarantee.
     "q_quantiles_approx" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
@@ -919,10 +923,10 @@ object SparkEntry {
           expr("percentile(value, 0.95)").as("p95"),
           expr("approx_percentile(value, 0.5, 10000)").as("a50"),
           expr("approx_percentile(value, 0.95, 10000)").as("a95"),
-          expr("percentile(value, 0.48)").as("lo50"),
-          expr("percentile(value, 0.52)").as("hi50"),
-          expr("percentile(value, 0.93)").as("lo95"),
-          expr("percentile(value, 0.97)").as("hi95"))
+          expr("percentile(value, 0.45)").as("lo50"),
+          expr("percentile(value, 0.55)").as("hi50"),
+          expr("percentile(value, 0.90)").as("lo95"),
+          expr("percentile(value, 0.99)").as("hi95"))
         .select(col("event_type"), col("p50"), col("p95"),
           (col("a50") >= col("lo50") && col("a50") <= col("hi50"))
             .as("a50_within_band"),
@@ -1259,6 +1263,23 @@ object SparkEntry {
           "text", minLen = 8)
         .withColumnRenamed("doc", "doc_id")
         .orderBy(col("doc_id"), col("pos"))),
+
+    // Maximal-span REMOVAL (r18, the r17 verdict's ask #4 — the Lee et
+    // al. pipeline END-TO-END): the doubling ladder's exact any-length
+    // span set composed with canonical-owner scrubbing
+    // (Dedup.removeMaximalSpans scaladoc). On the planted corpus the
+    // invariants are structural: each excerpt doc's duplicated body is
+    // non-canonical (its source has the smaller (doc, pos)) and is
+    // scrubbed, sources keep their text verbatim, unique prose is
+    // untouched. The oracle derives the SAME span set from the
+    // independent suffix-sort algorithm and rebuilds every survivor
+    // text in DuckDB — two different algorithms agreeing on every
+    // clean_text byte.
+    "q_span_scrub_maximal" -> ((s, dir) =>
+      Dedup.removeMaximalSpans(spanMaximalCorpus(s, dir), "doc_id",
+          "text", minLen = 8)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
 
     // CCNet-style cross-doc LINE dedup on the lined corpus: per-site
     // headers/footers (df 25 at sf0.01) vanish from every page including
@@ -2905,6 +2926,88 @@ object SparkEntry {
         .orderBy(col("n").desc, col("key"))
     }),
 
+    // STREAMING BM25 index maintenance (r18, the r17 verdict's ask #6 —
+    // closes the last batch/stream asymmetry among the index families):
+    // the standing index persists as catalog tables, the new docs
+    // arrive as a STREAM, and each micro-batch runs the full serving
+    // lifecycle — load → appendBm25Index → saveBm25Index, the
+    // staged-swap write, so a crash mid-append never loses the live
+    // index and a crash mid-swap rolls forward on the next load.
+    // Append is exact and associative over disjoint doc sets and
+    // idempotent under replay (the anti-join ships inside
+    // appendBm25Index), so ANY micro-batch partitioning of the stream
+    // lands on the identical index — stream ≡ batch ≡ full rebuild, and
+    // the oracle is the unmodified full-corpus search (the q_stream_cms
+    // pattern applied to the sparse index).
+    "q_stream_bm25_append" -> ((s, dir) => {
+      import graft.functions.Text
+      import graft.operators.Tfidf
+      val prefix = "graft_stream_bm25_" + math.abs(dir.hashCode).toString
+      val docs = Tables.documents(s, dir)
+      Tfidf.saveBm25Index(
+        Tfidf.buildBm25Index(docs.filter(col("doc_id") % 10 =!= 9),
+          "doc_id", "text"), prefix, buckets = 8)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 10 === 9)
+        .select(col("doc_id"), col("text"))
+      val q = stream.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          Tfidf.saveBm25Index(
+            Tfidf.appendBm25Index(Tfidf.loadBm25Index(s, prefix),
+              b.toDF(), "doc_id", "text"), prefix, buckets = 8)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          array_join(slice(Text.tokens(lower(col("text"))), 1, 3), " ")
+            .as("qtext"))
+      Tfidf.searchBm25Served(Tfidf.loadBm25Index(s, prefix), queries,
+          "doc_id", "qtext", k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // The positional-index streaming twin: the same load → append →
+    // save micro-batch lifecycle over the phrase index (positional
+    // postings are per-doc row-local, so append ≡ rebuild EXACTLY —
+    // Tfidf.appendPositionalIndex scaladoc), served by the full-corpus
+    // phrase search whose oracle is unchanged.
+    "q_stream_phrase_append" -> ((s, dir) => {
+      import graft.functions.Text
+      import graft.operators.Tfidf
+      val prefix = "graft_stream_pos_" + math.abs(dir.hashCode).toString
+      val docs = Tables.documents(s, dir)
+      Tfidf.savePositionalIndex(
+        Tfidf.positionalPostings(docs.filter(col("doc_id") % 10 =!= 9),
+          "doc_id", "text"), prefix, buckets = 8)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 10 === 9)
+        .select(col("doc_id"), col("text"))
+      val q = stream.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          Tfidf.savePositionalIndex(
+            Tfidf.appendPositionalIndex(
+              Tfidf.loadPositionalIndex(s, prefix), b.toDF(),
+              "doc_id", "text"), prefix, buckets = 8)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          array_join(slice(Text.tokens(lower(col("text"))), 1, 3), " ")
+            .as("qtext"))
+      Tfidf.phraseSearch(Tfidf.loadPositionalIndex(s, prefix), queries,
+          "doc_id", "qtext")
+        .orderBy(col("query_id"), col("doc"))
+    }),
+
     "q_stream_quality" -> ((s, dir) => {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val stream = s.readStream.schema(schema)
@@ -3908,16 +4011,18 @@ object SparkEntry {
 
       // HLL-twin pattern: exact percentiles hash-compare; each engine's
       // own sketch (t-digest here, GK summaries in Spark) self-checks
-      // against a ±2% rank band expressed as exact-percentile values.
+      // against a ±5% rank band (p95: −5/+4) expressed as
+      // exact-percentile values — sized for t-digest's uncertified,
+      // merge-order-dependent tail error (r17 ADVICE), not Spark's bound.
       "q_quantiles_approx" ->
         """SELECT event_type,
           |  quantile_cont(value, 0.5) AS p50,
           |  quantile_cont(value, 0.95) AS p95,
           |  approx_quantile(value, 0.5)
-          |    BETWEEN quantile_cont(value, 0.48) AND quantile_cont(value, 0.52)
+          |    BETWEEN quantile_cont(value, 0.45) AND quantile_cont(value, 0.55)
           |    AS a50_within_band,
           |  approx_quantile(value, 0.95)
-          |    BETWEEN quantile_cont(value, 0.93) AND quantile_cont(value, 0.97)
+          |    BETWEEN quantile_cont(value, 0.90) AND quantile_cont(value, 0.99)
           |    AS a95_within_band
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -5157,6 +5262,75 @@ object SparkEntry {
           |WHERE p.mlen IS NULL OR p.mlen < k.mlen + 1
           |ORDER BY 1, 2""".stripMargin,
 
+      // Maximal-span removal: the suffix-sort span set (the q_span_maximal
+      // CTEs verbatim), ranked per exact span TEXT by (doc, pos) — rank 1
+      // is the canonical occurrence and keeps its tokens, every later
+      // occurrence's interval is removed — then the survivor text is
+      // reassembled exactly as q_span_scrub's oracle does. Independent
+      // algorithm on the detection side, byte-level agreement on the
+      // reassembly side.
+      "q_span_scrub_maximal" ->
+        """WITH planted AS (
+          |  SELECT doc_id + 4000000 AS doc_id,
+          |    array_to_string(toks[6:45], ' ') AS text
+          |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          |        FROM documents WHERE doc_id % 20 = 0)),
+          |base AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id, text FROM planted),
+          |toks AS (
+          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+          |  FROM base),
+          |pos AS (
+          |  SELECT doc_id, i - 1 AS pos, t[i:] AS suf
+          |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+          |        FROM toks WHERE len(t) >= 8)),
+          |ord AS (
+          |  SELECT doc_id, pos, suf,
+          |    lag(suf) OVER (ORDER BY suf, doc_id, pos) AS psuf,
+          |    lead(suf) OVER (ORDER BY suf, doc_id, pos) AS nsuf
+          |  FROM pos),
+          |md AS (
+          |  SELECT doc_id, pos,
+          |    greatest(
+          |      CASE WHEN psuf IS NULL THEN 0 ELSE coalesce(
+          |        nullif(list_position(list_transform(
+          |          generate_series(1, least(len(suf), len(psuf))),
+          |          i -> suf[i] = psuf[i]), false), 0) - 1,
+          |        least(len(suf), len(psuf))) END,
+          |      CASE WHEN nsuf IS NULL THEN 0 ELSE coalesce(
+          |        nullif(list_position(list_transform(
+          |          generate_series(1, least(len(suf), len(nsuf))),
+          |          i -> suf[i] = nsuf[i]), false), 0) - 1,
+          |        least(len(suf), len(nsuf))) END) AS mlen
+          |  FROM ord),
+          |spans AS (
+          |  SELECT k.doc_id, k.pos, k.mlen,
+          |    array_to_string(t.t[k.pos + 1 : k.pos + k.mlen], ' ') AS span
+          |  FROM (SELECT doc_id, pos, mlen FROM md WHERE mlen >= 8) k
+          |  LEFT JOIN md p ON p.doc_id = k.doc_id AND p.pos = k.pos - 1
+          |  JOIN toks t ON t.doc_id = k.doc_id
+          |  WHERE p.mlen IS NULL OR p.mlen < k.mlen + 1),
+          |ranked AS (
+          |  SELECT doc_id, pos, mlen,
+          |    row_number() OVER (PARTITION BY span ORDER BY doc_id, pos)
+          |      AS rn
+          |  FROM spans),
+          |rem AS (
+          |  SELECT doc_id,
+          |    list_distinct(flatten(list(generate_series(pos, pos + mlen - 1))))
+          |      AS rem
+          |  FROM ranked WHERE rn > 1 GROUP BY doc_id)
+          |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+          |  CAST(coalesce(len(r.rem), 0) AS BIGINT) AS n_removed,
+          |  CASE WHEN r.rem IS NULL THEN array_to_string(t.t, ' ')
+          |  ELSE coalesce(array_to_string(list_transform(
+          |    list_filter(generate_series(0, len(t.t) - 1),
+          |      i -> NOT list_contains(r.rem, i)),
+          |    i -> t.t[i + 1]), ' '), '') END AS clean_text
+          |FROM toks t LEFT JOIN rem r ON r.doc_id = t.doc_id
+          |ORDER BY t.doc_id""".stripMargin,
+
       // Boilerplate-line dedup: the oracle rebuilds the lined corpus
       // textually, fingerprints each line with the same
       // collapse/trim/lower+md5 normalization, censuses df over
@@ -5764,6 +5938,48 @@ object SparkEntry {
            |FROM exact x JOIN est e USING (key)
            |ORDER BY n DESC, key""".stripMargin
       },
+
+      // stream-appended index ≡ batch merge ≡ full rebuild (exact
+      // additive BIGINTs over disjoint doc sets; replay anti-joins to
+      // nothing), so the oracle is the unmodified full-corpus search —
+      // the same CTE chain q_bm25_search / q_bm25_index_append run under
+      "q_stream_bm25_append" ->
+        s"""WITH $bm25SearchScoredCtes
+           |SELECT query_id, doc, score_c, CAST(rn AS BIGINT) AS rnk FROM (
+           |  SELECT query_id, doc, score_c,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score_c DESC, doc) AS rn
+           |  FROM bm25_scored)
+           |WHERE rn <= 5
+           |ORDER BY query_id, rnk""".stripMargin,
+
+      // stream-appended positional index ≡ rebuild (per-doc row-local
+      // postings), so the oracle is the full-corpus phrase search
+      // verbatim — the q_phrase_search / q_phrase_index_append chain
+      "q_stream_phrase_append" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+          |  FROM documents),
+          |qt AS (
+          |  SELECT query_id, CAST(len(q) AS BIGINT) AS m, i - 1 AS ofs,
+          |    q[i] AS term
+          |  FROM (SELECT doc_id AS query_id, t[1:3] AS q FROM toks
+          |        WHERE doc_id % 97 = 0),
+          |    unnest(range(1, len(q) + 1)) AS u(i)),
+          |pos AS (
+          |  SELECT t[i] AS term, doc_id AS doc, i - 1 AS p
+          |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+          |starts AS (
+          |  SELECT q.query_id, q.m, p.doc, q.ofs, p.p - q.ofs AS strt
+          |  FROM qt q JOIN pos p USING (term)),
+          |hits AS (
+          |  SELECT query_id, m, doc, strt,
+          |    CAST(count(DISTINCT ofs) AS BIGINT) AS nofs
+          |  FROM starts GROUP BY 1, 2, 3, 4)
+          |SELECT query_id, doc, CAST(count(*) AS BIGINT) AS n_matches
+          |FROM hits WHERE nofs = m
+          |GROUP BY 1, 2
+          |ORDER BY query_id, doc""".stripMargin,
 
       "q_stream_quality" ->
         s"""WITH $qualityCtes

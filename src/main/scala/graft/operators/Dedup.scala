@@ -1554,6 +1554,7 @@ object Dedup {
         .filter(col("n") >= 2)
         .groupBy(col("doc")).agg(collect_list(col("pos")).as("ps"))
     var active = tracked(dupWithin(None, minLen))
+    var tracked_ = List(active)
     var levels = List(active.withColumn("lo", lit(minLen)))
     var lo = minLen
     var rounds = 0
@@ -1566,6 +1567,7 @@ object Dedup {
     while (n > 0 && rounds < maxRounds && lo * 2L <= maxRem) {
       rounds += 1
       val next = tracked(dupWithin(Some(active), lo * 2))
+      tracked_ ::= next
       n = next.count()
       if (n > 0) {
         levels ::= next.withColumn("lo", lit(lo * 2))
@@ -1573,6 +1575,14 @@ object Dedup {
         lo *= 2
       }
     }
+    // truncation is a FLAG, not a silent cap (r17 ADVICE): a corpus
+    // whose spans outrun minLen·2^maxRounds would report them truncated
+    // and diverge from a suffix-array oracle — say so when it is the
+    // ROUND bound (not the longest document) that stopped the ladder
+    if (rounds == maxRounds && n > 0 && lo * 2L <= maxRem)
+      System.err.println(s"[graft] maximalDuplicatedSpans: ladder stopped " +
+        s"by maxRounds=$maxRounds at probe length $lo — spans longer than " +
+        s"${lo * 2} tokens (if any) will report truncated; raise maxRounds")
     // per-seed bracket lo (deepest survived level), re-packed per doc —
     // one aggregate over the level frames, no per-round anti-joins
     val seeds = levels.map(_.select(col("doc"), col("lo"),
@@ -1603,6 +1613,15 @@ object Dedup {
       .filter(col("n") >= 2)
       .groupBy(col("doc"), col("pos"))
       .agg(max(col("p")).cast("long").as("span_len")))
+    // materialize the resolve HERE, then release the superseded ladder
+    // level frames (r17 ADVICE): the levels only feed `seeds`, which the
+    // resolve above has now consumed — without this, a library caller
+    // outside the bench loop accumulates up to maxRounds cached frames
+    // per invocation until its own unpersistAll. toksF and maxdup stay
+    // cached (the maximality join and the span text read them); both
+    // release with the "dedup" scope as before.
+    maxdup.count()
+    tracked_.foreach(_.unpersist(false))
     val prev = maxdup.select(col("doc"), (col("pos") + 1).as("pos"),
       col("span_len").as("prev_len"))
     maxdup.join(prev, Seq("doc", "pos"), "left")
@@ -1611,6 +1630,63 @@ object Dedup {
       .select(col("doc"), col("pos").cast("long").as("pos"), col("span_len"),
         concat_ws(" ", slice(col("toks"), col("pos") + 1,
           col("span_len").cast("int"))).as("span"))
+  }
+
+  /** MAXIMAL-span REMOVAL — the end-to-end Lee et al. (2022) dedup
+    * pipeline: [[maximalDuplicatedSpans]]' exact any-length span report
+    * composed with [[removeDuplicatedSpans]]' canonical-owner scrubbing,
+    * so the corpus dedups at MAXIMAL span grain instead of fixed-w
+    * windows. Each reported maximal span (grouped by its exact text)
+    * keeps its tokens only at the CANONICAL occurrence — the minimum
+    * (doc, pos) site, so within one doc the FIRST of two repeats
+    * survives — and every other reported occurrence loses the covered
+    * tokens. Unique prose, and documents too short to seed, pass through
+    * verbatim.
+    *
+    * Grain note, deliberate: the unit of removal is a REPORTED maximal
+    * occurrence. An occurrence embedded in a strictly LONGER duplicated
+    * context at some site is governed by that site's enclosing span row
+    * (the embedded copy is not separately reported there — it is not
+    * left-maximal), so a doc whose span's only other occurrences are
+    * embedded keeps its copy: it is that exact span's first free-
+    * standing site. The DuckDB oracle derives the same set from the
+    * independent suffix-sort algorithm, so the semantics are pinned
+    * cross-engine, not an artifact of the ladder.
+    *
+    * Scale shape: everything past the ladder is span-OUTPUT-bounded —
+    * group occurrences by an 8-byte hash of the span text (never
+    * shuffling the text itself beyond each row's own span column), one
+    * min-struct aggregate for the canonical site, one hash-keyed join
+    * back, in-row interval union + token filtering (the
+    * [[removeDuplicatedSpans]] reassembly). Output per input doc:
+    * (doc, n_tokens, n_removed, clean_text). */
+  def removeMaximalSpans(docs: DataFrame, idCol: String, textCol: String,
+                         minLen: Int = 8, maxRounds: Int = 16): DataFrame = {
+    val spans = maximalDuplicatedSpans(docs, idCol, textCol, minLen,
+        maxRounds)
+      // span_len disambiguates the (astronomically unlikely) text-equal
+      // prefix hash case for free — both columns are already in-row
+      .withColumn("g", xxhash64(col("span_len"), col("span")))
+    val canon = spans.groupBy(col("g"))
+      .agg(min(struct(col("doc"), col("pos"))).as("c"))
+    val removed = spans.join(canon, Seq("g"))
+      .filter(col("doc") =!= col("c.doc") || col("pos") =!= col("c.pos"))
+      .groupBy(col("doc"))
+      .agg(collect_list(struct(col("pos").cast("int").as("pos"),
+        col("span_len").cast("int").as("len"))).as("ivs"))
+      .select(col("doc"), array_distinct(flatten(transform(col("ivs"),
+        iv => sequence(iv.getField("pos"),
+          iv.getField("pos") + iv.getField("len") - 1)))).as("rem"))
+    val toks = docs.select(col(idCol).as("doc"),
+      Text.tokens(lower(col(textCol))).as("toks"))
+    toks.join(removed, Seq("doc"), "left")
+      .select(col("doc"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("rem")), lit(0)).cast("long").as("n_removed"),
+        when(col("rem").isNull, array_join(col("toks"), " "))
+          .otherwise(array_join(filter(col("toks"),
+            (_, i) => !array_contains(col("rem"), i)), " "))
+          .as("clean_text"))
   }
 
   /** Cross-document LINE dedup (CCNet-style boilerplate removal, Wenzek

@@ -537,11 +537,17 @@ object Pq {
       s"${prefix}_codebook" -> graft.sources.Sinks.parquetWriter(codebook)))
 
   /** Re-open a persisted serving index written by [[saveServingIndex]]:
-    * (codes, centroids, codebook), ready for [[ivfPqServe]]. */
+    * (codes, centroids, codebook), ready for [[ivfPqServe]]. Rolls
+    * forward a swap that crashed mid-rename first (Sinks.recoverSwaps),
+    * so a mixed set — new codes beside an old codebook — is repaired
+    * before one ADC lookup reads it. */
   def loadServingIndex(spark: org.apache.spark.sql.SparkSession,
-                       prefix: String): (DataFrame, DataFrame, DataFrame) =
+                       prefix: String): (DataFrame, DataFrame, DataFrame) = {
+    graft.sources.Sinks.recoverSwaps(spark, Seq(s"${prefix}_codes",
+      s"${prefix}_centroids", s"${prefix}_codebook"))
     (spark.table(s"${prefix}_codes"), spark.table(s"${prefix}_centroids"),
       spark.table(s"${prefix}_codebook"))
+  }
 
   /** Tombstone DELETE from the serving index (r15) — the remaining
     * quarter of the index lifecycle (build / append / delete / compact):

@@ -572,12 +572,19 @@ object Tfidf {
       s"${prefix}_corpusstats" -> Sinks.parquetWriter(index.corpusStats)))
   }
 
-  /** Re-open a persisted [[Bm25Index]] written by [[saveBm25Index]]. */
+  /** Re-open a persisted [[Bm25Index]] written by [[saveBm25Index]].
+    * Rolls forward a swap that crashed mid-rename first
+    * (Sinks.recoverSwaps — the marker certifies complete stages), so a
+    * mixed old/new table set is repaired before it can serve one
+    * stale-statistics score. */
   def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
-                    prefix: String): Bm25Index =
+                    prefix: String): Bm25Index = {
+    graft.sources.Sinks.recoverSwaps(spark, Seq(s"${prefix}_postings",
+      s"${prefix}_termstats", s"${prefix}_corpusstats"))
     Bm25Index(spark.table(s"${prefix}_postings"),
       spark.table(s"${prefix}_termstats"),
       spark.table(s"${prefix}_corpusstats"))
+  }
 
   /** Persist a POSITIONAL postings frame ([[positionalPostings]]) as the
     * phrase-serving table — term-bucketed like the plain postings (the
@@ -752,8 +759,9 @@ object Tfidf {
     * and the machinery runs ONLY over flagged queries' rows (a mixed
     * batch splits, serves each half its own way, and unions before the
     * rank; a batch with no flagged query plans the r15 pipeline
-    * verbatim, zero extra jobs — the df spread rides the one pushTerms
-    * collect every serve call already pays). The refusal is by name in
+    * verbatim — the flag decision costs one LIMIT-BOUNDED driver job of
+    * at most maxFlagIds+1 rows beside the pushTerms collect, the r17
+    * ADVICE bound). The refusal is by name in
     * the bench census
     * (`bm25_wand_pruned_queries` = 0 on this fixture — uniform df is
     * the printed reason). Cost shape when engaged: the weight frame
@@ -787,28 +795,18 @@ object Tfidf {
     val qterms = queries.select(col(qidCol).as("query_id"),
       explode(array_distinct(Text.tokens(lower(col(qtextCol))))).as("term"))
     val needFlags = wandPrune && candidates.isEmpty
-    // ONE driver-bounded collect per serve call either way: the plain
-    // r15 pushTerms job on the default path, or — when WAND is asked
-    // for — the same job joined with termStats so the pre-flight's
-    // per-query df spread rides along at zero extra jobs (a separate
-    // flags job measurably added ~0.3-0.6 s of fixed scheduling cost per
-    // call). The query batch is the serving contract's small side, so
-    // queries-grain driver rows are the same bound the broadcast design
-    // already assumes; terms absent from termStats drop out of the IN
-    // literal on the WAND path — they have no postings rows to prune.
-    val qstats =
-      if (!needFlags) Array.empty[org.apache.spark.sql.Row]
-      else qterms
-        .join(index.termStats.select(col("term"), col("df")), Seq("term"))
-        .groupBy(col("query_id"))
-        .agg(min(col("df")).as("mindf"), sum(col("df")).as("sumdf"),
-          collect_set(col("term")).as("terms"))
-        .collect()
+    // EVERY driver collect here is limit-bounded (r17 ADVICE): the
+    // pushTerms job caps at maxPushTerms+1 rows on every path, and the
+    // WAND pre-flight's flag decision below caps at maxFlagIds+1 — the
+    // phraseHits rule. The r16 form fused flags+terms into one unbounded
+    // qstats collect (saving ~0.3-0.6 s of job scheduling on the WAND
+    // path); that pulled every query's term SET to the driver with no
+    // cap, which is exactly the bound-less collect the maxFlagIds cap
+    // exists to prevent. Two small bounded jobs on the default-OFF WAND
+    // path beat one unbounded one.
     val pushTerms =
-      if (!needFlags)
-        qterms.select(col("term")).distinct()
-          .limit(maxPushTerms + 1).collect().map(_.getString(0)).toSeq
-      else qstats.iterator.flatMap(_.getSeq[String](3)).toSeq.distinct
+      qterms.select(col("term")).distinct()
+        .limit(maxPushTerms + 1).collect().map(_.getString(0)).toSeq
     val postings =
       if (pushTerms.size > maxPushTerms) index.postings
       else index.postings.filter(col("term").isin(pushTerms: _*))
@@ -838,32 +836,33 @@ object Tfidf {
           .cast("long").as("w_c"))
     if (!needFlags) return weightedRaw
     // the pre-flight (class doc): queries whose df spread says pruning
-    // can pay, already computed in the single collect above — an empty
-    // flag set short-circuits to the exact r15 plan, no persist, no join
-    val flaggedIds = qstats.iterator.filter(r =>
-        r.getLong(1).toDouble <= r.getLong(2).toDouble * wandSeedFrac)
-      .map(_.get(0)).toSeq
-    if (flaggedIds.isEmpty) return weightedRaw
-    // flagged-id literal cap (r16 ADVICE, the phraseHits rule): a batch
-    // flagging more than maxFlagIds ids splits on a broadcast semi/anti
-    // of the flags frame instead of a plan-bloating isin — the frame
-    // replays the same df-spread aggregate the collect above computed
+    // can pay — an empty flag set short-circuits to the exact r15 plan,
+    // no persist, no join. The flag collect is LIMIT-BOUNDED at
+    // maxFlagIds+1 (r17 ADVICE): the driver learns whether the batch
+    // exceeds the literal cap without ever pulling more than cap+1 ids,
+    // exactly as phraseHits does.
     val maxFlagIds = 4096
-    val useLiterals = flaggedIds.size <= maxFlagIds
-    lazy val flagsF = broadcast(qterms
+    val flagsF = qterms
       .join(index.termStats.select(col("term"), col("df")), Seq("term"))
       .groupBy(col("query_id"))
       .agg(min(col("df")).as("mindf"), sum(col("df")).as("sumdf"))
       .filter(col("mindf").cast("double") <=
         col("sumdf").cast("double") * lit(wandSeedFrac))
-      .select(col("query_id")))
-    val isFlagged = col("query_id").isin(flaggedIds: _*)
+      .select(col("query_id"))
+    val flaggedIds = flagsF.limit(maxFlagIds + 1).collect().map(_.get(0)).toSeq
+    if (flaggedIds.isEmpty) return weightedRaw
+    // flagged-id literal cap (r16 ADVICE, the phraseHits rule): a batch
+    // flagging more than maxFlagIds ids splits on a broadcast semi/anti
+    // of the flags frame instead of a plan-bloating isin. The giant
+    // literal is only CONSTRUCTED on the literal path (r17 ADVICE — the
+    // unconditional form built the expression the cap exists to avoid).
+    val useLiterals = flaggedIds.size <= maxFlagIds
     def semiFlag(df: DataFrame): DataFrame =
-      if (useLiterals) df.filter(isFlagged)
-      else df.join(flagsF, Seq("query_id"), "left_semi")
+      if (useLiterals) df.filter(col("query_id").isin(flaggedIds: _*))
+      else df.join(broadcast(flagsF), Seq("query_id"), "left_semi")
     def antiFlag(df: DataFrame): DataFrame =
-      if (useLiterals) df.filter(!isFlagged)
-      else df.join(flagsF, Seq("query_id"), "left_anti")
+      if (useLiterals) df.filter(!col("query_id").isin(flaggedIds: _*))
+      else df.join(broadcast(flagsF), Seq("query_id"), "left_anti")
     // persisted: the frame feeds ub, seed scoring, the admitted set
     // AND the final aggregate — four readers of one postings scan
     val weighted = Caches.tracked(weightedRaw, "tfidf")

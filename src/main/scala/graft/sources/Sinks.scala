@@ -78,7 +78,25 @@ object Sinks {
     * pinned the FIRST table's already-replaced file listing
     * (FAILED_READ_FILE, measured in SinksSpec's self-referential test
     * before this form existed). The swaps themselves are metadata+rename
-    * ops — no plan reads run inside the unprotected window. */
+    * ops — no plan reads run inside the unprotected window.
+    *
+    * CRASH CONSISTENCY for the swap window (r17 ADVICE — the medium): a
+    * crash BETWEEN swaps of a multi-table set would leave a MIXED
+    * old/new set (new postings beside old termstats — silently wrong
+    * scores, worse than a missing table). So for sets of ≥2 tables a
+    * SWAP-COMMIT MARKER table (`<first>__swapcommit`, listing the
+    * members) is created after every stage write has SUCCEEDED and
+    * dropped after the last rename. The marker certifies "every stage is
+    * a complete new table", which makes ROLL-FORWARD always correct:
+    * [[recoverSwaps]] finishes the interrupted renames from the stages,
+    * and the index loaders ([[graft.operators.Tfidf.loadBm25Index]],
+    * [[graft.operators.Pq.loadServingIndex]]) call it before reading so
+    * a mixed set is repaired — never served. Leftover stages WITHOUT a
+    * marker mean the crash hit during a stage write: the old set is
+    * still fully live (no swap ever started) and the stages are debris
+    * the next write clears via [[ensureWritableTable]]. Single-table
+    * replaces skip the marker — with one table there is no mixed state,
+    * only the already-documented old-or-recoverable-stage window. */
   def replaceTables(spark: SparkSession,
                     writes: Seq[(String, String => Unit)]): Unit = {
     writes.foreach { case (table, write) =>
@@ -86,10 +104,43 @@ object Sinks {
       ensureWritableTable(spark, stage)
       write(stage)
     }
+    val marker = if (writes.size < 2) None else Some(writes.head._1 + "__swapcommit")
+    marker.foreach { m =>
+      ensureWritableTable(spark, m)
+      import spark.implicits._
+      writes.map(_._1).toDF("member").repartition(1)
+        .write.format("parquet").saveAsTable(m)
+    }
     writes.foreach { case (table, _) =>
       ensureWritableTable(spark, table)
       spark.sql(s"ALTER TABLE `${table}__stage` RENAME TO `$table`")
     }
+    marker.foreach(m => spark.sql(s"DROP TABLE IF EXISTS `$m`"))
+  }
+
+  /** Roll FORWARD a multi-table swap that crashed inside its rename
+    * window (see [[replaceTables]]): if the set's swap-commit marker
+    * exists, every member whose `__stage` table is still present gets
+    * its rename finished (the marker certifies the stage is a complete
+    * new table), then the marker is dropped. Idempotent — already-
+    * swapped members have no stage and are skipped; a second recovery
+    * call is a no-op. Returns true iff a repair ran. `tables` must be
+    * the same member list, in the same order, as the original
+    * [[replaceTables]] call (the loaders' table sets are fixed by their
+    * save functions, so this is structural, not a convention to
+    * remember). */
+  def recoverSwaps(spark: SparkSession, tables: Seq[String]): Boolean = {
+    if (tables.size < 2) return false
+    val marker = tables.head + "__swapcommit"
+    if (!spark.catalog.tableExists(marker)) return false
+    tables.foreach { t =>
+      if (spark.catalog.tableExists(s"${t}__stage")) {
+        ensureWritableTable(spark, t)
+        spark.sql(s"ALTER TABLE `${t}__stage` RENAME TO `$t`")
+      }
+    }
+    spark.sql(s"DROP TABLE IF EXISTS `$marker`")
+    true
   }
 
   /** A plain-parquet stage writer for [[replaceTables]]. */

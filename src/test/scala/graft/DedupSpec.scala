@@ -654,6 +654,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("maximal-span removal: canonical keeps, every other occurrence loses") {
+    val d = Seq(
+      (1L, "p q r s t u v w x y z"),  // canonical (min doc) of the span
+      (2L, "m p q r s t u n o"),      // non-canonical occurrence
+      (3L, "a b c a b c a b c"),      // within-doc repeat: FIRST pos keeps
+      (4L, "nothing here repeats at all truly"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeMaximalSpans(d, "doc_id", "text", minLen = 3)
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    // doc1: canonical (1,0) < (2,1) — untouched. doc2 loses tokens 1-6.
+    // doc3: "a b c a b c" at (3,0) and (3,3); canonical (3,0), the
+    // occurrence at pos 3 removes tokens 3-8 (interval removal wins over
+    // canonical coverage on the overlap, as in removeDuplicatedSpans).
+    // doc4: unique prose, verbatim.
+    assert(got == Seq(
+      (1L, 11L, 0L, "p q r s t u v w x y z"),
+      (2L, 9L, 6L, "m n o"),
+      (3L, 9L, 6L, "a b c"),
+      (4L, 6L, 0L, "nothing here repeats at all truly")), got.mkString("\n"))
+  }
+
+  test("maximal-span removal: the 40-token ladder span scrubs end-to-end") {
+    val run = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, s"aa bb $run cc dd ee"),
+      (2L, s"xx $run yy zz"),
+      (3L, "some entirely unrelated filler text that repeats nothing"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeMaximalSpans(d, "doc_id", "text", minLen = 8)
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      (1L, 0L, s"aa bb $run cc dd ee"),
+      (2L, 40L, "xx yy zz"),
+      (3L, 0L, "some entirely unrelated filler text that repeats nothing")),
+      got.mkString("\n"))
+  }
+
   test("semantic dedup: collinear copies cluster together; pairs subset of exact") {
     // three well-separated directions in 4-dim space, each with a scaled
     // copy (collinear ⇒ cosine 1 ⇒ must be found), plus one orthogonal

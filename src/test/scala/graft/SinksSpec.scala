@@ -135,6 +135,106 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("recoverSwaps: a crash BETWEEN swaps of a multi-table set rolls forward") {
+    // r17 ADVICE (medium): old behavior left a MIXED old/new set. Build
+    // the exact state replaceTables leaves if killed after swapping only
+    // the first member — stages complete, commit marker present, member
+    // 1 renamed, member 2 still old — then prove recovery finishes it.
+    def mk(v: String) = Seq((1L, v)).toDF("id", "v")
+    try {
+      Sinks.replaceTable(mk("old"), "graft_rs_a")
+      Sinks.replaceTable(mk("old"), "graft_rs_b")
+      // stages for the new version, as replaceTables writes them
+      Sinks.ensureWritableTable(spark, "graft_rs_a__stage")
+      mk("new").write.format("parquet").saveAsTable("graft_rs_a__stage")
+      Sinks.ensureWritableTable(spark, "graft_rs_b__stage")
+      mk("new").write.format("parquet").saveAsTable("graft_rs_b__stage")
+      // the commit marker certifying every stage write succeeded
+      Sinks.ensureWritableTable(spark, "graft_rs_a__swapcommit")
+      Seq("graft_rs_a", "graft_rs_b").toDF("member").repartition(1)
+        .write.format("parquet").saveAsTable("graft_rs_a__swapcommit")
+      // "crash": only member 1's swap ran
+      Sinks.ensureWritableTable(spark, "graft_rs_a")
+      spark.sql("ALTER TABLE `graft_rs_a__stage` RENAME TO `graft_rs_a`")
+      // mixed state: a=new, b=old — recovery must finish b from its stage
+      assert(Sinks.recoverSwaps(spark, Seq("graft_rs_a", "graft_rs_b")))
+      assert(spark.table("graft_rs_a").collect().head.getString(1) == "new")
+      assert(spark.table("graft_rs_b").collect().head.getString(1) == "new")
+      assert(!spark.catalog.tableExists("graft_rs_a__swapcommit"))
+      // idempotent: a second recovery is a no-op
+      assert(!Sinks.recoverSwaps(spark, Seq("graft_rs_a", "graft_rs_b")))
+    } finally Seq("graft_rs_a", "graft_rs_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      spark.sql(s"DROP TABLE IF EXISTS `${t}__stage`")
+      spark.sql(s"DROP TABLE IF EXISTS `${t}__swapcommit`")
+    }
+  }
+
+  test("recoverSwaps: stages WITHOUT a commit marker are never rolled forward") {
+    // a crash DURING a stage write leaves (possibly incomplete) stages
+    // and no marker — the old set is fully live and must stay served
+    def mk(v: String) = Seq((1L, v)).toDF("id", "v")
+    try {
+      Sinks.replaceTable(mk("old"), "graft_rs_c")
+      Sinks.replaceTable(mk("old"), "graft_rs_d")
+      Sinks.ensureWritableTable(spark, "graft_rs_c__stage")
+      mk("half-written").write.format("parquet")
+        .saveAsTable("graft_rs_c__stage")
+      assert(!Sinks.recoverSwaps(spark, Seq("graft_rs_c", "graft_rs_d")))
+      assert(spark.table("graft_rs_c").collect().head.getString(1) == "old")
+      assert(spark.table("graft_rs_d").collect().head.getString(1) == "old")
+    } finally Seq("graft_rs_c", "graft_rs_d").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      spark.sql(s"DROP TABLE IF EXISTS `${t}__stage`")
+      spark.sql(s"DROP TABLE IF EXISTS `${t}__swapcommit`")
+    }
+  }
+
+  test("loadBm25Index repairs a swap that crashed between renames before serving") {
+    import graft.operators.Tfidf
+    val p = "graft_rsload"
+    val docsA = Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val docsB = docsA
+      .unionByName(Seq((3L, "gamma delta")).toDF("doc_id", "text"))
+    val members = Seq(s"${p}_postings", s"${p}_termstats", s"${p}_corpusstats")
+    try {
+      Tfidf.saveBm25Index(Tfidf.buildBm25Index(docsA, "doc_id", "text"),
+        p, buckets = 2)
+      // the new version's stages + marker, then a crash after only the
+      // postings rename — the exact mixed state the ADVICE described
+      // (new postings beside old termstats/corpusstats)
+      val idxB = Tfidf.buildBm25Index(docsB, "doc_id", "text")
+      val stageWrites = Seq(
+        s"${p}_postings" ->
+          Sinks.bucketedWriter(idxB.postings, Seq("term"), 2),
+        s"${p}_termstats" -> Sinks.parquetWriter(idxB.termStats),
+        s"${p}_corpusstats" -> Sinks.parquetWriter(idxB.corpusStats))
+      stageWrites.foreach { case (t, w) =>
+        Sinks.ensureWritableTable(spark, s"${t}__stage"); w(s"${t}__stage")
+      }
+      Sinks.ensureWritableTable(spark, s"${p}_postings__swapcommit")
+      members.toDF("member").repartition(1)
+        .write.format("parquet").saveAsTable(s"${p}_postings__swapcommit")
+      Sinks.ensureWritableTable(spark, s"${p}_postings")
+      spark.sql(
+        s"ALTER TABLE `${p}_postings__stage` RENAME TO `${p}_postings`")
+      // load rolls forward: stats must describe the THREE-doc corpus the
+      // live postings came from, never the stale two-doc ones
+      val idx = Tfidf.loadBm25Index(spark, p)
+      assert(idx.corpusStats.collect().head.getLong(0) == 3L)
+      assert(idx.postings.select("doc").distinct().count() == 3L)
+      assert(!spark.catalog.tableExists(s"${p}_postings__swapcommit"))
+    } finally {
+      members.foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        spark.sql(s"DROP TABLE IF EXISTS `${t}__stage`")
+        spark.sql(s"DROP TABLE IF EXISTS `${t}__swapcommit`")
+      }
+      graft.operators.Caches.unpersistAll()
+    }
+  }
+
   test("bucketed tables: same-key same-count join plans with ZERO exchanges") {
     val left = (1 to 100).map(i => (i.toLong, s"text$i")).toDF("doc_id", "text")
     val right = (1 to 100).map(i => (i.toLong, i % 7)).toDF("doc_id", "score")

@@ -276,6 +276,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming BM25 index lifecycle: load→append→save per micro-batch equals the rebuild, replay included") {
+    // the FULL maintenance loop (r18, the r17 verdict's ask #6): each
+    // micro-batch appends into the PERSISTED index through the staged
+    // swap, and a replayed batch (at-least-once delivery) anti-joins to
+    // nothing — any batching of the stream lands on the identical index
+    import graft.operators.Tfidf
+    implicit val sqlCtx = spark.sqlContext
+    val p = "graft_stream_idx_spec"
+    val members = Seq(s"${p}_postings", s"${p}_termstats", s"${p}_corpusstats")
+    val existing = Seq((1L, "red fox jumps"), (2L, "lazy dog sleeps"))
+    val batch1 = Seq((3L, "red dog barks"), (4L, "quick brown fox"))
+    val batch2 = Seq((5L, "dog dog dog"))
+    try {
+      Tfidf.saveBm25Index(
+        Tfidf.buildBm25Index(existing.toDF("doc_id", "text"),
+          "doc_id", "text"), p, buckets = 2)
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDS().toDF("doc_id", "text").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          Tfidf.saveBm25Index(
+            Tfidf.appendBm25Index(Tfidf.loadBm25Index(spark, p), b.toDF(),
+              "doc_id", "text"), p, buckets = 2)
+          ()
+        }.start()
+      try {
+        input.addData(batch1); q.processAllAvailable()
+        input.addData(batch2); q.processAllAvailable()
+        input.addData(batch1); q.processAllAvailable() // replayed delivery
+      } finally q.stop()
+      val got = Tfidf.loadBm25Index(spark, p)
+      val want = Tfidf.buildBm25Index(
+        (existing ++ batch1 ++ batch2).toDF("doc_id", "text"),
+        "doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSeq
+          .sortBy(_.mkString(" "))
+      assert(rows(got.postings.select("term", "doc", "tf", "dl")) ==
+        rows(want.postings.select("term", "doc", "tf", "dl")))
+      assert(rows(got.termStats.select("term", "df")) ==
+        rows(want.termStats.select("term", "df")))
+      assert(rows(got.corpusStats) == rows(want.corpusStats))
+    } finally {
+      members.foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        spark.sql(s"DROP TABLE IF EXISTS `${t}__stage`")
+        spark.sql(s"DROP TABLE IF EXISTS `${t}__swapcommit`")
+      }
+      graft.operators.Caches.unpersistScope("tfidf")
+    }
+  }
+
   test("ingestion replaying an epoch keeps the same set and appends no duplicate signatures") {
     import graft.operators.Dedup
     val sigT = "ingest_sigs_replay"
