@@ -25,7 +25,12 @@ import org.apache.spark.sql.functions._
   *    min-of-iters protocol; round-over-round comparisons of SUB-SECOND
   *    mins therefore carry a small single-sample upward bias from r17 on
   *    (same class of bias as the r16 iters 3→2 move, same quotable
-  *    reason).
+  *    reason). Since r18 the artifact carries `n_samples` per query (so
+  *    one-sample medians are distinguishable from min-of-iters, the r17
+  *    ADVICE) and a SECOND-SAMPLE GUARD: a sub-second single whose
+  *    pre-query calibration sample runs hot against the run's own
+  *    median keeps its second iteration anyway, listed under
+  *    `resampled`.
   *  - CONTENTION SENTINEL: a fixed calibration query (`range(5e8).sum`,
   *    pure codegen arithmetic — constant work) runs before every query
   *    and once at the end of each phase; its wall time is recorded per
@@ -248,7 +253,8 @@ object Bench {
     * optimistic is not a bench). */
   private[graft] case class QueryTiming(name: String, times: Seq[Double],
                                         shuffle: (Double, Double),
-                                        error: Option[String])
+                                        error: Option[String],
+                                        resampled: Boolean = false)
 
   /** Run each named query `iters` times; returns per-query timings plus
     * the calibration series — one sample BEFORE each query and one after
@@ -266,7 +272,7 @@ object Bench {
                             SparkEntry.queries)
       : (Seq[QueryTiming], Seq[Double]) = {
     val tally = new ShuffleTally
-    val cal = Seq.newBuilder[Double]
+    val cal = scala.collection.mutable.ArrayBuffer.empty[Double]
     spark.sparkContext.addSparkListener(tally)
     calibrate(spark) // throwaway: don't charge codegen/scheduler warm-up
                      // of the calibration plan itself to the first sample
@@ -307,6 +313,7 @@ object Bench {
         val buf = Seq.newBuilder[Double]
         var i = 0
         var stop = false
+        var resampled = false
         while (i < iters && !stop) {
           i += 1
           org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
@@ -327,7 +334,23 @@ object Bench {
           // for the whole run — an unbounded registry leak
           spark.catalog.clearCache()
           graft.operators.Caches.unpersistAll()
-          val cheap = cheapSingleIter && error.isEmpty && dt <= 1.0
+          var cheap = cheapSingleIter && error.isEmpty && dt <= 1.0
+          // SECOND-SAMPLE GUARD (r18, the r17 verdict's ask #5): a
+          // single sample taken inside a contended window would enter
+          // round-over-round comparisons unchallenged. When the sample's
+          // PRE-query calibration deviates from the run's own running
+          // median the way the contamination rule flags (the
+          // post-sample does not exist yet at this decision point), the
+          // trim is suspended and the query keeps its second iteration —
+          // cheap insurance that single-sample bias never contaminates a
+          // cross-round claim. Resampled queries are listed by name in
+          // the artifact (`resampled`).
+          if (cheap && i < iters && cal.size >= 3) {
+            val runMed = median(cal.toSeq)
+            if (cal.last > 2.0 * runMed && cal.last > runMed + 0.15) {
+              cheap = false; resampled = true
+            }
+          }
           // Scale phases force a full GC after each run: the r5 sf1 phase
           // measured a 10×-data query SLOWER than its own 20× point
           // because cache-churning neighbors bled GC pauses into later
@@ -338,10 +361,10 @@ object Bench {
           buf += dt
           if (cheap) stop = true
         }
-        QueryTiming(name, buf.result(), shuffle, error)
+        QueryTiming(name, buf.result(), shuffle, error, resampled)
       }
       cal += calibrate(spark)
-      (timed, cal.result())
+      (timed, cal.toSeq)
     } finally spark.sparkContext.removeSparkListener(tally)
   }
 
@@ -372,7 +395,8 @@ object Bench {
     * read as a speed-up again (round-7 postmortem). */
   private[graft] case class Section(total: Double, json: String,
                                     nOk: Int, nFailed: Int, nContaminated: Int,
-                                    mins: Seq[(String, Double)] = Seq.empty)
+                                    mins: Seq[(String, Double)] = Seq.empty,
+                                    nResampled: Int = 0)
 
   /** Median (primary), min, totals, per-query shuffle MB (read+write,
     * last iteration), the contention sentinel (calibration series +
@@ -416,12 +440,22 @@ object Bench {
     val mnNorm =
       if (calMed <= 0) Seq.empty
       else ok.map(t => t.name -> r2(t.times.min / calMed))
+    // per-query sample counts (r17 ADVICE): the single-sample trim makes
+    // `queries` a one-sample median for most sub-second engine queries —
+    // the artifact now says WHICH, so round-over-round comparisons can
+    // tell one-sample medians from min-of-iters medians instead of
+    // guessing from magnitudes. `resampled` lists the trim suspensions
+    // (the second-sample guard fired on a hot pre-query calibration).
+    val nsamp = ok.map(t => "\"" + t.name + "\":" + t.times.length)
+      .mkString("{", ",", "}")
+    val resampled = ok.filter(_.resampled).map(_.name)
     Section(total,
       s""""total":$total,"queries":${toJson(med)},"queries_min":${toJson(mn)},"queries_min_normalized":${toJson(mnNorm)},"shuffle_mb":${toJson(sh)},""" +
+        s""""n_samples":$nsamp,"resampled":${resampled.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""calibration_sec":${toJson(calPer)},"calibration_median":${r2(calMed)},""" +
         s""""contaminated":${contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""n_failed":${failed.size},"failed":$failedJson""",
-      ok.size, failed.size, contaminated.size, mn)
+      ok.size, failed.size, contaminated.size, mn, resampled.size)
   }
 
   /** recall@k of the SRP and IVF approximate paths vs brute force over
@@ -534,30 +568,24 @@ object Bench {
     // cost), so a full run always ends with rc=0 and the artifact records
     // exactly which evidence was traded away. Engine + streaming are
     // never skipped — they are the round's primary gate — and phases are
-    // COMPUTED in priority order (sparse_serve → ann_serve → opq_aniso →
+    // COMPUTED in priority order (opq_aniso → sparse_serve → ann_serve →
     // sf1 → sf20 → probe → bpe_train → ingest_stages → funnel_audit), so
     // when budget runs short it is the lowest-priority evidence that
     // drops first. The serve phases come BEFORE sf1 (r17, the r16
-    // verdict's top ask): the driver's 2250 s window ran out after sf1
-    // and dropped the two phases carrying the round's serving-scale
-    // claims, while sf1's recall ladder had been stable for three rounds
-    // — when something must drop on a slow box, it should be sf1.
+    // verdict's top ask): sf1's recall ladder has been stable for four
+    // rounds — when something must drop on a slow box, it should be sf1.
+    // opq_aniso LEADS (r18, the r17 verdict's top ask): it is the
+    // cheapest serve-class evidence and the r17 driver window lost it
+    // entirely; the r18 cost cuts (×20 serve points dropped, serve
+    // phases at one timed iteration, wand_skew trimmed and
+    // budget-yielding) exist so all three serve phases land in the
+    // driver artifact rather than being reordered against each other
+    // again.
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "2250").toDouble
     val t0Run = System.nanoTime()
     def budgetLeft: Double = budgetSec - (System.nanoTime() - t0Run) / 1e9
     val skippedPhases = Seq.newBuilder[String]
-    // returns body() when `needSec` still fits the budget; else records
-    // the skip and returns the empty JSON fragment
-    def phaseGate(name: String, needSec: Double)(body: => String): String =
-      if (budgetLeft >= needSec) body
-      else {
-        System.err.println(
-          f"[bench] budget: skipping $name (need ~${needSec}%.0f s, " +
-            f"${budgetLeft}%.0f s left)")
-        skippedPhases += name
-        ""
-      }
     def mkSession(): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
@@ -571,6 +599,30 @@ object Bench {
     var spark = mkSession()
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warm-up
     spark.read.parquet(s"$sfDir/nation.parquet").count() // IO warm-up
+    // GATE DRIFT SCALING (r18, the r17 verdict's ask #1): every phase
+    // estimate below is stated at a reference calibration of 0.10 s (the
+    // clean-box sentinel floor); a slower box needs proportionally more
+    // wall clock for the same phase, so gates scale by the boot-time
+    // calibration ratio — a 0.13-cal box budgets honestly instead of
+    // starting a phase the window cannot finish. Clamped to [1, 2]: a
+    // fast box never shrinks an estimate (skipping early is the only
+    // safe failure mode), and one contended boot sample must not double
+    // every gate. Both values publish in the artifact.
+    val calBoot = (1 to 3).map(_ => calibrate(spark)).min
+    val gateDrift = math.min(2.0, math.max(1.0, calBoot / 0.10))
+    // returns body() when the drift-scaled `needSec` still fits the
+    // budget; else records the skip and returns the empty JSON fragment
+    def phaseGate(name: String, needSec: Double)(body: => String): String = {
+      val need = needSec * gateDrift
+      if (budgetLeft >= need) body
+      else {
+        System.err.println(
+          f"[bench] budget: skipping $name (need ~${need}%.0f s at drift " +
+            f"${gateDrift}%.2f, ${budgetLeft}%.0f s left)")
+        skippedPhases += name
+        ""
+      }
+    }
     // SPARK_GRAFT_ONLY=q_a,q_b: iterate on a subset (skips the scale phases)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val all = SparkEntry.queries.keys.toSeq.sorted
@@ -852,7 +904,14 @@ object Bench {
           // carries the most scale weight; the other points emit a named
           // marker instead of a vanishing field.
           val skewJson = if (replicas != 50)
-            s""""wand_skew_skipped":"runs at the x50 point only",""" else {
+            s""""wand_skew_skipped":"runs at the x50 point only","""
+          else if (budgetLeft < 420 * gateDrift)
+            // the skew instrument re-confirms a THREE-round-old settled
+            // adjudication (WAND default-off); when the remaining window
+            // cannot hold both it and the ann_serve phase that follows,
+            // the settled evidence yields — by name (r18)
+            s""""wand_skew_skipped":"budget reserved for ann_serve","""
+          else {
             graft.sources.Sinks.replaceTable(
               docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000)
                 .select(col("doc_id").as("query_id"),
@@ -861,7 +920,7 @@ object Bench {
                     " ")).as("qtext")),
               "graft_bm25_queries_skew")
             val skewQ = spark.table("graft_bm25_queries_skew")
-            def skewServe(wand: Boolean): Double = (1 to 2).map { _ =>
+            def skewServe(wand: Boolean, n: Int): Double = (1 to n).map { _ =>
               val t0 = System.nanoTime()
               Tfidf.searchBm25Served(sIdx, skewQ, "query_id", "qtext",
                   k = 5, wandPrune = wand)
@@ -871,9 +930,14 @@ object Bench {
               graft.operators.Caches.unpersistAll()
               dt
             }.min
-            skewServe(wand = true) // untimed codegen/JIT warm pass
-            val skewOn = skewServe(wand = true)
-            val skewOff = skewServe(wand = false)
+            // sample trim (r18 cost discipline): the ON path is the
+            // ~6×-slower settled loser — one timed run after the codegen
+            // warm pass re-confirms a 6× gap fine (36 s/sample on the
+            // r17 driver box); OFF keeps min-of-2 (its first run pays
+            // its own codegen, the min discards it)
+            skewServe(wand = true, 1) // untimed codegen/JIT warm pass
+            val skewOn = skewServe(wand = true, 1)
+            val skewOff = skewServe(wand = false, 2)
             val (skF, skP, skQn) = Tfidf.bm25WandCensus(sIdx, skewQ,
               "query_id", "qtext", k = 5)
             graft.operators.Caches.unpersistAll()
@@ -881,8 +945,8 @@ object Bench {
             // phrases flag, so the doc-grain intersection engages and the
             // explode touches only true candidates; off = the direct
             // probe-and-explode plan the uniform %97 set keeps
-            def skewPhrase(stats: Option[org.apache.spark.sql.DataFrame])
-                : Double = (1 to 2).map { _ =>
+            def skewPhrase(stats: Option[org.apache.spark.sql.DataFrame],
+                           n: Int): Double = (1 to n).map { _ =>
               val t0 = System.nanoTime()
               Tfidf.phraseSearch(spark.table("graft_bm25_positional"),
                   skewQ, "query_id", "qtext", dfStats = stats)
@@ -893,9 +957,9 @@ object Bench {
               dt
             }.min
             val stats = Some(spark.table("graft_bm25_termstats"))
-            skewPhrase(stats) // untimed warm pass
-            val phOn = skewPhrase(stats)
-            val phOff = skewPhrase(None)
+            skewPhrase(stats, 1) // untimed warm pass
+            val phOn = skewPhrase(stats, 1)
+            val phOff = skewPhrase(None, 2)
             val phCand = Tfidf.phraseCandidates(
               spark.table("graft_bm25_positional"), skewQ,
               "query_id", "qtext").count()
@@ -996,67 +1060,23 @@ object Bench {
     // phase, so a single superlinear suspect can be re-measured alone).
     val sf1Only = sys.env.get("SPARK_GRAFT_SF1_ONLY").map(_.split(',').toSet)
 
-    // BM25 serve/build split (r15): the sparse-retrieval twin of
-    // ann_serve — q_bm25_served timed against a PRE-BUILT term-bucketed
-    // postings index over a FIXED ~52-query set at three corpus sizes,
-    // with index construction in the untimed prebuild. The claim under
-    // test: sparse serving cost is the query-side work (explode + probe
-    // + score + rank), flat-band in corpus size, while the build grows
-    // with the corpus — together with ann_serve this measures the FULL
-    // hybrid retrieval serving stack's amortized shape.
-    // SPARK_GRAFT_SPARSE_SERVE=1 forces it on under trimming; "0"
-    // disables.
-    val sparseServeForced = sys.env.get("SPARK_GRAFT_SPARSE_SERVE").contains("1")
-    val sparseServeJson =
-      if (!enabled("SPARK_GRAFT_SPARSE_SERVE") ||
-          ((only.isDefined || sf1Only.isDefined) && !sparseServeForced)) ""
-      else phaseGate("sparse_serve", 400) {
-        // q_phrase_search and q_phrase_slop ride the same pre-built index
-        // (their serve branches probe the positional table), so the phase
-        // measures exact-phrase AND proximity serving beside BM25 ranking
-        val names = Seq("q_bm25_served", "q_phrase_search", "q_phrase_slop")
-        val r10 = scalePhase(10, "natural", names, math.min(iters, 2),
-          withRecall = false, prebuildSparseIndex = true)
-        val r20 = scalePhase(20, "natural", names, math.min(iters, 2),
-          withRecall = false, prebuildSparseIndex = true)
-        val r50 = scalePhase(50, "natural", names, math.min(iters, 2),
-          withRecall = false, prebuildSparseIndex = true)
-        s""","sparse_serve":{"r10":$r10,"r20":$r20,"r50":$r50}"""
-      }
-
-    // IVF-PQ serve/build split (r14): the ×10/×20 q_ann_ivfpq points in
-    // the natural scale phases conflate index CONSTRUCTION (two Lloyd
-    // builds + encode, proportional to corpus) with SERVING (probe + ADC
-    // + rank, the amortized per-query cost the 100 TB claim is actually
-    // about). This phase times q_ann_ivfpq against a PRE-BUILT index
-    // (scalePhase's prebuildAnnIndex seam, mirroring the ingestion
-    // store's) over a FIXED 25-query set at two corpus sizes — the
-    // r10→r20 serve ratio isolates how query cost scales with the
-    // indexed corpus when nothing rebuilds. SPARK_GRAFT_ANN_SERVE=1
-    // forces it on under trimming (the probe-phase ABBA convention);
-    // "0" disables.
-    val annServeForced = sys.env.get("SPARK_GRAFT_ANN_SERVE").contains("1")
-    val annServeJson =
-      if (!enabled("SPARK_GRAFT_ANN_SERVE") ||
-          ((only.isDefined || sf1Only.isDefined) && !annServeForced)) ""
-      else phaseGate("ann_serve", 400) {
-        // q_ann_filtered rides the same pre-built index (r15): its serve
-        // branch pre-filters the codes scan, so the phase also measures
-        // the predicate-pushed serving cost next to the unfiltered one
-        val names = Seq("q_ann_ivfpq", "q_ann_filtered")
-        val r10 = scalePhase(10, "natural", names, math.min(iters, 2),
-          withRecall = false, prebuildAnnIndex = true)
-        val r20 = scalePhase(20, "natural", names, math.min(iters, 2),
-          withRecall = false, prebuildAnnIndex = true)
-        // the third scale point (r15, VERDICT ask): index build is
-        // untimed, so one more corpus size is cheap — three points turn
-        // "serve cost is flat in corpus size" from a ratio into a line
-        val r50 = scalePhase(50, "natural", names, math.min(iters, 2),
-          withRecall = false, prebuildAnnIndex = true)
-        s""","ann_serve":{"r10":$r10,"r20":$r20,"r50":$r50}"""
-      }
-
-    // OPQ anisotropy probe (r17, the r16 verdict's ask #3): the fixture's
+    // OPQ anisotropy probe — FIRST among the optional phases (r18, the
+    // r17 verdict's top ask: this is the cheapest serve-class evidence
+    // and the r17 driver window lost it entirely). Body comment below.
+    //
+    // Serve-phase cost discipline (r18, all three serve phases): the
+    // ×20 points are DROPPED (×10/×50 bracket the trend — the precedent
+    // r16 set when it fixed wand_skew at one point; the ×20 sparse index
+    // build alone cost the r17 driver 199 s), and the timed window runs
+    // ONE iteration after the untimed codegen warm-up (serve queries are
+    // index-probe bound; the calibration sentinel still brackets every
+    // window, and min-of-iters mattered for CROSS-SCALE inversion noise
+    // on sub-1.5 s queries, which the serve family's ×10/×50 pairs are
+    // not). Together these cuts are what fits opq_aniso + sparse_serve +
+    // ann_serve inside the driver's 2250 s window beside the engine
+    // phase — absolute cost, not another reorder.
+    //
+    // OPQ body (r17, the r16 verdict's ask #3): the fixture's
     // embeddings are ISOTROPIC (per-dim variance ratio 1.20, the
     // Pq.balancedPermutation scaladoc), so the sf1 recall ladder's OPQ
     // rung is recall-neutral BY CONSTRUCTION there — it proves mechanics,
@@ -1100,6 +1120,58 @@ object Bench {
         graft.operators.Caches.unpersistAll()
         s""","opq_aniso":{"decay":0.88,"recall_ivfpq":$plain,""" +
           s""""recall_opq":$opq}"""
+      }
+
+    // BM25 serve/build split (r15): the sparse-retrieval twin of
+    // ann_serve — q_bm25_served timed against a PRE-BUILT term-bucketed
+    // postings index over a FIXED ~52-query set, with index construction
+    // in the untimed prebuild. The claim under test: sparse serving cost
+    // is the query-side work (explode + probe + score + rank), flat-band
+    // in corpus size, while the build grows with the corpus — together
+    // with ann_serve this measures the FULL hybrid retrieval serving
+    // stack's amortized shape. Two corpus sizes at one timed iteration
+    // since r18 (cost discipline above). SPARK_GRAFT_SPARSE_SERVE=1
+    // forces it on under trimming; "0" disables.
+    val sparseServeForced = sys.env.get("SPARK_GRAFT_SPARSE_SERVE").contains("1")
+    val sparseServeJson =
+      if (!enabled("SPARK_GRAFT_SPARSE_SERVE") ||
+          ((only.isDefined || sf1Only.isDefined) && !sparseServeForced)) ""
+      else phaseGate("sparse_serve", 450) {
+        // q_phrase_search and q_phrase_slop ride the same pre-built index
+        // (their serve branches probe the positional table), so the phase
+        // measures exact-phrase AND proximity serving beside BM25 ranking
+        val names = Seq("q_bm25_served", "q_phrase_search", "q_phrase_slop")
+        val r10 = scalePhase(10, "natural", names, 1,
+          withRecall = false, prebuildSparseIndex = true)
+        val r50 = scalePhase(50, "natural", names, 1,
+          withRecall = false, prebuildSparseIndex = true)
+        s""","sparse_serve":{"r10":$r10,"r50":$r50}"""
+      }
+
+    // IVF-PQ serve/build split (r14): the natural scale phases conflate
+    // index CONSTRUCTION (two Lloyd builds + encode, proportional to
+    // corpus) with SERVING (probe + ADC + rank, the amortized per-query
+    // cost the 100 TB claim is actually about). This phase times
+    // q_ann_ivfpq against a PRE-BUILT index (scalePhase's
+    // prebuildAnnIndex seam, mirroring the ingestion store's) over a
+    // FIXED 25-query set — the ×10→×50 serve ratio isolates how query
+    // cost scales with the indexed corpus when nothing rebuilds.
+    // SPARK_GRAFT_ANN_SERVE=1 forces it on under trimming (the
+    // probe-phase ABBA convention); "0" disables.
+    val annServeForced = sys.env.get("SPARK_GRAFT_ANN_SERVE").contains("1")
+    val annServeJson =
+      if (!enabled("SPARK_GRAFT_ANN_SERVE") ||
+          ((only.isDefined || sf1Only.isDefined) && !annServeForced)) ""
+      else phaseGate("ann_serve", 250) {
+        // q_ann_filtered rides the same pre-built index (r15): its serve
+        // branch pre-filters the codes scan, so the phase also measures
+        // the predicate-pushed serving cost next to the unfiltered one
+        val names = Seq("q_ann_ivfpq", "q_ann_filtered")
+        val r10 = scalePhase(10, "natural", names, 1,
+          withRecall = false, prebuildAnnIndex = true)
+        val r50 = scalePhase(50, "natural", names, 1,
+          withRecall = false, prebuildAnnIndex = true)
+        s""","ann_serve":{"r10":$r10,"r50":$r50}"""
       }
 
     // sf1 natural scale phase — AFTER the serve phases since r17 (class
@@ -1315,6 +1387,7 @@ object Bench {
     val skipped = skippedPhases.result()
     val budgetJson =
       s""","budget_sec":${r2(budgetSec)},"elapsed_sec":${r2(budgetSec - budgetLeft)},""" +
+        s""""cal_boot":${r2(calBoot)},"gate_drift":${r2(gateDrift)},""" +
         s""""skipped_phases":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,$engineSection,"sf":"$sfDir"$ingestStagesJson$funnelAuditJson$streamingJson$sf1Json$sf20Json$probeJson$annServeJson$sparseServeJson$opqAnisoJson$bpeTrainJson$scaleInversions$curveJson$budgetJson}"""
@@ -1374,6 +1447,7 @@ object Bench {
     println(s"""BENCH_SUMMARY: {"total":${r2(total)},"n_queries":${engine.nOk},""" +
       s""""n_failed":${engine.nFailed},"n_failed_other":$nFailedOther,""" +
       s""""contaminated_n":${engine.nContaminated},""" +
+      s""""resampled_n":${engine.nResampled},""" +
       s""""skipped_phases_n":${skipped.size},""" +
       s""""inversions_n":$nInversions$recallJson,"sf":"$sfDir"}""")
     // Bare spec-shaped JSON as the final program line (<2 KB): the
