@@ -396,7 +396,7 @@ object Bench {
   private[graft] case class Section(total: Double, json: String,
                                     nOk: Int, nFailed: Int, nContaminated: Int,
                                     mins: Seq[(String, Double)] = Seq.empty,
-                                    nResampled: Int = 0)
+                                    nResampled: Int = 0, calMed: Double = 0.0)
 
   /** Median (primary), min, totals, per-query shuffle MB (read+write,
     * last iteration), the contention sentinel (calibration series +
@@ -455,7 +455,7 @@ object Bench {
         s""""calibration_sec":${toJson(calPer)},"calibration_median":${r2(calMed)},""" +
         s""""contaminated":${contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""n_failed":${failed.size},"failed":$failedJson""",
-      ok.size, failed.size, contaminated.size, mn, resampled.size)
+      ok.size, failed.size, contaminated.size, mn, resampled.size, calMed)
   }
 
   /** recall@k of the SRP and IVF approximate paths vs brute force over
@@ -602,14 +602,19 @@ object Bench {
     // GATE DRIFT SCALING (r18, the r17 verdict's ask #1): every phase
     // estimate below is stated at a reference calibration of 0.10 s (the
     // clean-box sentinel floor); a slower box needs proportionally more
-    // wall clock for the same phase, so gates scale by the boot-time
+    // wall clock for the same phase, so gates scale by the measured
     // calibration ratio — a 0.13-cal box budgets honestly instead of
-    // starting a phase the window cannot finish. Clamped to [1, 2]: a
-    // fast box never shrinks an estimate (skipping early is the only
-    // safe failure mode), and one contended boot sample must not double
-    // every gate. Both values publish in the artifact.
-    val calBoot = (1 to 3).map(_ => calibrate(spark)).min
-    val gateDrift = math.min(2.0, math.max(1.0, calBoot / 0.10))
+    // starting a phase the window cannot finish. The ratio comes from
+    // the ENGINE SECTION's own calibration median (hundreds of samples
+    // over the run's first half-hour; every gated phase executes after
+    // it) — a boot-time probe proved useless (min-of-3 right after
+    // session start measured 0.34 on a box whose in-run median was
+    // 0.12: JIT and post-sbt thermal state, not steady-state speed).
+    // Clamped to [1, 1.6]: a fast box never shrinks an estimate
+    // (skipping early is the only safe failure mode), and a pathological
+    // median must not double every gate. Published in the artifact as
+    // `gate_drift`.
+    var gateDrift = 1.0
     // returns body() when the drift-scaled `needSec` still fits the
     // budget; else records the skip and returns the empty JSON fragment
     def phaseGate(name: String, needSec: Double)(body: => String): String = {
@@ -646,6 +651,8 @@ object Bench {
     val engine = record(sectionJson(timeQueries(spark, sfDir, engineNames,
       iters, gcBetween = true, warmup = true, cheapSingleIter = true)))
     val (total, engineSection) = (engine.total, engine.json)
+    if (engine.calMed > 0)
+      gateDrift = math.min(1.6, math.max(1.0, engine.calMed / 0.10))
     // EARLY FLUSH (r16): the engine section is the round's headline — emit
     // a parseable metric line the moment it exists, BEFORE any scale
     // phase, so a run killed later still leaves adjudicable evidence in
@@ -1387,7 +1394,7 @@ object Bench {
     val skipped = skippedPhases.result()
     val budgetJson =
       s""","budget_sec":${r2(budgetSec)},"elapsed_sec":${r2(budgetSec - budgetLeft)},""" +
-        s""""cal_boot":${r2(calBoot)},"gate_drift":${r2(gateDrift)},""" +
+        s""""gate_drift":${r2(gateDrift)},""" +
         s""""skipped_phases":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,$engineSection,"sf":"$sfDir"$ingestStagesJson$funnelAuditJson$streamingJson$sf1Json$sf20Json$probeJson$annServeJson$sparseServeJson$opqAnisoJson$bpeTrainJson$scaleInversions$curveJson$budgetJson}"""
