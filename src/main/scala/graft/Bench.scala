@@ -592,6 +592,32 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        // DRIVER-OVERHEAD CAPS (r18, measured): Spark stringifies every
+        // execution's FULL plan on the driver thread (SQLExecution.
+        // withNewExecutionId → explainString(uiExplainMode), default
+        // mode `formatted`), AGAIN on every AQE stage materialization
+        // (AdaptiveSparkPlanExec.onUpdatePlan), and SQLAppStatusListener
+        // — installed even with the UI off — RETAINS the last 1000
+        // executions' full descriptions + metric graphs. Over a bench
+        // run (~160 queries × warm+2 iters × several actions each) the
+        // retained strings grow the old-gen working set for the whole
+        // session: the r18 baseline measured q_tpch_q1 (unchanged since
+        // r8) at 2.86 s INSIDE the full run vs 1.44 s isolated on the
+        // same box — a 2× session-aging tax the pure-CPU calibration
+        // sentinel cannot see (it allocates nothing). With these caps
+        // the full-run tail matches the isolated numbers (the A/B full
+        // runs in OPTIMIZATION_r18.md). `simple` explain mode cuts the
+        // per-action stringify work itself; the retained-counts bound
+        // the status stores. Production rationale: identical waste on a
+        // real cluster — plan strings this size are read by nobody when
+        // the UI is off, and a long-lived session (a serving daemon, a
+        // notebook) ages the same way; revert per-session when a live
+        // UI is actually attached.
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.sql.ui.explainMode", "simple")
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "2000")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s
@@ -798,10 +824,12 @@ object Bench {
           import graft.operators.{Ivf, Pq}
           val t0 = System.nanoTime()
           val emb = graft.sources.Tables.embeddings(spark, scaledDir)
-          val (_, cents) = Ivf.build(emb, "vec_id", "embedding", k = 16,
-            iters = 2)
-          val cb = Pq.build(emb, "vec_id", "embedding", m = 8, k = 16,
-            dim = 64, iters = 2)
+          // prebuild wall clock counts against the driver's window —
+          // overlap the independent trainings (Par.both, guide §2.6)
+          val ((_, cents), cb) = graft.operators.Par.both(
+            Ivf.build(emb, "vec_id", "embedding", k = 16, iters = 2),
+            Pq.build(emb, "vec_id", "embedding", m = 8, k = 16,
+              dim = 64, iters = 2))
           Pq.saveServingIndex(
             Pq.servingCodes(emb, "vec_id", "embedding", cb, cents,
               m = 8, dim = 64),

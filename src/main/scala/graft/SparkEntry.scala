@@ -2370,9 +2370,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val old = emb.filter(col("vec_id") % 10 =!= 9)
       val batch = emb.filter(col("vec_id") % 10 === 9)
-      val (_, cents) = Ivf.build(old, "vec_id", "embedding", k = 16,
-        iters = 2)
-      val cb = Pq.build(old, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+      // independent trainings overlapped (Par.both scaladoc, guide §2.6)
+      val ((_, cents), cb) = graft.operators.Par.both(
+        Ivf.build(old, "vec_id", "embedding", k = 16, iters = 2),
+        Pq.build(old, "vec_id", "embedding", m = 8, k = 16, dim = 64))
       val codes = Pq.servingCodes(old, "vec_id", "embedding", cb, cents,
           m = 8, dim = 64)
         .unionByName(Pq.servingCodes(batch, "vec_id", "embedding", cb,
@@ -2398,9 +2399,10 @@ object SparkEntry {
     "q_ann_index_delete" -> ((s, dir) => {
       import graft.operators.{Ivf, Pq}
       val emb = Tables.embeddings(s, dir)
-      val (_, cents) = Ivf.build(emb, "vec_id", "embedding", k = 16,
-        iters = 2)
-      val cb = Pq.build(emb, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+      // independent trainings overlapped (Par.both scaladoc, guide §2.6)
+      val ((_, cents), cb) = graft.operators.Par.both(
+        Ivf.build(emb, "vec_id", "embedding", k = 16, iters = 2),
+        Pq.build(emb, "vec_id", "embedding", m = 8, k = 16, dim = 64))
       val codes = Pq.servingCodes(emb, "vec_id", "embedding", cb, cents,
         m = 8, dim = 64)
       val tombs = emb.select(col("vec_id")).filter(col("vec_id") % 7 === 0)
@@ -2452,10 +2454,14 @@ object SparkEntry {
     // only by the other at rank r) break by neighbor id in both engines.
     "q_ann_rrf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val exact = graft.operators.Ivf.topK(emb, "vec_id", "embedding",
-        col("vid") % 20 === 0, k = 5, numCentroids = 16, nProbe = 16)
-      val quant = graft.operators.Pq.topK(emb, "vec_id", "embedding",
-        col("query_id") % 20 === 0, k = 5, m = 8, numCentroids = 16, dim = 64)
+      // the two rankers' trainings are independent pipelines — overlap
+      // their construction-time Lloyd barriers (Par.both, guide §2.6)
+      val (exact, quant) = graft.operators.Par.both(
+        graft.operators.Ivf.topK(emb, "vec_id", "embedding",
+          col("vid") % 20 === 0, k = 5, numCentroids = 16, nProbe = 16),
+        graft.operators.Pq.topK(emb, "vec_id", "embedding",
+          col("query_id") % 20 === 0, k = 5, m = 8, numCentroids = 16,
+          dim = 64))
       graft.operators.Ranking.rrfFuse(exact, quant, k = 5)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
@@ -2538,9 +2544,10 @@ object SparkEntry {
           queries, "doc_id", "qtext", k = 5)
         .withColumnRenamed("doc", "neighbor_id")
       val emb = Tables.embeddings(s, dir)
-      val (_, cents) = Ivf.build(emb, "vec_id", "embedding", k = 16,
-        iters = 2)
-      val cb = Pq.build(emb, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+      // independent trainings overlapped (Par.both scaladoc, guide §2.6)
+      val ((_, cents), cb) = graft.operators.Par.both(
+        Ivf.build(emb, "vec_id", "embedding", k = 16, iters = 2),
+        Pq.build(emb, "vec_id", "embedding", m = 8, k = 16, dim = 64))
       val codes = Pq.servingCodes(emb, "vec_id", "embedding", cb, cents,
         m = 8, dim = 64)
       val qvecs = emb.select(col("vec_id").as("query_id"),

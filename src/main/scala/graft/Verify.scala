@@ -12,6 +12,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // driver-overhead caps — same rationale and measurements as
+      // Bench.mkSession (plan stringify per action + retained
+      // executions age the session; ~165 queries share this one)
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.sql.ui.explainMode", "simple")
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -51,40 +51,30 @@ object Ivf {
             .cast("float")): _*).as("cvec"))
   }
 
-  /** A collected centroid table as a literal array of (centroid_id, cvec)
-    * structs sorted by id — k·dim floats, the one structure small enough
-    * that driver-side materialization is the right call (MLlib's KMeans
-    * keeps centers on the driver for the same reason). Embedding it as a
-    * literal makes assignment a pure in-row computation: no broadcast
-    * join, no k-way row fan-out, no per-vid exchange. Float bits survive
-    * the collect/re-embed round trip exactly, so the fixed-point
-    * byte-reproducibility contract is unaffected. */
-  private def centroidLit(cents: Seq[(Int, Seq[Float])]): Column =
-    typedLit(cents)
+  /** Collect an existing (centroid_id, cvec) frame into the driver-side
+    * entry list — for composers ([[Pq.ivfPqTopK]]) that want map-only
+    * cell assignment against [[build]]'s returned centroid table (itself
+    * a local relation, so the collect is free). k·dim floats, the one
+    * structure small enough that driver-side materialization is the
+    * right call (MLlib's KMeans keeps centers on the driver for the same
+    * reason). Float bits survive the collect round trip exactly, so the
+    * fixed-point byte-reproducibility contract is unaffected. */
+  private[operators] def centroidSeqOf(centroids: DataFrame): Seq[(Int, Seq[Float])] =
+    centroids.select(col("centroid_id"), col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toSeq)).sortBy(_._1).toSeq
 
-  /** Collect an existing (centroid_id, cvec) frame into the literal form
-    * — for composers ([[Pq.ivfPqTopK]]) that want map-only cell
-    * assignment against [[build]]'s returned centroid table (itself a
-    * local relation, so the collect is free). */
-  private[operators] def centroidLitOf(centroids: DataFrame): Column =
-    centroidLit(centroids.select(col("centroid_id"), col("cvec")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toSeq)).sortBy(_._1).toSeq)
-
-  /** In-row nearest-centroid argmax against the literal entries: score
-    * every centroid once (one small (sim, cid) array per row), then a
-    * strict `>` fold over id-ascending entries — which keeps the LOWEST
-    * id on ties and treats a NaN sim as largest, exactly `max_by(cid,
+  /** In-row nearest-centroid argmax against the driver-side entries:
+    * strict `>` fold over id-ascending entries — keeps the LOWEST id on
+    * ties and treats a NaN sim as largest, exactly `max_by(cid,
     * struct(sim, -cid))` under Spark's NaN-largest comparison rule
-    * (zero-norm inputs score NaN; same winner as the old aggregate). */
-  private[operators] def nearestCid(vec: Column, entries: Column): Column =
-    aggregate(
-      transform(entries, e => struct(
-        cosineSim(vec, e.getField("_2")).as("sim"),
-        e.getField("_1").as("cid"))),
-      struct(lit(Double.NegativeInfinity).as("sim"), lit(0).as("cid")),
-      (acc, p) => when(p.getField("sim") > acc.getField("sim"), p)
-        .otherwise(acc))
-      .getField("cid")
+    * (zero-norm inputs score NaN). Since r18 this is the native
+    * [[graft.plans.NearestCentroid]] codegen kernel — bit-identical to
+    * the old `aggregate(transform(entries, …))` lambda chain (whose
+    * interpreted per-element evaluation dominated every Lloyd pass's
+    * task time, PqKernels scaladoc) and spec'd against it. */
+  private[operators] def nearestCid(vec: Column,
+                                    cents: Seq[(Int, Seq[Float])]): Column =
+    graft.plans.NearestCentroid.nearestCid(vec, cents)
 
   /** Build the IVF index: returns (assignments, centroids), where
     * assignments carries (vid, vec, centroid_id) so callers can consume
@@ -116,14 +106,14 @@ object Ivf {
     val dim = cents.head._2.length
     for (_ <- 1 to iters) {
       val assigned = vecs.select(
-        nearestCid(col("vec"), centroidLit(cents)).as("centroid_id"),
+        nearestCid(col("vec"), cents).as("centroid_id"),
         col("vec"))
       cents = updateCentroids(assigned, dim).collect()
         .map(r => (r.getInt(0), r.getSeq[Float](1).toSeq)).sortBy(_._1).toSeq
     }
     import sess.implicits._
     val assignments = vecs.select(col("vid"), col("vec"),
-      nearestCid(col("vec"), centroidLit(cents)).as("centroid_id"))
+      nearestCid(col("vec"), cents).as("centroid_id"))
     (assignments, cents.toDF("centroid_id", "cvec"))
   }
 

@@ -38,16 +38,6 @@ import org.apache.spark.sql.functions._
   * All frames register in the "pq" [[Caches]] scope. */
 object Pq {
 
-  /** Exact squared L2 over two equal-length vector slices, DOUBLE
-    * arithmetic, sequential fold — the engine-portable assignment
-    * metric (cosine would need a norm guard for degenerate slices). */
-  private def sqDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-      lit(0.0d), (acc, d) => acc + d)
-
   /** (vid, j, sub) — the corpus cut into m contiguous subspace slices.
     * `dim` is passed, not inferred: an index built with the wrong dim
     * should fail loudly at build time, not quantize garbage. */
@@ -60,49 +50,39 @@ object Pq {
       .select(col("vid"), col("pos").as("j"), col("col").as("sub"))
   }
 
-  /** The codebook COLLECTED into a nested literal — index j+1 → the
-    * subspace's (cid, cvec) entries sorted by cid. A codebook is m·k·d
-    * floats (512 at the 8×16×8 defaults), the one structure small enough
-    * that driver-side materialization is the right call (MLlib's KMeans
-    * keeps centers on the driver for the same reason): embedding it as a
-    * literal makes assignment a pure in-row fold — no broadcast join, no
-    * per-(vid, j) shuffle, no k-way row fan-out. Float bits survive the
-    * collect/re-embed round trip exactly, so determinism is unaffected. */
-  private def codebookLit(codebook: DataFrame, m: Int): Column = {
+  /** The codebook COLLECTED to the driver — index j → the subspace's
+    * (cid, cvec) entries sorted by cid. A codebook is m·k·d floats (512
+    * at the 8×16×8 defaults), the one structure small enough that
+    * driver-side materialization is the right call (MLlib's KMeans
+    * keeps centers on the driver for the same reason): handing it to
+    * the assignment kernel makes quantization a pure in-row fold — no
+    * broadcast join, no per-(vid, j) shuffle, no k-way row fan-out.
+    * Float bits survive the collect round trip exactly, so determinism
+    * is unaffected. */
+  private def codebookSeq(codebook: DataFrame,
+                          m: Int): Seq[Seq[(Int, Seq[Float])]] = {
     val rows = codebook.select(col("j"), col("cid"), col("cvec")).collect()
-    val byJ: Seq[Seq[(Int, Seq[Float])]] = (0 until m).map { j =>
+    (0 until m).map { j =>
       rows.filter(_.getInt(0) == j)
         .map(r => (r.getInt(1), r.getSeq[Float](2).toSeq))
         .sortBy(_._1).toSeq
     }
-    typedLit(byJ)
   }
 
-  /** In-row argmin over one subspace's literal entries: strict `<` over
-    * cid-ascending entries keeps the LOWEST cid on d2 ties — the same
-    * rule as a min over (d2, cid) pairs. */
-  private def argminCid(sub: Column, entries: Column): Column =
-    aggregate(entries,
-      struct(lit(Double.MaxValue).as("d2"), lit(0).as("cid")),
-      (acc, e) =>
-        when(sqDist(sub, e.getField("_2")) < acc.getField("d2"),
-          struct(sqDist(sub, e.getField("_2")).as("d2"),
-            e.getField("_1").as("cid")))
-          .otherwise(acc))
-      .getField("cid")
-
-  /** MAP-ONLY corpus quantization against the literal codebook: the
+  /** MAP-ONLY corpus quantization against the driver-side codebook: the
     * input frame plus a `codes ARRAY<INT>` column (subspace order) —
     * extra input columns ride through untouched, which is what lets
-    * [[servingCodes]] carry metadata into the index for free. */
-  private def assignCodes(vecs: DataFrame, cbLit: Column,
-                          m: Int, dim: Int): DataFrame = {
-    val d = dim / m
+    * [[servingCodes]] carry metadata into the index for free. Since r18
+    * the per-subspace strict-`<` argmin over cid-ascending entries (the
+    * lowest-cid-on-ties rule) runs as the native
+    * [[graft.plans.PqAssignCodes]] codegen kernel — bit-identical to
+    * the old m-way `transform` of `aggregate` lambdas (which evaluated
+    * the sqDist fold interpreted, TWICE per candidate — the PqKernels
+    * scaladoc has the measured profile) and spec'd against it. */
+  private def assignCodes(vecs: DataFrame, byJ: Seq[Seq[(Int, Seq[Float])]],
+                          m: Int, dim: Int): DataFrame =
     vecs.withColumn("codes",
-      transform(sequence(lit(0), lit(m - 1)),
-        j => argminCid(slice(col("vec"), j * d + 1, lit(d)),
-          element_at(cbLit, j + 1))))
-  }
+      graft.plans.PqAssignCodes.assignCodes(col("vec"), byJ, dim / m))
 
   /** Per-(subspace, centroid) element-wise mean in exact fixed-point —
     * [[Ivf.updateCentroids]] with the subspace key carried through: one
@@ -150,13 +130,13 @@ object Pq {
     val sess = emb.sparkSession
     val vecs = Caches.tracked(
       emb.select(col(idCol).as("vid"), col(vecCol).as("vec")), "pq")
-    // Each iteration: in-row assignment against the LITERAL codebook
+    // Each iteration: in-row assignment against the driver-side codebook
     // (map-only), then one fixed-point update aggregation whose collect
-    // (inside codebookLit) IS the materialization barrier — no
+    // (inside codebookSeq) IS the materialization barrier — no
     // persist/count dance, no broadcast join, and plans stay
-    // constant-size because each pass starts from an embedded literal,
+    // constant-size because each pass starts from embedded driver data,
     // not the previous iteration's lineage.
-    var cb = codebookLit(
+    var cb = codebookSeq(
       subvectors(vecs.orderBy(col("vid")).limit(k), m, dim)
         .select(col("j"),
           row_number().over(Window.partitionBy(col("j")).orderBy(col("vid")))
@@ -176,9 +156,8 @@ object Pq {
       last = next.select(col("j"), col("cid"), col("cvec")).collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toSeq))
         .sortBy(t => (t._1, t._2))
-      val byJ: Seq[Seq[(Int, Seq[Float])]] = (0 until m).map(j =>
+      cb = (0 until m).map(j =>
         last.filter(_._1 == j).map(t => (t._2, t._3)).toSeq)
-      cb = typedLit(byJ)
     }
     // re-emit the final (already-materialized) codebook as a local frame
     // so downstream consumers never recompute the last Lloyd pass
@@ -193,7 +172,7 @@ object Pq {
   def encode(emb: DataFrame, codebook: DataFrame, idCol: String,
              vecCol: String, m: Int, dim: Int): DataFrame =
     assignCodes(emb.select(col(idCol).as("vid"), col(vecCol).as("vec")),
-      codebookLit(codebook, m), m, dim)
+      codebookSeq(codebook, m), m, dim)
       .select(col("vid"), col("codes"))
 
   /** Rebuild approximate vectors from codes + the broadcast codebook —
@@ -267,11 +246,16 @@ object Pq {
   }
 
   /** ADC cosine of a code array against one query's lookup tables:
-    * m array lookups + m-term folds, all in-row. */
+    * m array lookups + m-term folds, all in-row. Since r18 the lookup
+    * fold is the native [[graft.plans.AdcLookupSum]] codegen kernel —
+    * this is THE per-candidate serving hot loop (every scored (query,
+    * candidate) pair pays two of these folds), and the old
+    * `aggregate(zip_with(codes, tab, element_at))` chain evaluated it
+    * interpreted with two intermediate arrays per candidate (PqKernels
+    * scaladoc). Same fold order, same null algebra, spec'd identical. */
   private def adcCosine(codes: Column, roundTo: Int): Column = {
     def lookupSum(tab: Column): Column =
-      aggregate(zip_with(codes, tab, (c, arr) => element_at(arr, c)),
-        lit(0.0d), (acc, x) => acc + x)
+      graft.plans.AdcLookupSum.lookupSum(codes, tab)
     round(lookupSum(col("dot_tab")) /
       sqrt(col("qq") * lookupSum(col("rr_tab"))), roundTo)
   }
@@ -338,8 +322,13 @@ object Pq {
                 queryPred: Column, k: Int, m: Int, numCentroids: Int,
                 dim: Int, coarseK: Int, nProbe: Int, iters: Int = 2,
                 roundTo: Int = 5, candPred: Option[Column] = None): DataFrame = {
-    val (_, centroids) = Ivf.build(emb, idCol, vecCol, coarseK, iters)
-    val codebook = build(emb, idCol, vecCol, m, numCentroids, dim, iters)
+    // coarse quantizer and PQ codebooks train on independent pipelines
+    // over the same corpus — overlap their Lloyd collect barriers
+    // (Par.both scaladoc; guide §2.6). Each build is unchanged, so the
+    // index bytes (and the oracle) are identical to the sequential form.
+    val ((_, centroids), codebook) = Par.both(
+      Ivf.build(emb, idCol, vecCol, coarseK, iters),
+      build(emb, idCol, vecCol, m, numCentroids, dim, iters))
     val codes = servingCodes(emb, idCol, vecCol, codebook, centroids, m, dim)
     val queries = emb.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .filter(queryPred)
@@ -510,9 +499,9 @@ object Pq {
     assignCodes(
         emb.select(col(idCol).as("vid") +: col(vecCol).as("vec") +:
           carry.map(col): _*),
-        codebookLit(codebook, m), m, dim)
+        codebookSeq(codebook, m), m, dim)
       .select(col("vid") +: col("codes") +:
-        Ivf.nearestCid(col("vec"), Ivf.centroidLitOf(centroids))
+        Ivf.nearestCid(col("vec"), Ivf.centroidSeqOf(centroids))
           .as("centroid_id") +: carry.map(col): _*)
 
   /** Persist a full IVF-PQ serving index as catalog tables under
