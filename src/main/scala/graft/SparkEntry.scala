@@ -2482,12 +2482,16 @@ object SparkEntry {
         .select(col("doc_id"),
           array_join(slice(Text.tokens(lower(col("text"))), 1, 3), " ")
             .as("qtext"))
-      val sparse = graft.operators.Tfidf.searchBm25(docs, "doc_id", "text",
-          queries, "doc_id", "qtext", k = 5)
-        .withColumnRenamed("doc", "neighbor_id")
-      val dense = graft.operators.Pq.ivfPqTopK(Tables.embeddings(s, dir),
-        "vec_id", "embedding", col("query_id") % 97 === 0, k = 5, m = 8,
-        numCentroids = 16, dim = 64, coarseK = 16, nProbe = 4)
+      // the sparse and dense rankers are independent pipelines until the
+      // fuse, and BOTH run eager driver work at construction (pushTerms
+      // collects / Lloyd barriers) — overlap them (Par.both, guide §2.6)
+      val (sparse, dense) = graft.operators.Par.both(
+        graft.operators.Tfidf.searchBm25(docs, "doc_id", "text",
+            queries, "doc_id", "qtext", k = 5)
+          .withColumnRenamed("doc", "neighbor_id"),
+        graft.operators.Pq.ivfPqTopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", col("query_id") % 97 === 0, k = 5, m = 8,
+          numCentroids = 16, dim = 64, coarseK = 16, nProbe = 4))
       graft.operators.Ranking.rrfFuse(sparse, dense, k = 5)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
@@ -2508,13 +2512,16 @@ object SparkEntry {
         .select(col("doc_id"),
           array_join(slice(Text.tokens(lower(col("text"))), 1, 3), " ")
             .as("qtext"))
-      val sparse = graft.operators.Tfidf.searchBm25(docs, "doc_id", "text",
-          queries, "doc_id", "qtext", k = 5)
-        .withColumnRenamed("doc", "neighbor_id")
       val emb = Tables.embeddings(s, dir)
-      val dense = graft.operators.Pq.ivfPqTopK(emb, "vec_id", "embedding",
-        col("query_id") % 97 === 0, k = 5, m = 8, numCentroids = 16,
-        dim = 64, coarseK = 16, nProbe = 4)
+      // independent sparse/dense constructions overlapped (Par.both,
+      // guide §2.6) — same rationale as q_hybrid_search
+      val (sparse, dense) = graft.operators.Par.both(
+        graft.operators.Tfidf.searchBm25(docs, "doc_id", "text",
+            queries, "doc_id", "qtext", k = 5)
+          .withColumnRenamed("doc", "neighbor_id"),
+        graft.operators.Pq.ivfPqTopK(emb, "vec_id", "embedding",
+          col("query_id") % 97 === 0, k = 5, m = 8, numCentroids = 16,
+          dim = 64, coarseK = 16, nProbe = 4))
       val shortlist = graft.operators.Ranking.rrfFuse(sparse, dense, k = 10)
       graft.operators.Pq.rerankExact(shortlist, emb, "vec_id", "embedding",
           col("query_id") % 97 === 0, k = 5)
@@ -2539,22 +2546,28 @@ object SparkEntry {
         .select(col("doc_id"),
           array_join(slice(Text.tokens(lower(col("text"))), 1, 3), " ")
             .as("qtext"))
-      val sparse = Tfidf.searchBm25Served(
-          Tfidf.buildBm25Index(docs, "doc_id", "text"),
-          queries, "doc_id", "qtext", k = 5)
-        .withColumnRenamed("doc", "neighbor_id")
       val emb = Tables.embeddings(s, dir)
-      // independent trainings overlapped (Par.both scaladoc, guide §2.6)
-      val ((_, cents), cb) = graft.operators.Par.both(
-        Ivf.build(emb, "vec_id", "embedding", k = 16, iters = 2),
-        Pq.build(emb, "vec_id", "embedding", m = 8, k = 16, dim = 64))
-      val codes = Pq.servingCodes(emb, "vec_id", "embedding", cb, cents,
-        m = 8, dim = 64)
-      val qvecs = emb.select(col("vec_id").as("query_id"),
-          col("embedding").as("qvec"))
-        .filter(col("query_id") % 97 === 0)
-      val dense = Pq.ivfPqServe(codes, cents, cb, qvecs, k = 5, m = 8,
-        numCentroids = 16, dim = 64, nProbe = 4)
+      // the whole sparse serve construction (index build + term pushdown
+      // collects) and the whole dense serve construction (both Lloyd
+      // ladders + encode) are independent until the fuse — overlap them;
+      // the inner Ivf/Pq overlap nests fine (Par.both scaladoc, §2.6)
+      val (sparse, dense) = graft.operators.Par.both(
+        Tfidf.searchBm25Served(
+            Tfidf.buildBm25Index(docs, "doc_id", "text"),
+            queries, "doc_id", "qtext", k = 5)
+          .withColumnRenamed("doc", "neighbor_id"),
+        {
+          val ((_, cents), cb) = graft.operators.Par.both(
+            Ivf.build(emb, "vec_id", "embedding", k = 16, iters = 2),
+            Pq.build(emb, "vec_id", "embedding", m = 8, k = 16, dim = 64))
+          val codes = Pq.servingCodes(emb, "vec_id", "embedding", cb, cents,
+            m = 8, dim = 64)
+          val qvecs = emb.select(col("vec_id").as("query_id"),
+              col("embedding").as("qvec"))
+            .filter(col("query_id") % 97 === 0)
+          Pq.ivfPqServe(codes, cents, cb, qvecs, k = 5, m = 8,
+            numCentroids = 16, dim = 64, nProbe = 4)
+        })
       graft.operators.Ranking.rrfFuse(sparse, dense, k = 5)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
