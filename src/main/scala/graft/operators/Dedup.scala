@@ -1504,11 +1504,15 @@ object Dedup {
     *     extendable-left ⟺ maxdup(pos−1) ≥ span_len+1, and a non-seed
     *     pos−1 has maxdup < minLen ≤ span_len, so seeds suffice.
     *
-    * Gram identity is xxhash64 of the joined window text — hash CHOICE
-    * is free here because the oracle is an independent algorithm
-    * (suffix sort + neighbor LCP), not a hash mirror; equal-gram
-    * semantics assume no 64-bit collisions, the same corpus-scale
-    * argument [[duplicatedSpans]] documents. Token arrays live ONE ROW
+    * Gram identity is the [[graft.plans.TokenWindowHash64]] chained
+    * token-hash family (per-token XXH64 once, then a length-long chain
+    * — natively codegen'd, and incremental in length for the resolve's
+    * [[graft.plans.LadderWindowHash]]; r18, was xxhash64 of the joined
+    * window text built per candidate in interpreted lambdas) — hash
+    * CHOICE is free here because the oracle is an independent algorithm
+    * (suffix sort + neighbor LCP), not a hash mirror, and grams never
+    * escape the plan; equal-gram semantics assume no 64-bit collisions,
+    * the same corpus-scale argument [[duplicatedSpans]] documents. Token arrays live ONE ROW
     * PER DOC throughout: candidate positions travel as per-doc INT
     * ARRAYS, each round joins them back to the cached (doc, toks) frame
     * at doc grain (a few MB — broadcast-sized beside any corpus), and
@@ -1528,28 +1532,34 @@ object Dedup {
     val toksF = tracked(docs.select(col(idCol).as("doc"),
         Text.tokens(lower(col(textCol))).as("toks"))
       .filter(size(col("toks")) >= minLen))
-    def gram(toks: Column, p: Column, len: Column): Column =
-      xxhash64(concat_ws(" ", slice(toks, p + 1, len)))
     // survivors of a probe at `len` among the (doc, positions[]) frame —
     // exactness argument per round: step 2 of the class doc. Output is
     // re-packed to per-doc arrays for the next round's doc-grain join
     // (the survivor side is seed-sized, so Catalyst broadcasts it and
     // the cached token frame streams map-side). The SEED round needs no
-    // join at all: every position probes, so its array derives in-row
-    // from the token frame itself. Duplication test is a count over a
-    // hash-partitioned WINDOW — one exchange — not
-    // aggregate-then-semi-join (two exchanges of the same rows; the
-    // profile had the ladder paying both per round).
+    // join at all: every position probes, so its hashes come straight
+    // off the token frame ([[graft.plans.TokenWindowHash64]], index =
+    // position). Ladder rounds hash only the survivors' positions
+    // ([[graft.plans.PosWindowHash]] — native, rem-filter built in;
+    // replaces the interpreted transform(filter(...), xxhash64(
+    // concat_ws(slice))) chain that built a len-token string per
+    // candidate; gram VALUES change with the hash family, which the
+    // class doc already adjudicates as free — the oracle is an
+    // independent suffix sort and grams never escape the plan).
+    // Duplication test is a count over a hash-partitioned WINDOW — one
+    // exchange — not aggregate-then-semi-join (two exchanges of the
+    // same rows; the profile had the ladder paying both per round).
     val wG = Window.partitionBy(col("g"))
     def dupWithin(posA: Option[DataFrame], len: Int): DataFrame =
-      posA.fold(toksF.withColumn("ps",
-          sequence(lit(0), size(col("toks")) - minLen)))(
-          pa => toksF.join(pa, Seq("doc")))
-        .select(col("doc"), explode(transform(
-          filter(col("ps"), p => size(col("toks")) - p >= len),
-          p => struct(p.as("pos"),
-            gram(col("toks"), p, lit(len)).as("g")))).as("pg"))
-        .select(col("doc"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+      posA.fold(
+          toksF.select(col("doc"), posexplode(
+            graft.plans.TokenWindowHash64.tokenWindowHash(col("toks"), len)))
+            .select(col("doc"), col("pos"), col("col").as("g")))(
+          pa => toksF.join(pa, Seq("doc"))
+            .select(col("doc"), explode(
+              graft.plans.PosWindowHash.at(col("toks"), col("ps"), len))
+              .as("pg"))
+            .select(col("doc"), col("pg.pos").as("pos"), col("pg.g").as("g")))
         .withColumn("n", count(lit(1)).over(wG))
         .filter(col("n") >= 2)
         .groupBy(col("doc")).agg(collect_list(col("pos")).as("ps"))
@@ -1591,21 +1601,20 @@ object Dedup {
       .groupBy(col("doc"), col("pos")).agg(max(col("lo")).as("lo"))
       .groupBy(col("doc"))
       .agg(collect_list(struct(col("pos"), col("lo"))).as("qs"))
-    // RESOLVE: per doc, explode (pos, p, gram) for every p in
-    // [minLen, hi) of every seed — in-row off the one toks row; the
-    // same one-exchange window count decides duplication, and maxdup is
-    // TRACKED because the left-maximality self-join below reads it twice
-    // (unpersisted, the whole resolve lineage ran once per side —
-    // measured as the profile's two most expensive stages)
+    // RESOLVE: per doc, (pos, p, gram) rows for every p in [minLen, hi)
+    // of every seed — in-row off the one toks row via the native
+    // [[graft.plans.LadderWindowHash]] kernel, whose chained hash is
+    // INCREMENTAL in p: all of a seed's lengths cost one O(hi) chain
+    // where the old per-length transform re-hashed each prefix
+    // independently (O(hi²) per seed — the profile's two most expensive
+    // stages, 19.3 s + 9.8 s task time at sf0.1, were the two sides of
+    // this stage). The same one-exchange window count decides
+    // duplication, and maxdup is TRACKED because the left-maximality
+    // self-join below reads it twice.
     val wPG = Window.partitionBy(col("p"), col("g"))
     val maxdup = tracked(toksF.join(seeds, Seq("doc"))
-      .select(col("doc"), explode(flatten(transform(col("qs"), q =>
-        transform(
-          sequence(lit(minLen),
-            least(q.getField("lo") * 2,
-              size(col("toks")) - q.getField("pos") + 1) - 1),
-          p => struct(q.getField("pos").as("pos"), p.as("p"),
-            gram(col("toks"), q.getField("pos"), p).as("g"))))))
+      .select(col("doc"), explode(
+        graft.plans.LadderWindowHash.at(col("toks"), col("qs"), minLen))
         .as("row"))
       .select(col("doc"), col("row.pos").as("pos"), col("row.p").as("p"),
         col("row.g").as("g"))
