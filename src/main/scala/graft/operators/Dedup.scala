@@ -1525,13 +1525,26 @@ object Dedup {
     * the longest document, so real round counts are
     * ~log2(maxDocLen/minLen). */
   def maximalDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                             minLen: Int = 8, maxRounds: Int = 16): DataFrame = {
+                             minLen: Int = 8, maxRounds: Int = 16): DataFrame =
+    maximalSpansFromToks(
+      tracked(docs.select(col(idCol).as("doc"),
+        Text.tokens(lower(col(textCol))).as("toks"))),
+      minLen, maxRounds)
+
+  /** Ladder body over a PRE-TOKENIZED (doc, toks) frame the caller has
+    * already tracked/persisted — [[removeMaximalSpans]] shares one
+    * tokenize pass between the ladder and its reassembly join instead of
+    * tokenizing the corpus twice (r18). `toksAll` must be cached: every
+    * ladder round, the resolve and the span-text join re-read it. */
+  private[graft] def maximalSpansFromToks(toksAll: DataFrame,
+                                          minLen: Int,
+                                          maxRounds: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
-    // one row per doc, cached: every ladder round and the resolve read it
-    val toksF = tracked(docs.select(col(idCol).as("doc"),
-        Text.tokens(lower(col(textCol))).as("toks"))
-      .filter(size(col("toks")) >= minLen))
+    // one row per doc; filters the caller's cached frame (short docs
+    // cannot seed), so each consumer pays a cached scan + filter, not a
+    // second corpus tokenize
+    val toksF = toksAll.filter(size(col("toks")) >= minLen)
     // survivors of a probe at `len` among the (doc, positions[]) frame —
     // exactness argument per round: step 2 of the class doc. Output is
     // re-packed to per-doc arrays for the next round's doc-grain join
@@ -1671,11 +1684,19 @@ object Dedup {
     * (doc, n_tokens, n_removed, clean_text). */
   def removeMaximalSpans(docs: DataFrame, idCol: String, textCol: String,
                          minLen: Int = 8, maxRounds: Int = 16): DataFrame = {
-    val spans = maximalDuplicatedSpans(docs, idCol, textCol, minLen,
-        maxRounds)
+    // ONE tokenize pass, cached, shared by the ladder AND the
+    // reassembly join below (r18 — was two full-corpus tokenizes)
+    val toksAll = tracked(docs.select(col(idCol).as("doc"),
+      Text.tokens(lower(col(textCol))).as("toks")))
+    // tracked: the canonical-site aggregate AND the removal join both
+    // read this frame — without the persist the ladder's whole
+    // span-report tail (left-maximality self-join + per-row span-text
+    // slice) evaluates once per consumer.
+    // Span-occurrence-bounded, so the cache is small by construction.
+    val spans = tracked(maximalSpansFromToks(toksAll, minLen, maxRounds)
       // span_len disambiguates the (astronomically unlikely) text-equal
       // prefix hash case for free — both columns are already in-row
-      .withColumn("g", xxhash64(col("span_len"), col("span")))
+      .withColumn("g", xxhash64(col("span_len"), col("span"))))
     val canon = spans.groupBy(col("g"))
       .agg(min(struct(col("doc"), col("pos"))).as("c"))
     val removed = spans.join(canon, Seq("g"))
@@ -1686,9 +1707,7 @@ object Dedup {
       .select(col("doc"), array_distinct(flatten(transform(col("ivs"),
         iv => sequence(iv.getField("pos"),
           iv.getField("pos") + iv.getField("len") - 1)))).as("rem"))
-    val toks = docs.select(col(idCol).as("doc"),
-      Text.tokens(lower(col(textCol))).as("toks"))
-    toks.join(removed, Seq("doc"), "left")
+    toksAll.join(removed, Seq("doc"), "left")
       .select(col("doc"),
         size(col("toks")).cast("long").as("n_tokens"),
         coalesce(size(col("rem")), lit(0)).cast("long").as("n_removed"),
