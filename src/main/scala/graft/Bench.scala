@@ -865,7 +865,13 @@ object Bench {
           import graft.operators.Tfidf
           val t0 = System.nanoTime()
           val docs = graft.sources.Tables.documents(spark, scaledDir)
-          val idx = Tfidf.buildBm25Index(docs, "doc_id", "text")
+          // ONE corpus pass for both indexes (r18): the positional
+          // postings carry exact tf/dl, so the BM25 index derives from
+          // them (Tfidf.bm25IndexFromPostings) instead of a second
+          // tokenize + (doc, term) shuffle via buildBm25Index
+          val pos = graft.operators.Caches.tracked(
+            Tfidf.positionalPostings(docs, "doc_id", "text"), "tfidf")
+          val idx = Tfidf.bm25IndexFromPostings(pos)
           Tfidf.saveBm25Index(idx, "graft_bm25", cpus.toInt)
           graft.sources.Sinks.replaceTable(
             docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000)
@@ -875,9 +881,7 @@ object Bench {
             "graft_bm25_queries")
           // the positional index for phrase serving, same bucketing
           // (dogfooding the library's own persistence call)
-          Tfidf.savePositionalIndex(
-            Tfidf.positionalPostings(docs, "doc_id", "text"),
-            "graft_bm25", cpus.toInt)
+          Tfidf.savePositionalIndex(pos, "graft_bm25", cpus.toInt)
           graft.operators.Caches.unpersistAll()
           spark.conf.set("graft.bench.sparseIndex", "1")
           // index construction ends HERE — capture it before the census

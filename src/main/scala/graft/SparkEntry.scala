@@ -2052,10 +2052,14 @@ object SparkEntry {
         .select(col("doc_id"),
           array_join(slice(Text.tokens(lower(col("text"))), 1, n), " ")
             .as("qtext"))
-      val matches = Tfidf.phraseSearch(
-        Tfidf.positionalPostings(docs, "doc_id", "text"),
-        prefixQ(2), "doc_id", "qtext")
-      Tfidf.searchBm25Served(Tfidf.buildBm25Index(docs, "doc_id", "text"),
+      // ONE corpus pass: the positional postings feed the phrase probe
+      // AND the BM25 index (tf = |positions|, dl denormalized — r18,
+      // Tfidf.bm25IndexFromPostings scaladoc; was a second tokenize +
+      // (doc, term) shuffle via buildBm25Index)
+      val pos = graft.operators.Caches.tracked(
+        Tfidf.positionalPostings(docs, "doc_id", "text"), "tfidf")
+      val matches = Tfidf.phraseSearch(pos, prefixQ(2), "doc_id", "qtext")
+      Tfidf.searchBm25Served(Tfidf.bm25IndexFromPostings(pos),
           prefixQ(3), "doc_id", "qtext", k = 5,
           candidates = Some(matches))
         .withColumnRenamed("rank", "rnk")

@@ -212,6 +212,31 @@ object Tfidf {
     Bm25Index(postings, df_, corpusStats)
   }
 
+  /** Derive a [[Bm25Index]] from an ALREADY-BUILT positional postings
+    * frame ([[positionalPostings]]) instead of paying
+    * [[buildBm25Index]]'s second corpus pass + (doc, term) shuffle —
+    * for callers that build BOTH structures over the same corpus
+    * (phrase-filtered ranking, the bench's sparse serve prebuild). The
+    * caller should have the postings frame persisted: the index's three
+    * frames and the caller's own phrase probe all read it.
+    *
+    * Row identity with [[buildBm25Index]] is by construction: tf and dl
+    * are PER-DOCUMENT quantities the positional rows already carry
+    * exactly (tf = |positions|, dl = |toks| — the [[postingsRowLocal]]
+    * argument), df is one vocabulary-sized count over the (term, doc)
+    * rows, and the corpus totals re-aggregate doc grain via a first-per-
+    * doc reduction of the denormalized dl (exact: dl is constant within
+    * a doc). Every field stays the same exact integer, so scores are
+    * bit-identical — `Bm25IndexSpec` pins frame-for-frame equality and
+    * the untouched q_phrase_ranked oracle pins the composition. */
+  def bm25IndexFromPostings(postings: DataFrame): Bm25Index = {
+    val p = postings.select(col("term"), col("doc"), col("tf"), col("dl"))
+    val df_ = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpusStats = p.groupBy(col("doc")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    Bm25Index(p, df_, corpusStats)
+  }
+
   /** Postings rows (term, doc, tf, dl) computed ROW-LOCALLY — no shuffle,
     * no aggregation state: tf per (doc, term) is a within-row count over
     * the doc's own token array, dl its length. Identical rows to

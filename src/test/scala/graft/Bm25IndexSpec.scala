@@ -239,6 +239,27 @@ class Bm25IndexSpec extends SparkSpec {
     assert(plain == viaPositional)
   }
 
+  test("bm25IndexFromPostings == buildBm25Index, frame for frame") {
+    // the r18 shared-pass derivation (q_phrase_ranked / sparse prebuild):
+    // every index frame must carry the SAME exact integers as the
+    // shuffle-built form — scores are then bit-identical by construction
+    val built = Tfidf.buildBm25Index(corpus, "doc_id", "text")
+    val derived = Tfidf.bm25IndexFromPostings(
+      Tfidf.positionalPostings(corpus, "doc_id", "text"))
+    def rows(df: DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(rows(built.postings.select("term", "doc", "tf", "dl")) ==
+      rows(derived.postings.select("term", "doc", "tf", "dl")))
+    assert(rows(built.termStats) == rows(derived.termStats))
+    assert(rows(built.corpusStats) == rows(derived.corpusStats))
+    // and the served ranking over the derived index is byte-identical
+    val a = ranked(Tfidf.searchBm25Served(built, queries, "query_id",
+      "qtext", k = 3))
+    val b = ranked(Tfidf.searchBm25Served(derived, queries, "query_id",
+      "qtext", k = 3))
+    assert(a == b && a.nonEmpty)
+  }
+
   test("phrase search: overlap, repeated terms, cross-doc, absent, single-term") {
     val docs = Seq(
       (1L, "the dog dog dog barks"),    // "dog dog" overlaps twice
