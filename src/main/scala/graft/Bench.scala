@@ -586,42 +586,11 @@ object Bench {
     val t0Run = System.nanoTime()
     def budgetLeft: Double = budgetSec - (System.nanoTime() - t0Run) / 1e9
     val skippedPhases = Seq.newBuilder[String]
-    def mkSession(): SparkSession = {
-      val s = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        // DRIVER-OVERHEAD CAPS (r18, measured): Spark stringifies every
-        // execution's FULL plan on the driver thread (SQLExecution.
-        // withNewExecutionId → explainString(uiExplainMode), default
-        // mode `formatted`), AGAIN on every AQE stage materialization
-        // (AdaptiveSparkPlanExec.onUpdatePlan), and SQLAppStatusListener
-        // — installed even with the UI off — RETAINS the last 1000
-        // executions' full descriptions + metric graphs. Over a bench
-        // run (~160 queries × warm+2 iters × several actions each) the
-        // retained strings grow the old-gen working set for the whole
-        // session: the r18 baseline measured q_tpch_q1 (unchanged since
-        // r8) at 2.86 s INSIDE the full run vs 1.44 s isolated on the
-        // same box — a 2× session-aging tax the pure-CPU calibration
-        // sentinel cannot see (it allocates nothing). With these caps
-        // the full-run tail matches the isolated numbers (the A/B full
-        // runs in OPTIMIZATION_r18.md). `simple` explain mode cuts the
-        // per-action stringify work itself; the retained-counts bound
-        // the status stores. Production rationale: identical waste on a
-        // real cluster — plan strings this size are read by nobody when
-        // the UI is off, and a long-lived session (a serving daemon, a
-        // notebook) ages the same way; revert per-session when a live
-        // UI is actually attached.
-        .config("spark.sql.ui.retainedExecutions", "8")
-        .config("spark.sql.ui.explainMode", "simple")
-        .config("spark.ui.retainedJobs", "200")
-        .config("spark.ui.retainedStages", "200")
-        .config("spark.ui.retainedTasks", "2000")
-        .getOrCreate()
-      s.sparkContext.setLogLevel("WARN")
-      s
-    }
+    // Shared session defaults incl. the r18 driver-overhead caps —
+    // rationale and the 2.86 s-vs-1.44 s session-aging measurement live
+    // in the GraftSession scaladoc (r19, verdict ask #6: one engine-owned
+    // definition site instead of three harness copies).
+    def mkSession(): SparkSession = GraftSession.create(cpus)
     var spark = mkSession()
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warm-up
     spark.read.parquet(s"$sfDir/nation.parquet").count() // IO warm-up
@@ -686,8 +655,28 @@ object Bench {
     // minutes of clean engine numbers, zero of them published). The final
     // end-of-run lines below re-emit the complete record and win the tail
     // when the run survives.
-    val engineHeadline = engine.mins.sortBy(-_._2).take(12)
-      .map { case (n, v) => s""""$n":${r2(v)}""" }.mkString(",")
+    // Headline = this run's 12 costliest mins UNION every name the r18
+    // driver metric line published (r19, verdict ask #7): the PERF
+    // comparator reads consecutive rounds' metric lines, so a query that
+    // merely got FASTER and left the top-12 slice must stay visible with
+    // its new number instead of surfacing as "dropped_from_bench" (the
+    // r18 ANN-trio phantom). Entries are only ever ADDED round-over-round
+    // — the driver contract — and the union stays ≤ ~24 names, inside
+    // the driver's stdout tail window.
+    val prevHeadlineNames = Seq(
+      "q_corpus_funnel_neardup", "q_span_scrub_maximal",
+      "q_corpus_drop_audit", "q_hybrid_served", "q_hybrid_rerank",
+      "q_recrawl_pipeline", "q_hybrid_search", "q_span_maximal",
+      "q_dedup_minhash_incr", "q_ann_rrf", "q_bm25_index_append",
+      "q_bm25_index_delete")
+    def headlineJson(mins: Seq[(String, Double)]): String = {
+      val byName = mins.toMap
+      val names = (mins.sortBy(-_._2).take(12).map(_._1) ++
+        prevHeadlineNames.filter(byName.contains)).distinct
+      names.sortBy(n => -byName(n))
+        .map(n => s""""$n":${r2(byName(n))}""").mkString(",")
+    }
+    val engineHeadline = headlineJson(engine.mins)
     println(s"""{"metric":"engine_total","value":${r2(total)},"unit":"sec",""" +
       s""""queries":{$engineHeadline},"sf":"$sfDir","n_queries":${engine.nOk},""" +
       s""""n_failed":${engine.nFailed},"n_failed_other":0,""" +
@@ -1175,14 +1164,21 @@ object Bench {
     val sparseServeJson =
       if (!enabled("SPARK_GRAFT_SPARSE_SERVE") ||
           ((only.isDefined || sf1Only.isDefined) && !sparseServeForced)) ""
-      else phaseGate("sparse_serve", 450) {
+      else phaseGate("sparse_serve", 520) {  // 450 + the ×50 min-of-2 pass
         // q_phrase_search and q_phrase_slop ride the same pre-built index
         // (their serve branches probe the positional table), so the phase
         // measures exact-phrase AND proximity serving beside BM25 ranking
         val names = Seq("q_bm25_served", "q_phrase_search", "q_phrase_slop")
         val r10 = scalePhase(10, "natural", names, 1,
           withRecall = false, prebuildSparseIndex = true)
-        val r50 = scalePhase(50, "natural", names, 1,
+        // ×50 back at min-of-2 (r19, verdict ask #2): the r18 one-sample
+        // cut made the headline serve point incomparable round-over-round
+        // — the driver's ×50 q_phrase_search read 37.3 s contaminated vs
+        // r17's 8.8, exactly the 1.5-2× single-sample spread the r18
+        // "Not yet optimized" list predicted. Min-of-2 costs ~60 s inside
+        // the 180 s window slack the r18 driver run demonstrated; the
+        // ×10 point keeps one iteration (it is the cheap bracket end).
+        val r50 = scalePhase(50, "natural", names, 2,
           withRecall = false, prebuildSparseIndex = true)
         s""","sparse_serve":{"r10":$r10,"r50":$r50}"""
       }
@@ -1208,7 +1204,10 @@ object Bench {
         val names = Seq("q_ann_ivfpq", "q_ann_filtered")
         val r10 = scalePhase(10, "natural", names, 1,
           withRecall = false, prebuildAnnIndex = true)
-        val r50 = scalePhase(50, "natural", names, 1,
+        // ×50 at min-of-2 (r19, verdict ask #2 — sparse_serve rationale;
+        // the ann ×50 serve points are ~1.5 s total, so the second
+        // sample costs seconds, not minutes)
+        val r50 = scalePhase(50, "natural", names, 2,
           withRecall = false, prebuildAnnIndex = true)
         s""","ann_serve":{"r10":$r10,"r50":$r50}"""
       }
@@ -1497,8 +1496,8 @@ object Bench {
     // full per-query record in bench_out.json. Paired with the sbt
     // StdoutOutput strategy in build.sbt, this line reaches the driver
     // verbatim (no "[info] " framing).
-    val headline = engine.mins.sortBy(-_._2).take(12)
-      .map { case (n, v) => s""""$n":${r2(v)}""" }.mkString(",")
+    // same union as the early flush (verdict ask #7 — no phantom drops)
+    val headline = headlineJson(engine.mins)
     println(s"""{"metric":"engine_total","value":${r2(total)},"unit":"sec",""" +
       s""""queries":{$headline},"sf":"$sfDir","n_queries":${engine.nOk},""" +
       s""""n_failed":${engine.nFailed},"n_failed_other":$nFailedOther,""" +

@@ -71,12 +71,10 @@ object Cli {
     require(args.nonEmpty, "usage: graft.Cli analyze|export --logs <path> [options]")
     val cmd = args.head
     val opts = parseArgs(args.tail.toSeq)
-    val spark = SparkSession.builder()
+    // shared session defaults (GraftSession scaladoc); the CLI's master
+    // and shuffle-partition count stay caller-configurable
+    val spark = GraftSession.builder(opts.getOrElse("shuffle-partitions", "8"))
       .master(opts.getOrElse("master", "local[8]"))
-      .config("spark.sql.shuffle.partitions",
-        opts.getOrElse("shuffle-partitions", "8"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       // tolerate TIMESTAMP(NANOS) parquet inputs (read as long nanos)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

@@ -7,21 +7,9 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // driver-overhead caps — same rationale and measurements as
-      // Bench.mkSession (plan stringify per action + retained
-      // executions age the session; ~165 queries share this one)
-      .config("spark.sql.ui.retainedExecutions", "8")
-      .config("spark.sql.ui.explainMode", "simple")
-      .config("spark.ui.retainedJobs", "200")
-      .config("spark.ui.retainedStages", "200")
-      .config("spark.ui.retainedTasks", "2000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // shared session defaults incl. the driver-overhead caps (~165
+    // queries share this one session) — GraftSession scaladoc
+    val spark = GraftSession.create(cpus)
     new java.io.File(outDir).mkdirs()
     // Dev-loop subset (same contract as Bench): run only the named queries.
     val only = sys.env.get("SPARK_GRAFT_ONLY")

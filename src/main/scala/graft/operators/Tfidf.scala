@@ -228,7 +228,15 @@ object Tfidf {
     * doc reduction of the denormalized dl (exact: dl is constant within
     * a doc). Every field stays the same exact integer, so scores are
     * bit-identical — `Bm25IndexSpec` pins frame-for-frame equality and
-    * the untouched q_phrase_ranked oracle pins the composition. */
+    * the untouched q_phrase_ranked oracle pins the composition.
+    *
+    * PRECONDITION (r19, ADVICE): exactly ONE input row per (term, doc),
+    * which [[positionalPostings]] / [[postingsRowLocal]] guarantee by
+    * construction (they explode DISTINCT terms per doc). A frame with
+    * duplicate (term, doc) rows — e.g. a naive union of two postings
+    * frames over overlapping corpora — silently inflates df and
+    * n_docs/sum_dl and yields wrong BM25 scores; merge/dedup such input
+    * to one row per (term, doc) before calling. */
   def bm25IndexFromPostings(postings: DataFrame): Bm25Index = {
     val p = postings.select(col("term"), col("doc"), col("tf"), col("dl"))
     val df_ = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
