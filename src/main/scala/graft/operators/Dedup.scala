@@ -430,13 +430,23 @@ object Dedup {
     // explode ADDS are one self-loop per pair endpoint — at most a 2×
     // inflation of the per-round join input, cheaper than the full
     // exchange a .distinct() would pay up front.
+    // LAZY localCheckpoint, not persist (r19, guide §3.3 "planning time
+    // itself can become the bottleneck"): the caller's pair plan is
+    // typically an enormous LSH/self-join tree, and a persisted frame
+    // KEEPS that logical plan — every round's join and every probe then
+    // re-runs analysis + optimization over the full pair lineage even
+    // though the CacheManager substitutes it physically. The r19 funnel
+    // profile measured ~5.5 s of pure driver gaps between this loop's
+    // jobs (16.2 s query). The checkpoint truncates the lineage to a
+    // LogicalRDD once, so each round plans over a three-node tree; the
+    // first probe materializes it (same I/O as the persist it replaces).
     val edges = pairs.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")),
         struct(col("doc_a").as("src"), col("doc_a").as("dst")),
         struct(col("doc_b").as("src"), col("doc_b").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist()
+      .localCheckpoint(false)
     // `old` = the node's label BEFORE the round (identity in round 1; the
     // self-loop row's looked-up label afterwards), so the convergence
     // probe is a filter over the materialized frame, not an extra join.
@@ -486,7 +496,7 @@ object Dedup {
       // probeEvery rounds (and on the last permitted round)
       if (iter % probeEvery == 0 || iter == maxIters) converged = probe()
     }
-    edges.unpersist()
+    freeLocalCheckpoint(edges) // Dataset.unpersist is a no-op on these
     labels.select("doc", "component")
   }
 
@@ -1460,9 +1470,9 @@ object Dedup {
       .select(col("doc"),
         size(col("toks")).cast("long").as("n_tokens"),
         coalesce(size(col("rem")), lit(0)).cast("long").as("n_removed"),
-        when(col("rem").isNull, array_join(col("toks"), " "))
-          .otherwise(array_join(filter(col("toks"),
-            (_, i) => !array_contains(col("rem"), i)), " "))
+        // native one-pass reassembly (r19): replaces the interpreted
+        // O(len × |rem|) filter/array_contains lambda — see SpanScrub
+        graft.plans.JoinTokensExcept.joinExcept(col("toks"), col("rem"))
           .as("clean_text"))
   }
 
@@ -1711,9 +1721,10 @@ object Dedup {
       .select(col("doc"),
         size(col("toks")).cast("long").as("n_tokens"),
         coalesce(size(col("rem")), lit(0)).cast("long").as("n_removed"),
-        when(col("rem").isNull, array_join(col("toks"), " "))
-          .otherwise(array_join(filter(col("toks"),
-            (_, i) => !array_contains(col("rem"), i)), " "))
+        // native one-pass reassembly (r19, verdict ask #4): the old
+        // interpreted filter probed `rem` per token — O(len × |rem|)
+        // per doc, hostile at 100 TB docs with many spans (SpanScrub)
+        graft.plans.JoinTokensExcept.joinExcept(col("toks"), col("rem"))
           .as("clean_text"))
   }
 
@@ -1775,9 +1786,8 @@ object Dedup {
       .select(col("doc"),
         size(col("ls")).cast("long").as("n_lines"),
         coalesce(size(col("rem")), lit(0)).cast("long").as("n_removed"),
-        when(col("rem").isNull, array_join(col("ls"), "\n"))
-          .otherwise(array_join(filter(col("ls"),
-            (_, i) => !array_contains(col("rem"), i)), "\n"))
+        // native one-pass reassembly (r19) — SpanScrub scaladoc
+        graft.plans.JoinTokensExcept.joinExcept(col("ls"), col("rem"), "\n")
           .as("clean_text"))
   }
 
@@ -1842,9 +1852,8 @@ object Dedup {
       .select(col("doc"),
         size(col("ls")).cast("long").as("n_paras"),
         coalesce(size(col("rem")), lit(0)).cast("long").as("n_removed"),
-        when(col("rem").isNull, array_join(col("ls"), "\n"))
-          .otherwise(array_join(filter(col("ls"),
-            (_, i) => !array_contains(col("rem"), i)), "\n"))
+        // native one-pass reassembly (r19) — SpanScrub scaladoc
+        graft.plans.JoinTokensExcept.joinExcept(col("ls"), col("rem"), "\n")
           .as("clean_text"))
   }
 
